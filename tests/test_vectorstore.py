@@ -1,0 +1,232 @@
+"""DeviceVectorStore vs a numpy oracle replicating the reference semantics.
+
+The oracle mirrors `aitools/vectorbase.py:163-230` of the reference exactly:
+score = clip((cos+1)/2, 0, 1), min_score filter, top-k by score descending.
+"""
+
+import numpy as np
+import pytest
+
+from typeagent_tpu.models.adapters import create_test_embedding_model
+from typeagent_tpu.vectorstore import (
+    ScoredInt,
+    TextEmbeddingIndexSettings,
+    VectorStore,
+    cosine_to_score,
+    get_default_min_score,
+)
+
+
+def oracle_lookup(matrix, q, max_hits=10, min_score=0.0, predicate=None):
+    """Numpy clone of the reference fuzzy_lookup_embedding semantics."""
+    if matrix.shape[0] == 0:
+        return []
+    scores = np.clip((np.dot(matrix, q) + 1.0) / 2.0, 0.0, 1.0)
+    cand = np.flatnonzero(scores >= min_score)
+    if predicate is not None:
+        cand = np.array([i for i in cand if predicate(int(i))], dtype=np.int64)
+    if len(cand) == 0:
+        return []
+    order = cand[np.argsort(scores[cand], kind="stable")[::-1]]
+    return [(int(i), float(scores[i])) for i in order[:max_hits]]
+
+
+def random_normalized(rng, n, dim):
+    m = rng.standard_normal((n, dim)).astype(np.float32)
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def make_store(dim=32, **kw):
+    settings = TextEmbeddingIndexSettings(
+        embedding_model=create_test_embedding_model(dim), **kw
+    )
+    return VectorStore(settings)
+
+
+def assert_matches_oracle(result, expected, *, tol=2e-5):
+    """Compare (ordinal, score) lists, tolerating float noise and ties."""
+    assert len(result) == len(expected), (result, expected)
+    for got, (exp_i, exp_s) in zip(result, expected):
+        assert abs(got.score - exp_s) < tol
+    # Index sets must agree except where scores tie within tolerance.
+    got_ids = {r.item for r in result}
+    exp_ids = {i for i, _ in expected}
+    if got_ids != exp_ids:
+        score_of = dict((i, s) for i, s in expected)
+        for i in got_ids ^ exp_ids:
+            # Any disagreeing index must be involved in a near-tie.
+            near = [s for j, s in expected if abs(s - min(r.score for r in result)) < tol]
+            assert near, (result, expected)
+
+
+@pytest.mark.parametrize("n", [1, 7, 100, 1500])
+@pytest.mark.parametrize("dim", [3, 32, 384])
+def test_lookup_matches_oracle(rng, n, dim):
+    store = make_store(dim)
+    matrix = random_normalized(rng, n, dim)
+    store.add_embeddings(None, matrix)
+    assert len(store) == n
+    q = random_normalized(rng, 1, dim)[0]
+    result = store.fuzzy_lookup_embedding(q, max_hits=10)
+    expected = oracle_lookup(matrix, q, max_hits=10)
+    assert_matches_oracle(result, expected)
+
+
+def test_min_score_filter(rng):
+    store = make_store(16)
+    matrix = random_normalized(rng, 200, 16)
+    store.add_embeddings(None, matrix)
+    q = matrix[17]  # exact row: cos=1 -> score=1
+    result = store.fuzzy_lookup_embedding(q, max_hits=50, min_score=0.9)
+    expected = oracle_lookup(matrix, q, max_hits=50, min_score=0.9)
+    assert result[0].item == 17
+    assert result[0].score == pytest.approx(1.0, abs=1e-5)
+    assert_matches_oracle(result, expected)
+
+
+def test_empty_store_returns_empty():
+    store = make_store(8)
+    assert store.fuzzy_lookup_embedding(np.zeros(8, np.float32)) == []
+    assert len(store) == 0
+    assert bool(store)  # empty index must not be falsy
+
+
+def test_incremental_append_many_batches(rng):
+    """Append across growth boundaries; results must stay correct."""
+    dim = 24
+    store = make_store(dim)
+    matrix = random_normalized(rng, 3000, dim)
+    for start in range(0, 3000, 250):
+        store.add_embeddings(None, matrix[start : start + 250])
+        q = matrix[start]
+        result = store.fuzzy_lookup_embedding(q, max_hits=5)
+        expected = oracle_lookup(matrix[: start + 250], q, max_hits=5)
+        assert result[0].item == start
+        assert_matches_oracle(result, expected)
+    assert len(store) == 3000
+
+
+def test_single_row_adds(rng):
+    store = make_store(8)
+    rows = random_normalized(rng, 20, 8)
+    for r in rows:
+        store.add_embedding(None, r)
+    assert len(store) == 20
+    res = store.fuzzy_lookup_embedding(rows[13], max_hits=1)
+    assert res[0].item == 13
+
+
+def test_subset_lookup(rng):
+    dim = 16
+    store = make_store(dim)
+    matrix = random_normalized(rng, 500, dim)
+    store.add_embeddings(None, matrix)
+    subset = [3, 77, 13, 200, 499, 42]
+    q = matrix[77]
+    result = store.fuzzy_lookup_embedding_in_subset(q, subset, max_hits=3)
+    sub_matrix = matrix[subset]
+    scores = np.clip((sub_matrix @ q + 1) / 2, 0, 1)
+    order = np.argsort(scores)[::-1][:3]
+    assert result[0].item == 77
+    assert [r.item for r in result] == [subset[i] for i in order]
+
+
+def test_subset_empty_and_missing():
+    store = make_store(8)
+    assert store.fuzzy_lookup_embedding_in_subset(np.zeros(8, np.float32), []) == []
+
+
+def test_predicate_path(rng):
+    dim = 16
+    store = make_store(dim)
+    matrix = random_normalized(rng, 300, dim)
+    store.add_embeddings(None, matrix)
+    q = matrix[5]
+    pred = lambda i: i % 2 == 0
+    result = store.fuzzy_lookup_embedding(q, max_hits=10, min_score=0.3, predicate=pred)
+    expected = oracle_lookup(matrix, q, max_hits=10, min_score=0.3, predicate=pred)
+    assert all(r.item % 2 == 0 for r in result)
+    assert_matches_oracle(result, expected)
+
+
+def test_batched_lookup_matches_single(rng):
+    dim = 48
+    store = make_store(dim)
+    matrix = random_normalized(rng, 800, dim)
+    store.add_embeddings(None, matrix)
+    queries = random_normalized(rng, 17, dim)
+    batch = store.fuzzy_lookup_embeddings_batch(queries, max_hits=7, min_score=0.4)
+    assert len(batch) == 17
+    for qi, q in enumerate(queries):
+        single = store.fuzzy_lookup_embedding(q, max_hits=7, min_score=0.4)
+        assert [r.item for r in batch[qi]] == [r.item for r in single]
+
+
+def test_serialize_roundtrip(rng):
+    dim = 12
+    store = make_store(dim)
+    matrix = random_normalized(rng, 50, dim)
+    store.add_embeddings(None, matrix)
+    data = store.serialize()
+    assert data.shape == (50, dim)
+    np.testing.assert_allclose(data, matrix, atol=1e-6)
+
+    store2 = make_store(dim)
+    store2.deserialize(data)
+    assert len(store2) == 50
+    r1 = store.fuzzy_lookup_embedding(matrix[9], max_hits=3)
+    r2 = store2.fuzzy_lookup_embedding(matrix[9], max_hits=3)
+    assert [x.item for x in r1] == [x.item for x in r2]
+
+
+def test_get_embedding_at_and_bounds(rng):
+    store = make_store(8)
+    rows = random_normalized(rng, 5, 8)
+    store.add_embeddings(None, rows)
+    np.testing.assert_allclose(store.get_embedding_at(3), rows[3], atol=1e-6)
+    with pytest.raises(IndexError):
+        store.get_embedding_at(5)
+    assert store.serialize_embedding_at(99) is None
+
+
+def test_embedding_size_mismatch_raises(rng):
+    store = make_store(8)
+    store.add_embedding(None, np.ones(8, np.float32))
+    with pytest.raises(ValueError):
+        store.add_embedding(None, np.ones(16, np.float32))
+    with pytest.raises(ValueError):
+        store.add_embeddings(None, np.ones((2, 16), np.float32))
+
+
+async def test_add_key_and_fuzzy_lookup():
+    """End-to-end through the fake embedding model."""
+    model = create_test_embedding_model(32)
+    settings = TextEmbeddingIndexSettings(embedding_model=model, min_score=0.0)
+    store = VectorStore(settings)
+    await store.add_keys(["alpha", "beta", "gamma", "delta"])
+    assert len(store) == 4
+    hits = await store.fuzzy_lookup("beta", max_hits=1, min_score=0.0)
+    assert hits[0].item == 1
+    assert hits[0].score == pytest.approx(1.0, abs=1e-5)
+
+
+def test_default_min_scores():
+    assert get_default_min_score("text-embedding-3-large") == 0.74
+    assert get_default_min_score("text-embedding-3-small") == 0.73
+    assert get_default_min_score("text-embedding-ada-002") == 0.93
+    assert get_default_min_score("unknown-model") == 0.85
+
+
+def test_cosine_to_score_scale():
+    cs = np.array([-1.0, 0.0, 1.0, 1.5])
+    np.testing.assert_allclose(cosine_to_score(cs), [0.0, 0.5, 1.0, 1.0])
+
+
+def test_settings_defaults():
+    model = create_test_embedding_model()
+    s = TextEmbeddingIndexSettings(embedding_model=model)
+    assert s.min_score == 0.85  # "test" model -> fallback
+    assert s.max_matches is None
+    assert s.batch_size == 8
+    s2 = TextEmbeddingIndexSettings(embedding_model=model, max_matches=0)
+    assert s2.max_matches is None

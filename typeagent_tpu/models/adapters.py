@@ -1,0 +1,350 @@
+"""Chat + embedding providers over plain HTTP (standalone).
+
+Replaces the reference's pydantic-ai/openai dependency stack
+(`aitools/model_adapters.py`) with a direct OpenAI-compatible HTTP adapter:
+
+  * ``HttpChatModel`` — POST /chat/completions (OpenAI or Azure OpenAI).
+  * ``HttpEmbedder`` — POST /embeddings; L2-normalizes on receipt
+    (parity: `model_adapters.py:176-184`).
+  * ``FakeEmbedder`` / ``FakeChatModel`` — deterministic, offline test models
+    (parity role: `model_adapters.py:375-448`).
+  * ``create_chat_model`` / ``create_embedding_model`` / ``configure_models``
+    — ``provider:model`` spec factories with env wiring and Azure fallback
+    when only ``AZURE_OPENAI_API_KEY`` is set
+    (parity: `model_adapters.py:254-367`).
+
+Environment variables honored (parity: reference `docs/env-vars.md`):
+``OPENAI_API_KEY``, ``OPENAI_MODEL``, ``OPENAI_EMBEDDING_MODEL``,
+``OPENAI_BASE_URL``, ``AZURE_OPENAI_API_KEY``, ``AZURE_OPENAI_ENDPOINT``,
+``AZURE_OPENAI_ENDPOINT_EMBEDDING`` (+ per-model variants).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import urllib.parse
+
+import httpx
+import numpy as np
+
+from .embeddings import (
+    CachingEmbeddingModel,
+    NormalizedEmbedding,
+    NormalizedEmbeddings,
+    TEST_MODEL_NAME,
+    model_to_envvar,
+    normalize,
+)
+from .result import Failure, Result, Success
+from .retry import (
+    DEFAULT_CHAT_RETRIER,
+    DEFAULT_EMBED_RETRIER,
+    AsyncRetrier,
+    TransientError,
+)
+
+DEFAULT_CHAT_SPEC = "openai:gpt-4o"
+DEFAULT_EMBEDDING_SPEC = "openai:text-embedding-ada-002"
+
+
+# ---------------------------------------------------------------------------
+# Azure endpoint handling
+# ---------------------------------------------------------------------------
+
+
+def parse_azure_endpoint(envvar: str = "AZURE_OPENAI_ENDPOINT") -> tuple[str, str, str]:
+    """Split a full Azure deployment URL into (base, api_version, deployment).
+
+    Accepts the repo-wide format: a complete request URL such as
+    ``https://res.openai.azure.com/openai/deployments/gpt-4o/chat/completions
+    ?api-version=2024-06-01``. Also accepts a bare resource endpoint.
+    """
+    raw = os.environ.get(envvar, "")
+    if not raw:
+        raise ValueError(f"Environment variable {envvar} is not set")
+    parsed = urllib.parse.urlparse(raw)
+    base = f"{parsed.scheme}://{parsed.netloc}"
+    query = urllib.parse.parse_qs(parsed.query)
+    api_version = query.get("api-version", ["2024-06-01"])[0]
+    deployment = ""
+    parts = parsed.path.split("/")
+    if "deployments" in parts:
+        i = parts.index("deployments")
+        if i + 1 < len(parts):
+            deployment = parts[i + 1]
+    return base, api_version, deployment
+
+
+# ---------------------------------------------------------------------------
+# HTTP chat model
+# ---------------------------------------------------------------------------
+
+
+class HttpChatModel:
+    """OpenAI-compatible chat completions over httpx.
+
+    Satisfies the framework's chat protocol: ``complete(prompt) -> Result[str]``
+    where prompt is a string or a list of {"role", "content"} sections
+    (parity: `model_adapters.py:107-143`).
+    """
+
+    def __init__(
+        self,
+        model_name: str,
+        *,
+        url: str,
+        headers: dict[str, str],
+        retrier: AsyncRetrier | None = None,
+        timeout: float = 120.0,
+    ):
+        self.model_name = model_name
+        self._url = url
+        self._headers = headers
+        self._retrier = retrier or DEFAULT_CHAT_RETRIER
+        self._client = httpx.AsyncClient(timeout=timeout)
+
+    async def _request(self, messages: list[dict]) -> str:
+        payload = {"model": self.model_name, "messages": messages}
+        resp = await self._client.post(self._url, headers=self._headers, json=payload)
+        if resp.status_code == 429 or resp.status_code >= 500:
+            raise TransientError(f"HTTP {resp.status_code}: {resp.text[:200]}")
+        resp.raise_for_status()
+        data = resp.json()
+        return data["choices"][0]["message"]["content"] or ""
+
+    async def complete(self, prompt) -> Result[str]:
+        if isinstance(prompt, str):
+            messages = [{"role": "user", "content": prompt}]
+        else:
+            messages = [
+                {"role": s["role"], "content": s["content"]} for s in prompt
+            ]
+        try:
+            text = await self._retrier(self._request, messages)
+        except Exception as exc:
+            return Failure(f"chat request failed: {exc!r}")
+        if not text:
+            return Failure("No text content in model response")
+        return Success(text)
+
+
+# ---------------------------------------------------------------------------
+# HTTP embedder
+# ---------------------------------------------------------------------------
+
+
+class HttpEmbedder:
+    """OpenAI-compatible /embeddings over httpx; normalizes on receipt."""
+
+    def __init__(
+        self,
+        model_name: str,
+        *,
+        url: str,
+        headers: dict[str, str],
+        retrier: AsyncRetrier | None = None,
+        timeout: float = 60.0,
+        send_model_field: bool = True,
+    ):
+        self.model_name = model_name
+        self._url = url
+        self._headers = headers
+        self._retrier = retrier or DEFAULT_EMBED_RETRIER
+        self._client = httpx.AsyncClient(timeout=timeout)
+        self._send_model_field = send_model_field
+
+    async def _request(self, inputs: list[str]) -> NormalizedEmbeddings:
+        payload: dict = {"input": inputs}
+        if self._send_model_field:
+            payload["model"] = self.model_name
+        resp = await self._client.post(self._url, headers=self._headers, json=payload)
+        if resp.status_code == 429 or resp.status_code >= 500:
+            raise TransientError(f"HTTP {resp.status_code}: {resp.text[:200]}")
+        resp.raise_for_status()
+        data = resp.json()["data"]
+        data.sort(key=lambda d: d["index"])
+        return normalize(np.array([d["embedding"] for d in data], dtype=np.float32))
+
+    async def get_embedding_nocache(self, input: str) -> NormalizedEmbedding:
+        return (await self.get_embeddings_nocache([input]))[0]
+
+    async def get_embeddings_nocache(self, input: list[str]) -> NormalizedEmbeddings:
+        if not input:
+            raise ValueError("Cannot embed an empty list")
+        return await self._retrier(self._request, input)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic offline fakes
+# ---------------------------------------------------------------------------
+
+
+def _fake_embedding(text: str, size: int) -> np.ndarray:
+    """Deterministic pseudo-embedding: sha256-seeded floats, unnormalized.
+
+    Same string -> same vector across runs/processes; different strings get
+    (nearly always) different directions. Raises on empty input (parity with
+    the reference fake, `model_adapters.py:382-404`).
+    """
+    if not text:
+        raise ValueError("Empty input text")
+    digest = hashlib.sha256(text.encode("utf-8")).digest()
+    rng = np.random.default_rng(np.frombuffer(digest[:16], dtype=np.uint64))
+    return rng.random(size, dtype=np.float32)
+
+
+class FakeEmbedder:
+    """Offline deterministic embedder for hermetic tests (model_name='test')."""
+
+    def __init__(self, embedding_size: int = 3):
+        self._size = embedding_size
+
+    @property
+    def model_name(self) -> str:
+        return TEST_MODEL_NAME
+
+    async def get_embedding_nocache(self, input: str) -> NormalizedEmbedding:
+        return normalize(_fake_embedding(input, self._size))
+
+    async def get_embeddings_nocache(self, input: list[str]) -> NormalizedEmbeddings:
+        if not input:
+            raise ValueError("Cannot embed an empty list")
+        return normalize(np.stack([_fake_embedding(t, self._size) for t in input]))
+
+
+class FakeChatModel:
+    """Offline chat model returning canned or echo responses (for tests)."""
+
+    model_name = TEST_MODEL_NAME
+
+    def __init__(self, responses: list[str] | None = None):
+        self.responses = list(responses or [])
+        self.prompts: list = []
+
+    async def complete(self, prompt) -> Result[str]:
+        self.prompts.append(prompt)
+        if self.responses:
+            return Success(self.responses.pop(0))
+        return Failure("FakeChatModel has no canned responses left")
+
+
+# ---------------------------------------------------------------------------
+# Factories
+# ---------------------------------------------------------------------------
+
+
+def _needs_azure_fallback(provider: str) -> bool:
+    return (
+        provider == "openai"
+        and not os.getenv("OPENAI_API_KEY")
+        and bool(os.getenv("AZURE_OPENAI_API_KEY"))
+    )
+
+
+def _azure_headers(api_key_envvar: str) -> dict[str, str]:
+    raw_key = os.environ[api_key_envvar]
+    if raw_key.lower() == "identity":
+        raise NotImplementedError(
+            "Azure managed-identity auth requires the azure-identity package; "
+            "set an API key instead."
+        )
+    headers = {"api-key": raw_key}
+    apim = os.getenv("AZURE_APIM_SUBSCRIPTION_KEY")
+    if apim:
+        headers["Ocp-Apim-Subscription-Key"] = apim
+    return headers
+
+
+def create_chat_model(
+    model_spec: str | None = None,
+    *,
+    retrier: AsyncRetrier | None = None,
+):
+    """Create a chat model from a ``provider:model`` spec.
+
+    Supported providers: ``openai`` (with automatic Azure fallback),
+    ``azure``, ``test``. Any OpenAI-compatible endpoint works via
+    ``OPENAI_BASE_URL``.
+    """
+    if model_spec is None:
+        env_model = os.getenv("OPENAI_MODEL")
+        model_spec = f"openai:{env_model}" if env_model else DEFAULT_CHAT_SPEC
+    provider, _, model_name = model_spec.partition(":")
+    if not model_name:
+        provider, model_name = "openai", provider
+    if provider == "test":
+        return FakeChatModel()
+    if provider == "azure" or _needs_azure_fallback(provider):
+        base, api_version, deployment = parse_azure_endpoint()
+        name = deployment or model_name
+        url = (
+            f"{base}/openai/deployments/{name}/chat/completions"
+            f"?api-version={api_version}"
+        )
+        return HttpChatModel(
+            name, url=url, headers=_azure_headers("AZURE_OPENAI_API_KEY"),
+            retrier=retrier,
+        )
+    base = os.getenv("OPENAI_BASE_URL", "https://api.openai.com/v1").rstrip("/")
+    headers = {"Authorization": f"Bearer {os.getenv('OPENAI_API_KEY', '')}"}
+    return HttpChatModel(
+        model_name, url=f"{base}/chat/completions", headers=headers, retrier=retrier
+    )
+
+
+def create_embedding_model(
+    model_spec: str | None = None,
+    retrier: AsyncRetrier | None = None,
+) -> CachingEmbeddingModel:
+    """Create a caching embedding model from a ``provider:model`` spec."""
+    if model_spec is None:
+        env_model = os.getenv("OPENAI_EMBEDDING_MODEL")
+        model_spec = f"openai:{env_model}" if env_model else DEFAULT_EMBEDDING_SPEC
+    provider, _, model_name = model_spec.partition(":")
+    if not model_name:
+        provider, model_name = "openai", provider
+    if provider == "test":
+        return create_test_embedding_model()
+    if provider == "azure" or _needs_azure_fallback(provider):
+        envvar = model_to_envvar.get(model_name, "")
+        endpoint_envvar = (
+            envvar if envvar and os.getenv(envvar) else "AZURE_OPENAI_ENDPOINT_EMBEDDING"
+        )
+        api_key_envvar = (
+            "AZURE_OPENAI_API_KEY_EMBEDDING"
+            if os.getenv("AZURE_OPENAI_API_KEY_EMBEDDING")
+            else "AZURE_OPENAI_API_KEY"
+        )
+        base, api_version, deployment = parse_azure_endpoint(endpoint_envvar)
+        name = deployment or model_name
+        url = f"{base}/openai/deployments/{name}/embeddings?api-version={api_version}"
+        embedder = HttpEmbedder(
+            name, url=url, headers=_azure_headers(api_key_envvar), retrier=retrier,
+            send_model_field=False,
+        )
+        return CachingEmbeddingModel(embedder)
+    base = os.getenv("OPENAI_BASE_URL", "https://api.openai.com/v1").rstrip("/")
+    headers = {"Authorization": f"Bearer {os.getenv('OPENAI_API_KEY', '')}"}
+    embedder = HttpEmbedder(
+        model_name, url=f"{base}/embeddings", headers=headers, retrier=retrier
+    )
+    return CachingEmbeddingModel(embedder)
+
+
+def create_test_embedding_model(embedding_size: int = 3) -> CachingEmbeddingModel:
+    """Deterministic offline embedding model — no keys, no network."""
+    return CachingEmbeddingModel(FakeEmbedder(embedding_size))
+
+
+def configure_models(
+    chat_model_spec: str,
+    embedding_model_spec: str,
+    chat_retrier: AsyncRetrier | None = None,
+    embed_retrier: AsyncRetrier | None = None,
+):
+    """Configure chat + embedding models at once (parity: model_adapters.py:451-474)."""
+    return (
+        create_chat_model(chat_model_spec, retrier=chat_retrier),
+        create_embedding_model(embedding_model_spec, retrier=embed_retrier),
+    )

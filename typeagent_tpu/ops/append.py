@@ -1,0 +1,60 @@
+"""Appendable padded device buffers.
+
+The reference appends with ``np.concatenate`` — an O(n) copy per add
+(``aitools/vectorbase.py:128,145``), quadratic over an ingest. Here the
+embedding matrix is a padded ``[capacity, dim_pad]`` HBM buffer with a host-side
+count watermark: appends are jitted ``dynamic_update_slice`` calls with buffer
+donation (in-place on TPU), and growth is capacity doubling.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["make_buffer", "append_rows", "grow_buffer", "round_up"]
+
+MIN_CAPACITY = 1024
+LANES = 128
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def make_buffer(capacity: int, dim_pad: int, dtype=jnp.float32) -> jax.Array:
+    """Allocate a zeroed [capacity, dim_pad] device buffer."""
+    return jnp.zeros((capacity, dim_pad), dtype=dtype)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _append_jit(buf: jax.Array, rows: jax.Array, count: jax.Array) -> jax.Array:
+    return jax.lax.dynamic_update_slice(buf, rows.astype(buf.dtype), (count, 0))
+
+
+def append_rows(buf: jax.Array, rows: np.ndarray | jax.Array, count: int) -> jax.Array:
+    """Write ``rows`` at offset ``count``; donates (updates in place on TPU).
+
+    ``rows`` must already be padded to ``dim_pad`` columns and fit in capacity.
+    """
+    rows = jnp.asarray(rows)
+    return _append_jit(buf, rows, jnp.int32(count))
+
+
+@functools.partial(jax.jit, static_argnames=("new_capacity",), donate_argnums=(0,))
+def _grow_jit(buf: jax.Array, *, new_capacity: int) -> jax.Array:
+    pad = new_capacity - buf.shape[0]
+    return jnp.pad(buf, ((0, pad), (0, 0)))
+
+
+def grow_buffer(buf: jax.Array, needed: int) -> jax.Array:
+    """Grow capacity (doubling) until >= needed rows fit."""
+    cap = max(buf.shape[0], MIN_CAPACITY)
+    while cap < needed:
+        cap *= 2
+    if cap == buf.shape[0]:
+        return buf
+    return _grow_jit(buf, new_capacity=cap)

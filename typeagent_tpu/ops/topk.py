@@ -1,0 +1,283 @@
+"""Fused cosine-similarity top-k kernels.
+
+Replaces the reference hot kernel — a serial numpy scan:
+``scores = np.dot(vectors, q); np.argpartition(scores, -k)``
+(reference: ``aitools/vectorbase.py:163-230``) — with a batched, tiled TPU
+program that:
+
+  * computes ``score = clip((Q @ E^T + 1) / 2, 0, 1)`` on the MXU,
+  * masks rows past the ``count`` watermark (the store is a padded
+    capacity buffer, see ``ops/append.py``),
+  * maintains a running top-k per query across row tiles in VMEM, so the
+    ``[b, n]`` score matrix is never materialized in HBM.
+
+Two implementations with identical semantics:
+
+  * ``_topk_pallas`` — Pallas TPU kernel (used when the default backend is
+    TPU). Row tiles stream HBM->VMEM; the running top-k lives in the output
+    block, which Pallas keeps resident in VMEM across grid steps.
+  * ``_topk_xla``  — plain XLA (einsum + ``lax.top_k``); used on CPU test
+    meshes and as the correctness oracle.
+
+Score/order semantics match the reference exactly: score map
+(``vectorbase.py:44-47``), min-score filtering and descending sort happen on
+the host in :mod:`typeagent_tpu.vectorstore`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["cosine_topk", "cosine_scores", "subset_cosine_topk"]
+
+# Rows per Pallas grid step. 1024 x dim_pad(<=4096) f32 tiles fit VMEM
+# comfortably alongside the query block and candidate buffers.
+_TILE_N = 1024
+# Lane width of the output blocks (min f32 tile is (8, 128)).
+_K_LANES = 128
+_NEG = -1.0  # below any real score in [0, 1]; plain float (kernels must not
+# capture jnp constants)
+
+
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _platform_of(arr) -> str:
+    """Platform the array actually lives on (not the process default)."""
+    try:
+        return next(iter(arr.devices())).platform
+    except Exception:
+        return jax.default_backend()
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _topk_kernel(count_ref, q_ref, e_ref, vals_ref, idx_ref, *, k: int, tile_n: int):
+    """One grid step: score a row tile and fold it into the running top-k."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        vals_ref[:] = jnp.full_like(vals_ref, _NEG)
+        idx_ref[:] = jnp.full_like(idx_ref, -1)
+
+    count = count_ref[0]
+    b = q_ref.shape[0]
+
+    # MXU: [b, d] @ [d, tile_n] -> [b, tile_n] in f32. HIGHEST precision keeps
+    # f32 score parity with the numpy reference (default TPU precision splits
+    # f32 into bf16 passes, ~1e-4 drift); the kernel is HBM-bandwidth-bound so
+    # the extra MXU passes are free.
+    scores = jax.lax.dot_general(
+        q_ref[:],
+        e_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    scores = jnp.clip((scores + 1.0) * 0.5, 0.0, 1.0)
+
+    row_ids = step * tile_n + jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
+    scores = jnp.where(row_ids < count, scores, _NEG)
+
+    # Candidates = running top-k ++ this tile's scores.
+    cand_vals = jnp.concatenate([vals_ref[:, :k], scores], axis=1)
+    cand_idx = jnp.concatenate([idx_ref[:, :k], row_ids], axis=1)
+    width = cand_vals.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, width), 1)
+
+    # Iterative argmax extraction: k passes over the candidate buffer on the
+    # VPU. k is small (<= _K_LANES) and static, so this lowers to pure
+    # reductions + selects — no on-device sort required.
+    out_vals = []
+    out_idx = []
+    for _ in range(k):
+        best = jnp.max(cand_vals, axis=1, keepdims=True)  # [b, 1]
+        pos = jnp.argmax(cand_vals, axis=1, keepdims=True)  # [b, 1]
+        taken = col == pos
+        out_vals.append(best)
+        out_idx.append(jnp.sum(jnp.where(taken, cand_idx, 0), axis=1, keepdims=True))
+        cand_vals = jnp.where(taken, jnp.float32(-2.0), cand_vals)
+
+    pad = vals_ref.shape[1] - k
+    vals_ref[:] = jnp.concatenate(
+        out_vals + [jnp.full((b, pad), _NEG, jnp.float32)], axis=1
+    )
+    idx_ref[:] = jnp.concatenate(
+        out_idx + [jnp.full((b, pad), -1, jnp.int32)], axis=1
+    )
+
+
+def _topk_pallas_impl(emb: jax.Array, queries: jax.Array, count: jax.Array, *, k: int):
+    n_pad, d_pad = emb.shape
+    b_pad = queries.shape[0]
+    tile_n = min(_TILE_N, n_pad)
+    grid = (pl.cdiv(n_pad, tile_n),)
+
+    kernel = functools.partial(_topk_kernel, k=k, tile_n=tile_n)
+    vals, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # count, shape (1,)
+            pl.BlockSpec((b_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b_pad, _K_LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, _K_LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, _K_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, _K_LANES), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * n_pad * d_pad,
+            bytes_accessed=n_pad * d_pad * emb.dtype.itemsize
+            + b_pad * d_pad * 4
+            + 2 * b_pad * _K_LANES * 4,
+            transcendentals=0,
+        ),
+    )(count, queries, emb)
+    return vals[:, :k], idx[:, :k]
+
+
+_topk_pallas = jax.jit(_topk_pallas_impl, static_argnames=("k",))
+
+
+# ---------------------------------------------------------------------------
+# XLA path (CPU meshes / oracle)
+# ---------------------------------------------------------------------------
+
+
+def _topk_xla_impl(emb: jax.Array, queries: jax.Array, count: jax.Array, *, k: int):
+    scores = _scores_xla(emb, queries, count)
+    vals, idx = jax.lax.top_k(scores, k)
+    return vals, idx
+
+
+_topk_xla = jax.jit(_topk_xla_impl, static_argnames=("k",))
+
+
+def topk_program(
+    emb: jax.Array,
+    queries: jax.Array,
+    count: jax.Array,
+    k: int,
+    use_pallas: bool | None = None,
+):
+    """Traceable (unjitted) fused top-k — usable inside shard_map/jit bodies.
+
+    ``count`` must be a scalar int32 array. Inside shard_map the operands are
+    tracers with no device, so callers targeting a specific mesh must pass
+    ``use_pallas`` explicitly (True only for TPU meshes).
+    """
+    k = min(k, emb.shape[0])
+    if use_pallas is None:
+        use_pallas = _use_pallas()
+    if use_pallas and k <= _K_LANES:
+        return _topk_pallas_impl(emb, queries, count.reshape(1), k=k)
+    return _topk_xla_impl(emb, queries, count, k=k)
+
+
+def _scores_xla(emb: jax.Array, queries: jax.Array, count: jax.Array) -> jax.Array:
+    scores = jnp.einsum(
+        "bd,nd->bn",
+        queries,
+        emb,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    scores = jnp.clip((scores + 1.0) * 0.5, 0.0, 1.0)
+    n = emb.shape[0]
+    valid = jnp.arange(n, dtype=jnp.int32)[None, :] < count
+    return jnp.where(valid, scores, _NEG)
+
+
+@jax.jit
+def _cosine_scores_jit(emb: jax.Array, queries: jax.Array, count: jax.Array):
+    return _scores_xla(emb, queries, count)
+
+
+# ---------------------------------------------------------------------------
+# Public entry points
+# ---------------------------------------------------------------------------
+
+
+def cosine_topk(
+    emb: jax.Array,
+    queries: jax.Array,
+    count: jax.Array | int,
+    k: int,
+    *,
+    force_xla: bool = False,
+):
+    """Batched fused top-k.
+
+    Args:
+      emb: ``[n_pad, d_pad]`` padded embedding buffer (rows >= count are junk).
+      queries: ``[b_pad, d_pad]`` padded, L2-normalized query block.
+      count: live-row watermark.
+      k: number of results per query (static).
+
+    Returns:
+      ``(vals [b_pad, k] f32, idx [b_pad, k] i32)`` scores in [0, 1] descending
+      per row; invalid slots have ``vals < 0`` and ``idx = -1`` (Pallas) or
+      point at masked rows with ``vals < 0`` (XLA) — callers filter on
+      ``vals >= 0``.
+    """
+    k = min(k, emb.shape[0])
+    count_arr = jnp.asarray([count], dtype=jnp.int32) if np.isscalar(count) else count
+    if _platform_of(emb) == "tpu" and not force_xla and k <= _K_LANES:
+        return _topk_pallas(emb, queries, count_arr, k=k)
+    return _topk_xla(emb, queries, count_arr[0], k=k)
+
+
+def cosine_scores(emb: jax.Array, queries: jax.Array, count: jax.Array | int):
+    """Full masked score matrix ``[b, n_pad]`` (for host-predicate paths)."""
+    count_arr = jnp.asarray(count, dtype=jnp.int32)
+    return _cosine_scores_jit(emb, queries, count_arr)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _subset_topk_jit(emb, queries, ordinals, valid, *, k: int):
+    rows = jnp.take(emb, jnp.clip(ordinals, 0, emb.shape[0] - 1), axis=0)
+    scores = jnp.einsum(
+        "bd,sd->bs",
+        queries,
+        rows,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    scores = jnp.clip((scores + 1.0) * 0.5, 0.0, 1.0)
+    scores = jnp.where(valid[None, :], scores, _NEG)
+    vals, pos = jax.lax.top_k(scores, k)
+    idx = jnp.take(ordinals, pos)
+    return vals, idx
+
+
+def subset_cosine_topk(
+    emb: jax.Array,
+    queries: jax.Array,
+    ordinals: jax.Array,
+    valid: jax.Array,
+    k: int,
+):
+    """Top-k restricted to a padded ordinal subset.
+
+    Replicates ``fuzzy_lookup_embedding_in_subset`` (``vectorbase.py:203-230``):
+    gather the subset's rows on device, score, and take top-k within it.
+    ``ordinals`` is padded to a bucket size; ``valid`` marks real entries.
+    """
+    k = min(k, ordinals.shape[0])
+    return _subset_topk_jit(emb, queries, ordinals, valid, k=k)
