@@ -1,0 +1,198 @@
+"""Message text index: chunk embeddings on device, max-merged per message.
+
+(Parity: reference storage/memory/messageindex.py — chunk scores merge to a
+message's best chunk; default thresholds come from settings.)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+
+import numpy as np
+
+from ...knowpro.convsettings import MessageTextIndexSettings
+from ...knowpro.interfaces import (
+    IConversation,
+    IMessage,
+    IMessageTextIndex,
+    IStorageProvider,
+    ITermToSemanticRefIndex,
+    MessageOrdinal,
+    MessageTextIndexData,
+    ScoredMessageOrdinal,
+    TextLocation,
+)
+from ...knowpro.textlocindex import ScoredTextLocation, TextToTextLocationIndex
+
+
+async def build_message_index[
+    TMessage: IMessage,
+    TTermToSemanticRefIndex: ITermToSemanticRefIndex,
+](
+    conversation: IConversation[TMessage, TTermToSemanticRefIndex],
+    storage_provider: IStorageProvider[TMessage],
+) -> None:
+    csi = conversation.secondary_indexes
+    if csi is None:
+        return
+    if csi.message_index is None:
+        csi.message_index = storage_provider.message_text_index
+    messages = conversation.messages
+    messages_list = await messages.get_slice(0, await messages.size())
+    await csi.message_index.add_messages(messages_list)
+
+
+class IMessageTextEmbeddingIndex(IMessageTextIndex):
+    async def generate_embedding(self, text: str) -> np.ndarray: ...
+
+    def lookup_by_embedding(
+        self,
+        text_embedding: np.ndarray,
+        max_matches: int | None = None,
+        threshold_score: float | None = None,
+        predicate: Callable[[MessageOrdinal], bool] | None = None,
+    ) -> list[ScoredMessageOrdinal]: ...
+
+    def lookup_in_subset_by_embedding(
+        self,
+        text_embedding: np.ndarray,
+        ordinals_to_search: list[MessageOrdinal],
+        max_matches: int | None = None,
+        threshold_score: float | None = None,
+    ) -> list[ScoredMessageOrdinal]: ...
+
+
+class MessageTextIndex(IMessageTextEmbeddingIndex):
+    def __init__(self, settings: MessageTextIndexSettings):
+        self.settings = settings
+        self.text_location_index = TextToTextLocationIndex(
+            settings.embedding_index_settings
+        )
+
+    async def size(self) -> int:
+        return await self.text_location_index.size()
+
+    async def is_empty(self) -> bool:
+        return await self.text_location_index.is_empty()
+
+    async def add_messages[TMessage: IMessage](
+        self, messages: Iterable[TMessage]
+    ) -> None:
+        base_ordinal: MessageOrdinal = await self.text_location_index.size()
+        message_list = list(messages)
+        if not message_list:
+            return
+        await self.add_messages_starting_at(base_ordinal, message_list)
+
+    async def add_messages_starting_at[TMessage: IMessage](
+        self,
+        start_message_ordinal: int,
+        messages: list[TMessage],
+    ) -> None:
+        chunk_texts: list[str] = []
+        for message in messages:
+            chunk_texts.extend(message.text_chunks)
+        chunk_embeddings = await self.text_location_index.generate_embeddings(
+            chunk_texts, cache=False
+        )
+        await self.add_messages_starting_at_with_embeddings(
+            start_message_ordinal, messages, chunk_embeddings
+        )
+
+    async def add_messages_starting_at_with_embeddings[TMessage: IMessage](
+        self,
+        start_message_ordinal: int,
+        messages: list[TMessage],
+        chunk_embeddings: list[np.ndarray],
+    ) -> None:
+        text_locations: list[TextLocation] = []
+        for idx, message in enumerate(messages):
+            for chunk_ord in range(len(message.text_chunks)):
+                text_locations.append(
+                    TextLocation(start_message_ordinal + idx, chunk_ord)
+                )
+        if len(text_locations) != len(chunk_embeddings):
+            raise ValueError(
+                "messages and chunk_embeddings produced different chunk counts: "
+                f"{len(text_locations)} != {len(chunk_embeddings)}"
+            )
+        await self.text_location_index.add_text_locations_with_embeddings(
+            text_locations, chunk_embeddings
+        )
+
+    async def lookup_messages(
+        self,
+        message_text: str,
+        max_matches: int | None = None,
+        threshold_score: float | None = None,
+    ) -> list[ScoredMessageOrdinal]:
+        max_matches = max_matches or self.settings.embedding_index_settings.max_matches
+        threshold_score = (
+            threshold_score or self.settings.embedding_index_settings.min_score
+        )
+        scored = await self.text_location_index.lookup_text(
+            message_text, max_matches, threshold_score
+        )
+        return self.to_scored_message_ordinals(scored)
+
+    async def lookup_messages_in_subset(
+        self,
+        message_text: str,
+        ordinals_to_search: list[MessageOrdinal],
+        max_matches: int | None = None,
+        threshold_score: float | None = None,
+    ) -> list[ScoredMessageOrdinal]:
+        scored = await self.text_location_index.lookup_text_in_subset(
+            message_text, ordinals_to_search, max_matches, threshold_score
+        )
+        return self.to_scored_message_ordinals(scored)
+
+    async def generate_embedding(self, text: str) -> np.ndarray:
+        return await self.text_location_index.generate_embedding(text)
+
+    def lookup_by_embedding(
+        self,
+        text_embedding: np.ndarray,
+        max_matches: int | None = None,
+        threshold_score: float | None = None,
+        predicate: Callable[[MessageOrdinal], bool] | None = None,
+    ) -> list[ScoredMessageOrdinal]:
+        scored = self.text_location_index.lookup_by_embedding(
+            text_embedding, max_matches, threshold_score, predicate
+        )
+        return self.to_scored_message_ordinals(scored)
+
+    def lookup_in_subset_by_embedding(
+        self,
+        text_embedding: np.ndarray,
+        ordinals_to_search: list[MessageOrdinal],
+        max_matches: int | None = None,
+        threshold_score: float | None = None,
+    ) -> list[ScoredMessageOrdinal]:
+        scored = self.text_location_index.lookup_in_subset_by_embedding(
+            text_embedding, ordinals_to_search, max_matches, threshold_score
+        )
+        return self.to_scored_message_ordinals(scored)
+
+    def to_scored_message_ordinals(
+        self, scored_locations: list[ScoredTextLocation]
+    ) -> list[ScoredMessageOrdinal]:
+        # Max-merge chunk scores into message scores.
+        matches: dict[MessageOrdinal, ScoredMessageOrdinal] = {}
+        for sl in scored_locations:
+            ordinal = sl.text_location.message_ordinal
+            match = matches.get(ordinal)
+            if match is None:
+                matches[ordinal] = ScoredMessageOrdinal(ordinal, sl.score)
+            else:
+                match.score = max(sl.score, match.score)
+        return sorted(matches.values(), key=lambda m: m.score, reverse=True)
+
+    async def serialize(self) -> MessageTextIndexData:
+        return MessageTextIndexData(indexData=self.text_location_index.serialize())
+
+    async def deserialize(self, data: MessageTextIndexData) -> None:
+        index_data = data.get("indexData")
+        if index_data is None:
+            return
+        self.text_location_index.deserialize(index_data)
