@@ -1,0 +1,249 @@
+"""ConversationBase: batch + streaming ingestion and the query path."""
+
+import asyncio
+import json
+
+import pytest
+
+from typeagent_tpu import create_conversation
+from typeagent_tpu.knowpro import kplib
+from typeagent_tpu.knowpro.convsettings import ConversationSettings
+from typeagent_tpu.knowpro.interfaces import SearchTerm, SearchTermGroup, Term
+from typeagent_tpu.knowpro.search import SearchOptions, search_conversation
+from typeagent_tpu.knowpro.universal_message import (
+    ConversationMessage,
+    ConversationMessageMeta,
+)
+from typeagent_tpu.models.adapters import FakeChatModel, create_test_embedding_model
+from typeagent_tpu.models.result import Failure, Success
+
+DIM = 24
+
+
+class FakeExtractor:
+    """Deterministic extractor: topic per chunk; fails on demand."""
+
+    def __init__(self, fail_on: set[str] | None = None):
+        self.fail_on = fail_on or set()
+        self.calls: list[str] = []
+
+    async def extract(self, message: str):
+        self.calls.append(message)
+        if message in self.fail_on:
+            return Failure(f"extraction failed for {message!r}")
+        words = message.split()
+        return Success(
+            kplib.KnowledgeResponse(
+                entities=[kplib.ConcreteEntity(words[0] if words else "x", ["thing"])],
+                actions=[],
+                inverse_actions=[],
+                topics=words,  # each word becomes a searchable topic
+            )
+        )
+
+
+def make_settings(extractor=None, auto_extract=True):
+    settings = ConversationSettings(model=create_test_embedding_model(DIM))
+    settings.semantic_ref_index_settings.auto_extract_knowledge = auto_extract
+    settings.semantic_ref_index_settings.knowledge_extractor = extractor
+    return settings
+
+
+def msg(text, speaker="Alice", ts=None, source_id=None):
+    return ConversationMessage(
+        text_chunks=[text],
+        metadata=ConversationMessageMeta(speaker, ["Bob"]),
+        timestamp=ts,
+        source_id=source_id,
+    )
+
+
+async def test_add_messages_with_indexing_full_flow():
+    settings = make_settings(FakeExtractor())
+    conv = await create_conversation(None, ConversationMessage, "test", settings=settings)
+    result = await conv.add_messages_with_indexing(
+        [
+            msg("the quick brown fox", ts="2024-01-01T10:00:00Z", source_id="s1"),
+            msg("jumps over the lazy dog", ts="2024-01-01T11:00:00Z", source_id="s2"),
+        ]
+    )
+    assert result.messages_added == 2
+    assert result.chunks_added == 2
+    assert result.semrefs_added > 0
+    # Sources marked in the same flow
+    assert await conv.storage_provider.are_sources_ingested(["s1", "s2"]) == {
+        "s1",
+        "s2",
+    }
+    # All six indexes populated
+    assert await conv.semantic_ref_index.size() > 0
+    sec = conv.secondary_indexes
+    assert await sec.property_to_semantic_ref_index.size() > 0
+    assert await sec.timestamp_index.size() == 2
+    assert await sec.message_index.size() == 2
+    assert await sec.term_to_related_terms_index.fuzzy_index.size() > 0
+    # Search end-to-end (no LLM): term -> knowledge -> messages
+    found = await search_conversation(
+        conv,
+        SearchTermGroup(boolean_op="or", terms=[SearchTerm(Term("fox"))]),
+        options=SearchOptions(exact_match=True),
+        raw_search_query="the quick brown fox",
+    )
+    assert found.message_matches
+    assert found.message_matches[0].message_ordinal == 0
+
+
+async def test_incremental_add_keeps_ordinals():
+    settings = make_settings(FakeExtractor())
+    conv = await create_conversation(None, ConversationMessage, settings=settings)
+    await conv.add_messages_with_indexing([msg("first message")])
+    size1 = await conv.semantic_refs.size()
+    await conv.add_messages_with_indexing([msg("second message")])
+    assert await conv.messages.size() == 2
+    assert await conv.semantic_refs.size() > size1
+    # New semrefs anchor at message ordinal 1
+    last = await conv.semantic_refs.get_item(await conv.semantic_refs.size() - 1)
+    assert last.range.start.message_ordinal == 1
+
+
+async def test_streaming_pipeline_commits_in_order():
+    settings = make_settings(FakeExtractor())
+    conv = await create_conversation(None, ConversationMessage, settings=settings)
+    committed = []
+
+    async def stream():
+        for i in range(10):
+            yield msg(f"streaming message number {i}")
+
+    result = await conv.add_messages_streaming(
+        stream(), batch_size=3, on_batch_committed=lambda r: committed.append(r)
+    )
+    assert result.messages_added == 10
+    assert result.chunks_added == 10
+    assert await conv.messages.size() == 10
+    assert len(committed) >= 3  # batches of ~3 chunks
+    # Messages stored in input order
+    for i in range(10):
+        m = await conv.messages.get_item(i)
+        assert m.text_chunks[0].endswith(str(i))
+
+
+async def test_streaming_halts_on_failure():
+    extractor = FakeExtractor(fail_on={"bad message"})
+    settings = make_settings(extractor)
+    conv = await create_conversation(None, ConversationMessage, settings=settings)
+
+    async def stream():
+        yield msg("good one")
+        yield msg("bad message")
+        yield msg("never committed")
+
+    with pytest.raises(Exception):
+        await conv.add_messages_streaming(stream(), batch_size=100)
+    # Only the consecutive good prefix landed
+    assert await conv.messages.size() == 1
+
+
+async def test_streaming_skip_failed_messages():
+    extractor = FakeExtractor(fail_on={"bad message"})
+    settings = make_settings(extractor)
+    conv = await create_conversation(None, ConversationMessage, settings=settings)
+
+    async def stream():
+        yield msg("good one")
+        yield msg("bad message")
+        yield msg("good two")
+
+    result = await conv.add_messages_streaming(
+        stream(), batch_size=100, skip_failed_messages=True
+    )
+    assert result.messages_added == 2
+    assert result.messages_skipped == 1
+    texts = [
+        (await conv.messages.get_item(i)).text_chunks[0]
+        for i in range(await conv.messages.size())
+    ]
+    assert texts == ["good one", "good two"]
+
+
+async def test_streaming_zero_chunk_messages():
+    settings = make_settings(FakeExtractor())
+    conv = await create_conversation(None, ConversationMessage, settings=settings)
+
+    async def stream():
+        yield ConversationMessage(
+            text_chunks=[], metadata=ConversationMessageMeta("Alice")
+        )
+        yield msg("has content")
+
+    result = await conv.add_messages_streaming(stream(), batch_size=10)
+    assert await conv.messages.size() == 2
+    assert (await conv.messages.get_item(0)).text_chunks == []
+
+
+async def test_streaming_no_auto_extract():
+    settings = make_settings(auto_extract=False)
+    conv = await create_conversation(None, ConversationMessage, settings=settings)
+
+    async def stream():
+        yield msg("one")
+        yield msg("two")
+
+    result = await conv.add_messages_streaming(stream(), batch_size=10)
+    assert result.messages_added == 2
+    # metadata knowledge still extracted (speaker entities)
+    assert await conv.semantic_refs.size() > 0
+
+
+async def test_streaming_shutdown_event():
+    settings = make_settings(FakeExtractor())
+    conv = await create_conversation(None, ConversationMessage, settings=settings)
+    shutdown = asyncio.Event()
+    produced = 0
+
+    async def stream():
+        nonlocal produced
+        for i in range(100):
+            if i == 5:
+                shutdown.set()
+            produced += 1
+            yield msg(f"m{i}")
+
+    result = await conv.add_messages_streaming(
+        stream(), batch_size=10, shutdown_event=shutdown
+    )
+    assert result.messages_added < 100
+    assert produced < 100
+
+
+async def test_query_end_to_end_with_fake_llm():
+    """Full 4-stage query() with canned LLM responses."""
+    settings = make_settings(FakeExtractor())
+    conv = await create_conversation(None, ConversationMessage, settings=settings)
+    await conv.add_messages_with_indexing(
+        [msg("Bach wrote the Goldberg Variations", ts="2024-01-01T10:00:00Z")]
+    )
+
+    search_query_json = json.dumps(
+        {
+            "searchExpressions": [
+                {
+                    "rewrittenQuery": "What did Bach write?",
+                    "filters": [{"searchTerms": ["Bach", "Goldberg Variations"]}],
+                }
+            ]
+        }
+    )
+    answer_json = json.dumps(
+        {"type": "Answered", "answer": "Bach wrote the Goldberg Variations."}
+    )
+    from typeagent_tpu.knowpro import answers, searchlang
+
+    conv._query_translator = searchlang.create_search_query_translator(
+        FakeChatModel([search_query_json])
+    )
+    conv._answer_translator = answers.create_answer_translator(
+        FakeChatModel([answer_json])
+    )
+    answer = await conv.query("What did Bach write?")
+    assert answer == "Bach wrote the Goldberg Variations."

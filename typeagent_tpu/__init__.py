@@ -15,4 +15,32 @@ def create_conversation(*args, **kwargs):
     return _create(*args, **kwargs)
 
 
-__all__ = ["create_conversation", "__version__"]
+def __getattr__(name):
+    # Lazy exports so `import typeagent_tpu` stays light.
+    if name == "ConversationSettings":
+        from .knowpro.convsettings import ConversationSettings
+
+        return ConversationSettings
+    if name == "ConversationBase":
+        from .knowpro.conversation_base import ConversationBase
+
+        return ConversationBase
+    if name == "ConversationMessage":
+        from .knowpro.universal_message import ConversationMessage
+
+        return ConversationMessage
+    if name == "ConversationMessageMeta":
+        from .knowpro.universal_message import ConversationMessageMeta
+
+        return ConversationMessageMeta
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+__all__ = [
+    "create_conversation",
+    "ConversationSettings",
+    "ConversationBase",
+    "ConversationMessage",
+    "ConversationMessageMeta",
+    "__version__",
+]

@@ -68,6 +68,11 @@ class MessageTextIndex(IMessageTextEmbeddingIndex):
         self.text_location_index = TextToTextLocationIndex(
             settings.embedding_index_settings
         )
+        # Highest message ordinal already indexed (-1 when empty). Used by
+        # add_messages to skip messages indexed earlier by collection extends
+        # (same dedupe the SQLite backend does via MAX(msg_id),
+        # reference sqlite/messageindex.py:128-153).
+        self._max_message_ordinal = -1
 
     async def size(self) -> int:
         return await self.text_location_index.size()
@@ -78,11 +83,15 @@ class MessageTextIndex(IMessageTextEmbeddingIndex):
     async def add_messages[TMessage: IMessage](
         self, messages: Iterable[TMessage]
     ) -> None:
-        base_ordinal: MessageOrdinal = await self.text_location_index.size()
         message_list = list(messages)
         if not message_list:
             return
-        await self.add_messages_starting_at(base_ordinal, message_list)
+        # Skip the prefix that collection extends already indexed.
+        start_ordinal = self._max_message_ordinal + 1
+        if start_ordinal < len(message_list):
+            await self.add_messages_starting_at(
+                start_ordinal, message_list[start_ordinal:]
+            )
 
     async def add_messages_starting_at[TMessage: IMessage](
         self,
@@ -119,6 +128,11 @@ class MessageTextIndex(IMessageTextEmbeddingIndex):
         await self.text_location_index.add_text_locations_with_embeddings(
             text_locations, chunk_embeddings
         )
+        if text_locations:
+            self._max_message_ordinal = max(
+                self._max_message_ordinal,
+                max(loc.message_ordinal for loc in text_locations),
+            )
 
     async def lookup_messages(
         self,
@@ -196,3 +210,10 @@ class MessageTextIndex(IMessageTextEmbeddingIndex):
         if index_data is None:
             return
         self.text_location_index.deserialize(index_data)
+        self._max_message_ordinal = max(
+            (
+                loc.message_ordinal
+                for loc in self.text_location_index._text_locations
+            ),
+            default=-1,
+        )
