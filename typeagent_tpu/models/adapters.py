@@ -271,10 +271,10 @@ def create_chat_model(
         env_model = os.getenv("OPENAI_MODEL")
         model_spec = f"openai:{env_model}" if env_model else DEFAULT_CHAT_SPEC
     provider, _, model_name = model_spec.partition(":")
-    if not model_name:
-        provider, model_name = "openai", provider
     if provider == "test":
         return FakeChatModel()
+    if not model_name:
+        provider, model_name = "openai", provider
     if provider == "azure" or _needs_azure_fallback(provider):
         base, api_version, deployment = parse_azure_endpoint()
         name = deployment or model_name
@@ -300,12 +300,15 @@ def create_embedding_model(
     """Create a caching embedding model from a ``provider:model`` spec."""
     if model_spec is None:
         env_model = os.getenv("OPENAI_EMBEDDING_MODEL")
-        model_spec = f"openai:{env_model}" if env_model else DEFAULT_EMBEDDING_SPEC
+        if env_model and ":" in env_model:
+            model_spec = env_model  # full provider:model spec in the env var
+        else:
+            model_spec = f"openai:{env_model}" if env_model else DEFAULT_EMBEDDING_SPEC
     provider, _, model_name = model_spec.partition(":")
-    if not model_name:
-        provider, model_name = "openai", provider
     if provider == "test":
         return create_test_embedding_model()
+    if not model_name:
+        provider, model_name = "openai", provider
     if provider == "azure" or _needs_azure_fallback(provider):
         envvar = model_to_envvar.get(model_name, "")
         endpoint_envvar = (

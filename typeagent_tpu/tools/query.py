@@ -1,0 +1,277 @@
+"""Interactive + batch query CLI.
+
+(Parity role: reference tools/query.py — REPL with @-commands, per-stage
+debugging (@search for no-LLM term search, @stage for pipeline stages),
+conversation history for pronoun resolution, batch mode over a questions
+file.) Run: ``python -m typeagent_tpu.tools.query --database conv.db``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import sys
+import time
+from dataclasses import dataclass, field
+
+from ..knowpro import answers, searchlang
+from ..knowpro.convsettings import ConversationSettings
+from ..knowpro.interfaces import SearchTerm, SearchTermGroup, Term
+from ..knowpro.search import SearchOptions, search_conversation
+from ..knowpro.universal_message import ConversationMessage
+from ..models.structured import PromptSection
+from ..podcasts.podcast import Podcast
+from ..storage.utils import create_storage_provider
+from ..utils.metrics import METRICS
+from ..utils.misc import load_dotenv
+
+
+@dataclass
+class HistoryEntry:
+    question: str
+    answer: str
+    had_answer: bool
+
+
+@dataclass
+class ConversationHistory:
+    """Recent Q&A pairs, fed to the query LLM to resolve pronouns."""
+
+    entries: list[HistoryEntry] = field(default_factory=list)
+    max_size: int = 5
+
+    def add(self, question: str, answer: str, had_answer: bool) -> None:
+        self.entries.append(HistoryEntry(question, answer, had_answer))
+        del self.entries[: -self.max_size]
+
+    def clear(self) -> None:
+        self.entries.clear()
+
+    def to_prompt_section(self) -> PromptSection | None:
+        if not self.entries:
+            return None
+        lines = ["Recent conversation history (for resolving references):"]
+        for e in self.entries:
+            lines.append(f"Q: {e.question}")
+            lines.append(f"A: {e.answer}")
+        return PromptSection(role="system", content="\n".join(lines))
+
+
+class QueryContext:
+    def __init__(self, conversation, verbose: bool = False):
+        self.conversation = conversation
+        self.history = ConversationHistory()
+        self.verbose = verbose
+
+
+def settings_from_spec(embedding_model_spec: str | None) -> ConversationSettings:
+    if embedding_model_spec:
+        from ..models.adapters import create_embedding_model
+
+        return ConversationSettings(model=create_embedding_model(embedding_model_spec))
+    return ConversationSettings()
+
+
+async def load_conversation(args) -> object:
+    settings = settings_from_spec(getattr(args, "embedding_model", None))
+    if args.index_path:
+        # JSON + embeddings snapshot.
+        return await Podcast.read_from_file(args.index_path, settings)
+    provider = await create_storage_provider(
+        settings.message_text_index_settings,
+        settings.related_term_index_settings,
+        args.database,
+        ConversationMessage,
+    )
+    settings.storage_provider = provider
+    from ..knowpro.conversation_base import ConversationBase
+
+    return await ConversationBase.create(settings, name=args.database or "memory")
+
+
+async def print_stats(conversation) -> None:
+    print(f"Conversation: {conversation.name_tag}")
+    print(f"  messages:      {await conversation.messages.size()}")
+    print(f"  semantic refs: {await conversation.semantic_refs.size()}")
+    print(f"  terms:         {await conversation.semantic_ref_index.size()}")
+    sec = conversation.secondary_indexes
+    if sec:
+        if sec.property_to_semantic_ref_index:
+            print(f"  properties:    {await sec.property_to_semantic_ref_index.size()}")
+        if sec.message_index:
+            print(f"  text chunks:   {await sec.message_index.size()}")
+        fuzzy = (
+            sec.term_to_related_terms_index.fuzzy_index
+            if sec.term_to_related_terms_index
+            else None
+        )
+        if fuzzy:
+            print(f"  fuzzy terms:   {await fuzzy.size()}")
+
+
+async def do_term_search(context: QueryContext, terms: list[str]) -> None:
+    """No-LLM search: terms -> knowledge + message matches."""
+    group = SearchTermGroup(
+        boolean_op="or", terms=[SearchTerm(Term(t)) for t in terms]
+    )
+    with METRICS.timer("term_search"):
+        result = await search_conversation(
+            context.conversation,
+            group,
+            options=SearchOptions(exact_match=False, max_message_matches=10),
+            raw_search_query=" ".join(terms),
+        )
+    if result is None:
+        print("(conversation not searchable)")
+        return
+    for ktype, matches in result.knowledge_matches.items():
+        print(f"{ktype}: {len(matches.semantic_ref_matches)} matches "
+              f"(terms: {sorted(matches.term_matches)})")
+        for scored in matches.semantic_ref_matches[:5]:
+            sr = await context.conversation.semantic_refs.get_item(
+                scored.semantic_ref_ordinal
+            )
+            print(f"  [{scored.score:8.2f}] {sr.knowledge}")
+    print(f"messages: {len(result.message_matches)}")
+    for scored in result.message_matches[:5]:
+        m = await context.conversation.messages.get_item(scored.message_ordinal)
+        text = " ".join(m.text_chunks)[:100]
+        print(f"  [{scored.score:8.3f}] #{scored.message_ordinal}: {text}")
+
+
+async def process_query(context: QueryContext, query_text: str) -> str:
+    history_section = context.history.to_prompt_section()
+    options = searchlang.LanguageSearchOptions(
+        compile_options=searchlang.LanguageQueryCompileOptions(),
+        exact_match=False,
+        max_message_matches=25,
+        model_instructions=[history_section] if history_section else None,
+    )
+    with METRICS.timer("query"):
+        answer = await context.conversation.query(query_text, options)
+    context.history.add(
+        query_text, answer, had_answer=not answer.startswith("No answer")
+    )
+    return answer
+
+
+HELP = """Commands:
+  @help                 show this help
+  @stats                conversation statistics
+  @search TERM...       no-LLM term search over the indexes
+  @history [--clear]    show/clear conversation history
+  @metrics              show latency metrics
+  exit / quit           leave
+Anything else is treated as a natural-language question (requires LLM keys).
+"""
+
+
+async def handle_command(context: QueryContext, line: str) -> None:
+    parts = line.split()
+    cmd, args = parts[0], parts[1:]
+    match cmd:
+        case "@help":
+            print(HELP)
+        case "@stats":
+            await print_stats(context.conversation)
+        case "@search":
+            if not args:
+                print("usage: @search TERM...")
+            else:
+                await do_term_search(context, args)
+        case "@history":
+            if args and args[0] == "--clear":
+                context.history.clear()
+                print("history cleared")
+            else:
+                for e in context.history.entries:
+                    print(f"Q: {e.question}\nA: {e.answer}")
+        case "@metrics":
+            print(json.dumps(METRICS.report(), indent=2))
+        case _:
+            print(f"Unknown command {cmd!r}; try @help")
+
+
+async def interactive_loop(context: QueryContext) -> None:
+    print("typeagent-tpu query REPL. @help for commands.")
+    while True:
+        try:
+            line = input("> ").strip()
+        except (EOFError, KeyboardInterrupt):
+            print()
+            break
+        if not line:
+            continue
+        if line in ("exit", "quit"):
+            break
+        if line.startswith("@"):
+            await handle_command(context, line)
+        else:
+            t0 = time.perf_counter()
+            answer = await process_query(context, line)
+            print(answer)
+            print(f"[{time.perf_counter() - t0:.1f}s]")
+
+
+async def batch_loop(context: QueryContext, batch_file: str, out_file: str | None) -> None:
+    with open(batch_file) as f:
+        questions = [q.strip() for q in f if q.strip() and not q.startswith("#")]
+    results = []
+    for i, question in enumerate(questions, 1):
+        print(f"[{i}/{len(questions)}] {question}")
+        answer = await process_query(context, question)
+        print(answer)
+        results.append(
+            {
+                "question": question,
+                "answer": answer,
+                "hasNoAnswer": answer.startswith("No answer"),
+            }
+        )
+    if out_file:
+        with open(out_file, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"Wrote {len(results)} answers to {out_file}")
+    print(json.dumps(METRICS.report(), indent=2))
+
+
+def make_arg_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Query a typeagent-tpu conversation")
+    parser.add_argument("--database", "-d", help="SQLite database path")
+    parser.add_argument(
+        "--index-path", "-i", help="JSON index path prefix (<prefix>_data.json)"
+    )
+    parser.add_argument("--batch", "-b", help="Batch file of questions")
+    parser.add_argument("--output", "-o", help="Batch output JSON file")
+    parser.add_argument("--verbose", "-v", action="store_true")
+    parser.add_argument(
+        "--search", nargs="+", help="Run one no-LLM term search and exit"
+    )
+    parser.add_argument(
+        "--embedding-model",
+        help="provider:model embedding spec (use 'test' for offline fake)",
+    )
+    return parser
+
+
+async def amain() -> None:
+    load_dotenv()
+    args = make_arg_parser().parse_args()
+    conversation = await load_conversation(args)
+    context = QueryContext(conversation, args.verbose)
+    await print_stats(conversation)
+    if args.search:
+        await do_term_search(context, args.search)
+    elif args.batch:
+        await batch_loop(context, args.batch, args.output)
+    else:
+        await interactive_loop(context)
+
+
+def main() -> None:
+    asyncio.run(amain())
+
+
+if __name__ == "__main__":
+    main()
