@@ -60,15 +60,26 @@ def main() -> None:
     assert hit.item == 12345 and hit.score > 0.999, hit
     log(f"self-match probe OK: {hit}")
 
-    iters = 20
+    # Sync (one blocking round trip per batch) — the latency-bound number.
+    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         store.fuzzy_lookup_embeddings_batch(queries, max_hits=K)
+    sync_ms = (time.perf_counter() - t0) / iters * 1000
+    log(f"sync: {sync_ms:.2f} ms/batch-{BATCH} ({BATCH / sync_ms * 1000:.0f} QPS)")
+
+    # Pipelined (async dispatch, sync at the end) — the throughput number a
+    # serving pipeline sees when batches overlap.
+    iters = 30
+    t0 = time.perf_counter()
+    handles = [store.dispatch_lookup(queries, max_hits=K) for _ in range(iters)]
+    results = [store.collect_lookup(h) for h in handles]
     elapsed = time.perf_counter() - t0
+    assert all(r for r in results)
     qps = iters * BATCH / elapsed
     ms_per_batch = elapsed / iters * 1000
     log(
-        f"{iters} x batch-{BATCH} top-{K} @ {N_ROWS}x{DIM}: "
+        f"pipelined: {iters} x batch-{BATCH} top-{K} @ {N_ROWS}x{DIM}: "
         f"{ms_per_batch:.2f} ms/batch, {qps:.0f} QPS "
         f"(baseline {BASELINE_QPS:.1f} QPS single-core numpy)"
     )

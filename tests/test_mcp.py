@@ -1,0 +1,158 @@
+"""MCP server end-to-end: spawn over stdio, JSON-RPC, sampling callbacks.
+
+(Reference mechanism: tests/test_mcp_server.py spawns the real server as a
+subprocess with a sampling callback.)
+"""
+
+import asyncio
+import json
+import os
+import sys
+
+import pytest
+
+TESTDATA = os.path.join(os.path.dirname(__file__), "testdata")
+
+
+class McpClient:
+    """Tiny JSON-RPC stdio client that answers sampling requests."""
+
+    def __init__(self, proc, sampling_responses):
+        self.proc = proc
+        self.sampling_responses = list(sampling_responses)
+        self.sampling_requests = []
+        self._next_id = 100
+
+    async def _write(self, message):
+        self.proc.stdin.write((json.dumps(message) + "\n").encode())
+        await self.proc.stdin.drain()
+
+    async def request(self, method, params=None, timeout=60):
+        request_id = self._next_id
+        self._next_id += 1
+        await self._write(
+            {"jsonrpc": "2.0", "id": request_id, "method": method, "params": params or {}}
+        )
+        # Read until we see the response, answering sampling requests inline.
+        while True:
+            line = await asyncio.wait_for(self.proc.stdout.readline(), timeout)
+            assert line, "server closed stdout"
+            message = json.loads(line)
+            if message.get("method") == "sampling/createMessage":
+                self.sampling_requests.append(message["params"])
+                text = self.sampling_responses.pop(0)
+                await self._write(
+                    {
+                        "jsonrpc": "2.0",
+                        "id": message["id"],
+                        "result": {
+                            "role": "assistant",
+                            "content": {"type": "text", "text": text},
+                            "model": "fake",
+                        },
+                    }
+                )
+                continue
+            if message.get("id") == request_id:
+                return message
+
+
+async def test_mcp_server_end_to_end(tmp_path):
+    # Pre-build a conversation database offline.
+    db = str(tmp_path / "mcp.db")
+    env = dict(os.environ, TAT_JAX_PLATFORM="cpu")
+    build = await asyncio.create_subprocess_exec(
+        sys.executable,
+        "-c",
+        (
+            "import jax; jax.config.update('jax_platforms','cpu');"
+            "import asyncio;"
+            "from typeagent_tpu.knowpro.convsettings import ConversationSettings;"
+            "from typeagent_tpu.models.adapters import create_test_embedding_model;"
+            "from typeagent_tpu.transcripts.transcript_ingest import ingest_vtt_transcript;"
+            "s = ConversationSettings(model=create_test_embedding_model(16));"
+            "s.semantic_ref_index_settings.auto_extract_knowledge = False;"
+            f"t = asyncio.run(ingest_vtt_transcript({os.path.join(TESTDATA, 'mini.vtt')!r}, s, dbname={db!r}));"
+        ),
+        env=env,
+    )
+    assert await build.wait() == 0
+
+    search_query = json.dumps(
+        {
+            "searchExpressions": [
+                {
+                    "rewrittenQuery": "What did Alice say?",
+                    "filters": [{"searchTerms": ["Alice"]}],
+                }
+            ]
+        }
+    )
+    answer = json.dumps({"type": "Answered", "answer": "Alice welcomed everyone."})
+
+    proc = await asyncio.create_subprocess_exec(
+        sys.executable,
+        "-m",
+        "typeagent_tpu.mcp.server",
+        "--database",
+        db,
+        "--embedding-model",
+        "test:16",
+        stdin=asyncio.subprocess.PIPE,
+        stdout=asyncio.subprocess.PIPE,
+        env=env,
+    )
+    try:
+        client = McpClient(proc, [search_query, answer])
+        init = await client.request(
+            "initialize",
+            {"protocolVersion": "2024-11-05", "capabilities": {}, "clientInfo": {}},
+        )
+        assert init["result"]["serverInfo"]["name"] == "typeagent-tpu"
+
+        tools = await client.request("tools/list")
+        names = [t["name"] for t in tools["result"]["tools"]]
+        assert names == ["query_conversation"]
+
+        result = await client.request(
+            "tools/call",
+            {
+                "name": "query_conversation",
+                "arguments": {"question": "What did Alice say?"},
+            },
+            timeout=120,
+        )
+        content = result["result"]["content"][0]["text"]
+        assert result["result"]["isError"] is False, content
+        assert content == "Alice welcomed everyone."
+        # Both pipeline stages sampled the client's LLM.
+        assert len(client.sampling_requests) == 2
+    finally:
+        proc.stdin.close()
+        await asyncio.wait_for(proc.wait(), 10)
+
+
+async def test_mcp_unknown_tool_and_method(tmp_path):
+    env = dict(os.environ, TAT_JAX_PLATFORM="cpu")
+    proc = await asyncio.create_subprocess_exec(
+        sys.executable,
+        "-m",
+        "typeagent_tpu.mcp.server",
+        "--embedding-model",
+        "test:16",
+        stdin=asyncio.subprocess.PIPE,
+        stdout=asyncio.subprocess.PIPE,
+        env=env,
+    )
+    try:
+        client = McpClient(proc, [])
+        await client.request("initialize", {"protocolVersion": "x"})
+        result = await client.request("tools/call", {"name": "nope", "arguments": {}})
+        assert result["result"]["isError"] is True
+        result = await client.request("bogus/method")
+        assert result["error"]["code"] == -32601
+        result = await client.request("ping")
+        assert result["result"] == {}
+    finally:
+        proc.stdin.close()
+        await asyncio.wait_for(proc.wait(), 10)

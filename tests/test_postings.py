@@ -1,0 +1,128 @@
+"""Device postings engine vs the host MatchAccumulator oracle."""
+
+import math
+
+import numpy as np
+import pytest
+
+from typeagent_tpu.knowpro.collections import MatchAccumulator
+from typeagent_tpu.native import PyInterner, create_interner, native_available
+from typeagent_tpu.ops.postings import DevicePostingsIndex
+
+
+def oracle_accumulate(postings, query_terms, scope=None):
+    """Host MatchAccumulator replicating the device program's contract."""
+    acc = MatchAccumulator()
+    for text, weight, is_exact in query_terms:
+        for term, semref, score in postings:
+            if term != text.lower():
+                continue
+            if scope is not None and not scope[semref]:
+                continue
+            acc.add(semref, score * weight, is_exact)
+    # add_term_matches_if_new: related contributions to exact-matched semrefs
+    # are dropped (device contract).
+    results = {}
+    for match in acc:
+        if match.hit_count > 0:
+            related = 0.0  # exact match present -> related dropped
+            total = match.score
+        else:
+            total = (
+                math.log(match.related_hit_count + 1)
+                * match.related_score
+                / match.related_hit_count
+                if match.related_hit_count > 1
+                else match.related_score
+            )
+        results[match.value] = total
+    return results
+
+
+def test_interner_native_and_python_agree():
+    impls = [PyInterner()]
+    if native_available():
+        impls.append(create_interner())
+    csrs = []
+    for interner in impls:
+        for term, semref in [("Apple", 0), ("banana", 1), ("APPLE", 2), ("cherry", 0)]:
+            tid = interner.intern(term)
+            interner.add_posting(tid, semref, 1.0)
+        assert interner.lookup("apple") == 0
+        assert interner.lookup("zzz") == -1
+        assert len(interner) == 3
+        csrs.append(interner.build_csr())
+    if len(csrs) == 2:
+        for a, b in zip(csrs[0], csrs[1]):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_device_accumulation_matches_oracle():
+    postings = [
+        ("bach", 0, 1.0),
+        ("bach", 3, 1.0),
+        ("composer", 0, 1.0),
+        ("composer", 1, 1.0),
+        ("piano", 2, 1.0),
+        ("piano", 3, 0.5),
+        ("music", 0, 1.0),
+        ("music", 1, 1.0),
+        ("music", 2, 1.0),
+    ]
+    index = DevicePostingsIndex()
+    for term, semref, score in postings:
+        index.add_term(term, semref, score)
+
+    query = [("bach", 10.0, True), ("composer", 8.0, False), ("music", 2.0, False)]
+    total, exact_hits, related_hits = index.lookup_terms(query)
+    expected = oracle_accumulate(postings, query)
+    for semref, score in expected.items():
+        assert total[semref] == pytest.approx(score, rel=1e-5), semref
+    # semref 0: exact bach 10 (related dropped); semref 1: related only
+    assert exact_hits[0] == 1 and related_hits[0] == 0
+    assert exact_hits[1] == 0 and related_hits[1] == 2
+    assert total[1] == pytest.approx(math.log(3) * (8.0 + 2.0) / 2)
+
+
+def test_device_accumulation_scope_mask():
+    index = DevicePostingsIndex()
+    for semref in range(6):
+        index.add_term("common", semref, 1.0)
+    scope = np.array([True, False, True, False, True, False])
+    total, exact_hits, _ = index.lookup_terms([("common", 1.0, True)], scope)
+    np.testing.assert_array_equal(exact_hits > 0, scope)
+    assert total[1] == 0.0 and total[2] == 1.0
+
+
+def test_device_accumulation_missing_term_and_padding():
+    index = DevicePostingsIndex()
+    index.add_term("only", 0, 1.0)
+    total, exact_hits, related_hits = index.lookup_terms(
+        [("only", 2.0, True), ("missing", 5.0, True)]
+    )
+    assert total[0] == pytest.approx(2.0)
+    assert exact_hits.sum() == 1
+
+
+def test_device_accumulation_large_random():
+    rng = np.random.default_rng(0)
+    n_terms, n_semrefs, n_postings = 200, 500, 5000
+    terms = [f"term{i}" for i in range(n_terms)]
+    postings = [
+        (
+            terms[rng.integers(n_terms)],
+            int(rng.integers(n_semrefs)),
+            float(rng.uniform(0.5, 1.0)),
+        )
+        for _ in range(n_postings)
+    ]
+    index = DevicePostingsIndex()
+    for term, semref, score in postings:
+        index.add_term(term, semref, score)
+    query = [(terms[i], float(i % 3 + 1), i % 2 == 0) for i in range(0, 40, 2)]
+    total, exact_hits, related_hits = index.lookup_terms(query)
+    expected = oracle_accumulate(postings, query)
+    got_nonzero = {i for i in range(n_semrefs) if abs(total[i]) > 1e-9}
+    assert got_nonzero == set(expected)
+    for semref, score in expected.items():
+        assert total[semref] == pytest.approx(score, rel=1e-4), semref

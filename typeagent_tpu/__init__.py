@@ -7,6 +7,18 @@ mesh-sharded search, and a compiled query data plane. See ARCHITECTURE.md.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("TAT_JAX_PLATFORM"):
+    # Escape hatch for environments whose sitecustomize pins JAX_PLATFORMS
+    # before user code runs (env vars are read too early to override there).
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["TAT_JAX_PLATFORM"])
+    except Exception:
+        pass
+
 
 def create_conversation(*args, **kwargs):
     """Create a conversation (lazy import; see knowpro.factory)."""

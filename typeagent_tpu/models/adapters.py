@@ -306,7 +306,9 @@ def create_embedding_model(
             model_spec = f"openai:{env_model}" if env_model else DEFAULT_EMBEDDING_SPEC
     provider, _, model_name = model_spec.partition(":")
     if provider == "test":
-        return create_test_embedding_model()
+        # 'test' or 'test:<dim>' -> offline deterministic embedder.
+        size = int(model_name) if model_name.isdigit() else 3
+        return create_test_embedding_model(size)
     if not model_name:
         provider, model_name = "openai", provider
     if provider == "azure" or _needs_azure_fallback(provider):

@@ -1,0 +1,224 @@
+"""ctypes bindings for the native runtime (string interner + CSR postings).
+
+The C++ library (native/interner.cpp) is built on demand with g++; when no
+compiler is available the pure-Python fallback keeps everything working.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libtat_native.so")
+_build_lock = threading.Lock()
+_lib = None
+_load_attempted = False
+
+
+def _load_library():
+    global _lib, _load_attempted
+    if _lib is not None or _load_attempted:
+        return _lib
+    with _build_lock:
+        if _lib is not None:
+            return _lib
+        _load_attempted = True
+        if not os.path.exists(_LIB_PATH):
+            src = os.path.join(_NATIVE_DIR, "interner.cpp")
+            if not os.path.exists(src):
+                return None
+            try:
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            except Exception:
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.tat_interner_new.restype = ctypes.c_void_p
+        lib.tat_interner_free.argtypes = [ctypes.c_void_p]
+        lib.tat_intern.restype = ctypes.c_int32
+        lib.tat_intern.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64]
+        lib.tat_lookup.restype = ctypes.c_int32
+        lib.tat_lookup.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64]
+        lib.tat_interner_size.restype = ctypes.c_int64
+        lib.tat_interner_size.argtypes = [ctypes.c_void_p]
+        lib.tat_postings_add.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_float,
+        ]
+        lib.tat_postings_size.restype = ctypes.c_int64
+        lib.tat_postings_size.argtypes = [ctypes.c_void_p]
+        lib.tat_postings_build_csr.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.tat_intern_batch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.tat_postings_add_batch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+        ]
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return _load_library() is not None
+
+
+class NativeInterner:
+    """C++ interner + posting accumulator (terms lowercased on intern)."""
+
+    def __init__(self):
+        lib = _load_library()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._handle = lib.tat_interner_new()
+
+    def __del__(self):
+        if getattr(self, "_handle", None):
+            self._lib.tat_interner_free(self._handle)
+            self._handle = None
+
+    def intern(self, term: str) -> int:
+        data = term.lower().encode("utf-8")
+        return self._lib.tat_intern(self._handle, data, len(data))
+
+    def lookup(self, term: str) -> int:
+        data = term.lower().encode("utf-8")
+        return self._lib.tat_lookup(self._handle, data, len(data))
+
+    def __len__(self) -> int:
+        return self._lib.tat_interner_size(self._handle)
+
+    def add_posting(self, term_id: int, semref_id: int, score: float = 1.0) -> None:
+        self._lib.tat_postings_add(self._handle, term_id, semref_id, score)
+
+    def intern_batch(self, terms: list[str]) -> np.ndarray:
+        """Intern many terms in one FFI call."""
+        encoded = [t.lower().encode("utf-8") for t in terms]
+        starts = np.zeros(len(encoded) + 1, dtype=np.int64)
+        np.cumsum([len(e) for e in encoded], out=starts[1:])
+        blob = b"".join(encoded)
+        out = np.zeros(len(encoded), dtype=np.int32)
+        self._lib.tat_intern_batch(
+            self._handle,
+            blob,
+            starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(encoded),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return out
+
+    def add_postings_batch(
+        self, term_ids: np.ndarray, semref_ids: np.ndarray, scores: np.ndarray
+    ) -> None:
+        term_ids = np.ascontiguousarray(term_ids, dtype=np.int32)
+        semref_ids = np.ascontiguousarray(semref_ids, dtype=np.int32)
+        scores = np.ascontiguousarray(scores, dtype=np.float32)
+        self._lib.tat_postings_add_batch(
+            self._handle,
+            term_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            semref_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            len(term_ids),
+        )
+
+    def posting_count(self) -> int:
+        return self._lib.tat_postings_size(self._handle)
+
+    def build_csr(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        n_terms = len(self)
+        n_postings = self.posting_count()
+        offsets = np.zeros(n_terms + 1, dtype=np.int64)
+        semrefs = np.zeros(n_postings, dtype=np.int32)
+        scores = np.zeros(n_postings, dtype=np.float32)
+        self._lib.tat_postings_build_csr(
+            self._handle,
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            semrefs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        return offsets, semrefs, scores
+
+
+class PyInterner:
+    """Pure-Python fallback with the same surface."""
+
+    def __init__(self):
+        self._ids: dict[str, int] = {}
+        self._postings: list[tuple[int, int, float]] = []
+
+    def intern(self, term: str) -> int:
+        key = term.lower()
+        ident = self._ids.get(key)
+        if ident is None:
+            ident = len(self._ids)
+            self._ids[key] = ident
+        return ident
+
+    def lookup(self, term: str) -> int:
+        return self._ids.get(term.lower(), -1)
+
+    def __len__(self) -> int:
+        return len(self._ids)
+
+    def add_posting(self, term_id: int, semref_id: int, score: float = 1.0) -> None:
+        self._postings.append((term_id, semref_id, score))
+
+    def intern_batch(self, terms: list[str]) -> np.ndarray:
+        return np.array([self.intern(t) for t in terms], dtype=np.int32)
+
+    def add_postings_batch(self, term_ids, semref_ids, scores) -> None:
+        for tid, sid, score in zip(term_ids, semref_ids, scores):
+            self._postings.append((int(tid), int(sid), float(score)))
+
+    def posting_count(self) -> int:
+        return len(self._postings)
+
+    def build_csr(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        n_terms = len(self._ids)
+        counts = np.zeros(n_terms + 1, dtype=np.int64)
+        for term_id, _, _ in self._postings:
+            counts[term_id + 1] += 1
+        offsets = np.cumsum(counts)
+        semrefs = np.zeros(len(self._postings), dtype=np.int32)
+        scores = np.zeros(len(self._postings), dtype=np.float32)
+        cursor = offsets[:-1].copy()
+        for term_id, semref_id, score in self._postings:
+            pos = cursor[term_id]
+            semrefs[pos] = semref_id
+            scores[pos] = score
+            cursor[term_id] += 1
+        return offsets, semrefs, scores
+
+
+def create_interner():
+    """Native when buildable, Python otherwise."""
+    if native_available():
+        return NativeInterner()
+    return PyInterner()

@@ -278,6 +278,44 @@ class VectorStore:
             )
         return results
 
+    def dispatch_lookup(
+        self,
+        queries: np.ndarray,
+        max_hits: int = 10,
+    ):
+        """Asynchronously dispatch a batched lookup; returns device handles.
+
+        Pair with :meth:`collect_lookup`. Lets callers pipeline many query
+        batches without a device round-trip between them (JAX dispatch is
+        async; only result materialization blocks).
+        """
+        self._flush()
+        if self._count == 0 or queries.shape[0] == 0:
+            return None
+        q = self._pad_queries(queries)
+        k = min(max_hits, self._count)
+        vals, idx = topk.cosine_topk(self._buf, q, self._count, k)
+        return (vals, idx, queries.shape[0])
+
+    def collect_lookup(
+        self,
+        handle,
+        min_score: float = 0.0,
+    ) -> list[list[ScoredInt]]:
+        """Materialize a dispatch_lookup handle into scored results."""
+        if handle is None:
+            return []
+        vals, idx, b = handle
+        vals = np.asarray(vals)[:b]
+        idx = np.asarray(idx)[:b]
+        results = []
+        for r in range(b):
+            keep = (vals[r] >= min_score) & (idx[r] >= 0)
+            results.append(
+                [ScoredInt(int(i), float(v)) for v, i in zip(vals[r][keep], idx[r][keep])]
+            )
+        return results
+
     def fuzzy_lookup_embedding_in_subset(
         self,
         embedding: np.ndarray,
