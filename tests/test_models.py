@@ -1,0 +1,223 @@
+"""Models layer: structured translation, retry, caching, adapters, metrics."""
+
+import asyncio
+import json
+
+import numpy as np
+import pytest
+
+from typeagent_tpu.knowpro import kplib
+from typeagent_tpu.models.adapters import (
+    FakeChatModel,
+    FakeEmbedder,
+    create_chat_model,
+    create_embedding_model,
+    create_test_embedding_model,
+    parse_azure_endpoint,
+)
+from typeagent_tpu.models.embeddings import CachingEmbeddingModel
+from typeagent_tpu.models.result import Failure, Success
+from typeagent_tpu.models.retry import AsyncRetrier, TransientError
+from typeagent_tpu.models.structured import TypedTranslator, extract_json
+from typeagent_tpu.utils.metrics import MetricsRegistry, mrr, recall_at_k
+
+
+# ---------------------------------------------------------------------------
+# Structured translation
+# ---------------------------------------------------------------------------
+
+
+def test_extract_json():
+    assert extract_json('noise {"a": 1} trailing') == '{"a": 1}'
+    assert extract_json("[1, 2]") == "[1, 2]"
+    assert extract_json("no json here") is None
+    assert extract_json('```json\n{"a": {"b": 2}}\n```') == '{"a": {"b": 2}}'
+
+
+async def test_translator_success():
+    response = json.dumps(
+        {"entities": [], "actions": [], "inverseActions": [], "topics": ["x"]}
+    )
+    translator = TypedTranslator(FakeChatModel([response]), kplib.KnowledgeResponse)
+    result = await translator.translate("extract this")
+    assert isinstance(result, Success)
+    assert result.value.topics == ["x"]
+
+
+async def test_translator_repair_loop():
+    bad = '{"entities": "not-a-list"}'
+    good = json.dumps(
+        {"entities": [], "actions": [], "inverseActions": [], "topics": []}
+    )
+    model = FakeChatModel([bad, good])
+    translator = TypedTranslator(model, kplib.KnowledgeResponse)
+    result = await translator.translate("extract this")
+    assert isinstance(result, Success)
+    # Repair prompt contained the validation error and the bad response.
+    assert len(model.prompts) == 2
+    repair = model.prompts[1]
+    assert any("invalid" in s["content"].lower() for s in repair)
+
+
+async def test_translator_double_failure():
+    model = FakeChatModel(["junk", "more junk"])
+    translator = TypedTranslator(model, kplib.KnowledgeResponse)
+    result = await translator.translate("extract this")
+    assert isinstance(result, Failure)
+
+
+async def test_translator_camelcase_aliases():
+    response = json.dumps(
+        {
+            "entities": [{"name": "Bach", "type": ["person"]}],
+            "actions": [
+                {
+                    "verbs": ["compose"],
+                    "verbTense": "past",
+                    "subjectEntityName": "Bach",
+                }
+            ],
+            "inverseActions": [],
+            "topics": [],
+        }
+    )
+    translator = TypedTranslator(FakeChatModel([response]), kplib.KnowledgeResponse)
+    result = await translator.translate("x")
+    assert isinstance(result, Success)
+    assert result.value.actions[0].subject_entity_name == "Bach"
+
+
+# ---------------------------------------------------------------------------
+# Retry
+# ---------------------------------------------------------------------------
+
+
+async def test_retry_transient_then_success():
+    attempts = 0
+
+    async def flaky():
+        nonlocal attempts
+        attempts += 1
+        if attempts < 3:
+            raise TransientError("try again")
+        return "ok"
+
+    retrier = AsyncRetrier(attempts=5)
+    assert await retrier(flaky) == "ok"
+    assert attempts == 3
+
+
+async def test_retry_nontransient_raises_immediately():
+    attempts = 0
+
+    async def broken():
+        nonlocal attempts
+        attempts += 1
+        raise ValueError("permanent")
+
+    retrier = AsyncRetrier(attempts=5)
+    with pytest.raises(ValueError):
+        await retrier(broken)
+    assert attempts == 1
+
+
+async def test_retry_exhausts_attempts():
+    attempts = 0
+
+    async def always_transient():
+        nonlocal attempts
+        attempts += 1
+        raise TransientError("nope")
+
+    retrier = AsyncRetrier(attempts=3)
+    with pytest.raises(TransientError):
+        await retrier(always_transient)
+    assert attempts == 3
+
+
+# ---------------------------------------------------------------------------
+# Embedding models
+# ---------------------------------------------------------------------------
+
+
+async def test_fake_embedder_deterministic_and_normalized():
+    embedder = FakeEmbedder(16)
+    a1 = await embedder.get_embedding_nocache("hello")
+    a2 = await embedder.get_embedding_nocache("hello")
+    b = await embedder.get_embedding_nocache("world")
+    np.testing.assert_array_equal(a1, a2)
+    assert not np.allclose(a1, b)
+    assert np.linalg.norm(a1) == pytest.approx(1.0, abs=1e-5)
+    with pytest.raises(ValueError):
+        await embedder.get_embedding_nocache("")
+
+
+async def test_caching_model_fills_only_misses():
+    calls = []
+
+    class CountingEmbedder(FakeEmbedder):
+        async def get_embeddings_nocache(self, input):
+            calls.append(list(input))
+            return await super().get_embeddings_nocache(input)
+
+    model = CachingEmbeddingModel(CountingEmbedder(8))
+    await model.get_embeddings(["a", "b"])
+    await model.get_embeddings(["b", "c"])
+    assert calls == [["a", "b"], ["c"]]
+    with pytest.raises(ValueError):
+        await model.get_embeddings([])
+
+
+def test_create_model_specs():
+    assert create_chat_model("test").model_name == "test"
+    model = create_embedding_model("test")
+    assert model.model_name == "test"
+    model = create_embedding_model("test:32")
+    # dim honored
+    emb = asyncio.run(model.get_embedding("x"))
+    assert emb.shape == (32,)
+
+
+def test_parse_azure_endpoint(monkeypatch):
+    monkeypatch.setenv(
+        "AZ_TEST",
+        "https://res.openai.azure.com/openai/deployments/gpt4o-dep/chat/"
+        "completions?api-version=2024-06-01",
+    )
+    base, version, deployment = parse_azure_endpoint("AZ_TEST")
+    assert base == "https://res.openai.azure.com"
+    assert version == "2024-06-01"
+    assert deployment == "gpt4o-dep"
+    with pytest.raises(ValueError):
+        parse_azure_endpoint("AZ_MISSING")
+
+
+# ---------------------------------------------------------------------------
+# Metrics
+# ---------------------------------------------------------------------------
+
+
+def test_metrics_registry():
+    registry = MetricsRegistry()
+    registry.incr("queries")
+    registry.incr("queries", 2)
+    for ms in [1, 2, 3, 4, 100]:
+        registry.observe("lookup", ms / 1000)
+    stats = registry.stats("lookup")
+    assert stats.count == 5
+    assert stats.p50_ms == pytest.approx(3.0)
+    assert stats.max_ms == pytest.approx(100.0)
+    report = registry.report()
+    assert report["counters"]["queries"] == 3
+    assert report["latency"]["lookup"]["count"] == 5
+    with registry.timer("timed"):
+        pass
+    assert registry.stats("timed").count == 1
+
+
+def test_recall_and_mrr():
+    assert recall_at_k([1, 2, 3], {2, 9}, 3) == pytest.approx(0.5)
+    assert recall_at_k([1, 2], {1, 2}, 2) == 1.0
+    assert recall_at_k([], {1}, 5) == 0.0
+    assert mrr([5, 1, 2], {1}) == pytest.approx(0.5)
+    assert mrr([9, 8], {1}) == 0.0

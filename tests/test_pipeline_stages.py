@@ -1,0 +1,269 @@
+"""Streaming pipeline stages tested in isolation.
+
+(Reference mechanism: tests/test_add_messages_pipeline.py imports the stage
+functions directly — producer, dispatcher, reassembler.)
+"""
+
+import asyncio
+
+import pytest
+
+from typeagent_tpu.knowpro import kplib
+from typeagent_tpu.knowpro.add_messages import (
+    ChunkProcessingResult,
+    ChunkWorkItem,
+    NoOpKnowledgeExtractor,
+    PipelineStopState,
+    ProducerState,
+    _dispatcher_task,
+    _producer_task,
+    _reassembler_task,
+    process_chunk_with_extraction_and_embeddings,
+)
+from typeagent_tpu.knowpro.interfaces import TextLocation
+from typeagent_tpu.knowpro.universal_message import (
+    ConversationMessage,
+    ConversationMessageMeta,
+)
+from typeagent_tpu.models.adapters import create_test_embedding_model
+from typeagent_tpu.models.result import Failure, Success
+
+
+def msg(*chunks):
+    return ConversationMessage(list(chunks), ConversationMessageMeta("A"))
+
+
+def _chunk_result(message, msg_id, chunk_ord, chunk_count, error=None):
+    return ChunkProcessingResult(
+        chunk_id=TextLocation(msg_id, chunk_ord),
+        chunk_count=chunk_count,
+        message=message,
+        error=error,
+    )
+
+
+async def _aiter(items):
+    for item in items:
+        yield item
+
+
+# ---------------------------------------------------------------------------
+# Producer
+# ---------------------------------------------------------------------------
+
+
+async def test_producer_enqueues_chunks_and_sentinel():
+    chunk_queue = asyncio.Queue()
+    result_queue = asyncio.Queue()
+    stop = PipelineStopState()
+    state = ProducerState(next_message_id=5)
+    messages = [msg("a", "b"), msg("c")]
+    await _producer_task(_aiter(messages), chunk_queue, stop, state, result_queue, None)
+    items = []
+    while not chunk_queue.empty():
+        items.append(chunk_queue.get_nowait())
+    assert items[-1] is None
+    work = items[:-1]
+    assert [(w.chunk_id.message_ordinal, w.chunk_id.chunk_ordinal) for w in work] == [
+        (5, 0), (5, 1), (6, 0),
+    ]
+    assert state.produced_messages == 2 and state.produced_chunks == 3
+
+
+async def test_producer_zero_chunk_message_bypasses_dispatcher():
+    chunk_queue = asyncio.Queue()
+    result_queue = asyncio.Queue()
+    state = ProducerState(next_message_id=0)
+    await _producer_task(
+        _aiter([ConversationMessage([], ConversationMessageMeta("A"))]),
+        chunk_queue, PipelineStopState(), state, result_queue, None,
+    )
+    result = result_queue.get_nowait()
+    assert result.chunk_count == 0
+    assert chunk_queue.get_nowait() is None  # only sentinel
+
+
+async def test_producer_respects_stop_watermark():
+    chunk_queue = asyncio.Queue()
+    stop = PipelineStopState(stop_at_message_id=1)
+    state = ProducerState(next_message_id=0)
+    await _producer_task(
+        _aiter([msg("a"), msg("b"), msg("c")]),
+        chunk_queue, stop, state, asyncio.Queue(), None,
+    )
+    work = []
+    while not chunk_queue.empty():
+        item = chunk_queue.get_nowait()
+        if item is not None:
+            work.append(item)
+    assert [w.chunk_id.message_ordinal for w in work] == [0]
+
+
+async def test_producer_iterator_exception_recorded():
+    async def broken():
+        yield msg("ok")
+        raise RuntimeError("stream broke")
+
+    chunk_queue = asyncio.Queue()
+    state = ProducerState(next_message_id=0)
+    await _producer_task(
+        broken(), chunk_queue, PipelineStopState(), state, asyncio.Queue(), None
+    )
+    assert isinstance(state.exception, RuntimeError)
+    # Sentinel still sent so the dispatcher shuts down.
+    items = []
+    while not chunk_queue.empty():
+        items.append(chunk_queue.get_nowait())
+    assert items[-1] is None
+
+
+# ---------------------------------------------------------------------------
+# Chunk processing
+# ---------------------------------------------------------------------------
+
+
+async def test_process_chunk_success():
+    model = create_test_embedding_model(8)
+    result = await process_chunk_with_extraction_and_embeddings(
+        chunk_id=TextLocation(0, 0),
+        chunk_text="some text",
+        chunk_count=1,
+        message=msg("some text"),
+        knowledge_extractor=NoOpKnowledgeExtractor(),
+        embedding_model=model,
+    )
+    assert result.error is None
+    assert result.chunk_embedding is not None
+    assert result.extracted_knowledge is not None
+    assert result.related_terms == []  # no-op extractor yields no knowledge
+
+
+async def test_process_chunk_extraction_failure_captured():
+    class FailingExtractor:
+        async def extract(self, text):
+            return Failure("nope")
+
+    result = await process_chunk_with_extraction_and_embeddings(
+        chunk_id=TextLocation(0, 0),
+        chunk_text="text",
+        chunk_count=1,
+        message=msg("text"),
+        knowledge_extractor=FailingExtractor(),
+        embedding_model=create_test_embedding_model(8),
+    )
+    assert result.error is not None
+    assert "nope" in str(result.error)
+
+
+async def test_process_chunk_collects_related_terms():
+    class Extractor:
+        async def extract(self, text):
+            return Success(
+                kplib.KnowledgeResponse(
+                    entities=[kplib.ConcreteEntity("Bach", ["person", "BACH"])],
+                    actions=[],
+                    inverse_actions=[],
+                    topics=["Music", "music"],
+                )
+            )
+
+    result = await process_chunk_with_extraction_and_embeddings(
+        chunk_id=TextLocation(0, 0),
+        chunk_text="text",
+        chunk_count=1,
+        message=msg("text"),
+        knowledge_extractor=Extractor(),
+        embedding_model=create_test_embedding_model(8),
+    )
+    # lowercased, order-preserving dedupe
+    assert result.related_terms == ["bach", "person", "music"]
+    assert len(result.related_term_embeddings) == 3
+
+
+# ---------------------------------------------------------------------------
+# Reassembler
+# ---------------------------------------------------------------------------
+
+
+async def test_reassembler_waits_for_complete_messages():
+    result_queue = asyncio.Queue()
+    m0, m1 = msg("a", "b"), msg("c")
+    # m1 completes before m0 — nothing commits until m0's chunks all arrive.
+    await result_queue.put(_chunk_result(m1, 1, 0, 1))
+    await result_queue.put(_chunk_result(m0, 0, 1, 2))
+    await result_queue.put(_chunk_result(m0, 0, 0, 2))
+    await result_queue.put(None)
+    commits = []
+
+    async def commit(messages, results):
+        commits.append(([id(m) for m in messages], len(results)))
+
+    state = await _reassembler_task(
+        result_queue, PipelineStopState(), 0, 100, commit, False
+    )
+    assert len(commits) == 1
+    assert commits[0] == ([id(m0), id(m1)], 3)
+    assert state.messages_committed == 2 and state.chunks_committed == 3
+
+
+async def test_reassembler_batch_pre_flush():
+    result_queue = asyncio.Queue()
+    messages = [msg("x") for _ in range(5)]
+    for i, m in enumerate(messages):
+        await result_queue.put(_chunk_result(m, i, 0, 1))
+    await result_queue.put(None)
+    commits = []
+
+    async def commit(ms, results):
+        commits.append(len(ms))
+
+    state = await _reassembler_task(
+        result_queue, PipelineStopState(), 0, 2, commit, False
+    )
+    assert sum(commits) == 5
+    assert all(c <= 2 for c in commits)
+
+
+async def test_reassembler_validation_errors():
+    # Duplicate chunk
+    result_queue = asyncio.Queue()
+    m = msg("a", "b")
+    await result_queue.put(_chunk_result(m, 0, 0, 2))
+    await result_queue.put(_chunk_result(m, 0, 0, 2))
+    await result_queue.put(None)
+
+    async def commit(ms, results):
+        pass
+
+    with pytest.raises(RuntimeError, match="Duplicate chunk"):
+        await _reassembler_task(
+            result_queue, PipelineStopState(), 0, 10, commit, False
+        )
+
+    # Bad chunk ordinal
+    result_queue = asyncio.Queue()
+    await result_queue.put(_chunk_result(m, 0, 7, 2))
+    await result_queue.put(None)
+    with pytest.raises(RuntimeError, match="Invalid chunk ordinal"):
+        await _reassembler_task(
+            result_queue, PipelineStopState(), 0, 10, commit, False
+        )
+
+
+async def test_reassembler_halts_behind_failed_message():
+    result_queue = asyncio.Queue()
+    m0, m1 = msg("a"), msg("b")
+    await result_queue.put(_chunk_result(m0, 0, 0, 1, error=RuntimeError("boom")))
+    await result_queue.put(_chunk_result(m1, 1, 0, 1))
+    await result_queue.put(None)
+    commits = []
+
+    async def commit(ms, results):
+        commits.append(len(ms))
+
+    stop = PipelineStopState()
+    state = await _reassembler_task(result_queue, stop, 0, 10, commit, False)
+    assert commits == []  # nothing after the failed message commits
+    assert state.chunk_failures == 1
+    assert stop.stop_at_message_id == 0
+    assert state.buffered_messages == 2  # both held back
