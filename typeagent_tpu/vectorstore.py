@@ -379,11 +379,8 @@ class VectorStore:
         """All live rows as a host array [len, embedding_size]."""
         parts = []
         if self._count and self._buf is not None:
-            parts.append(
-                np.asarray(self._buf[: self._count, : self._embedding_size]).astype(
-                    np.float32
-                )
-            )
+            rows = self._buf[: self._count, : self._embedding_size]
+            parts.append(np.asarray(rows.astype(jnp.float32)))
         parts.extend(self._pending)
         if not parts:
             return np.empty((0, self._embedding_size), dtype=np.float32)
@@ -393,9 +390,8 @@ class VectorStore:
         n = len(self)
         if 0 <= pos < n:
             if pos < self._count:
-                return np.asarray(
-                    self._buf[pos, : self._embedding_size], dtype=np.float32
-                )
+                row = self._buf[pos, : self._embedding_size].astype(jnp.float32)
+                return np.asarray(row)
             off = pos - self._count
             for chunk in self._pending:
                 if off < chunk.shape[0]:
