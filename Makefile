@@ -1,0 +1,31 @@
+# typeagent-tpu developer targets (parity role: reference Makefile)
+
+.PHONY: test coverage eval bench native clean format help
+
+help:
+	@echo "targets: test coverage eval bench native clean"
+
+test:
+	python -m pytest tests/ -q
+
+test-fast:
+	python -m pytest tests/ -q --ignore=tests/test_mcp.py
+
+coverage:
+	python -m pytest tests/ -q --cov=typeagent_tpu --cov-report=term-missing || \
+		python -m pytest tests/ -q  # pytest-cov not installed
+
+# Golden-answer evaluation over the bundled fixture conversation (no LLM,
+# no network; compares search results against tests/testdata goldens).
+eval:
+	python -m typeagent_tpu.tools.eval_golden
+
+bench:
+	python bench.py
+
+native:
+	$(MAKE) -C native
+
+clean:
+	$(MAKE) -C native clean
+	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true

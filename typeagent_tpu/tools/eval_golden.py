@@ -1,0 +1,192 @@
+"""Golden-result evaluation: deterministic queries vs committed goldens.
+
+(Parity role: reference `make eval` comparing Episode-53 batch results against
+Episode_53_Search_results.json / Answer_results.json.) Builds the bundled
+fixture conversation with the offline deterministic extractor + embedder,
+runs fixed search queries through stages 2-3 (no LLM: translated queries are
+pinned via the debug override), and diffs against tests/testdata/golden
+files. ``--update`` regenerates them.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import os
+import sys
+from datetime import datetime, timezone
+
+from ..knowpro import kplib
+from ..knowpro.convsettings import ConversationSettings
+from ..knowpro.searchlang import (
+    LanguageQueryCompileOptions,
+    LanguageSearchOptions,
+    compile_search_query,
+)
+from ..knowpro.search import run_search_query
+from ..knowpro.search_query_schema import SearchQuery
+from ..knowpro.serialization import deserialize_object
+from ..models.adapters import create_test_embedding_model
+from ..models.result import Success
+from ..podcasts.podcast_ingest import ingest_podcast
+
+GOLDEN_FILE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+    "tests",
+    "testdata",
+    "golden_eval.json",
+)
+FIXTURE = os.path.join(
+    os.path.dirname(GOLDEN_FILE), "mini_podcast.txt"
+)
+
+# Pinned stage-1 outputs (what the LLM would translate these questions to).
+PINNED_QUERIES: list[tuple[str, dict]] = [
+    (
+        "What do we know about Bach?",
+        {
+            "searchExpressions": [
+                {
+                    "rewrittenQuery": "What do we know about Bach?",
+                    "filters": [
+                        {
+                            "entitySearchTerms": [
+                                {"name": "Bach", "isNamePronoun": False}
+                            ]
+                        }
+                    ],
+                }
+            ]
+        },
+    ),
+    (
+        "Who recorded the Goldberg Variations?",
+        {
+            "searchExpressions": [
+                {
+                    "rewrittenQuery": "Who recorded the Goldberg Variations?",
+                    "filters": [
+                        {"searchTerms": ["recorded", "Goldberg", "Variations"]}
+                    ],
+                }
+            ]
+        },
+    ),
+    (
+        "Summarize the conversation",
+        {
+            "searchExpressions": [
+                {
+                    "rewrittenQuery": "Summarize the conversation",
+                    "filters": [{"searchTerms": []}],
+                }
+            ]
+        },
+    ),
+]
+
+
+class WordExtractor:
+    """Deterministic offline knowledge: first word entity + per-word topics."""
+
+    async def extract(self, text: str):
+        words = [w.strip(".,!?").lower() for w in text.split() if len(w) > 3]
+        return Success(
+            kplib.KnowledgeResponse(
+                entities=[kplib.ConcreteEntity(words[0], ["word"])] if words else [],
+                actions=[],
+                inverse_actions=[],
+                topics=words,
+            )
+        )
+
+
+async def build_fixture_conversation():
+    settings = ConversationSettings(model=create_test_embedding_model(32))
+    settings.semantic_ref_index_settings.knowledge_extractor = WordExtractor()
+    return await ingest_podcast(
+        FIXTURE,
+        settings,
+        start_date=datetime(2024, 1, 1, tzinfo=timezone.utc),
+        length_minutes=10.0,
+    )
+
+
+async def run_eval(update: bool) -> int:
+    conversation = await build_fixture_conversation()
+    results = []
+    for question, pinned in PINNED_QUERIES:
+        query = deserialize_object(SearchQuery, pinned)
+        exprs = compile_search_query(
+            conversation, query, LanguageQueryCompileOptions()
+        )
+        search_results = []
+        for expr in exprs:
+            search_results.extend(
+                await run_search_query(
+                    conversation,
+                    expr,
+                    LanguageSearchOptions(max_message_matches=10),
+                    question,
+                )
+            )
+        results.append(
+            {
+                "question": question,
+                "knowledgeMatches": [
+                    {
+                        "types": sorted(r.knowledge_matches.keys()),
+                        "semrefs": {
+                            ktype: [
+                                m.semantic_ref_ordinal
+                                for m in matches.semantic_ref_matches[:10]
+                            ]
+                            for ktype, matches in sorted(
+                                r.knowledge_matches.items()
+                            )
+                        },
+                    }
+                    for r in search_results
+                ],
+                "messageMatches": [
+                    [m.message_ordinal for m in r.message_matches[:10]]
+                    for r in search_results
+                ],
+            }
+        )
+
+    if update:
+        with open(GOLDEN_FILE, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"Wrote goldens to {GOLDEN_FILE}")
+        return 0
+
+    with open(GOLDEN_FILE) as f:
+        golden = json.load(f)
+    failures = 0
+    for got, expected in zip(results, golden):
+        if got != expected:
+            failures += 1
+            print(f"MISMATCH for {got['question']!r}:")
+            print(f"  got:      {json.dumps(got)[:300]}")
+            print(f"  expected: {json.dumps(expected)[:300]}")
+    if len(results) != len(golden):
+        failures += 1
+        print(f"Result count mismatch: {len(results)} != {len(golden)}")
+    if failures:
+        print(f"{failures} mismatches")
+        return 1
+    print(f"All {len(results)} golden queries match")
+    return 0
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="Golden query evaluation")
+    parser.add_argument("--update", action="store_true", help="Rewrite goldens")
+    args = parser.parse_args()
+    sys.exit(asyncio.run(run_eval(args.update)))
+
+
+if __name__ == "__main__":
+    main()
