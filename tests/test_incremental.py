@@ -1,0 +1,125 @@
+"""Restartability: incremental indexing, source-id dedupe, DB reopen.
+
+(Reference mechanism: tests/test_incremental_index.py,
+test_podcast_incremental.py, test_source_id_ingestion.py.)
+"""
+
+import os
+from datetime import datetime, timezone
+
+import pytest
+
+from tests.test_persistence import WordExtractor, make_settings, msg
+from typeagent_tpu import create_conversation
+from typeagent_tpu.knowpro.interfaces import SearchTerm, SearchTermGroup, Term
+from typeagent_tpu.knowpro.search import SearchOptions, search_conversation
+from typeagent_tpu.knowpro.universal_message import ConversationMessage
+from typeagent_tpu.podcasts.podcast_ingest import ingest_podcast
+
+TESTDATA = os.path.join(os.path.dirname(__file__), "testdata")
+
+
+async def test_reopen_add_more_and_reindex(tmp_path):
+    """Reopen a DB, add more messages, verify ordinals + search continuity."""
+    db = str(tmp_path / "incr.db")
+    conv = await create_conversation(db, ConversationMessage, settings=make_settings())
+    await conv.add_messages_with_indexing(
+        [msg("alpha message one"), msg("beta message two")]
+    )
+    semrefs_before = await conv.semantic_refs.size()
+    await conv.storage_provider.close()
+
+    conv2 = await create_conversation(db, ConversationMessage, settings=make_settings())
+    assert await conv2.messages.size() == 2
+    assert await conv2.semantic_refs.size() == semrefs_before
+    await conv2.add_messages_with_indexing([msg("gamma message three")])
+    assert await conv2.messages.size() == 3
+    # New semrefs continue the ordinal sequence with correct ranges.
+    last = await conv2.semantic_refs.get_item(await conv2.semantic_refs.size() - 1)
+    assert last.range.start.message_ordinal == 2
+    # Both old and new content searchable after reopen.
+    for term, expected_msg in [("alpha", 0), ("gamma", 2)]:
+        found = await search_conversation(
+            conv2,
+            SearchTermGroup(boolean_op="or", terms=[SearchTerm(Term(term))]),
+            options=SearchOptions(exact_match=True),
+            raw_search_query=term,
+        )
+        assert found.message_matches
+        assert found.message_matches[0].message_ordinal == expected_msg
+    await conv2.storage_provider.close()
+
+
+async def test_source_id_dedupe_flow(tmp_path):
+    """are_sources_ingested lets ingesters skip already-done sources."""
+    db = str(tmp_path / "dedupe.db")
+    conv = await create_conversation(db, ConversationMessage, settings=make_settings())
+    batch = [msg("first", source_id="src-1"), msg("second", source_id="src-2")]
+    await conv.add_messages_with_indexing(batch)
+
+    incoming = [
+        msg("first", source_id="src-1"),  # duplicate
+        msg("third", source_id="src-3"),
+    ]
+    done = await conv.storage_provider.are_sources_ingested(
+        [m.source_id for m in incoming]
+    )
+    fresh = [m for m in incoming if m.source_id not in done]
+    assert [m.source_id for m in fresh] == ["src-3"]
+    await conv.add_messages_with_indexing(fresh)
+    assert await conv.messages.size() == 3
+    await conv.storage_provider.close()
+
+
+async def test_podcast_incremental_resume(tmp_path):
+    """start_message resumes a partially ingested podcast."""
+    db = str(tmp_path / "podcast.db")
+    settings = make_settings()
+    pod = await ingest_podcast(
+        os.path.join(TESTDATA, "mini_podcast.txt"),
+        settings,
+        start_date=datetime(2024, 1, 1, tzinfo=timezone.utc),
+        dbname=db,
+        batch_size=2,
+    )
+    total = await pod.messages.size()
+    assert total == 4
+    await pod.storage_provider.close()
+
+    # Resuming from the end is a no-op ingest.
+    pod2 = await ingest_podcast(
+        os.path.join(TESTDATA, "mini_podcast.txt"),
+        make_settings(),
+        start_date=datetime(2024, 1, 1, tzinfo=timezone.utc),
+        dbname=db,
+        start_message=total,
+    )
+    assert await pod2.messages.size() == total
+    await pod2.storage_provider.close()
+
+    # Refusing to restart from before the current watermark.
+    with pytest.raises(RuntimeError, match="start_message"):
+        await ingest_podcast(
+            os.path.join(TESTDATA, "mini_podcast.txt"),
+            make_settings(),
+            dbname=db,
+            start_message=0,
+        )
+
+
+async def test_chunk_failure_recording_for_retry(tmp_path):
+    """Failed chunks land in the ChunkFailures table for later re-extraction."""
+    db = str(tmp_path / "fail.db")
+    conv = await create_conversation(db, ConversationMessage, settings=make_settings())
+    await conv.storage_provider.record_chunk_failure(3, 1, "RuntimeError", "llm said no")
+    async with conv.storage_provider:
+        pass  # commit
+    await conv.storage_provider.close()
+
+    conv2 = await create_conversation(db, ConversationMessage, settings=make_settings())
+    failures = await conv2.storage_provider.get_chunk_failures()
+    assert len(failures) == 1
+    assert failures[0].message_ordinal == 3 and failures[0].chunk_ordinal == 1
+    await conv2.storage_provider.clear_chunk_failure(3, 1)
+    assert await conv2.storage_provider.get_chunk_failures() == []
+    await conv2.storage_provider.close()
