@@ -1,0 +1,81 @@
+"""Format compatibility with the reference's real serialized fixture.
+
+Loads microsoft/typeagent-py's Episode-53 index snapshot (camelCase JSON;
+its embedding sidecar is absent, so embeddings are recomputed through the
+model — the reference's own tooling does the same) and verifies the full
+six-index rebuild + search.
+"""
+
+import os
+
+import pytest
+
+from typeagent_tpu.knowpro.convsettings import ConversationSettings
+from typeagent_tpu.knowpro.interfaces import (
+    PropertySearchTerm,
+    SearchTerm,
+    SearchTermGroup,
+    Term,
+)
+from typeagent_tpu.knowpro.search import SearchOptions, search_conversation_knowledge
+from typeagent_tpu.models.adapters import create_test_embedding_model
+from typeagent_tpu.podcasts.podcast import Podcast
+
+FIXTURE = "/root/reference/tests/testdata/Episode_53_AdrianTchaikovsky_index"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(FIXTURE + "_data.json"),
+    reason="reference fixture not available",
+)
+
+
+async def load_episode53():
+    settings = ConversationSettings(model=create_test_embedding_model(1536))
+    return await Podcast.read_from_file(FIXTURE, settings)
+
+
+async def test_load_reference_episode53_index():
+    pod = await load_episode53()
+    assert pod.name_tag == "E53"
+    assert await pod.messages.size() == 106
+    assert await pod.semantic_refs.size() == 1641
+    assert await pod.semantic_ref_index.size() == 1188
+    sec = pod.secondary_indexes
+    assert await sec.message_index.size() == 106
+    assert await sec.term_to_related_terms_index.fuzzy_index.size() == 1188
+    # Messages deserialized with metadata intact (message 0 is an
+    # unattributed title card; later turns carry speakers).
+    m0 = await pod.messages.get_item(0)
+    assert m0.text_chunks and m0.timestamp
+    speakers = {
+        (await pod.messages.get_item(i)).metadata.speaker for i in range(1, 10)
+    }
+    assert any(speakers)
+
+
+async def test_search_reference_episode53_index():
+    pod = await load_episode53()
+    result = await search_conversation_knowledge(
+        pod,
+        SearchTermGroup(boolean_op="or", terms=[SearchTerm(Term("spider"))]),
+        options=SearchOptions(exact_match=True),
+    )
+    assert "entity" in result
+    top = await pod.semantic_refs.get_item(
+        result["entity"].semantic_ref_matches[0].semantic_ref_ordinal
+    )
+    assert top.knowledge.name == "spider"
+    # Property index rebuilt from the deserialized semrefs.
+    result = await search_conversation_knowledge(
+        pod,
+        SearchTermGroup(
+            boolean_op="or",
+            terms=[
+                PropertySearchTerm(
+                    "name", SearchTerm(Term("Adrian Tchaikovsky"), related_terms=[])
+                )
+            ],
+        ),
+        options=SearchOptions(exact_match=True),
+    )
+    assert result and "entity" in result

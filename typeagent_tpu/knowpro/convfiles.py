@@ -16,6 +16,10 @@ from . import secindex, serialization
 from .interfaces import ConversationDataWithIndexes, SemanticRef
 
 
+def _has_embeddings(embeddings) -> bool:
+    return embeddings is not None and len(embeddings) > 0
+
+
 class FileSerializedConversation:
     """Mixin for ConversationBase subclasses: snapshot to/from files."""
 
@@ -58,7 +62,6 @@ class FileSerializedConversation:
             )
 
         self.name_tag = data["nameTag"]
-        message_cls = self.message_type or type(self).__orig_bases__  # fallback below
         messages = [self._deserialize_message(m) for m in data["messages"]]
         # The message index snapshot replaces any incremental indexing.
         await self.messages.extend(messages, index_messages=False)
@@ -83,7 +86,23 @@ class FileSerializedConversation:
                 assert await index.aliases.is_empty(), (
                     "Term to related terms index must be empty before deserializing"
                 )
-                await index.deserialize(related_terms_index_data)
+                text_embedding_data = related_terms_index_data.get(
+                    "textEmbeddingData"
+                )
+                if text_embedding_data is not None and not _has_embeddings(
+                    text_embedding_data.get("embeddings")
+                ):
+                    # Snapshot without an embedding sidecar (e.g. the
+                    # reference's Episode-53 fixture): re-embed the term
+                    # texts through the model instead.
+                    texts = text_embedding_data.get("textItems") or []
+                    related_terms_index_data = dict(related_terms_index_data)
+                    related_terms_index_data.pop("textEmbeddingData", None)
+                    await index.deserialize(related_terms_index_data)
+                    if texts and index.fuzzy_index is not None:
+                        await index.fuzzy_index.add_terms(texts)
+                else:
+                    await index.deserialize(related_terms_index_data)
 
         thread_data = data.get("threadData")
         if thread_data is not None:
@@ -96,7 +115,15 @@ class FileSerializedConversation:
         message_index_data = data.get("messageIndexData")
         if message_index_data is not None:
             assert secondary_indexes.message_index is not None
-            await secondary_indexes.message_index.deserialize(message_index_data)
+            index_data = message_index_data.get("indexData") or {}
+            if not _has_embeddings(index_data.get("embeddings")):
+                # No sidecar embeddings: re-embed all message chunks.
+                if messages:
+                    await secondary_indexes.message_index.add_messages_starting_at(
+                        0, messages
+                    )
+            else:
+                await secondary_indexes.message_index.deserialize(message_index_data)
 
         await self._after_deserialize(related_terms_index_data is None)
         await secindex.build_transient_secondary_indexes(self, self.settings)
