@@ -157,6 +157,181 @@ _topk_pallas = jax.jit(_topk_pallas_impl, static_argnames=("k",))
 
 
 # ---------------------------------------------------------------------------
+# Quantized (int8) variant: rows stored as int8 with per-row scales. The
+# matmul runs on the raw int8 values (upcast on the MXU) and the per-row
+# scale is applied to the [b, tile] score block afterwards — exact for
+# per-row symmetric quantization, no tile dequantization pass.
+# ---------------------------------------------------------------------------
+
+
+def _topk_kernel_q(
+    count_ref, q_ref, e_ref, s_ref, vals_ref, idx_ref, *, k: int, tile_n: int
+):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        vals_ref[:] = jnp.full_like(vals_ref, _NEG)
+        idx_ref[:] = jnp.full_like(idx_ref, -1)
+
+    count = count_ref[0]
+    b = q_ref.shape[0]
+
+    raw = jax.lax.dot_general(
+        q_ref[:],
+        e_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # Row scales: [1, tile_n] broadcast over queries.
+    scores = raw * s_ref[:].reshape(1, tile_n)
+    scores = jnp.clip((scores + 1.0) * 0.5, 0.0, 1.0)
+
+    row_ids = step * tile_n + jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
+    scores = jnp.where(row_ids < count, scores, _NEG)
+
+    cand_vals = jnp.concatenate([vals_ref[:, :k], scores], axis=1)
+    cand_idx = jnp.concatenate([idx_ref[:, :k], row_ids], axis=1)
+    width = cand_vals.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, width), 1)
+
+    out_vals = []
+    out_idx = []
+    for _ in range(k):
+        best = jnp.max(cand_vals, axis=1, keepdims=True)
+        pos = jnp.argmax(cand_vals, axis=1, keepdims=True)
+        taken = col == pos
+        out_vals.append(best)
+        out_idx.append(jnp.sum(jnp.where(taken, cand_idx, 0), axis=1, keepdims=True))
+        cand_vals = jnp.where(taken, jnp.float32(-2.0), cand_vals)
+
+    pad = vals_ref.shape[1] - k
+    vals_ref[:] = jnp.concatenate(
+        out_vals + [jnp.full((b, pad), _NEG, jnp.float32)], axis=1
+    )
+    idx_ref[:] = jnp.concatenate(out_idx + [jnp.full((b, pad), -1, jnp.int32)], axis=1)
+
+
+def _topk_pallas_q_impl(
+    emb_q: jax.Array,  # [n_pad, d_pad] int8
+    scales: jax.Array,  # [n_pad] f32
+    queries: jax.Array,  # [b_pad, d_pad] bf16
+    count: jax.Array,
+    *,
+    k: int,
+):
+    n_pad, d_pad = emb_q.shape
+    b_pad = queries.shape[0]
+    tile_n = min(_TILE_N, n_pad)
+    grid = (pl.cdiv(n_pad, tile_n),)
+    kernel = functools.partial(_topk_kernel_q, k=k, tile_n=tile_n)
+    vals, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((b_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n,), lambda i: (i,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b_pad, _K_LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, _K_LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, _K_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, _K_LANES), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * n_pad * d_pad,
+            bytes_accessed=n_pad * d_pad + n_pad * 4 + b_pad * d_pad * 2,
+            transcendentals=0,
+        ),
+    )(count, queries, emb_q, scales)
+    return vals[:, :k], idx[:, :k]
+
+
+_topk_pallas_q = jax.jit(_topk_pallas_q_impl, static_argnames=("k",))
+
+
+def _topk_xla_q_impl(emb_q, scales, queries, count, *, k: int):
+    raw = jnp.einsum(
+        "bd,nd->bn",
+        queries.astype(jnp.float32),
+        emb_q.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    scores = jnp.clip((raw * scales[None, :] + 1.0) * 0.5, 0.0, 1.0)
+    n = emb_q.shape[0]
+    valid = jnp.arange(n, dtype=jnp.int32)[None, :] < count
+    return jax.lax.top_k(jnp.where(valid, scores, _NEG), k)
+
+
+_topk_xla_q = jax.jit(_topk_xla_q_impl, static_argnames=("k",))
+
+
+def quantize_rows(rows: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row symmetric int8 quantization: returns (q [n,d] i8, scales [n])."""
+    rows = np.asarray(rows, dtype=np.float32)
+    scales = np.abs(rows).max(axis=1) / 127.0
+    scales = np.where(scales > 0, scales, 1.0).astype(np.float32)
+    q = np.clip(np.round(rows / scales[:, None]), -127, 127).astype(np.int8)
+    return q, scales
+
+
+@jax.jit
+def cosine_scores_quantized(emb_q, scales, queries, count):
+    """Full masked score matrix for the int8 store (predicate paths)."""
+    raw = jnp.einsum(
+        "bd,nd->bn",
+        queries.astype(jnp.float32),
+        emb_q.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    scores = jnp.clip((raw * scales[None, :] + 1.0) * 0.5, 0.0, 1.0)
+    n = emb_q.shape[0]
+    valid = jnp.arange(n, dtype=jnp.int32)[None, :] < count
+    return jnp.where(valid, scores, _NEG)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _subset_topk_q_jit(emb_q, scales, queries, ordinals, valid, *, k: int):
+    safe = jnp.clip(ordinals, 0, emb_q.shape[0] - 1)
+    rows = jnp.take(emb_q, safe, axis=0).astype(jnp.float32)
+    row_scales = jnp.take(scales, safe)
+    raw = jnp.einsum(
+        "bd,sd->bs", queries, rows, preferred_element_type=jnp.float32
+    )
+    scores = jnp.clip((raw * row_scales[None, :] + 1.0) * 0.5, 0.0, 1.0)
+    scores = jnp.where(valid[None, :], scores, _NEG)
+    vals, pos = jax.lax.top_k(scores, k)
+    idx = jnp.take(ordinals, pos)
+    return vals, idx
+
+
+def subset_cosine_topk_quantized(emb_q, scales, queries, ordinals, valid, k: int):
+    k = min(k, ordinals.shape[0])
+    return _subset_topk_q_jit(emb_q, scales, queries, ordinals, valid, k=k)
+
+
+def cosine_topk_quantized(
+    emb_q: jax.Array,
+    scales: jax.Array,
+    queries: jax.Array,
+    count: jax.Array | int,
+    k: int,
+):
+    """Batched top-k over an int8-quantized store (queries bf16/f32)."""
+    k = min(k, emb_q.shape[0])
+    count_arr = jnp.asarray([count], dtype=jnp.int32) if np.isscalar(count) else count
+    if _platform_of(emb_q) == "tpu" and k <= _K_LANES:
+        return _topk_pallas_q(
+            emb_q, scales, queries.astype(jnp.bfloat16), count_arr, k=k
+        )
+    return _topk_xla_q(emb_q, scales, queries, count_arr[0], k=k)
+
+
+# ---------------------------------------------------------------------------
 # XLA path (CPU meshes / oracle)
 # ---------------------------------------------------------------------------
 

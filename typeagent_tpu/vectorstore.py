@@ -106,7 +106,14 @@ class VectorStore:
     def __init__(self, settings: TextEmbeddingIndexSettings | None = None):
         self.settings = settings or TextEmbeddingIndexSettings()
         self._model = self.settings.embedding_model
-        self._dtype = jnp.bfloat16 if self.settings.dtype == "bfloat16" else jnp.float32
+        self._quantized = self.settings.dtype == "int8"
+        if self._quantized:
+            self._dtype = jnp.int8
+        elif self.settings.dtype == "bfloat16":
+            self._dtype = jnp.bfloat16
+        else:
+            self._dtype = jnp.float32
+        self._scales: jax.Array | None = None  # per-row scales (int8 mode)
         self._embedding_size = 0
         self._dim_pad = 0
         self._buf: jax.Array | None = None
@@ -200,9 +207,24 @@ class VectorStore:
         if self._buf is None:
             cap = max(append.MIN_CAPACITY, 1 << (n - 1).bit_length())
             self._buf = append.make_buffer(cap, self._dim_pad, self._dtype)
+            if self._quantized:
+                self._scales = jnp.ones((cap,), dtype=jnp.float32)
         elif self._count + n > self._buf.shape[0]:
             self._buf = append.grow_buffer(self._buf, self._count + n)
-        self._buf = append.append_rows(self._buf, padded, self._count)
+            if self._quantized:
+                new_cap = self._buf.shape[0]
+                pad_n = new_cap - self._scales.shape[0]
+                self._scales = jnp.pad(
+                    self._scales, (0, pad_n), constant_values=1.0
+                )
+        if self._quantized:
+            q_rows, row_scales = topk.quantize_rows(padded)
+            self._buf = append.append_rows(self._buf, q_rows, self._count)
+            self._scales = jax.lax.dynamic_update_slice(
+                self._scales, jnp.asarray(row_scales), (self._count,)
+            )
+        else:
+            self._buf = append.append_rows(self._buf, padded, self._count)
         self._count += n
 
     # -- lookups ------------------------------------------------------------
@@ -255,7 +277,7 @@ class VectorStore:
             # Host-callback path: pull the full masked score matrix and apply
             # the predicate to candidates above the threshold
             # (parity: vectorbase.py:191-201).
-            scores = np.asarray(topk.cosine_scores(self._buf, q, self._count))[:b]
+            scores = np.asarray(self._all_scores(q))[:b]
             results = []
             for row in scores:
                 cand = np.flatnonzero(row >= min_score)
@@ -267,7 +289,7 @@ class VectorStore:
             return results
 
         k = min(max_hits, self._count)
-        vals, idx = topk.cosine_topk(self._buf, q, self._count, k)
+        vals, idx = self._topk(q, k)
         vals = np.asarray(vals)[:b]
         idx = np.asarray(idx)[:b]
         results = []
@@ -277,6 +299,20 @@ class VectorStore:
                 [ScoredInt(int(i), float(v)) for v, i in zip(vals[r][keep], idx[r][keep])]
             )
         return results
+
+    def _all_scores(self, q: jax.Array) -> jax.Array:
+        if self._quantized:
+            return topk.cosine_scores_quantized(
+                self._buf, self._scales, q, self._count
+            )
+        return topk.cosine_scores(self._buf, q, self._count)
+
+    def _topk(self, q: jax.Array, k: int):
+        if self._quantized:
+            return topk.cosine_topk_quantized(
+                self._buf, self._scales, q, self._count, k
+            )
+        return topk.cosine_topk(self._buf, q, self._count, k)
 
     def dispatch_lookup(
         self,
@@ -294,7 +330,7 @@ class VectorStore:
             return None
         q = self._pad_queries(queries)
         k = min(max_hits, self._count)
-        vals, idx = topk.cosine_topk(self._buf, q, self._count, k)
+        vals, idx = self._topk(q, k)
         return (vals, idx, queries.shape[0])
 
     def collect_lookup(
@@ -339,9 +375,14 @@ class VectorStore:
         valid[:s] = True
         q = self._pad_queries(np.asarray(embedding, dtype=np.float32).reshape(1, -1))
         k = min(max_hits, s)
-        vals, idx = topk.subset_cosine_topk(
-            self._buf, q, jnp.asarray(ords), jnp.asarray(valid), k
-        )
+        if self._quantized:
+            vals, idx = topk.subset_cosine_topk_quantized(
+                self._buf, self._scales, q, jnp.asarray(ords), jnp.asarray(valid), k
+            )
+        else:
+            vals, idx = topk.subset_cosine_topk(
+                self._buf, q, jnp.asarray(ords), jnp.asarray(valid), k
+            )
         vals = np.asarray(vals)[0]
         idx = np.asarray(idx)[0]
         keep = vals >= min_score
@@ -371,6 +412,7 @@ class VectorStore:
 
     def clear(self) -> None:
         self._buf = None
+        self._scales = None
         self._count = 0
         self._pending.clear()
         self._pending_rows = 0
@@ -379,8 +421,10 @@ class VectorStore:
         """All live rows as a host array [len, embedding_size]."""
         parts = []
         if self._count and self._buf is not None:
-            rows = self._buf[: self._count, : self._embedding_size]
-            parts.append(np.asarray(rows.astype(jnp.float32)))
+            rows = self._buf[: self._count, : self._embedding_size].astype(jnp.float32)
+            if self._quantized:
+                rows = rows * self._scales[: self._count, None]
+            parts.append(np.asarray(rows))
         parts.extend(self._pending)
         if not parts:
             return np.empty((0, self._embedding_size), dtype=np.float32)
@@ -391,6 +435,8 @@ class VectorStore:
         if 0 <= pos < n:
             if pos < self._count:
                 row = self._buf[pos, : self._embedding_size].astype(jnp.float32)
+                if self._quantized:
+                    row = row * self._scales[pos]
                 return np.asarray(row)
             off = pos - self._count
             for chunk in self._pending:
