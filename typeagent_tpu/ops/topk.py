@@ -84,7 +84,13 @@ def _topk_kernel(count_ref, q_ref, e_ref, vals_ref, idx_ref, *, k: int, tile_n: 
         e_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        # HIGHEST on bf16 operands is rejected by Mosaic (and meaningless:
+        # bf16 x bf16 -> f32 is already exact on the MXU).
+        precision=(
+            jax.lax.Precision.HIGHEST
+            if e_ref.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        ),
     )
     scores = jnp.clip((scores + 1.0) * 0.5, 0.0, 1.0)
 
