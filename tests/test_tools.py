@@ -1,0 +1,90 @@
+"""CLI tools driven in-process: ingest_email flow, query history, mbox dump."""
+
+import json
+import mailbox
+import os
+
+import pytest
+
+from typeagent_tpu.models.adapters import create_test_embedding_model
+from typeagent_tpu.tools.ingest_email import ingest_emails
+from typeagent_tpu.tools.mail.dump_mbox import dump_mbox, safe_filename
+from typeagent_tpu.tools.query import ConversationHistory
+
+TESTDATA = os.path.join(os.path.dirname(__file__), "testdata")
+
+
+async def test_ingest_emails_dedupes_and_filters(tmp_path, monkeypatch):
+    # Offline embedding model for ConversationSettings() inside the tool.
+    monkeypatch.setenv("OPENAI_EMBEDDING_MODEL", "test:16")
+    mail_dir = tmp_path / "mail"
+    mail_dir.mkdir()
+    with open(os.path.join(TESTDATA, "sample.eml")) as f:
+        sample = f.read()
+    (mail_dir / "a.eml").write_text(sample)
+    (mail_dir / "b.eml").write_text(
+        sample.replace("<abc123@example.com>", "<def456@example.com>").replace(
+            "06 May 2024", "06 May 2020"
+        )
+    )
+
+    db = str(tmp_path / "mail.db")
+    memory = await ingest_emails(
+        str(mail_dir), dbname=db, auto_extract=False, after="2024-01-01"
+    )
+    # Date filter keeps only the 2024 message.
+    assert await memory.messages.size() == 1
+    await memory.storage_provider.close()
+
+    # Second run: the remaining source is already ingested -> nothing added.
+    memory2 = await ingest_emails(
+        str(mail_dir), dbname=db, auto_extract=False, after="2024-01-01"
+    )
+    assert await memory2.messages.size() == 1
+    await memory2.storage_provider.close()
+
+
+def test_conversation_history_rolls_and_prompts():
+    history = ConversationHistory(max_size=2)
+    assert history.to_prompt_section() is None
+    for i in range(4):
+        history.add(f"q{i}", f"a{i}", True)
+    assert [e.question for e in history.entries] == ["q2", "q3"]
+    section = history.to_prompt_section()
+    assert section["role"] == "system"
+    assert "q3" in section["content"]
+    history.clear()
+    assert history.to_prompt_section() is None
+
+
+def test_dump_mbox_roundtrip(tmp_path):
+    box_path = str(tmp_path / "test.mbox")
+    box = mailbox.mbox(box_path)
+    for i in range(3):
+        msg = mailbox.mboxMessage()
+        msg["From"] = f"sender{i}@example.com"
+        msg["To"] = "dest@example.com"
+        msg["Subject"] = f"Message {i}"
+        msg["Message-ID"] = f"<id-{i}@example.com>"
+        msg.set_payload(f"Body of message {i}")
+        box.add(msg)
+    box.flush()
+
+    out_dir = str(tmp_path / "eml")
+    count = dump_mbox(box_path, out_dir)
+    assert count == 3
+    files = sorted(os.listdir(out_dir))
+    assert len(files) == 3
+    assert any("id-0_example.com" in f for f in files)
+    content = open(os.path.join(out_dir, files[0])).read()
+    assert "Subject:" in content
+
+    # Duplicate messages are skipped by content hash.
+    count = dump_mbox(box_path, str(tmp_path / "eml2"))
+    assert count == 3
+
+
+def test_safe_filename():
+    assert safe_filename("<abc/def>", 0) == "abc_def.eml"
+    assert safe_filename(None, 7) == "message_000007.eml"
+    assert safe_filename("", 3) == "message_000003.eml"

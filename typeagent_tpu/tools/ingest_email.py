@@ -31,9 +31,7 @@ async def ingest_emails(
     settings.semantic_ref_index_settings.auto_extract_knowledge = auto_extract
     provider = await create_storage_provider(
         settings.message_text_index_settings,
-        settings.related_terms_settings
-        if hasattr(settings, "related_terms_settings")
-        else settings.related_term_index_settings,
+        settings.related_term_index_settings,
         dbname,
         EmailMessage,
     )
