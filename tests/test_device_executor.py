@@ -156,3 +156,33 @@ async def test_device_related_terms_accumulate():
     # Related-only matches score at related weight.
     top = result["entity"].semantic_ref_matches[0]
     assert top.score == pytest.approx(0.9)
+
+
+async def test_public_api_device_executor_flag():
+    """SearchOptions(use_device_executor=True) through the normal entry point."""
+    conv = await build_conversation()
+    group = SearchTermGroup(
+        boolean_op="or",
+        terms=[SearchTerm(Term("Bach")), SearchTerm(Term("harpsichord"))],
+    )
+    host = await search_conversation_knowledge(
+        conv, group, options=SearchOptions(exact_match=True)
+    )
+    device = await search_conversation_knowledge(
+        conv,
+        group,
+        options=SearchOptions(exact_match=True, use_device_executor=True),
+    )
+    assert set(as_score_map(device)) == set(as_score_map(host))
+    # Complex group falls back to the host VM transparently.
+    nested = SearchTermGroup(
+        boolean_op="and",
+        terms=[SearchTerm(Term("Bach")), SearchTerm(Term("classical music"))],
+    )
+    via_flag = await search_conversation_knowledge(
+        conv, nested, options=SearchOptions(exact_match=True, use_device_executor=True)
+    )
+    direct = await search_conversation_knowledge(
+        conv, nested, options=SearchOptions(exact_match=True)
+    )
+    assert as_score_map(via_flag) == as_score_map(direct)

@@ -97,6 +97,10 @@ class SearchOptions:
     # Cumulative character cap for selected messages.
     max_chars_in_budget: int | None = None
     threshold_score: float | None = None
+    # Opt-in: run flat or/or_max groups as one fused device program
+    # (knowpro/device_executor.py); falls back to the host VM for anything
+    # the executor can't express.
+    use_device_executor: bool = False
 
     def __repr__(self):
         parts = [
@@ -152,11 +156,42 @@ async def search_conversation_knowledge(
     assert conversation.secondary_indexes is not None, (
         "Conversation secondary indexes must be initialized before searching"
     )
+    if options.use_device_executor and when_filter is None and options.exact_match:
+        device_result = await _try_device_executor(
+            conversation, search_term_group, options
+        )
+        if device_result is not None:
+            return device_result
     compiler = QueryCompiler(conversation, conversation.secondary_indexes)
     knowledge_query = await compiler.compile_knowledge_query(
         search_term_group, when_filter, options
     )
     return await run_query(conversation, options, knowledge_query)
+
+
+async def _try_device_executor(
+    conversation: IConversation,
+    search_term_group: SearchTermGroup,
+    options: SearchOptions,
+):
+    """Cached per-conversation device executor; None = fall back to host."""
+    from .device_executor import DeviceQueryExecutor
+
+    executor = getattr(conversation, "_device_executor", None)
+    semref_count = await conversation.semantic_refs.size()
+    if executor is None or getattr(conversation, "_device_executor_count", -1) != (
+        semref_count
+    ):
+        executor = DeviceQueryExecutor(conversation)
+        await executor.sync()
+        try:
+            conversation._device_executor = executor
+            conversation._device_executor_count = semref_count
+        except AttributeError:
+            pass  # conversation objects that forbid new attributes
+    return await executor.search(
+        search_term_group, max_knowledge_matches=options.max_knowledge_matches
+    )
 
 
 async def run_search_query(
