@@ -247,3 +247,24 @@ async def test_query_end_to_end_with_fake_llm():
     )
     answer = await conv.query("What did Bach write?")
     assert answer == "Bach wrote the Goldberg Variations."
+
+
+async def test_streaming_skip_records_chunk_failures():
+    """Skipped messages leave retry records in the ChunkFailures table."""
+    extractor = FakeExtractor(fail_on={"bad message"})
+    settings = make_settings(extractor)
+    conv = await create_conversation(None, ConversationMessage, settings=settings)
+
+    async def stream():
+        yield msg("good one")
+        yield msg("bad message", source_id="src-bad")
+        yield msg("good two")
+
+    result = await conv.add_messages_streaming(
+        stream(), batch_size=100, skip_failed_messages=True
+    )
+    assert result.messages_skipped == 1
+    failures = await conv.storage_provider.get_chunk_failures()
+    assert len(failures) == 1
+    assert failures[0].error_class == "RuntimeError"
+    assert "src-bad" in failures[0].error_message

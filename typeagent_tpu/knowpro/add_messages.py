@@ -328,6 +328,8 @@ async def _reassembler_task[TMessage: IMessage](
         [list[TMessage], list[ChunkProcessingResult[TMessage]]], Awaitable[None]
     ],
     skip_failed_messages: bool,
+    on_message_skipped: Callable[["MessageAssembly[TMessage]"], Awaitable[None]]
+    | None = None,
 ) -> ReassemblerResult:
     """Commit order invariant: only consecutive complete non-failed messages
     commit. Validation errors (bad ordinals, duplicates, mismatched counts)
@@ -379,6 +381,8 @@ async def _reassembler_task[TMessage: IMessage](
                         f"Skipping message {state.first_uncommitted_ordinal} "
                         f"due to chunk processing error: {error_msg}"
                     )
+                    if on_message_skipped is not None:
+                        await on_message_skipped(assembly)
                     del assemblies[state.first_uncommitted_ordinal]
                     state.first_uncommitted_ordinal += 1
                     state.messages_skipped += 1
@@ -511,6 +515,25 @@ async def add_messages_streaming[TMessage: IMessage](
         )
         _accumulate(result)
 
+    async def _record_skipped_failures(assembly) -> None:
+        """Persist failed chunks to the ChunkFailures table so a re-extract
+        tool can retry them (keyed by pipeline ordinal; the skipped message
+        itself is not stored — its source id is embedded in the record)."""
+        source_id = getattr(assembly.message, "source_id", None)
+        prefix = f"[source_id={source_id}] " if source_id else ""
+        try:
+            async with storage:
+                for chunk_ord, chunk in assembly.chunks.items():
+                    if chunk.error is not None:
+                        await storage.record_chunk_failure(
+                            assembly.message_id,
+                            chunk_ord,
+                            type(chunk.error).__name__,
+                            (prefix + str(chunk.error))[:500],
+                        )
+        except Exception:
+            pass  # failure bookkeeping must never break the ingest
+
     chunk_queue: asyncio.Queue = asyncio.Queue(
         maxsize=sem_ref_settings.concurrency * 2
     )
@@ -553,6 +576,7 @@ async def add_messages_streaming[TMessage: IMessage](
                     target_commit_chunk_count=batch_size,
                     commit_batch=_commit_batch,
                     skip_failed_messages=skip_failed_messages,
+                    on_message_skipped=_record_skipped_failures,
                 )
             )
     except ExceptionGroup as eg:
