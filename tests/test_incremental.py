@@ -123,3 +123,53 @@ async def test_chunk_failure_recording_for_retry(tmp_path):
     await conv2.storage_provider.clear_chunk_failure(3, 1)
     assert await conv2.storage_provider.get_chunk_failures() == []
     await conv2.storage_provider.close()
+
+
+async def test_reextract_failed_chunks(tmp_path):
+    """Recorded failures on stored messages get re-extracted and cleared."""
+    from typeagent_tpu.tools.reextract import reextract_failed_chunks
+    from typeagent_tpu.models.result import Success
+    from typeagent_tpu.knowpro import kplib
+
+    db = str(tmp_path / "reextract.db")
+    conv = await create_conversation(db, ConversationMessage, settings=make_settings())
+    await conv.add_messages_with_indexing([msg("recoverable content here")])
+    semrefs_before = await conv.semantic_refs.size()
+    # Simulate a chunk whose LLM extraction failed at ingest time.
+    async with conv.storage_provider:
+        await conv.storage_provider.record_chunk_failure(
+            0, 0, "RuntimeError", "llm flaked"
+        )
+    # Also one for a message that was never stored (skip path).
+    async with conv.storage_provider:
+        await conv.storage_provider.record_chunk_failure(
+            99, 0, "RuntimeError", "[source_id=gone] skipped"
+        )
+
+    class RecoveringExtractor:
+        async def extract(self, text):
+            return Success(
+                kplib.KnowledgeResponse(
+                    entities=[kplib.ConcreteEntity("recovered", ["thing"])],
+                    actions=[],
+                    inverse_actions=[],
+                    topics=["recovery"],
+                )
+            )
+
+    succeeded, still_failed = await reextract_failed_chunks(
+        conv, extractor=RecoveringExtractor()
+    )
+    assert succeeded == 1 and still_failed == 1
+    assert await conv.semantic_refs.size() > semrefs_before
+    remaining = await conv.storage_provider.get_chunk_failures()
+    assert [(f.message_ordinal, f.chunk_ordinal) for f in remaining] == [(99, 0)]
+    # Recovered knowledge is searchable.
+    found = await search_conversation(
+        conv,
+        SearchTermGroup(boolean_op="or", terms=[SearchTerm(Term("recovered"))]),
+        options=SearchOptions(exact_match=True),
+        raw_search_query="recovered",
+    )
+    assert found.knowledge_matches
+    await conv.storage_provider.close()
