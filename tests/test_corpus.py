@@ -68,3 +68,17 @@ def test_corpus_batched_queries(mesh, rng):
     corpus.append("only", rows)
     results = corpus.search(rows[:8], k=1)
     assert [r[0].local_ordinal for r in results] == list(range(8))
+
+
+async def test_corpus_normalizes_rows_on_append():
+    """Unnormalized embeddings must not clip every score to 1.0."""
+    corpus = CorpusVectorStore(dim=16, mesh=create_mesh(n_shard=2, n_dp=1))
+    rng = np.random.default_rng(3)
+    rows = rng.standard_normal((20, 16)).astype(np.float32) * 10.0  # big norms
+    corpus.append("c", rows)
+    q = rows[5:6] / np.linalg.norm(rows[5])
+    hits = corpus.search(q, k=3)[0]
+    assert hits[0].local_ordinal == 5
+    assert hits[0].score == pytest.approx(1.0, abs=1e-3)
+    # Non-identical rows score strictly below 1 once rows are normalized.
+    assert hits[1].score < 0.999

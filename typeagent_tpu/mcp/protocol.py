@@ -14,7 +14,7 @@ import json
 import sys
 import traceback
 from dataclasses import dataclass, field
-from typing import Any, Callable
+from typing import Callable
 
 PROTOCOL_VERSION = "2024-11-05"
 

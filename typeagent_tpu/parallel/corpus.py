@@ -11,11 +11,11 @@ search costs the same fused kernel as a global one.
 from __future__ import annotations
 
 import bisect
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
-from ..ops.append import round_up
+
 from .mesh import create_mesh
 from .sharded import ShardedVectorStore
 
@@ -62,10 +62,17 @@ class CorpusVectorStore:
         return self._local_counts.get(conversation, 0)
 
     def append(self, conversation: str, rows: np.ndarray) -> None:
-        """Append fragment embeddings for a conversation."""
+        """Append fragment embeddings for a conversation.
+
+        Rows are unit-normalized here (as the reference's
+        VectorBase.add_embedding does) so the (cos+1)/2 score stays in [0, 1]
+        regardless of the caller's embedding scale.
+        """
         rows = np.asarray(rows, dtype=np.float32)
         if rows.ndim != 2 or rows.shape[0] == 0:
             return
+        norms = np.linalg.norm(rows, axis=1, keepdims=True)
+        rows = rows / np.where(norms > 0, norms, 1.0)
         start = len(self._store)
         local_base = self._local_counts.get(conversation, 0)
         self._store.append(rows)

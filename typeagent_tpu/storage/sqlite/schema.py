@@ -10,7 +10,6 @@ ChunkFailures (+ indexes).
 from __future__ import annotations
 
 import sqlite3
-import typing
 from datetime import datetime, timezone
 
 import numpy as np

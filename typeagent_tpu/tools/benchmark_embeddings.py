@@ -14,7 +14,6 @@ from __future__ import annotations
 import argparse
 import asyncio
 
-import numpy as np
 
 from ..knowpro.convsettings import ConversationSettings
 from ..knowpro.universal_message import ConversationMessage

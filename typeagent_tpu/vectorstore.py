@@ -19,7 +19,6 @@ Architecture differences (the point of this build):
 
 from __future__ import annotations
 
-import asyncio
 from collections.abc import Callable
 from dataclasses import dataclass
 
