@@ -1,6 +1,6 @@
 # typeagent-tpu developer targets (parity role: reference Makefile)
 
-.PHONY: test coverage eval bench native clean format help
+.PHONY: test coverage eval bench native clean format help profile
 
 help:
 	@echo "targets: test coverage eval bench native clean"
@@ -22,6 +22,12 @@ eval:
 
 bench:
 	python bench.py
+
+# cProfile the no-LLM search path over the golden fixture (parity role:
+# reference `make profile`). Writes prof.out; inspect with pstats/snakeviz.
+profile:
+	python -m cProfile -o prof.out -m typeagent_tpu.tools.eval_golden
+	python -c "import pstats; pstats.Stats('prof.out').sort_stats('cumtime').print_stats(25)"
 
 native:
 	$(MAKE) -C native

@@ -88,3 +88,62 @@ def test_safe_filename():
     assert safe_filename("<abc/def>", 0) == "abc_def.eml"
     assert safe_filename(None, 7) == "message_000007.eml"
     assert safe_filename("", 3) == "message_000003.eml"
+
+
+async def test_stage_debug_commands(capsys):
+    """@translate shows the SearchQuery JSON; @compile adds the expr tree;
+    batch_loop routes @-commands instead of sending them to the LLM."""
+    from tests.test_query_pipeline import build_conversation
+    from typeagent_tpu.knowpro import searchlang
+    from typeagent_tpu.models.adapters import FakeChatModel
+    from typeagent_tpu.tools.query import QueryContext, handle_command
+
+    conv = await build_conversation()
+    search_query_json = json.dumps(
+        {
+            "searchExpressions": [
+                {
+                    "rewrittenQuery": "What did Bach write?",
+                    "filters": [
+                        {
+                            "entitySearchTerms": [
+                                {"name": "Bach", "isNamePronoun": False}
+                            ]
+                        }
+                    ],
+                }
+            ]
+        }
+    )
+    conv._query_translator = searchlang.create_search_query_translator(
+        FakeChatModel([search_query_json, search_query_json])
+    )
+    context = QueryContext(conv)
+
+    await handle_command(context, "@translate What did Bach write?")
+    out = capsys.readouterr().out
+    assert '"rewrittenQuery": "What did Bach write?"' in out
+    assert '"name": "Bach"' in out
+
+    await handle_command(context, "@compile What did Bach write?")
+    out = capsys.readouterr().out
+    assert "-- expr 0 select 0 --" in out
+    assert "bach" in out.lower()
+
+    await handle_command(context, "@translate")
+    assert "usage" in capsys.readouterr().out
+
+
+async def test_batch_loop_routes_commands(tmp_path, capsys):
+    from tests.test_query_pipeline import build_conversation
+    from typeagent_tpu.tools.query import QueryContext, batch_loop
+
+    conv = await build_conversation()
+    batch = tmp_path / "cmds.txt"
+    batch.write_text("@stats\n@search bach\n")
+    out_file = str(tmp_path / "out.json")
+    await batch_loop(QueryContext(conv), str(batch), out_file)
+    out = capsys.readouterr().out
+    assert "messages:" in out  # @search output, not an LLM error
+    # Command lines produce no Q&A entries.
+    assert json.load(open(out_file)) == []

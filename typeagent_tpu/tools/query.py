@@ -1,9 +1,10 @@
 """Interactive + batch query CLI.
 
 (Parity role: reference tools/query.py — REPL with @-commands, per-stage
-debugging (@search for no-LLM term search, @stage for pipeline stages),
-conversation history for pronoun resolution, batch mode over a questions
-file.) Run: ``python -m typeagent_tpu.tools.query --database conv.db``.
+debugging (@search no-LLM term search, @translate stage 1, @compile stages
+1+2), conversation history for pronoun resolution, batch mode over a
+questions file that also accepts @-commands.)
+Run: ``python -m typeagent_tpu.tools.query --database conv.db``.
 """
 
 from __future__ import annotations
@@ -139,6 +140,42 @@ async def do_term_search(context: QueryContext, terms: list[str]) -> None:
         print(f"  [{scored.score:8.3f}] #{scored.message_ordinal}: {text}")
 
 
+def _get_query_translator(context: QueryContext):
+    conv = context.conversation
+    if getattr(conv, "_query_translator", None) is None:
+        from ..models.adapters import create_chat_model
+
+        model = create_chat_model(retrier=conv.settings.chat_retrier)
+        conv._query_translator = searchlang.create_search_query_translator(model)
+    return conv._query_translator
+
+
+async def do_stage_debug(
+    context: QueryContext, question: str, compile_also: bool
+) -> None:
+    """Pipeline-stage debugging: stage 1 (NL -> SearchQuery JSON) and,
+    for @compile, stage 2 (SearchQuery -> compiled expression tree)."""
+    from ..knowpro.fields import serialize_object
+    from ..models.result import Failure
+
+    conv = context.conversation
+    translator = _get_query_translator(context)
+    result = await searchlang.search_query_from_language(conv, translator, question)
+    if isinstance(result, Failure):
+        print(f"Translation failed: {result.message}")
+        return
+    query = result.value
+    print(json.dumps(serialize_object(query), indent=2))
+    if compile_also:
+        exprs = searchlang.compile_search_query(conv, query)
+        for i, expr in enumerate(exprs):
+            for j, select in enumerate(expr.select_expressions):
+                print(f"-- expr {i} select {j} --")
+                print(f"terms: {select.search_term_group}")
+                if select.when is not None:
+                    print(f"when:  {select.when}")
+
+
 async def process_query(context: QueryContext, query_text: str) -> str:
     history_section = context.history.to_prompt_section()
     options = searchlang.LanguageSearchOptions(
@@ -161,6 +198,8 @@ HELP = """Commands:
   @search TERM...       no-LLM term search over the indexes
   @history [--clear]    show/clear conversation history
   @metrics              show latency metrics
+  @translate QUESTION   stage 1 only: show the LLM-translated SearchQuery JSON
+  @compile QUESTION     stages 1+2: also show the compiled expression tree
   exit / quit           leave
 Anything else is treated as a natural-language question (requires LLM keys).
 """
@@ -188,6 +227,13 @@ async def handle_command(context: QueryContext, line: str) -> None:
                     print(f"Q: {e.question}\nA: {e.answer}")
         case "@metrics":
             print(json.dumps(METRICS.report(), indent=2))
+        case "@translate" | "@compile":
+            if not args:
+                print(f"usage: {cmd} QUESTION")
+            else:
+                await do_stage_debug(
+                    context, " ".join(args), compile_also=cmd == "@compile"
+                )
         case _:
             print(f"Unknown command {cmd!r}; try @help")
 
@@ -219,6 +265,9 @@ async def batch_loop(context: QueryContext, batch_file: str, out_file: str | Non
     results = []
     for i, question in enumerate(questions, 1):
         print(f"[{i}/{len(questions)}] {question}")
+        if question.startswith("@"):
+            await handle_command(context, question)
+            continue
         answer = await process_query(context, question)
         print(answer)
         results.append(
