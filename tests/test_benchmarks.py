@@ -1,0 +1,70 @@
+"""Benchmark/tool harnesses run in-process at tiny sizes.
+
+(Parity role: reference tests/test_benchmark_embeddings.py and
+test_repeat_embedding_benchmarks.py — the benchmark drivers themselves are
+tested so perf tooling doesn't rot.)
+"""
+
+import os
+
+import pytest
+
+from typeagent_tpu.utils.metrics import METRICS
+from typeagent_tpu.utils.trace import current_span, span
+
+REFERENCE_FIXTURE = "/root/reference/tests/testdata/Episode_53_AdrianTchaikovsky_index"
+
+
+def test_run_benchmark_small():
+    from typeagent_tpu.tools.benchmark_vectorstore import run_benchmark
+
+    stats = run_benchmark(n_vectors=512, dim=16, max_hits=5, iterations=2, batch=4)
+    assert stats["n_vectors"] == 512
+    assert stats["qps"] > 0
+    assert stats["min_us"] <= stats["median_us"] <= stats["max_us"]
+
+
+def test_semref_write_benchmark_fixture():
+    from typeagent_tpu.tools.benchmark_semref_writes import make_refs
+
+    refs, terms = make_refs(20)
+    assert len(refs) == 20
+    assert all(r.semantic_ref_ordinal == i for i, r in enumerate(refs))
+    assert terms and all(isinstance(t[0], str) for t in terms)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REFERENCE_FIXTURE + "_data.json"),
+    reason="reference fixture not available",
+)
+async def test_load_json_to_sqlite(tmp_path, monkeypatch):
+    monkeypatch.setenv("OPENAI_EMBEDDING_MODEL", "test:1536")
+    from typeagent_tpu.tools.load_json import load_json_to_sqlite
+
+    db = str(tmp_path / "loaded.db")
+    await load_json_to_sqlite(REFERENCE_FIXTURE, db)
+
+    import sqlite3
+
+    con = sqlite3.connect(db)
+    n_msgs = con.execute("SELECT COUNT(*) FROM Messages").fetchone()[0]
+    n_refs = con.execute("SELECT COUNT(*) FROM SemanticRefs").fetchone()[0]
+    n_terms = con.execute(
+        "SELECT COUNT(DISTINCT term) FROM SemanticRefIndex"
+    ).fetchone()[0]
+    con.close()
+    assert n_msgs == 106
+    assert n_refs > 1000
+    assert n_terms > 1000
+
+
+def test_trace_spans_nest_and_record():
+    with span("outer", conversation="x") as outer:
+        assert current_span() is outer
+        with span("inner") as inner:
+            assert inner.parent is outer
+            assert inner.path == "outer/inner"
+            inner.set(rows=3)
+    assert current_span() is None
+    stats = METRICS.stats("span.outer/inner")
+    assert stats is not None and stats.count >= 1
