@@ -36,13 +36,34 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["cosine_topk", "cosine_scores", "subset_cosine_topk"]
 
-# Rows per Pallas grid step. 1024 x dim_pad(<=4096) f32 tiles fit VMEM
-# comfortably alongside the query block and candidate buffers.
-_TILE_N = 1024
+# Max rows per Pallas grid step. Larger tiles amortize the per-tile top-k
+# merge (concat + k argmax passes over the running candidates): measured on
+# v5e at 1M x 384 b=64 k=10, tile 4096 beats 1024 by ~26% (bf16 3.1 vs 4.1
+# ms/batch; f32 4.3 vs 5.4). The ceiling is the ~16 MB scoped-VMEM limit:
+# tile 8192 bf16 OOMs at 16.47 MB, so _pick_tile sizes tiles from a 12 MB
+# budget (2 emb tiles double-buffered + f32 score/candidate blocks).
+_TILE_N = 4096
 # Lane width of the output blocks (min f32 tile is (8, 128)).
 _K_LANES = 128
 _NEG = -1.0  # below any real score in [0, 1]; plain float (kernels must not
 # capture jnp constants)
+
+
+def _pick_tile(n_pad: int, d_pad: int, b_pad: int, itemsize: int) -> int:
+    """Row-tile size: as large as the VMEM budget allows, capped at _TILE_N.
+
+    Per tile row the kernel holds: the embedding tile double-buffered
+    (2 * d_pad * itemsize) plus f32 score and candidate blocks (~8 * b_pad).
+    """
+    budget = 14 * 1024 * 1024  # ~16 MB scoped VMEM minus fixed blocks + slack
+    per_row = 2 * d_pad * itemsize + 8 * b_pad
+    t = budget // per_row
+    if t >= 512:
+        t = (t // 512) * 512  # big tiles: keep row counts MXU-friendly
+    else:
+        t = (t // 32) * 32  # huge-dim fallback: 32 divides every dtype's
+        # min sublane tile (f32 8, bf16 16, int8 32)
+    return max(32, min(_TILE_N, t, n_pad))
 
 
 def _use_pallas() -> bool:
@@ -128,7 +149,7 @@ def _topk_kernel(count_ref, q_ref, e_ref, vals_ref, idx_ref, *, k: int, tile_n: 
 def _topk_pallas_impl(emb: jax.Array, queries: jax.Array, count: jax.Array, *, k: int):
     n_pad, d_pad = emb.shape
     b_pad = queries.shape[0]
-    tile_n = min(_TILE_N, n_pad)
+    tile_n = _pick_tile(n_pad, d_pad, b_pad, emb.dtype.itemsize)
     grid = (pl.cdiv(n_pad, tile_n),)
 
     kernel = functools.partial(_topk_kernel, k=k, tile_n=tile_n)
@@ -228,7 +249,9 @@ def _topk_pallas_q_impl(
 ):
     n_pad, d_pad = emb_q.shape
     b_pad = queries.shape[0]
-    tile_n = min(_TILE_N, n_pad)
+    # int8 rows; the tiled f32 scales add only ~8 bytes/row, inside the
+    # _pick_tile budget's slack.
+    tile_n = _pick_tile(n_pad, d_pad, b_pad, emb_q.dtype.itemsize)
     grid = (pl.cdiv(n_pad, tile_n),)
     kernel = functools.partial(_topk_kernel_q, k=k, tile_n=tile_n)
     vals, idx = pl.pallas_call(
