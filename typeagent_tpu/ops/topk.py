@@ -40,23 +40,32 @@ __all__ = ["cosine_topk", "cosine_scores", "subset_cosine_topk"]
 # merge (concat + k argmax passes over the running candidates): measured on
 # v5e at 1M x 384 b=64 k=10, tile 4096 beats 1024 by ~26% (bf16 3.1 vs 4.1
 # ms/batch; f32 4.3 vs 5.4). The ceiling is the ~16 MB scoped-VMEM limit:
-# tile 8192 bf16 OOMs at 16.47 MB, so _pick_tile sizes tiles from a 12 MB
-# budget (2 emb tiles double-buffered + f32 score/candidate blocks).
+# tile 8192 bf16 OOMs at 16.47 MB, so _pick_tile sizes tiles from a VMEM
+# budget (2 emb tiles double-buffered + score/candidate/mask blocks).
 _TILE_N = 4096
 # Lane width of the output blocks (min f32 tile is (8, 128)).
 _K_LANES = 128
+# Largest k routed to the Pallas kernel. The extraction loop is unrolled k
+# times and Mosaic's buffer liveness grows superlinearly with it — k=50
+# overflows the ~16 MB scoped VMEM at any useful tile size. Bigger k (only
+# the related-terms expansion asks for ~50) takes the XLA top_k path, which
+# is ~15% slower but unbounded.
+_PALLAS_MAX_K = 16
 _NEG = -1.0  # below any real score in [0, 1]; plain float (kernels must not
 # capture jnp constants)
 
 
-def _pick_tile(n_pad: int, d_pad: int, b_pad: int, itemsize: int) -> int:
+def _pick_tile(n_pad: int, d_pad: int, b_pad: int, itemsize: int, k: int) -> int:
     """Row-tile size: as large as the VMEM budget allows, capped at _TILE_N.
 
     Per tile row the kernel holds: the embedding tile double-buffered
-    (2 * d_pad * itemsize) plus f32 score and candidate blocks (~8 * b_pad).
+    (2 * d_pad * itemsize) plus score/candidate/mask blocks whose compiler
+    liveness grows with the k unrolled extraction passes — measured ~(8 +
+    1.25*k) * b_pad bytes/row on v5e (scoped-VMEM OOM reports at k=10 and
+    k=50 pin the constants; the hard limit is ~16 MB).
     """
-    budget = 14 * 1024 * 1024  # ~16 MB scoped VMEM minus fixed blocks + slack
-    per_row = 2 * d_pad * itemsize + 8 * b_pad
+    budget = 15 * 1024 * 1024
+    per_row = 2 * d_pad * itemsize + b_pad * (8 + (5 * k) // 4)
     t = budget // per_row
     if t >= 512:
         t = (t // 512) * 512  # big tiles: keep row counts MXU-friendly
@@ -118,25 +127,32 @@ def _topk_kernel(count_ref, q_ref, e_ref, vals_ref, idx_ref, *, k: int, tile_n: 
     row_ids = step * tile_n + jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
     scores = jnp.where(row_ids < count, scores, _NEG)
 
-    # Candidates = running top-k ++ this tile's scores.
-    cand_vals = jnp.concatenate([vals_ref[:, :k], scores], axis=1)
-    cand_idx = jnp.concatenate([idx_ref[:, :k], row_ids], axis=1)
-    width = cand_vals.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, (b, width), 1)
+    _fold_tile_into_topk(scores, row_ids, vals_ref, idx_ref, k=k)
 
-    # Iterative argmax extraction: k passes over the candidate buffer on the
-    # VPU. k is small (<= _K_LANES) and static, so this lowers to pure
-    # reductions + selects — no on-device sort required.
+
+def _extract_topk(cand_vals, cand_idx, m: int):
+    """m iterative argmax passes over the candidate buffer on the VPU.
+
+    m is small and static, so this lowers to pure reductions + selects — no
+    on-device sort required. Ties go to the lowest column, so candidates must
+    be ordered running-buffer-first for stable merge semantics.
+    """
+    b, width = cand_vals.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, width), 1)
     out_vals = []
     out_idx = []
-    for _ in range(k):
+    for _ in range(m):
         best = jnp.max(cand_vals, axis=1, keepdims=True)  # [b, 1]
         pos = jnp.argmax(cand_vals, axis=1, keepdims=True)  # [b, 1]
         taken = col == pos
         out_vals.append(best)
         out_idx.append(jnp.sum(jnp.where(taken, cand_idx, 0), axis=1, keepdims=True))
         cand_vals = jnp.where(taken, jnp.float32(-2.0), cand_vals)
+    return out_vals, out_idx
 
+
+def _write_topk(vals_ref, idx_ref, out_vals, out_idx, k: int):
+    b = vals_ref.shape[0]
     pad = vals_ref.shape[1] - k
     vals_ref[:] = jnp.concatenate(
         out_vals + [jnp.full((b, pad), _NEG, jnp.float32)], axis=1
@@ -146,10 +162,61 @@ def _topk_kernel(count_ref, q_ref, e_ref, vals_ref, idx_ref, *, k: int, tile_n: 
     )
 
 
+# Max candidates the fast merge path handles per tile. After the first few
+# tiles, a tile rarely holds more than 2 scores beating the running kth best,
+# so the k-pass full-width merge is usually unnecessary.
+_FAST_M = 2
+
+
+def _fold_tile_into_topk(scores, row_ids, vals_ref, idx_ref, *, k: int):
+    """Fold one tile's scores into the running top-k (vals_ref/idx_ref).
+
+    Threshold fast path: count this tile's scores above the running kth best
+    (theta). If every row has <= _FAST_M such candidates, extract just the
+    tile's top-_FAST_M (2 full-width passes instead of k), splice them into
+    the running 128-lane block, and re-extract top-k over 128 lanes — ~4x
+    less VPU work. The scalar branch condition makes this real control flow
+    on the TPU scalar core, not predication.
+    """
+    b = scores.shape[0]
+    fast_ok = k + _FAST_M <= vals_ref.shape[1]
+
+    def full_merge():
+        cand_vals = jnp.concatenate([vals_ref[:, :k], scores], axis=1)
+        cand_idx = jnp.concatenate([idx_ref[:, :k], row_ids], axis=1)
+        out_vals, out_idx = _extract_topk(cand_vals, cand_idx, k)
+        _write_topk(vals_ref, idx_ref, out_vals, out_idx, k)
+
+    if not fast_ok:
+        full_merge()
+        return
+
+    theta = vals_ref[:, k - 1 : k]  # running kth best per row, [b, 1]
+    n_above = jnp.max(jnp.sum((scores > theta).astype(jnp.int32), axis=1))
+
+    @pl.when(n_above <= _FAST_M)
+    def _fast():
+        top_vals, top_idx = _extract_topk(scores, row_ids, _FAST_M)
+        # Splice the tile's top-m into the pad lanes k..k+m-1 of the running
+        # block (running lanes stay first so ties keep preferring them).
+        lane = jax.lax.broadcasted_iota(jnp.int32, vals_ref.shape, 1)
+        cand_vals = vals_ref[:]
+        cand_idx = idx_ref[:]
+        for j in range(_FAST_M):
+            cand_vals = jnp.where(lane == k + j, top_vals[j], cand_vals)
+            cand_idx = jnp.where(lane == k + j, top_idx[j], cand_idx)
+        out_vals, out_idx = _extract_topk(cand_vals, cand_idx, k)
+        _write_topk(vals_ref, idx_ref, out_vals, out_idx, k)
+
+    @pl.when(n_above > _FAST_M)
+    def _full():
+        full_merge()
+
+
 def _topk_pallas_impl(emb: jax.Array, queries: jax.Array, count: jax.Array, *, k: int):
     n_pad, d_pad = emb.shape
     b_pad = queries.shape[0]
-    tile_n = _pick_tile(n_pad, d_pad, b_pad, emb.dtype.itemsize)
+    tile_n = _pick_tile(n_pad, d_pad, b_pad, emb.dtype.itemsize, k)
     grid = (pl.cdiv(n_pad, tile_n),)
 
     kernel = functools.partial(_topk_kernel, k=k, tile_n=tile_n)
@@ -217,26 +284,7 @@ def _topk_kernel_q(
     row_ids = step * tile_n + jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
     scores = jnp.where(row_ids < count, scores, _NEG)
 
-    cand_vals = jnp.concatenate([vals_ref[:, :k], scores], axis=1)
-    cand_idx = jnp.concatenate([idx_ref[:, :k], row_ids], axis=1)
-    width = cand_vals.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, (b, width), 1)
-
-    out_vals = []
-    out_idx = []
-    for _ in range(k):
-        best = jnp.max(cand_vals, axis=1, keepdims=True)
-        pos = jnp.argmax(cand_vals, axis=1, keepdims=True)
-        taken = col == pos
-        out_vals.append(best)
-        out_idx.append(jnp.sum(jnp.where(taken, cand_idx, 0), axis=1, keepdims=True))
-        cand_vals = jnp.where(taken, jnp.float32(-2.0), cand_vals)
-
-    pad = vals_ref.shape[1] - k
-    vals_ref[:] = jnp.concatenate(
-        out_vals + [jnp.full((b, pad), _NEG, jnp.float32)], axis=1
-    )
-    idx_ref[:] = jnp.concatenate(out_idx + [jnp.full((b, pad), -1, jnp.int32)], axis=1)
+    _fold_tile_into_topk(scores, row_ids, vals_ref, idx_ref, k=k)
 
 
 def _topk_pallas_q_impl(
@@ -251,7 +299,7 @@ def _topk_pallas_q_impl(
     b_pad = queries.shape[0]
     # int8 rows; the tiled f32 scales add only ~8 bytes/row, inside the
     # _pick_tile budget's slack.
-    tile_n = _pick_tile(n_pad, d_pad, b_pad, emb_q.dtype.itemsize)
+    tile_n = _pick_tile(n_pad, d_pad, b_pad, emb_q.dtype.itemsize, k)
     grid = (pl.cdiv(n_pad, tile_n),)
     kernel = functools.partial(_topk_kernel_q, k=k, tile_n=tile_n)
     vals, idx = pl.pallas_call(
@@ -353,7 +401,7 @@ def cosine_topk_quantized(
     """Batched top-k over an int8-quantized store (queries bf16/f32)."""
     k = min(k, emb_q.shape[0])
     count_arr = jnp.asarray([count], dtype=jnp.int32) if np.isscalar(count) else count
-    if _platform_of(emb_q) == "tpu" and k <= _K_LANES:
+    if _platform_of(emb_q) == "tpu" and k <= _PALLAS_MAX_K:
         return _topk_pallas_q(
             emb_q, scales, queries.astype(jnp.bfloat16), count_arr, k=k
         )
@@ -390,7 +438,7 @@ def topk_program(
     k = min(k, emb.shape[0])
     if use_pallas is None:
         use_pallas = _use_pallas()
-    if use_pallas and k <= _K_LANES:
+    if use_pallas and k <= _PALLAS_MAX_K:
         return _topk_pallas_impl(emb, queries, count.reshape(1), k=k)
     return _topk_xla_impl(emb, queries, count, k=k)
 
@@ -443,7 +491,7 @@ def cosine_topk(
     """
     k = min(k, emb.shape[0])
     count_arr = jnp.asarray([count], dtype=jnp.int32) if np.isscalar(count) else count
-    if _platform_of(emb) == "tpu" and not force_xla and k <= _K_LANES:
+    if _platform_of(emb) == "tpu" and not force_xla and k <= _PALLAS_MAX_K:
         return _topk_pallas(emb, queries, count_arr, k=k)
     return _topk_xla(emb, queries, count_arr[0], k=k)
 
