@@ -230,3 +230,27 @@ def test_settings_defaults():
     assert s.batch_size == 8
     s2 = TextEmbeddingIndexSettings(embedding_model=model, max_matches=0)
     assert s2.max_matches is None
+
+
+def test_pick_tile_respects_vmem_budget():
+    """Tile choice stays inside the ~16MB scoped-VMEM limit for any shape."""
+    from typeagent_tpu.ops.topk import _TILE_N, _pick_tile
+
+    cases = [
+        (1024, 384, 64, 4, 10),
+        (1_000_448, 384, 64, 4, 10),
+        (1_000_448, 384, 64, 2, 10),
+        (1_000_448, 384, 64, 1, 10),
+        (1_000_448, 1536, 64, 4, 10),
+        (1_000_448, 4096, 512, 4, 10),
+        (1_000_448, 8192, 1024, 4, 16),
+        (512, 128, 8, 4, 10),
+        (300_032, 384, 16, 4, 16),
+    ]
+    for n_pad, d_pad, b_pad, itemsize, k in cases:
+        t = _pick_tile(n_pad, d_pad, b_pad, itemsize, k)
+        assert 32 <= t <= min(_TILE_N, n_pad)
+        usage = t * (2 * d_pad * itemsize + b_pad * (8 + (5 * k) // 4))
+        assert usage <= 15 * 2**20 or t == 32, (n_pad, d_pad, b_pad, usage)
+        # Tiles stay sublane-aligned for every dtype (int8 needs 32).
+        assert t % 32 == 0
