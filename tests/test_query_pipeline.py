@@ -461,3 +461,96 @@ def test_noise_terms_filtered():
     compiler.add_property_term_to_group("type", "thing", group)
     compiler.add_property_term_to_group("type", "book", group)
     assert len(group.terms) == 1
+
+
+async def test_compile_entity_facets_become_property_terms():
+    """Facets compile to facet.name/facet.value property pairs plus topic
+    terms for concrete facet values (searchlang.py compile rules)."""
+    from typeagent_tpu.knowpro.search_query_schema import FacetTerm
+
+    conv = await build_conversation()
+    compiler = SearchQueryCompiler(conv)
+    filter = SearchFilter(
+        entity_search_terms=[
+            entity("Bach", facets=[FacetTerm(facet_name="era", facet_value="baroque")])
+        ]
+    )
+    group = compiler.compile_term_group(filter)
+    flat = _flatten_props(group.terms[0])
+    assert ("name", "Bach") in flat
+    assert ("era", "baroque") in flat
+    # Concrete facet value also matches as a topic at the group level.
+    topics = [
+        t.property_value.term.text
+        for t in group.terms
+        if isinstance(t, PropertySearchTerm) and t.property_name == "topic"
+    ]
+    assert "baroque" in topics
+
+
+async def test_compile_wildcard_facet_value_skipped_as_topic():
+    from typeagent_tpu.knowpro.search_query_schema import FacetTerm
+
+    conv = await build_conversation()
+    compiler = SearchQueryCompiler(conv)
+    filter = SearchFilter(
+        entity_search_terms=[
+            entity("Bach", facets=[FacetTerm(facet_name="era", facet_value="*")])
+        ]
+    )
+    group = compiler.compile_term_group(filter)
+    topics = [
+        t.property_value.term.text
+        for t in group.terms
+        if isinstance(t, PropertySearchTerm) and t.property_name == "topic"
+    ]
+    assert "*" not in topics
+
+
+async def test_compile_pronoun_entities_excluded_from_search_terms():
+    """Pronoun entities ('we', 'I') must not become search terms."""
+    conv = await build_conversation()
+    compiler = SearchQueryCompiler(conv)
+    group = SearchTermGroup(boolean_op="or", terms=[])
+    compiler.add_entity_term_as_search_terms_to_group(
+        entity("we", pronoun=True), group
+    )
+    assert group.terms == []
+    compiler.add_entity_term_as_search_terms_to_group(entity("Bach"), group)
+    assert [t.term.text for t in group.terms] == ["Bach"]
+
+
+async def test_compile_additional_entities_in_action():
+    """'Did Jane speak about Bach with Nina' — additional entities compile
+    into the action group."""
+    conv = await build_conversation()
+    action = ActionTerm(
+        actor_entities=[entity("Jane")],
+        is_informational=False,
+        action_verbs=VerbsTerm(words=["speak"], tense="Past"),
+        additional_entities=[entity("Bach")],
+    )
+    compiler = SearchQueryCompiler(conv)
+    group = compiler.compile_term_group(SearchFilter(action_search_term=action))
+    texts = set()
+    def collect(g):
+        for t in g.terms:
+            if isinstance(t, SearchTermGroup):
+                collect(t)
+            elif isinstance(t, PropertySearchTerm):
+                texts.add(t.property_value.term.text)
+            else:
+                texts.add(t.term.text)
+    collect(group)
+    assert "Bach" in texts
+
+
+def test_optimize_or_max_unwraps_single_term():
+    from typeagent_tpu.knowpro.searchlang import optimize_or_max
+
+    single = SearchTermGroup(boolean_op="or_max", terms=[SearchTerm(Term("x"))])
+    assert optimize_or_max(single) is single.terms[0]
+    multi = SearchTermGroup(
+        boolean_op="or_max", terms=[SearchTerm(Term("x")), SearchTerm(Term("y"))]
+    )
+    assert optimize_or_max(multi) is multi

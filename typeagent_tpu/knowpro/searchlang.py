@@ -371,7 +371,7 @@ class SearchQueryCompiler:
                 for facet in term.facets:
                     if facet.facet_value not in (None, "*"):
                         self.add_property_term_to_group(
-                            facet.facet_value, "topic", term_group
+                            PropertyNames.Topic.value, facet.facet_value, term_group
                         )
 
     def compile_entity_terms_as_search_terms(
