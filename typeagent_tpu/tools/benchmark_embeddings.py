@@ -96,17 +96,29 @@ def main() -> None:
     parser.add_argument("--max-hits", type=int, nargs="+", default=[1, 10])
     parser.add_argument("--embedding-model", help="provider:model spec")
     parser.add_argument("--limit", type=int, help="Max messages to evaluate")
-    args = parser.parse_args()
-    asyncio.run(
-        evaluate(
-            args.database,
-            args.index_path,
-            args.min_scores,
-            args.max_hits,
-            args.embedding_model,
-            args.limit,
-        )
+    parser.add_argument(
+        "--repeat",
+        type=int,
+        default=1,
+        help="Run the sweep N times (parity: reference "
+        "tools/repeat_embedding_benchmarks.py — stability across runs)",
     )
+    args = parser.parse_args()
+
+    async def runs():
+        for i in range(args.repeat):
+            if args.repeat > 1:
+                print(f"=== run {i + 1}/{args.repeat} ===")
+            await evaluate(
+                args.database,
+                args.index_path,
+                args.min_scores,
+                args.max_hits,
+                args.embedding_model,
+                args.limit,
+            )
+
+    asyncio.run(runs())
 
 
 if __name__ == "__main__":
