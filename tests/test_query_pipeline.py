@@ -554,3 +554,58 @@ def test_optimize_or_max_unwraps_single_term():
         boolean_op="or_max", terms=[SearchTerm(Term("x")), SearchTerm(Term("y"))]
     )
     assert optimize_or_max(multi) is multi
+
+
+async def test_facet_search_via_query_vm():
+    """Free-form (SearchTerm) property names match facet names; a concrete
+    value must also match the facet value (query.py facet VM rules)."""
+    conv = await build_conversation()
+    # instrument(harpsichord) -> the Goldberg Variations entity
+    group = SearchTermGroup(
+        boolean_op="and",
+        terms=[
+            PropertySearchTerm(
+                SearchTerm(Term("instrument"), related_terms=[]),
+                SearchTerm(Term("harpsichord"), related_terms=[]),
+            )
+        ],
+    )
+    result = await search_conversation_knowledge(
+        conv, group, options=SearchOptions(exact_match=True)
+    )
+    assert result and "entity" in result
+    sr = await conv.semantic_refs.get_item(
+        result["entity"].semantic_ref_matches[0].semantic_ref_ordinal
+    )
+    assert sr.knowledge.name == "Goldberg Variations"
+    # Wrong value still matches via the facet NAME (reference semantics:
+    # name and value matches accumulate together), but scores strictly
+    # below the correct-value query which hits both postings.
+    right_score = result["entity"].semantic_ref_matches[0].score
+    wrong = SearchTermGroup(
+        boolean_op="and",
+        terms=[
+            PropertySearchTerm(
+                SearchTerm(Term("instrument"), related_terms=[]),
+                SearchTerm(Term("violin"), related_terms=[]),
+            )
+        ],
+    )
+    wrong_result = await search_conversation_knowledge(
+        conv, wrong, options=SearchOptions(exact_match=True)
+    )
+    assert wrong_result["entity"].semantic_ref_matches[0].score < right_score
+    # Wildcard value: any entity having the facet name matches.
+    wildcard = SearchTermGroup(
+        boolean_op="or",
+        terms=[
+            PropertySearchTerm(
+                SearchTerm(Term("instrument"), related_terms=[]),
+                SearchTerm(Term("*")),
+            )
+        ],
+    )
+    result = await search_conversation_knowledge(
+        conv, wildcard, options=SearchOptions(exact_match=True)
+    )
+    assert result and "entity" in result
