@@ -254,3 +254,68 @@ def test_pick_tile_respects_vmem_budget():
         assert usage <= 15 * 2**20 or t == 32, (n_pad, d_pad, b_pad, usage)
         # Tiles stay sublane-aligned for every dtype (int8 needs 32).
         assert t % 32 == 0
+
+
+async def test_vectorstore_differential_fuzz():
+    """Randomized op sequence vs a numpy oracle: appends of odd sizes,
+    lookups, subset lookups, serialization round-trips, clear."""
+    import numpy as np
+
+    from typeagent_tpu.models.adapters import create_test_embedding_model
+    from typeagent_tpu.vectorstore import TextEmbeddingIndexSettings, VectorStore
+
+    rng = np.random.default_rng(123)
+    dim = 24
+    store = VectorStore(
+        TextEmbeddingIndexSettings(
+            embedding_model=create_test_embedding_model(dim), min_score=0.0
+        )
+    )
+    oracle = np.empty((0, dim), np.float32)
+
+    def oracle_topk(q, k, subset=None):
+        m = oracle[subset] if subset is not None else oracle
+        if m.shape[0] == 0:
+            return []
+        s = np.clip((m @ q + 1) / 2, 0, 1)
+        order = np.argsort(-s, kind="stable")[:k]
+        return [(int(i), float(s[i])) for i in order]
+
+    for step in range(40):
+        op = rng.integers(0, 5)
+        if op <= 1 or len(store) == 0:  # append odd-sized batch
+            n = int(rng.integers(1, 97))
+            rows = rng.standard_normal((n, dim)).astype(np.float32)
+            rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+            store.add_embeddings(None, rows)
+            oracle = np.concatenate([oracle, rows], axis=0)
+        elif op == 2:  # full lookup
+            q = rng.standard_normal(dim).astype(np.float32)
+            q /= np.linalg.norm(q)
+            got = store.fuzzy_lookup_embedding(q, max_hits=5)
+            want = oracle_topk(q, 5)
+            assert [g.item for g in got] == [w[0] for w in want], step
+            for g, w in zip(got, want):
+                assert g.score == pytest.approx(w[1], abs=1e-5)
+        elif op == 3:  # subset lookup
+            subset = sorted(
+                rng.choice(len(store), size=min(7, len(store)), replace=False).tolist()
+            )
+            q = rng.standard_normal(dim).astype(np.float32)
+            q /= np.linalg.norm(q)
+            got = store.fuzzy_lookup_embedding_in_subset(q, subset, max_hits=3)
+            want = oracle_topk(q, 3, subset=np.array(subset))
+            assert [g.item for g in got] == [subset[w[0]] for w in want], step
+        else:  # serialize -> fresh store -> deserialize
+            data = store.serialize()
+            assert data.shape[0] == len(store) == oracle.shape[0]
+            np.testing.assert_allclose(data, oracle, atol=1e-6)
+            store2 = VectorStore(
+                TextEmbeddingIndexSettings(
+                    embedding_model=create_test_embedding_model(dim), min_score=0.0
+                )
+            )
+            store2.deserialize(data)
+            assert len(store2) == len(store)
+            store = store2
+    assert len(store) == oracle.shape[0] > 0
