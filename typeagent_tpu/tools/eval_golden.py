@@ -79,7 +79,97 @@ PINNED_QUERIES: list[tuple[str, dict]] = [
             "searchExpressions": [
                 {
                     "rewrittenQuery": "Summarize the conversation",
+                    # No searchTerms key at all -> topic-* summary wildcard.
+                    "filters": [{}],
+                }
+            ]
+        },
+    ),
+    (
+        # Parity quirk worth pinning: an explicitly EMPTY searchTerms list is
+        # NOT a summary request (reference searchlang.py:318-322 checks
+        # `is not None`), so it matches nothing.
+        "Empty search terms match nothing",
+        {
+            "searchExpressions": [
+                {
+                    "rewrittenQuery": "Empty search terms match nothing",
                     "filters": [{"searchTerms": []}],
+                }
+            ]
+        },
+    ),
+    (
+        "What did Bob say about the commission?",
+        {
+            "searchExpressions": [
+                {
+                    "rewrittenQuery": "What did Bob say about the commission?",
+                    "filters": [
+                        {
+                            "actionSearchTerm": {
+                                "actorEntities": [
+                                    {"name": "Bob", "isNamePronoun": False}
+                                ],
+                                "isInformational": False,
+                                "actionVerbs": {
+                                    "words": ["say"],
+                                    "tense": "Past",
+                                },
+                                "additionalEntities": [
+                                    {
+                                        "name": "commissioned",
+                                        "isNamePronoun": False,
+                                    }
+                                ],
+                            }
+                        }
+                    ],
+                }
+            ]
+        },
+    ),
+    (
+        "Who is Glenn Gould?",
+        {
+            "searchExpressions": [
+                {
+                    "rewrittenQuery": "Who is Glenn Gould?",
+                    "filters": [
+                        {
+                            "entitySearchTerms": [
+                                {
+                                    "name": "glenn",
+                                    "isNamePronoun": False,
+                                    "type": ["word"],
+                                }
+                            ],
+                            "searchTerms": ["recorded"],
+                        }
+                    ],
+                }
+            ]
+        },
+    ),
+    (
+        "What was discussed on the first day?",
+        {
+            "searchExpressions": [
+                {
+                    "rewrittenQuery": "What was discussed on the first day?",
+                    "filters": [
+                        {
+                            "searchTerms": ["goldberg"],
+                            "timeRange": {
+                                "startDate": {
+                                    "date": {"day": 1, "month": 1, "year": 2024}
+                                },
+                                "stopDate": {
+                                    "date": {"day": 1, "month": 1, "year": 2024}
+                                },
+                            },
+                        }
+                    ],
                 }
             ]
         },
