@@ -59,10 +59,11 @@ class ConversationHistory:
 
 
 class QueryContext:
-    def __init__(self, conversation, verbose: bool = False):
+    def __init__(self, conversation, verbose: bool = False, device: bool = False):
         self.conversation = conversation
         self.history = ConversationHistory()
         self.verbose = verbose
+        self.device = device  # route flat term groups to the device executor
 
 
 def settings_from_spec(embedding_model_spec: str | None) -> ConversationSettings:
@@ -115,11 +116,18 @@ async def do_term_search(context: QueryContext, terms: list[str]) -> None:
     group = SearchTermGroup(
         boolean_op="or", terms=[SearchTerm(Term(t)) for t in terms]
     )
+    options = (
+        SearchOptions(
+            exact_match=True, max_message_matches=10, use_device_executor=True
+        )
+        if context.device
+        else SearchOptions(exact_match=False, max_message_matches=10)
+    )
     with METRICS.timer("term_search"):
         result = await search_conversation(
             context.conversation,
             group,
-            options=SearchOptions(exact_match=False, max_message_matches=10),
+            options=options,
             raw_search_query=" ".join(terms),
         )
     if result is None:
@@ -300,6 +308,12 @@ def make_arg_parser() -> argparse.ArgumentParser:
         "--embedding-model",
         help="provider:model embedding spec (use 'test' for offline fake)",
     )
+    parser.add_argument(
+        "--device",
+        action="store_true",
+        help="run @search term queries through the fused device executor "
+        "(exact-match mode; complex groups fall back to the host VM)",
+    )
     return parser
 
 
@@ -307,7 +321,7 @@ async def amain() -> None:
     load_dotenv()
     args = make_arg_parser().parse_args()
     conversation = await load_conversation(args)
-    context = QueryContext(conversation, args.verbose)
+    context = QueryContext(conversation, args.verbose, device=args.device)
     await print_stats(conversation)
     if args.search:
         await do_term_search(context, args.search)
