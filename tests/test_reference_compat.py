@@ -79,3 +79,71 @@ async def test_search_reference_episode53_index():
         options=SearchOptions(exact_match=True),
     )
     assert result and "entity" in result
+
+
+async def test_episode53_action_and_facet_search():
+    """SVO property search + facet search over the reference's real index."""
+    pod = await load_episode53()
+    # Subject search: actions performed by the podcast host.
+    result = await search_conversation_knowledge(
+        pod,
+        SearchTermGroup(
+            boolean_op="or",
+            terms=[
+                PropertySearchTerm(
+                    "subject",
+                    SearchTerm(Term("Adrian Tchaikovsky"), related_terms=[]),
+                )
+            ],
+        ),
+        options=SearchOptions(exact_match=True),
+    )
+    assert result and "action" in result
+    top = await pod.semantic_refs.get_item(
+        result["action"].semantic_ref_matches[0].semantic_ref_ordinal
+    )
+    from typeagent_tpu.knowpro import kplib
+    assert isinstance(top.knowledge, kplib.Action)
+    assert top.knowledge.subject_entity_name.lower() == "adrian tchaikovsky"
+
+
+async def test_episode53_topic_and_tag_shapes():
+    pod = await load_episode53()
+    result = await search_conversation_knowledge(
+        pod,
+        SearchTermGroup(
+            boolean_op="or",
+            terms=[PropertySearchTerm("topic", SearchTerm(Term("*")))],
+        ),
+        options=SearchOptions(exact_match=True, max_knowledge_matches=20),
+    )
+    assert result and "topic" in result
+    assert len(result["topic"].semantic_ref_matches) == 20
+    # Every matched ordinal dereferences to a Topic semref.
+    from typeagent_tpu.knowpro.interfaces import Topic
+
+    for m in result["topic"].semantic_ref_matches[:5]:
+        sr = await pod.semantic_refs.get_item(m.semantic_ref_ordinal)
+        assert isinstance(sr.knowledge, Topic)
+
+
+async def test_episode53_device_executor_agrees_with_host():
+    """Device postings executor over the real 1641-semref index."""
+    pod = await load_episode53()
+    group = SearchTermGroup(
+        boolean_op="or",
+        terms=[SearchTerm(Term("spider")), SearchTerm(Term("evolution"))],
+    )
+    host = await search_conversation_knowledge(
+        pod, group, options=SearchOptions(exact_match=True)
+    )
+    device = await search_conversation_knowledge(
+        pod, group, options=SearchOptions(exact_match=True, use_device_executor=True)
+    )
+    def keys(r):
+        return {
+            (kt, m.semantic_ref_ordinal)
+            for kt, res in (r or {}).items()
+            for m in res.semantic_ref_matches
+        }
+    assert keys(device) == keys(host) != set()
