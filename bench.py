@@ -19,7 +19,7 @@ import numpy as np
 
 N_ROWS = 1_000_000
 DIM = 384
-BATCH = 64
+BATCH = 256
 K = 10
 BASELINE_QPS = 1000.0 / 178.0  # 178 ms/query single-thread numpy (BASELINE.md)
 
