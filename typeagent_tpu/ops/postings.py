@@ -67,7 +67,7 @@ def accumulate_postings(
     term_valid = tids >= 0
 
     # [t_pad, window] posting positions, masked past each term's size.
-    lane = jnp.arange(window, dtype=jnp.int64)[None, :]
+    lane = jnp.arange(window, dtype=jnp.int32)[None, :]
     pos = starts[:, None] + lane
     valid = (lane < sizes[:, None]) & term_valid[:, None]
     pos = jnp.clip(pos, 0, post_semrefs.shape[0] - 1)
