@@ -186,3 +186,76 @@ async def test_public_api_device_executor_flag():
         conv, nested, options=SearchOptions(exact_match=True)
     )
     assert as_score_map(via_flag) == as_score_map(direct)
+
+
+async def test_incremental_sync_matches_full_rebuild():
+    """After more ingest, executor.sync() folds only the new semrefs and
+    agrees exactly with a freshly built executor."""
+    from typeagent_tpu.knowpro import kplib
+    from typeagent_tpu.knowpro.semrefindex import (
+        add_knowledge_batch_to_semantic_ref_index,
+    )
+    from typeagent_tpu.knowpro.propindex import add_to_property_index
+
+    conv = await build_conversation()
+    executor = DeviceQueryExecutor(conv)
+    await executor.sync()
+    n_before = executor._n_semrefs
+
+    knowledge = kplib.KnowledgeResponse(
+        entities=[
+            kplib.ConcreteEntity(
+                "Wanda Landowska",
+                ["person", "harpsichordist"],
+                facets=[kplib.Facet("era", "20th century")],
+            )
+        ],
+        actions=[
+            kplib.Action(
+                verbs=["perform"],
+                verb_tense="past",
+                subject_entity_name="Wanda Landowska",
+                object_entity_name="Goldberg Variations",
+            )
+        ],
+        inverse_actions=[],
+        topics=["harpsichord revival"],
+    )
+    start = await conv.semantic_refs.size()
+    await add_knowledge_batch_to_semantic_ref_index(conv, [(2, 0, knowledge)])
+    await add_to_property_index(conv, start)
+
+    await executor.sync()  # incremental path
+    assert executor._n_semrefs > n_before
+
+    fresh = DeviceQueryExecutor(conv)
+    await fresh.sync()  # full rebuild
+
+    groups = [
+        SearchTermGroup(boolean_op="or", terms=[SearchTerm(Term("Wanda Landowska"))]),
+        SearchTermGroup(
+            boolean_op="or",
+            terms=[
+                PropertySearchTerm(
+                    "name", SearchTerm(Term("wanda landowska"), related_terms=[])
+                ),
+                PropertySearchTerm(
+                    "type", SearchTerm(Term("harpsichordist"), related_terms=[])
+                ),
+            ],
+        ),
+        SearchTermGroup(boolean_op="or", terms=[SearchTerm(Term("Bach"))]),
+        SearchTermGroup(
+            boolean_op="or", terms=[SearchTerm(Term("harpsichord revival"))]
+        ),
+    ]
+    for group in groups:
+        inc = await executor.search(group)
+        full = await fresh.search(group)
+        assert as_score_map(inc) == pytest.approx(as_score_map(full))
+        assert inc  # the new knowledge is findable
+    # Old knowledge still intact via the incremental executor.
+    old = await executor.search(
+        SearchTermGroup(boolean_op="or", terms=[SearchTerm(Term("Bach"))])
+    )
+    assert old and "entity" in old

@@ -54,10 +54,21 @@ class DeviceQueryExecutor:
     async def sync(self) -> None:
         """(Re)build device postings from the storage indexes.
 
-        Rebuild is a bulk batch (cheap relative to embedding work); higher
-        rounds can make this incremental off the semref watermark.
+        After the first full build, subsequent syncs are incremental: new
+        semrefs' terms/properties are derived from their knowledge with the
+        same collectors the storage indexers use (`semrefindex.collect_*`,
+        `propindex.collect_semref_properties`), so the device postings never
+        rescan the full term index.
         """
         conv = self.conversation
+        if self._n_semrefs:
+            n = await conv.semantic_refs.size()
+            if n == self._n_semrefs:
+                return
+            if n > self._n_semrefs:
+                await self._sync_incremental(self._n_semrefs, n)
+                return
+            # Shrunk (cleared/reloaded conversation): fall through to rebuild.
         self._postings = DevicePostingsIndex()
 
         index_data = await conv.semantic_ref_index.serialize()
@@ -85,6 +96,55 @@ class DeviceQueryExecutor:
                 [_KTYPE_CODES[m.knowledge_type] for m in metadata], dtype=np.int8
             )
             self._semref_meta = metadata
+        self._postings.build()
+
+    async def _sync_incremental(self, start: int, n: int) -> None:
+        """Fold semrefs [start, n) into the existing postings (no rescan).
+
+        Term/property derivation mirrors the storage indexers exactly:
+        `semrefindex.collect_entity_terms`/`collect_action_terms` (topics and
+        tags index their text), lowercased as both index backends do, and
+        `propindex.collect_semref_properties` with the shared
+        'prop.{name}@@{value}' lowercase key form.
+        """
+        from .kplib import Action, ConcreteEntity
+        from .propindex import collect_semref_properties
+        from .semrefindex import collect_action_terms, collect_entity_terms
+
+        conv = self.conversation
+        new_refs = await conv.semantic_refs.get_slice(start, n)
+        for ref in new_refs:
+            knowledge = ref.knowledge
+            ordinal = ref.semantic_ref_ordinal
+            if isinstance(knowledge, ConcreteEntity):
+                terms = collect_entity_terms(knowledge)
+            elif isinstance(knowledge, Action):
+                terms = collect_action_terms(knowledge)
+            else:  # Topic / Tag index their text
+                terms = [knowledge.text]
+            for term in terms:
+                self._postings.add_term(term.lower(), ordinal)
+            for name, value, _ in collect_semref_properties(knowledge, ordinal):
+                key = make_property_term_text(name, value).lower()
+                self._postings.add_term(_PROP_PREFIX + key, ordinal)
+
+        metadata = await conv.semantic_refs.get_metadata_multiple(
+            list(range(start, n))
+        )
+        new_msg = np.array(
+            [m.range.start.message_ordinal for m in metadata], dtype=np.int32
+        )
+        new_ktype = np.array(
+            [_KTYPE_CODES[m.knowledge_type] for m in metadata], dtype=np.int8
+        )
+        if self._semref_msg is None:
+            self._semref_msg, self._semref_ktype = new_msg, new_ktype
+            self._semref_meta = list(metadata)
+        else:
+            self._semref_msg = np.concatenate([self._semref_msg, new_msg])
+            self._semref_ktype = np.concatenate([self._semref_ktype, new_ktype])
+            self._semref_meta = list(self._semref_meta) + list(metadata)
+        self._n_semrefs = n
         self._postings.build()
 
     # -- query compilation -----------------------------------------------------

@@ -179,9 +179,7 @@ async def _try_device_executor(
 
     executor = getattr(conversation, "_device_executor", None)
     semref_count = await conversation.semantic_refs.size()
-    if executor is None or getattr(conversation, "_device_executor_count", -1) != (
-        semref_count
-    ):
+    if executor is None:
         executor = DeviceQueryExecutor(conversation)
         await executor.sync()
         try:
@@ -189,6 +187,13 @@ async def _try_device_executor(
             conversation._device_executor_count = semref_count
         except AttributeError:
             pass  # conversation objects that forbid new attributes
+    elif getattr(conversation, "_device_executor_count", -1) != semref_count:
+        # Incremental: fold only the new semrefs into the device postings.
+        await executor.sync()
+        try:
+            conversation._device_executor_count = semref_count
+        except AttributeError:
+            pass
     return await executor.search(
         search_term_group, max_knowledge_matches=options.max_knowledge_matches
     )
