@@ -72,6 +72,8 @@ def test_corpus_batched_queries(mesh, rng):
 
 async def test_corpus_normalizes_rows_on_append():
     """Unnormalized embeddings must not clip every score to 1.0."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices (TAT_TEST_TPU single-chip mode)")
     corpus = CorpusVectorStore(dim=16, mesh=create_mesh(n_shard=2, n_dp=1))
     rng = np.random.default_rng(3)
     rows = rng.standard_normal((20, 16)).astype(np.float32) * 10.0  # big norms

@@ -77,7 +77,9 @@ def test_device_accumulation_matches_oracle():
     total, exact_hits, related_hits = index.lookup_terms(query)
     expected = oracle_accumulate(postings, query)
     for semref, score in expected.items():
-        assert total[semref] == pytest.approx(score, rel=1e-5), semref
+        # rel=2e-4: TPU f32 transcendentals (the log-smoothing) differ from
+        # numpy's double-precision log by up to ~6e-5 relative.
+        assert total[semref] == pytest.approx(score, rel=2e-4), semref
     # semref 0: exact bach 10 (related dropped); semref 1: related only
     assert exact_hits[0] == 1 and related_hits[0] == 0
     assert exact_hits[1] == 0 and related_hits[1] == 2
