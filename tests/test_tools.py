@@ -147,3 +147,72 @@ async def test_batch_loop_routes_commands(tmp_path, capsys):
     assert "messages:" in out  # @search output, not an LLM error
     # Command lines produce no Q&A entries.
     assert json.load(open(out_file)) == []
+
+
+def test_compare_evals_grid(tmp_path, capsys):
+    from typeagent_tpu.tools.compare_evals import compare
+
+    r1 = tmp_path / "r1.json"
+    r2 = tmp_path / "r2.json"
+    r1.write_text(json.dumps([
+        {"question": "Q1", "answer": "A", "hasNoAnswer": False},
+        {"question": "Q2", "answer": "nope", "hasNoAnswer": True},
+    ]))
+    r2.write_text(json.dumps([
+        {"question": "Q1", "answer": "A changed", "hasNoAnswer": False},
+    ]))
+    compare([str(r1), str(r2)], color=False)
+    out = capsys.readouterr().out
+    assert "✓ diff" in out        # answer changed between runs
+    assert "no-ans" in out        # unanswered flagged
+    assert "N/A" in out           # missing question flagged
+    assert "all-answered rows: 0" in out
+
+
+async def test_chat_sessions_parse_and_ingest(tmp_path, monkeypatch):
+    from typeagent_tpu.tools.chat_sessions import (
+        ingest_session, parse_session, session_to_messages)
+
+    session_file = tmp_path / "s.json"
+    session_file.write_text(json.dumps({
+        "sessionId": "sess-1",
+        "customTitle": "t",
+        "creationDate": 1723800000000,
+        "requests": [
+            {"message": {"text": "hello there"},
+             "timestamp": 1723800001000,
+             "response": [
+                 {"kind": "thinking", "value": "SECRET"},
+                 {"value": "general kenobi"},
+                 {"kind": "toolInvocationSerialized", "toolId": "x"},
+             ]},
+        ],
+    }))
+    session = parse_session(session_file)
+    assert session["turns"][0]["assistant"] == "general kenobi"
+    assert "SECRET" not in json.dumps(session)  # thinking excluded
+    messages = session_to_messages(session)
+    assert [m.metadata.speaker for m in messages] == ["user", "assistant"]
+    assert messages[0].source_id == "sess-1#0.user"
+    assert messages[0].timestamp.endswith("Z")
+
+    monkeypatch.setenv("OPENAI_EMBEDDING_MODEL", "test:16")
+    db = str(tmp_path / "chat.db")
+    await ingest_session(session, db, None)
+    await ingest_session(session, db, None)  # dedupe by source_id
+    import sqlite3
+
+    con = sqlite3.connect(db)
+    assert con.execute("SELECT COUNT(*) FROM Messages").fetchone()[0] == 2
+    con.close()
+
+
+def test_chat_sessions_rejects_non_sessions(tmp_path):
+    from typeagent_tpu.tools.chat_sessions import parse_session
+
+    bad = tmp_path / "bad.json"
+    bad.write_text("{not json")
+    assert parse_session(bad) is None
+    other = tmp_path / "other.json"
+    other.write_text(json.dumps({"something": "else"}))
+    assert parse_session(other) is None
