@@ -21,18 +21,17 @@ from .email_message import EmailMessage
 
 
 class EmailMemorySettings:
+    """Bundle of conversation settings + the email memory's LLM translators."""
+
     def __init__(self, conversation_settings: ConversationSettings) -> None:
         from ..models.adapters import create_chat_model
 
-        self.language_model = create_chat_model(
-            retrier=conversation_settings.chat_retrier
-        )
-        self.query_translator = searchlang.create_search_query_translator(
-            self.language_model
-        )
-        self.answer_translator = answers.create_answer_translator(self.language_model)
-        self.conversation_settings = conversation_settings
         conversation_settings.semantic_ref_index_settings.auto_extract_knowledge = True
+        self.conversation_settings = conversation_settings
+        model = create_chat_model(retrier=conversation_settings.chat_retrier)
+        self.language_model = model
+        self.query_translator = searchlang.create_search_query_translator(model)
+        self.answer_translator = answers.create_answer_translator(model)
 
 
 class EmailMemory(FileSerializedConversation, ConversationBase[EmailMessage]):
@@ -44,19 +43,22 @@ class EmailMemory(FileSerializedConversation, ConversationBase[EmailMessage]):
         super().__init__(settings, name, tags)
         self.noise_terms: set[str] = set()
 
-    @staticmethod
-    def create_lang_search_options() -> searchlang.LanguageSearchOptions:
-        return searchlang.LanguageSearchOptions(
-            compile_options=EmailMemory.create_lang_search_compile_options(),
-            exact_match=False,
-            max_knowledge_matches=50,
-            max_message_matches=25,
-        )
+    # Email-tuned defaults (reference email_memory.py): generous knowledge
+    # match caps, fuzzy scope, verbs on.
 
     @staticmethod
     def create_lang_search_compile_options() -> searchlang.LanguageQueryCompileOptions:
         return searchlang.LanguageQueryCompileOptions(
             apply_scope=True, exact_scope=False, verb_scope=True, term_filter=None
+        )
+
+    @classmethod
+    def create_lang_search_options(cls) -> searchlang.LanguageSearchOptions:
+        return searchlang.LanguageSearchOptions(
+            compile_options=cls.create_lang_search_compile_options(),
+            exact_match=False,
+            max_knowledge_matches=50,
+            max_message_matches=25,
         )
 
     @staticmethod
@@ -119,12 +121,14 @@ class EmailMemory(FileSerializedConversation, ConversationBase[EmailMessage]):
     def _adjust_search_options(
         self, options: searchlang.LanguageSearchOptions | None
     ) -> searchlang.LanguageSearchOptions:
-        if options is None:
-            options = EmailMemory.create_lang_search_options()
-        if options.compile_options is None:
-            options.compile_options = EmailMemory.create_lang_search_compile_options()
-        else:
-            options.compile_options = copy.copy(options.compile_options)
+        """Install the noise-term filter without mutating caller options."""
+        options = options or type(self).create_lang_search_options()
+        compile_options = options.compile_options
+        options.compile_options = (
+            copy.copy(compile_options)
+            if compile_options is not None
+            else type(self).create_lang_search_compile_options()
+        )
         options.compile_options.term_filter = self._is_searchable_term
         return options
 
@@ -132,39 +136,42 @@ class EmailMemory(FileSerializedConversation, ConversationBase[EmailMessage]):
         return term not in self.noise_terms
 
 
+def _data_file(file_name: str) -> str | None:
+    path = os.path.join(os.path.dirname(__file__), file_name)
+    return path if os.path.exists(path) else None
+
+
 async def add_synonyms_file_as_aliases(
     conversation: ConversationBase, file_name: str, clean: bool
 ) -> None:
     """Load a {term, relatedTerms} JSON file into the alias table."""
-    secondary_indexes = conversation.secondary_indexes
-    assert secondary_indexes is not None
-    assert secondary_indexes.term_to_related_terms_index is not None
-    aliases = secondary_indexes.term_to_related_terms_index.aliases
-    synonym_file = os.path.join(os.path.dirname(__file__), file_name)
-    if not os.path.exists(synonym_file):
+    indexes = conversation.secondary_indexes
+    assert indexes is not None and indexes.term_to_related_terms_index is not None
+    aliases = indexes.term_to_related_terms_index.aliases
+
+    path = _data_file(file_name)
+    if path is None:
         return
-    with open(synonym_file) as f:
-        data: list[dict] = json.load(f)
-    if data:
-        storage_provider = conversation.settings.storage_provider
-        async with storage_provider:
-            if clean:
-                await aliases.clear()
-            for obj in data:
-                text = obj.get("term")
-                synonyms = obj.get("relatedTerms")
-                if text and synonyms:
-                    related_term = Term(text=text.lower())
-                    for synonym in synonyms:
-                        await aliases.add_related_term(synonym.lower(), related_term)
+    with open(path) as f:
+        entries: list[dict] = json.load(f)
+    if not entries:
+        return
+
+    async with conversation.settings.storage_provider:
+        if clean:
+            await aliases.clear()
+        for entry in entries:
+            text, synonyms = entry.get("term"), entry.get("relatedTerms")
+            if not (text and synonyms):
+                continue
+            target = Term(text=text.lower())
+            for synonym in synonyms:
+                await aliases.add_related_term(synonym.lower(), target)
 
 
 def add_noise_words_from_file(noise: set[str], file_name: str) -> None:
-    noise_file = os.path.join(os.path.dirname(__file__), file_name)
-    if not os.path.exists(noise_file):
+    path = _data_file(file_name)
+    if path is None:
         return
-    with open(noise_file) as f:
-        for word in f:
-            word = word.strip()
-            if word:
-                noise.add(word)
+    with open(path) as f:
+        noise.update(word for word in map(str.strip, f) if word)

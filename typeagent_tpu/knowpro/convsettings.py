@@ -16,27 +16,40 @@ from .interfaces import IKnowledgeExtractor, IStorageProvider
 
 DEFAULT_RELATED_TERM_MIN_SCORE = 0.85
 DEFAULT_MESSAGE_TEXT_MIN_SCORE = 0.7
+DEFAULT_RELATED_TERM_MAX_MATCHES = 50
+DEFAULT_EXTRACTION_CONCURRENCY = 4
 
 
 @dataclass
 class MessageTextIndexSettings:
+    """Index 4 (message text <-> chunk embeddings) knobs."""
+
     embedding_index_settings: TextEmbeddingIndexSettings
 
 
 @dataclass
 class RelatedTermIndexSettings:
+    """Index 5 (related-terms fuzzy expansion) knobs."""
+
     embedding_index_settings: TextEmbeddingIndexSettings
 
 
 @dataclass
 class SemanticRefIndexSettings:
+    """LLM knowledge-extraction knobs for index 1."""
+
     concurrency: int
     auto_extract_knowledge: bool
     knowledge_extractor: IKnowledgeExtractor | None = None
 
 
 class ConversationSettings:
-    """Settings for conversation processing and indexing."""
+    """Settings for conversation processing and indexing.
+
+    The storage provider is lazy: constructing settings never touches disk;
+    `get_storage_provider()` materializes an in-memory provider on first use
+    unless one was injected.
+    """
 
     def __init__(
         self,
@@ -48,46 +61,54 @@ class ConversationSettings:
     ):
         self.chat_retrier = chat_retrier
         self.embed_retrier = embed_retrier
+        self._storage_provider = storage_provider
 
         if model is None:
             from ..models.adapters import create_embedding_model
 
             model = create_embedding_model(retrier=embed_retrier)
         self.embedding_model = model
-        min_score = DEFAULT_RELATED_TERM_MIN_SCORE
+
+        def emb(min_score: float, max_matches: int | None = None):
+            return TextEmbeddingIndexSettings(
+                model, min_score=min_score, max_matches=max_matches
+            )
+
         self.related_term_index_settings = RelatedTermIndexSettings(
-            TextEmbeddingIndexSettings(model, min_score=min_score, max_matches=50)
+            emb(DEFAULT_RELATED_TERM_MIN_SCORE, DEFAULT_RELATED_TERM_MAX_MATCHES)
         )
-        self.thread_settings = TextEmbeddingIndexSettings(model, min_score=min_score)
+        self.thread_settings = emb(DEFAULT_RELATED_TERM_MIN_SCORE)
         self.message_text_index_settings = MessageTextIndexSettings(
-            TextEmbeddingIndexSettings(model, min_score=DEFAULT_MESSAGE_TEXT_MIN_SCORE)
+            emb(DEFAULT_MESSAGE_TEXT_MIN_SCORE)
         )
         self.semantic_ref_index_settings = SemanticRefIndexSettings(
-            concurrency=4,
+            concurrency=DEFAULT_EXTRACTION_CONCURRENCY,
             auto_extract_knowledge=True,
         )
-        self._storage_provider: IStorageProvider | None = storage_provider
 
     @property
     def storage_provider(self) -> IStorageProvider:
-        if self._storage_provider is None:
+        provider = self._storage_provider
+        if provider is None:
             raise RuntimeError(
                 "Storage provider not initialized. Use await "
                 "ConversationSettings.get_storage_provider() or provide "
                 "storage_provider in the constructor."
             )
-        return self._storage_provider
+        return provider
 
     @storage_provider.setter
     def storage_provider(self, value: IStorageProvider) -> None:
         self._storage_provider = value
 
     async def get_storage_provider(self) -> IStorageProvider:
-        if self._storage_provider is None:
-            from ..storage.memory import MemoryStorageProvider
+        if self._storage_provider is not None:
+            return self._storage_provider
+        from ..storage.memory import MemoryStorageProvider
 
-            self._storage_provider = MemoryStorageProvider(
-                message_text_settings=self.message_text_index_settings,
-                related_terms_settings=self.related_term_index_settings,
-            )
-        return self._storage_provider
+        provider = MemoryStorageProvider(
+            message_text_settings=self.message_text_index_settings,
+            related_terms_settings=self.related_term_index_settings,
+        )
+        self._storage_provider = provider
+        return provider

@@ -3,10 +3,25 @@
 from __future__ import annotations
 
 from ..storage.utils import create_storage_provider
-from . import secindex
 from .conversation_base import ConversationBase
 from .convsettings import ConversationSettings
-from .interfaces import ConversationMetadata, IMessage
+from .interfaces import ConversationMetadata, IMessage, IStorageProvider
+from .secindex import ConversationSecondaryIndexes
+
+
+def _wire_storage[TMessage: IMessage](
+    conversation: ConversationBase[TMessage],
+    provider: IStorageProvider,
+    settings: ConversationSettings,
+) -> None:
+    """Point the conversation's collections/indexes at the provider's."""
+    conversation.storage_provider = provider
+    conversation.messages = provider.messages
+    conversation.semantic_refs = provider.semantic_refs
+    conversation.semantic_ref_index = provider.semantic_ref_index
+    conversation.secondary_indexes = ConversationSecondaryIndexes(
+        provider, settings.related_term_index_settings
+    )
 
 
 async def create_conversation[TMessage: IMessage](
@@ -22,30 +37,19 @@ async def create_conversation[TMessage: IMessage](
         settings = ConversationSettings()
         settings.semantic_ref_index_settings.auto_extract_knowledge = True
 
-    metadata = ConversationMetadata(
-        name_tag=name if name else None,
-        tags=tags,
-        extra=extras,
-    )
-    storage_provider = await create_storage_provider(
+    provider = await create_storage_provider(
         message_text_settings=settings.message_text_index_settings,
         related_terms_settings=settings.related_term_index_settings,
         dbname=dbname,
         message_type=message_type,
-        metadata=metadata,
+        metadata=ConversationMetadata(
+            name_tag=name or None, tags=tags, extra=extras
+        ),
     )
-    settings.storage_provider = storage_provider
+    settings.storage_provider = provider
 
     conversation = ConversationBase(
-        settings=settings,
-        name=name,
-        tags=tags if tags is not None else [],
+        settings=settings, name=name, tags=list(tags or ())
     )
-    conversation.storage_provider = storage_provider
-    conversation.messages = storage_provider.messages
-    conversation.semantic_refs = storage_provider.semantic_refs
-    conversation.semantic_ref_index = storage_provider.semantic_ref_index
-    conversation.secondary_indexes = secindex.ConversationSecondaryIndexes(
-        storage_provider, settings.related_term_index_settings
-    )
+    _wire_storage(conversation, provider, settings)
     return conversation

@@ -67,10 +67,25 @@ from .utils import aenumerate
 
 type BooleanOp = Literal["and", "or", "or_max"]
 
+type ScoreBoosterType = Callable[
+    [SearchTerm, SemanticRef, ScoredSemanticRefOrdinal], ScoredSemanticRefOrdinal
+]
+
+
+# ---------------------------------------------------------------------------
+# Compiled-term plumbing (shared with search.py / reltermsindex.py)
+# ---------------------------------------------------------------------------
+
 
 @dataclass
 class CompiledSearchTerm(SearchTerm):
     related_terms_required: bool = False
+
+
+@dataclass
+class CompiledTermGroup:
+    boolean_op: BooleanOp
+    terms: list[CompiledSearchTerm]
 
 
 def to_required_search_term(term: SearchTerm) -> CompiledSearchTerm:
@@ -86,37 +101,16 @@ def to_non_required_search_term(term: SearchTerm) -> CompiledSearchTerm:
     return cst
 
 
-@dataclass
-class CompiledTermGroup:
-    boolean_op: BooleanOp
-    terms: list[CompiledSearchTerm]
+# ---------------------------------------------------------------------------
+# Text/term matching helpers
+# ---------------------------------------------------------------------------
 
 
 def is_conversation_searchable(conversation: IConversation) -> bool:
-    return (
-        conversation.semantic_ref_index is not None
-        and conversation.semantic_refs is not None
+    return None not in (
+        conversation.semantic_ref_index,
+        conversation.semantic_refs,
     )
-
-
-async def get_text_range_for_date_range(
-    conversation: IConversation, date_range: DateRange
-) -> TextRange | None:
-    """Scan messages for the contiguous ordinal range inside the date range."""
-    range_start = -1
-    range_end = -1
-    async for ordinal, message in aenumerate(conversation.messages):
-        if message.timestamp and Datetime.fromisoformat(message.timestamp) in date_range:
-            if range_start < 0:
-                range_start = ordinal
-            range_end = ordinal
-        elif range_start >= 0:
-            break
-    if range_start >= 0:
-        return TextRange(
-            start=TextLocation(range_start), end=TextLocation(range_end + 1)
-        )
-    return None
 
 
 def get_matching_term_for_text(search_term: SearchTerm, text: str) -> Term | None:
@@ -124,10 +118,9 @@ def get_matching_term_for_text(search_term: SearchTerm, text: str) -> Term | Non
     lowered = text.lower()
     if lowered == search_term.term.text.lower():
         return search_term.term
-    if search_term.related_terms:
-        for related in search_term.related_terms:
-            if lowered == related.text.lower():
-                return related
+    for related in search_term.related_terms or ():
+        if lowered == related.text.lower():
+            return related
     return None
 
 
@@ -138,9 +131,7 @@ def match_search_term_to_text(search_term: SearchTerm, text: str | None) -> bool
 def match_search_term_to_one_of_text(
     search_term: SearchTerm, texts: list[str] | None
 ) -> bool:
-    return bool(texts) and any(
-        match_search_term_to_text(search_term, t) for t in texts
-    )
+    return any(match_search_term_to_text(search_term, t) for t in texts or ())
 
 
 def match_entity_name_or_type(
@@ -151,6 +142,21 @@ def match_entity_name_or_type(
     ) or match_search_term_to_one_of_text(property_value, entity.type)
 
 
+def text_range_from_message(message_ordinal: MessageOrdinal) -> TextRange:
+    return TextRange(start=TextLocation(message_ordinal))
+
+
+def text_ranges_from_message_ordinals(
+    message_ordinals: list[MessageOrdinal],
+) -> list[TextRange]:
+    return [text_range_from_message(o) for o in message_ordinals]
+
+
+# ---------------------------------------------------------------------------
+# Index lookups (scope-aware)
+# ---------------------------------------------------------------------------
+
+
 async def lookup_term_filtered(
     semantic_ref_index: ITermToSemanticRefIndex,
     term: Term,
@@ -158,12 +164,12 @@ async def lookup_term_filtered(
     filter: Callable[[SemanticRefMetadata, ScoredSemanticRefOrdinal], bool],
 ) -> list[ScoredSemanticRefOrdinal] | None:
     scored_refs = await semantic_ref_index.lookup_term(term.text)
-    if scored_refs:
-        metadata = await semantic_refs.get_metadata_multiple(
-            [sr.semantic_ref_ordinal for sr in scored_refs]
-        )
-        return [sr for sr, m in zip(scored_refs, metadata) if filter(m, sr)]
-    return None
+    if not scored_refs:
+        return None
+    metadata = await semantic_refs.get_metadata_multiple(
+        [sr.semantic_ref_ordinal for sr in scored_refs]
+    )
+    return [sr for sr, m in zip(scored_refs, metadata) if filter(m, sr)]
 
 
 async def lookup_term(
@@ -173,15 +179,17 @@ async def lookup_term(
     ranges_in_scope: TextRangesInScope | None = None,
     knowledge_type: KnowledgeType | None = None,
 ) -> list[ScoredSemanticRefOrdinal] | None:
-    if ranges_in_scope is not None:
-        return await lookup_term_filtered(
-            semantic_ref_index,
-            term,
-            semantic_refs,
-            lambda m, _: (not knowledge_type or m.knowledge_type == knowledge_type)
-            and ranges_in_scope.is_range_in_scope(m.range),
-        )
-    return await semantic_ref_index.lookup_term(term.text)
+    if ranges_in_scope is None:
+        return await semantic_ref_index.lookup_term(term.text)
+
+    def in_scope(m: SemanticRefMetadata, _sr: ScoredSemanticRefOrdinal) -> bool:
+        if knowledge_type and m.knowledge_type != knowledge_type:
+            return False
+        return ranges_in_scope.is_range_in_scope(m.range)
+
+    return await lookup_term_filtered(
+        semantic_ref_index, term, semantic_refs, in_scope
+    )
 
 
 async def lookup_knowledge_type(
@@ -192,6 +200,29 @@ async def lookup_knowledge_type(
         async for sr in semantic_refs
         if sr.knowledge.knowledge_type == knowledge_type
     ]
+
+
+async def get_text_range_for_date_range(
+    conversation: IConversation, date_range: DateRange
+) -> TextRange | None:
+    """Scan messages for the contiguous ordinal range inside the date range."""
+    first = last = -1
+    async for ordinal, message in aenumerate(conversation.messages):
+        ts = message.timestamp
+        if ts and Datetime.fromisoformat(ts) in date_range:
+            if first < 0:
+                first = ordinal
+            last = ordinal
+        elif first >= 0:
+            break  # messages are time-ordered; the range has ended
+    if first < 0:
+        return None
+    return TextRange(start=TextLocation(first), end=TextLocation(last + 1))
+
+
+# ---------------------------------------------------------------------------
+# Evaluation context + expression base
+# ---------------------------------------------------------------------------
 
 
 @dataclass
@@ -217,13 +248,15 @@ class QueryEvalContext[TMessage: IMessage, TIndex: ITermToSemanticRefIndex]:
 
     @property
     def semantic_ref_index(self) -> ITermToSemanticRefIndex:
-        assert self.conversation.semantic_ref_index is not None
-        return self.conversation.semantic_ref_index
+        index = self.conversation.semantic_ref_index
+        assert index is not None
+        return index
 
     @property
     def semantic_refs(self) -> ISemanticRefCollection:
-        assert self.conversation.semantic_refs is not None
-        return self.conversation.semantic_refs
+        refs = self.conversation.semantic_refs
+        assert refs is not None
+        return refs
 
     @property
     def messages(self) -> IMessageCollection:
@@ -251,111 +284,124 @@ class QueryOpExpr[T](IQueryOpExpr[T]):
     """Base class for query operation expressions."""
 
 
-@dataclass
-class SelectTopNExpr[T: MatchAccumulator](QueryOpExpr[T]):
-    source_expr: IQueryOpExpr[T]
-    max_matches: int | None = None
-    min_hit_count: int | None = None
+class NoOpExpr[T](QueryOpExpr[T]):
+    def __init__(self, src_expr: IQueryOpExpr[T]) -> None:
+        self.src_expr = src_expr
 
     async def eval(self, context: QueryEvalContext) -> T:
+        return await self.src_expr.eval(context)
+
+
+# ---------------------------------------------------------------------------
+# Scope selectors
+# ---------------------------------------------------------------------------
+
+
+class IQueryTextRangeSelector(Protocol):
+    async def eval(
+        self,
+        context: QueryEvalContext,
+        semantic_refs: SemanticRefAccumulator | None = None,
+    ) -> TextRangeCollection | None: ...
+
+
+@dataclass
+class GetScopeExpr(QueryOpExpr[TextRangesInScope]):
+    range_selectors: list[IQueryTextRangeSelector]
+
+    async def eval(self, context: QueryEvalContext) -> TextRangesInScope:
+        scope = TextRangesInScope()
+        for selector in self.range_selectors:
+            collection = await selector.eval(context)
+            if collection is not None:
+                scope.add_text_ranges(collection)
+        return scope
+
+
+class TextRangeSelector(IQueryTextRangeSelector):
+    """Pre-computed ranges supplied by the caller."""
+
+    def __init__(self, ranges_in_scope: list[TextRange]) -> None:
+        self.text_ranges_in_scope = TextRangeCollection(ranges_in_scope, True)
+
+    async def eval(
+        self,
+        context: QueryEvalContext,
+        semantic_refs: SemanticRefAccumulator | None = None,
+    ) -> TextRangeCollection | None:
+        return self.text_ranges_in_scope
+
+
+@dataclass
+class TextRangesInDateRangeSelector(IQueryTextRangeSelector):
+    date_range_in_scope: DateRange
+
+    async def eval(
+        self,
+        context: QueryEvalContext,
+        semantic_refs: SemanticRefAccumulator | None = None,
+    ) -> TextRangeCollection | None:
+        ranges = TextRangeCollection()
+        index = context.timestamp_index
+        if index is not None:
+            for timed in await index.lookup_range(self.date_range_in_scope):
+                ranges.add_range(timed.range)
+            return ranges
+        # No timestamp index: derive the ordinal range by scanning messages.
+        found = await get_text_range_for_date_range(
+            context.conversation, self.date_range_in_scope
+        )
+        if found is not None:
+            ranges.add_range(found)
+        return ranges
+
+
+@dataclass
+class TextRangesFromMessagesSelector(IQueryTextRangeSelector):
+    source_expr: IQueryOpExpr[MessageAccumulator]
+
+    async def eval(
+        self,
+        context: QueryEvalContext,
+        semantic_refs: SemanticRefAccumulator | None = None,
+    ) -> TextRangeCollection | None:
         matches = await self.source_expr.eval(context)
-        matches.select_top_n_scoring(self.max_matches, self.min_hit_count)
-        return matches
-
-
-class MatchTermsBooleanExpr(QueryOpExpr[SemanticRefAccumulator]):
-    """Base for OR / OR-MAX / AND over term expressions."""
-
-    get_scope_expr: "GetScopeExpr | None" = None
-
-    async def begin_match(self, context: QueryEvalContext) -> None:
-        if self.get_scope_expr is not None:
-            context.text_ranges_in_scope = await self.get_scope_expr.eval(context)
-        context.clear_matched_terms()
+        if not matches:
+            return TextRangeCollection(None)
+        ordinals = sorted(matches.get_matched_values())
+        return TextRangeCollection(text_ranges_from_message_ordinals(ordinals))
 
 
 @dataclass
-class MatchTermsOrExpr(MatchTermsBooleanExpr):
-    term_expressions: list[IQueryOpExpr[SemanticRefAccumulator | None]] = field(
-        default_factory=list
-    )
-    get_scope_expr: "GetScopeExpr | None" = None
+class ThreadSelector(IQueryTextRangeSelector):
+    threads: list[Thread]
 
-    async def eval(self, context: QueryEvalContext) -> SemanticRefAccumulator:
-        await self.begin_match(context)
-        all_matches: SemanticRefAccumulator | None = None
-        for match_expr in self.term_expressions:
-            term_matches = await match_expr.eval(context)
-            if term_matches:
-                if all_matches is None:
-                    all_matches = term_matches
-                else:
-                    all_matches.add_union(term_matches)
-        if all_matches is not None:
-            all_matches.calculate_total_score()
-        return all_matches or SemanticRefAccumulator()
+    async def eval(
+        self,
+        context: QueryEvalContext,
+        semantic_refs: SemanticRefAccumulator | None = None,
+    ) -> TextRangeCollection | None:
+        collected = TextRangeCollection()
+        for thread in self.threads:
+            collected.add_ranges(list(thread.ranges))
+        return collected
 
 
-@dataclass
-class MatchTermsOrMaxExpr(MatchTermsOrExpr):
-    """Union, then keep only matches at the max hit count (when > 1)."""
-
-    term_expressions: list[IQueryOpExpr[SemanticRefAccumulator | None]] = field(
-        default_factory=list
-    )
-    get_scope_expr: "GetScopeExpr | None" = None
-
-    async def eval(self, context: QueryEvalContext) -> SemanticRefAccumulator:
-        matches = await super().eval(context)
-        max_hit_count = matches.get_max_hit_count()
-        if max_hit_count > 1:
-            matches.select_with_hit_count(max_hit_count)
-        return matches
-
-
-@dataclass
-class MatchTermsAndExpr(MatchTermsBooleanExpr):
-    term_expressions: list[IQueryOpExpr[SemanticRefAccumulator | None]] = field(
-        default_factory=list
-    )
-    get_scope_expr: "GetScopeExpr | None" = None
-
-    async def eval(self, context: QueryEvalContext) -> SemanticRefAccumulator:
-        await self.begin_match(context)
-        all_matches: SemanticRefAccumulator | None = None
-        for match_expr in self.term_expressions:
-            term_matches = await match_expr.eval(context)
-            if not term_matches:
-                if all_matches is not None:
-                    all_matches.clear_matches()
-                break
-            if all_matches is None:
-                all_matches = term_matches
-            else:
-                all_matches = all_matches.intersect(term_matches)
-        if all_matches is not None:
-            all_matches.calculate_total_score()
-            all_matches.select_with_hit_count(len(self.term_expressions))
-        else:
-            all_matches = SemanticRefAccumulator()
-        return all_matches
+# ---------------------------------------------------------------------------
+# Term-matching expressions
+# ---------------------------------------------------------------------------
 
 
 class MatchTermExpr(QueryOpExpr[SemanticRefAccumulator | None], ABC):
     async def eval(self, context: QueryEvalContext) -> SemanticRefAccumulator | None:
         matches = SemanticRefAccumulator()
         await self.accumulate_matches(context, matches)
-        return matches if len(matches) > 0 else None
+        return matches if len(matches) else None
 
     @abstractmethod
     async def accumulate_matches(
         self, context: QueryEvalContext, matches: SemanticRefAccumulator
     ) -> None: ...
-
-
-type ScoreBoosterType = Callable[
-    [SearchTerm, SemanticRef, ScoredSemanticRefOrdinal], ScoredSemanticRefOrdinal
-]
 
 
 @dataclass
@@ -366,30 +412,30 @@ class MatchSearchTermExpr(MatchTermExpr):
     async def accumulate_matches(
         self, context: QueryEvalContext, matches: SemanticRefAccumulator
     ) -> None:
-        await self.accumulate_matches_for_term(context, matches, self.search_term.term)
-        if self.search_term.related_terms is not None:
-            for related_term in self.search_term.related_terms:
-                await self.accumulate_matches_for_term(
-                    context, matches, self.search_term.term, related_term
-                )
+        main = self.search_term.term
+        await self.accumulate_matches_for_term(context, matches, main)
+        for related in self.search_term.related_terms or ():
+            await self.accumulate_matches_for_term(context, matches, main, related)
 
     async def lookup_term(
         self, context: QueryEvalContext, term: Term
     ) -> list[ScoredSemanticRefOrdinal] | None:
-        matches = await lookup_term(
+        found = await lookup_term(
             context.semantic_ref_index,
             term,
             context.semantic_refs,
             context.text_ranges_in_scope,
         )
-        if matches and self.score_booster:
-            for i in range(len(matches)):
-                matches[i] = self.score_booster(
-                    self.search_term,
-                    await context.get_semantic_ref(matches[i].semantic_ref_ordinal),
-                    matches[i],
-                )
-        return matches
+        if not found or self.score_booster is None:
+            return found
+        return [
+            self.score_booster(
+                self.search_term,
+                await context.get_semantic_ref(sr.semantic_ref_ordinal),
+                sr,
+            )
+            for sr in found
+        ]
 
     async def accumulate_matches_for_term(
         self,
@@ -399,111 +445,21 @@ class MatchSearchTermExpr(MatchTermExpr):
         related_term: Term | None = None,
     ) -> None:
         if related_term is None:
-            if term not in context.matched_terms:
-                semantic_refs = await self.lookup_term(context, term)
-                matches.add_term_matches(term, semantic_refs, True)
-                context.matched_terms.add(term)
+            if term in context.matched_terms:
+                return
+            semantic_refs = await self.lookup_term(context, term)
+            matches.add_term_matches(term, semantic_refs, True)
+            context.matched_terms.add(term)
         else:
             # A related term is matched at most once per query, and a semref
             # already matched by the main term is not double-counted.
-            if related_term not in context.matched_terms:
-                semantic_refs = await self.lookup_term(context, related_term)
-                matches.add_term_matches_if_new(
-                    term, semantic_refs, False, related_term.weight
-                )
-                context.matched_terms.add(related_term)
-
-
-@dataclass
-class MatchPropertySearchTermExpr(MatchTermExpr):
-    property_search_term: PropertySearchTerm
-
-    async def accumulate_matches(
-        self, context: QueryEvalContext, matches: SemanticRefAccumulator
-    ) -> None:
-        prop_name = self.property_search_term.property_name
-        prop_value = self.property_search_term.property_value
-        if isinstance(prop_name, str):
-            await self.accumulate_matches_for_property(
-                context, prop_name, prop_value, matches
+            if related_term in context.matched_terms:
+                return
+            semantic_refs = await self.lookup_term(context, related_term)
+            matches.add_term_matches_if_new(
+                term, semantic_refs, False, related_term.weight
             )
-        else:
-            await self.accumulate_matches_for_facets(
-                context, prop_name, prop_value, matches
-            )
-
-    async def accumulate_matches_for_facets(
-        self,
-        context: QueryEvalContext,
-        property_name: SearchTerm,
-        property_value: SearchTerm,
-        matches: SemanticRefAccumulator,
-    ) -> None:
-        # Free-form property names match facet names; a non-wildcard value
-        # must also match the facet value.
-        await self.accumulate_matches_for_property(
-            context, PropertyNames.FacetName.value, property_name, matches
-        )
-        if not is_search_term_wildcard(property_value):
-            await self.accumulate_matches_for_property(
-                context, PropertyNames.FacetValue.value, property_value, matches
-            )
-
-    async def accumulate_matches_for_property(
-        self,
-        context: QueryEvalContext,
-        property_name: str,
-        property_value: SearchTerm,
-        matches: SemanticRefAccumulator,
-    ) -> None:
-        await self.accumulate_matches_for_property_value(
-            context, matches, property_name, property_value.term
-        )
-        if property_value.related_terms:
-            for related in property_value.related_terms:
-                await self.accumulate_matches_for_property_value(
-                    context, matches, property_name, property_value.term, related
-                )
-
-    async def accumulate_matches_for_property_value(
-        self,
-        context: QueryEvalContext,
-        matches: SemanticRefAccumulator,
-        property_name: str,
-        property_value: Term,
-        related_prop_val: Term | None = None,
-    ) -> None:
-        if related_prop_val is None:
-            if not context.matched_property_terms.has(property_name, property_value):
-                semantic_refs = await self.lookup_property(
-                    context, property_name, property_value.text
-                )
-                if semantic_refs:
-                    matches.add_term_matches(property_value, semantic_refs, True)
-                    context.matched_property_terms.add(property_name, property_value)
-        else:
-            if not context.matched_property_terms.has(property_name, related_prop_val):
-                semantic_refs = await self.lookup_property(
-                    context, property_name, related_prop_val.text
-                )
-                if semantic_refs:
-                    matches.add_term_matches_if_new(
-                        property_value, semantic_refs, False, related_prop_val.weight
-                    )
-                    context.matched_property_terms.add(property_name, related_prop_val)
-
-    async def lookup_property(
-        self, context: QueryEvalContext, property_name: str, property_value: str
-    ) -> list[ScoredSemanticRefOrdinal] | None:
-        if context.property_index is not None:
-            return await lookup_property_in_property_index(
-                context.property_index,
-                property_name,
-                property_value,
-                context.semantic_refs,
-                context.text_ranges_in_scope,
-            )
-        return None
+            context.matched_terms.add(related_term)
 
 
 class MatchTagExpr(MatchSearchTermExpr):
@@ -544,20 +500,214 @@ class MatchTopicExpr(MatchSearchTermExpr):
         )
 
 
+@dataclass
+class MatchPropertySearchTermExpr(MatchTermExpr):
+    property_search_term: PropertySearchTerm
+
+    async def accumulate_matches(
+        self, context: QueryEvalContext, matches: SemanticRefAccumulator
+    ) -> None:
+        name = self.property_search_term.property_name
+        value = self.property_search_term.property_value
+        if isinstance(name, str):
+            await self.accumulate_matches_for_property(context, name, value, matches)
+        else:
+            await self.accumulate_matches_for_facets(context, name, value, matches)
+
+    async def accumulate_matches_for_facets(
+        self,
+        context: QueryEvalContext,
+        property_name: SearchTerm,
+        property_value: SearchTerm,
+        matches: SemanticRefAccumulator,
+    ) -> None:
+        # Free-form property names match facet names; a non-wildcard value
+        # must also match the facet value.
+        await self.accumulate_matches_for_property(
+            context, PropertyNames.FacetName.value, property_name, matches
+        )
+        if not is_search_term_wildcard(property_value):
+            await self.accumulate_matches_for_property(
+                context, PropertyNames.FacetValue.value, property_value, matches
+            )
+
+    async def accumulate_matches_for_property(
+        self,
+        context: QueryEvalContext,
+        property_name: str,
+        property_value: SearchTerm,
+        matches: SemanticRefAccumulator,
+    ) -> None:
+        await self.accumulate_matches_for_property_value(
+            context, matches, property_name, property_value.term
+        )
+        for related in property_value.related_terms or ():
+            await self.accumulate_matches_for_property_value(
+                context, matches, property_name, property_value.term, related
+            )
+
+    async def accumulate_matches_for_property_value(
+        self,
+        context: QueryEvalContext,
+        matches: SemanticRefAccumulator,
+        property_name: str,
+        property_value: Term,
+        related_prop_val: Term | None = None,
+    ) -> None:
+        # Dedupe key: which (name, value) actually hits the index.
+        effective = related_prop_val if related_prop_val is not None else property_value
+        if context.matched_property_terms.has(property_name, effective):
+            return
+        semantic_refs = await self.lookup_property(
+            context, property_name, effective.text
+        )
+        if not semantic_refs:
+            return
+        if related_prop_val is None:
+            matches.add_term_matches(property_value, semantic_refs, True)
+        else:
+            matches.add_term_matches_if_new(
+                property_value, semantic_refs, False, related_prop_val.weight
+            )
+        context.matched_property_terms.add(property_name, effective)
+
+    async def lookup_property(
+        self, context: QueryEvalContext, property_name: str, property_value: str
+    ) -> list[ScoredSemanticRefOrdinal] | None:
+        if context.property_index is None:
+            return None
+        return await lookup_property_in_property_index(
+            context.property_index,
+            property_name,
+            property_value,
+            context.semantic_refs,
+            context.text_ranges_in_scope,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Boolean combinators over term expressions
+# ---------------------------------------------------------------------------
+
+
+class MatchTermsBooleanExpr(QueryOpExpr[SemanticRefAccumulator]):
+    """Base for OR / OR-MAX / AND over term expressions."""
+
+    get_scope_expr: "GetScopeExpr | None" = None
+
+    async def begin_match(self, context: QueryEvalContext) -> None:
+        if self.get_scope_expr is not None:
+            context.text_ranges_in_scope = await self.get_scope_expr.eval(context)
+        context.clear_matched_terms()
+
+
+@dataclass
+class MatchTermsOrExpr(MatchTermsBooleanExpr):
+    term_expressions: list[IQueryOpExpr[SemanticRefAccumulator | None]] = field(
+        default_factory=list
+    )
+    get_scope_expr: "GetScopeExpr | None" = None
+
+    async def eval(self, context: QueryEvalContext) -> SemanticRefAccumulator:
+        await self.begin_match(context)
+        union: SemanticRefAccumulator | None = None
+        for match_expr in self.term_expressions:
+            found = await match_expr.eval(context)
+            if not found:
+                continue
+            if union is None:
+                union = found
+            else:
+                union.add_union(found)
+        if union is None:
+            return SemanticRefAccumulator()
+        union.calculate_total_score()
+        return union
+
+
+@dataclass
+class MatchTermsOrMaxExpr(MatchTermsOrExpr):
+    """Union, then keep only matches at the max hit count (when > 1)."""
+
+    term_expressions: list[IQueryOpExpr[SemanticRefAccumulator | None]] = field(
+        default_factory=list
+    )
+    get_scope_expr: "GetScopeExpr | None" = None
+
+    async def eval(self, context: QueryEvalContext) -> SemanticRefAccumulator:
+        matches = await super().eval(context)
+        peak = matches.get_max_hit_count()
+        if peak > 1:
+            matches.select_with_hit_count(peak)
+        return matches
+
+
+@dataclass
+class MatchTermsAndExpr(MatchTermsBooleanExpr):
+    term_expressions: list[IQueryOpExpr[SemanticRefAccumulator | None]] = field(
+        default_factory=list
+    )
+    get_scope_expr: "GetScopeExpr | None" = None
+
+    async def eval(self, context: QueryEvalContext) -> SemanticRefAccumulator:
+        await self.begin_match(context)
+        combined: SemanticRefAccumulator | None = None
+        for match_expr in self.term_expressions:
+            found = await match_expr.eval(context)
+            if not found:
+                # Any non-match fails the AND.
+                if combined is not None:
+                    combined.clear_matches()
+                break
+            combined = found if combined is None else combined.intersect(found)
+        if combined is None:
+            return SemanticRefAccumulator()
+        combined.calculate_total_score()
+        combined.select_with_hit_count(len(self.term_expressions))
+        return combined
+
+
 # ---------------------------------------------------------------------------
 # Grouping / filtering expressions
 # ---------------------------------------------------------------------------
 
 
+def to_grouped_search_results(
+    eval_results: dict[KnowledgeType, SemanticRefAccumulator],
+) -> dict[KnowledgeType, SemanticRefSearchResult]:
+    return {
+        ktype: SemanticRefSearchResult(
+            term_matches=accumulator.search_term_matches,
+            semantic_ref_matches=accumulator.to_scored_semantic_refs(),
+        )
+        for ktype, accumulator in eval_results.items()
+        if len(accumulator)
+    }
+
+
 @dataclass
-class GroupByKnowledgeTypeExpr(QueryOpExpr[dict[KnowledgeType, SemanticRefAccumulator]]):
+class SelectTopNExpr[T: MatchAccumulator](QueryOpExpr[T]):
+    source_expr: IQueryOpExpr[T]
+    max_matches: int | None = None
+    min_hit_count: int | None = None
+
+    async def eval(self, context: QueryEvalContext) -> T:
+        matches = await self.source_expr.eval(context)
+        matches.select_top_n_scoring(self.max_matches, self.min_hit_count)
+        return matches
+
+
+@dataclass
+class GroupByKnowledgeTypeExpr(
+    QueryOpExpr[dict[KnowledgeType, SemanticRefAccumulator]]
+):
     matches: IQueryOpExpr[SemanticRefAccumulator]
 
     async def eval(
         self, context: QueryEvalContext
     ) -> dict[KnowledgeType, SemanticRefAccumulator]:
-        semantic_ref_matches = await self.matches.eval(context)
-        return await semantic_ref_matches.group_matches_by_type(context.semantic_refs)
+        accumulator = await self.matches.eval(context)
+        return await accumulator.group_matches_by_type(context.semantic_refs)
 
 
 @dataclass
@@ -578,7 +728,9 @@ class SelectTopNKnowledgeGroupExpr(
 
 
 @dataclass
-class GroupSearchResultsExpr(QueryOpExpr[dict[KnowledgeType, SemanticRefSearchResult]]):
+class GroupSearchResultsExpr(
+    QueryOpExpr[dict[KnowledgeType, SemanticRefSearchResult]]
+):
     src_expr: IQueryOpExpr[dict[KnowledgeType, SemanticRefAccumulator]]
 
     async def eval(
@@ -587,49 +739,10 @@ class GroupSearchResultsExpr(QueryOpExpr[dict[KnowledgeType, SemanticRefSearchRe
         return to_grouped_search_results(await self.src_expr.eval(context))
 
 
-def to_grouped_search_results(
-    eval_results: dict[KnowledgeType, SemanticRefAccumulator],
-) -> dict[KnowledgeType, SemanticRefSearchResult]:
-    return {
-        typ: SemanticRefSearchResult(
-            term_matches=accumulator.search_term_matches,
-            semantic_ref_matches=accumulator.to_scored_semantic_refs(),
-        )
-        for typ, accumulator in eval_results.items()
-        if len(accumulator) > 0
-    }
-
-
 class IQuerySemanticRefPredicate(Protocol):
-    async def eval(self, context: QueryEvalContext, semantic_ref: SemanticRef) -> bool: ...
-
-
-@dataclass
-class WhereSemanticRefExpr(QueryOpExpr[SemanticRefAccumulator]):
-    source_expr: IQueryOpExpr[SemanticRefAccumulator]
-    predicates: list[IQuerySemanticRefPredicate]
-
-    async def eval(self, context: QueryEvalContext) -> SemanticRefAccumulator:
-        accumulator = await self.source_expr.eval(context)
-        filtered = SemanticRefAccumulator(set(accumulator.search_term_matches))
-        filtered_matches = []
-        for match in accumulator.get_matches():
-            if await self._eval_predicates(context, self.predicates, match):
-                filtered_matches.append(match)
-        filtered.set_matches(filtered_matches)
-        return filtered
-
-    async def _eval_predicates(
-        self,
-        context: QueryEvalContext,
-        predicates: list[IQuerySemanticRefPredicate],
-        match: Match[SemanticRefOrdinal],
-    ) -> bool:
-        for predicate in predicates:
-            semantic_ref = await context.get_semantic_ref(match.value)
-            if not await predicate.eval(context, semantic_ref):
-                return False
-        return True
+    async def eval(
+        self, context: QueryEvalContext, semantic_ref: SemanticRef
+    ) -> bool: ...
 
 
 @dataclass
@@ -640,115 +753,56 @@ class KnowledgeTypePredicate(IQuerySemanticRefPredicate):
         return semantic_ref.knowledge.knowledge_type == self.knowledge_type
 
 
-# ---------------------------------------------------------------------------
-# Scope selectors
-# ---------------------------------------------------------------------------
-
-
-class IQueryTextRangeSelector(Protocol):
-    async def eval(
-        self,
-        context: QueryEvalContext,
-        semantic_refs: SemanticRefAccumulator | None = None,
-    ) -> TextRangeCollection | None: ...
-
-
-class TextRangeSelector(IQueryTextRangeSelector):
-    """Pre-computed ranges supplied by the caller."""
-
-    def __init__(self, ranges_in_scope: list[TextRange]) -> None:
-        self.text_ranges_in_scope = TextRangeCollection(ranges_in_scope, True)
-
-    async def eval(
-        self,
-        context: QueryEvalContext,
-        semantic_refs: SemanticRefAccumulator | None = None,
-    ) -> TextRangeCollection | None:
-        return self.text_ranges_in_scope
-
-
 @dataclass
-class GetScopeExpr(QueryOpExpr[TextRangesInScope]):
-    range_selectors: list[IQueryTextRangeSelector]
+class WhereSemanticRefExpr(QueryOpExpr[SemanticRefAccumulator]):
+    source_expr: IQueryOpExpr[SemanticRefAccumulator]
+    predicates: list[IQuerySemanticRefPredicate]
 
-    async def eval(self, context: QueryEvalContext) -> TextRangesInScope:
-        ranges_in_scope = TextRangesInScope()
-        for selector in self.range_selectors:
-            collection = await selector.eval(context)
-            if collection is not None:
-                ranges_in_scope.add_text_ranges(collection)
-        return ranges_in_scope
+    async def eval(self, context: QueryEvalContext) -> SemanticRefAccumulator:
+        accumulator = await self.source_expr.eval(context)
+        kept = SemanticRefAccumulator(set(accumulator.search_term_matches))
+        for match in accumulator.get_matches():
+            if await self._accept(context, match):
+                kept.set_match(match)
+        return kept
 
-
-@dataclass
-class TextRangesInDateRangeSelector(IQueryTextRangeSelector):
-    date_range_in_scope: DateRange
-
-    async def eval(
-        self,
-        context: QueryEvalContext,
-        semantic_refs: SemanticRefAccumulator | None = None,
-    ) -> TextRangeCollection | None:
-        ranges = TextRangeCollection()
-        if context.timestamp_index is not None:
-            for timed in await context.timestamp_index.lookup_range(
-                self.date_range_in_scope
-            ):
-                ranges.add_range(timed.range)
-        else:
-            text_range = await get_text_range_for_date_range(
-                context.conversation, self.date_range_in_scope
-            )
-            if text_range is not None:
-                ranges.add_range(text_range)
-        return ranges
-
-
-@dataclass
-class TextRangesFromMessagesSelector(IQueryTextRangeSelector):
-    source_expr: IQueryOpExpr[MessageAccumulator]
-
-    async def eval(
-        self,
-        context: QueryEvalContext,
-        semantic_refs: SemanticRefAccumulator | None = None,
-    ) -> TextRangeCollection | None:
-        matches = await self.source_expr.eval(context)
-        ranges_in_scope: list[TextRange] | None = None
-        if matches:
-            ordinals = sorted(matches.get_matched_values())
-            ranges_in_scope = text_ranges_from_message_ordinals(ordinals)
-        return TextRangeCollection(ranges_in_scope)
-
-
-@dataclass
-class ThreadSelector(IQueryTextRangeSelector):
-    threads: list[Thread]
-
-    async def eval(
-        self,
-        context: QueryEvalContext,
-        semantic_refs: SemanticRefAccumulator | None = None,
-    ) -> TextRangeCollection | None:
-        text_ranges = TextRangeCollection()
-        for thread in self.threads:
-            text_ranges.add_ranges(list(thread.ranges))
-        return text_ranges
-
-
-def text_ranges_from_message_ordinals(
-    message_ordinals: list[MessageOrdinal],
-) -> list[TextRange]:
-    return [text_range_from_message(o) for o in message_ordinals]
-
-
-def text_range_from_message(message_ordinal: MessageOrdinal) -> TextRange:
-    return TextRange(start=TextLocation(message_ordinal))
+    async def _accept(
+        self, context: QueryEvalContext, match: Match[SemanticRefOrdinal]
+    ) -> bool:
+        for predicate in self.predicates:
+            semantic_ref = await context.get_semantic_ref(match.value)
+            if not await predicate.eval(context, semantic_ref):
+                return False
+        return True
 
 
 # ---------------------------------------------------------------------------
 # Message-side expressions
 # ---------------------------------------------------------------------------
+
+
+async def message_matches_from_knowledge_matches(
+    semantic_refs: ISemanticRefCollection,
+    knowledge_matches: dict[KnowledgeType, SemanticRefSearchResult],
+    intersect_across_knowledge_types: bool = True,
+) -> MessageAccumulator:
+    """Messages referenced by matched knowledge; kept only if they matched
+    every knowledge type that had matches; scores smoothed."""
+    message_matches = MessageAccumulator()
+    types_with_hits = 0
+    for result in knowledge_matches.values():
+        if not (result and result.semantic_ref_matches):
+            continue
+        types_with_hits += 1
+        for match in result.semantic_ref_matches:
+            ref = await semantic_refs.get_item(match.semantic_ref_ordinal)
+            message_matches.add_messages_for_semantic_ref(ref, match.score)
+    if intersect_across_knowledge_types and types_with_hits:
+        survivors = message_matches.get_with_hit_count(types_with_hits)
+        if survivors:
+            message_matches = MessageAccumulator(survivors)
+    message_matches.smooth_scores()
+    return message_matches
 
 
 @dataclass
@@ -769,29 +823,24 @@ class MessagesFromKnowledgeExpr(QueryOpExpr[MessageAccumulator]):
         )
 
 
-async def message_matches_from_knowledge_matches(
-    semantic_refs: ISemanticRefCollection,
-    knowledge_matches: dict[KnowledgeType, SemanticRefSearchResult],
-    intersect_across_knowledge_types: bool = True,
-) -> MessageAccumulator:
-    """Messages referenced by matched knowledge; kept only if they matched
-    every knowledge type that had matches; scores smoothed."""
-    message_matches = MessageAccumulator()
-    knowledge_type_hit_count = 0
-    for matches_by_type in knowledge_matches.values():
-        if matches_by_type and matches_by_type.semantic_ref_matches:
-            knowledge_type_hit_count += 1
-            for match in matches_by_type.semantic_ref_matches:
-                message_matches.add_messages_for_semantic_ref(
-                    await semantic_refs.get_item(match.semantic_ref_ordinal),
-                    match.score,
-                )
-    if intersect_across_knowledge_types and knowledge_type_hit_count > 0:
-        relevant = message_matches.get_with_hit_count(knowledge_type_hit_count)
-        if relevant:
-            message_matches = MessageAccumulator(relevant)
-    message_matches.smooth_scores()
-    return message_matches
+@dataclass
+class GetScoredMessagesExpr(QueryOpExpr[list[ScoredMessageOrdinal]]):
+    src_expr: IQueryOpExpr[MessageAccumulator]
+
+    async def eval(self, context: QueryEvalContext) -> list[ScoredMessageOrdinal]:
+        matches = await self.src_expr.eval(context)
+        return matches.to_scored_message_ordinals()
+
+
+@dataclass
+class SelectMessagesInCharBudget(QueryOpExpr[MessageAccumulator]):
+    src_expr: IQueryOpExpr[MessageAccumulator]
+    max_chars: int
+
+    async def eval(self, context: QueryEvalContext) -> MessageAccumulator:
+        matches = await self.src_expr.eval(context)
+        await matches.select_messages_in_budget(context.messages, self.max_chars)
+        return matches
 
 
 @dataclass
@@ -809,24 +858,25 @@ class RankMessagesBySimilarityExpr(QueryOpExpr[MessageAccumulator]):
         if self.max_messages is not None and len(matches) <= self.max_messages:
             return matches
 
-        secondary = context.conversation.secondary_indexes
-        message_index = None if secondary is None else secondary.message_index
         from ..storage.memory.messageindex import IMessageTextEmbeddingIndex
 
+        secondary = context.conversation.secondary_indexes
+        message_index = secondary.message_index if secondary else None
         if isinstance(message_index, IMessageTextEmbeddingIndex):
-            message_ordinals = await self._ordinals_in_index(message_index, matches)
-            if len(message_ordinals) == len(matches):
-                matches.clear_matches()
+            ordinals = await self._ordinals_in_index(message_index, matches)
+            if len(ordinals) == len(matches):
                 ranked = message_index.lookup_in_subset_by_embedding(
                     self.embedding,
-                    message_ordinals,
+                    ordinals,
                     self.max_messages,
                     self.threshold_score,
                 )
-                for match in ranked:
-                    matches.add(match.message_ordinal, match.score)
+                matches.clear_matches()
+                for scored in ranked:
+                    matches.add(scored.message_ordinal, scored.score)
                 return matches
 
+        # Index unavailable (or candidates not fully indexed): plain top-N.
         if self.max_messages is not None:
             matches.select_top_n_scoring(self.max_messages)
         return matches
@@ -834,22 +884,13 @@ class RankMessagesBySimilarityExpr(QueryOpExpr[MessageAccumulator]):
     async def _ordinals_in_index(
         self, message_index, matches: MessageAccumulator
     ) -> list[MessageOrdinal]:
-        ordinals: list[MessageOrdinal] = []
         index_size = await message_index.size()
+        ordinals: list[MessageOrdinal] = []
         for ordinal in matches.get_matched_values():
             if ordinal >= index_size:
                 break
             ordinals.append(ordinal)
         return ordinals
-
-
-@dataclass
-class GetScoredMessagesExpr(QueryOpExpr[list[ScoredMessageOrdinal]]):
-    src_expr: IQueryOpExpr[MessageAccumulator]
-
-    async def eval(self, context: QueryEvalContext) -> list[ScoredMessageOrdinal]:
-        matches = await self.src_expr.eval(context)
-        return matches.to_scored_message_ordinals()
 
 
 @dataclass
@@ -861,17 +902,17 @@ class MatchMessagesBooleanExpr(IQueryOpExpr[MessageAccumulator]):
     def _begin_match(self, context: QueryEvalContext) -> None:
         context.clear_matched_terms()
 
-    async def _accumulate_messages(
+    async def _as_message_matches(
         self,
         context: QueryEvalContext,
-        semantic_ref_matches: SemanticRefAccumulator,
+        found: SemanticRefAccumulator | MessageAccumulator,
     ) -> MessageAccumulator:
+        if isinstance(found, MessageAccumulator):
+            return found
         message_matches = MessageAccumulator()
-        for semantic_ref_match in semantic_ref_matches:
-            semantic_ref = await context.get_semantic_ref(semantic_ref_match.value)
-            message_matches.add_messages_for_semantic_ref(
-                semantic_ref, semantic_ref_match.score
-            )
+        for match in found:
+            ref = await context.get_semantic_ref(match.value)
+            message_matches.add_messages_for_semantic_ref(ref, match.score)
         return message_matches
 
 
@@ -879,84 +920,50 @@ class MatchMessagesBooleanExpr(IQueryOpExpr[MessageAccumulator]):
 class MatchMessagesOrExpr(MatchMessagesBooleanExpr):
     async def eval(self, context: QueryEvalContext) -> MessageAccumulator:
         self._begin_match(context)
-        all_matches: MessageAccumulator | None = None
+        union: MessageAccumulator | None = None
         for match_expr in self.term_expressions:
-            matches = await match_expr.eval(context)
-            if not matches:
+            found = await match_expr.eval(context)
+            if not found:
                 continue
-            if isinstance(matches, SemanticRefAccumulator):
-                message_matches = await self._accumulate_messages(context, matches)
+            message_matches = await self._as_message_matches(context, found)
+            if union is None:
+                union = message_matches
             else:
-                message_matches = matches
-            if all_matches is not None:
-                all_matches.add_union(message_matches)
-            else:
-                all_matches = message_matches
-        if all_matches is not None:
-            all_matches.calculate_total_score()
-        else:
-            all_matches = MessageAccumulator()
-        return all_matches
-
-
-@dataclass
-class MatchMessagesAndExpr(MatchMessagesBooleanExpr):
-    async def eval(self, context: QueryEvalContext) -> MessageAccumulator:
-        self._begin_match(context)
-        all_matches: MessageAccumulator | None = None
-        all_done = False
-        for match_expr in self.term_expressions:
-            matches = await match_expr.eval(context)
-            if not matches:
-                break  # any non-match fails the AND
-            if isinstance(matches, SemanticRefAccumulator):
-                message_matches = await self._accumulate_messages(context, matches)
-            else:
-                message_matches = matches
-            if all_matches is None:
-                all_matches = message_matches
-            else:
-                all_matches = all_matches.intersect(message_matches)
-                if not all_matches:
-                    break
-        else:
-            all_done = True
-
-        if all_matches is not None:
-            if all_done:
-                all_matches.calculate_total_score()
-                all_matches.select_with_hit_count(len(self.term_expressions))
-            else:
-                all_matches.clear_matches()
-        else:
-            all_matches = MessageAccumulator()
-        return all_matches
+                union.add_union(message_matches)
+        if union is None:
+            return MessageAccumulator()
+        union.calculate_total_score()
+        return union
 
 
 @dataclass
 class MatchMessagesOrMaxExpr(MatchMessagesOrExpr):
     async def eval(self, context: QueryEvalContext) -> MessageAccumulator:
         matches = await super().eval(context)
-        max_hit_count = matches.get_max_hit_count()
-        if max_hit_count > 1:
-            matches.select_with_hit_count(max_hit_count)
+        peak = matches.get_max_hit_count()
+        if peak > 1:
+            matches.select_with_hit_count(peak)
         return matches
-
-
-class NoOpExpr[T](QueryOpExpr[T]):
-    def __init__(self, src_expr: IQueryOpExpr[T]) -> None:
-        self.src_expr = src_expr
-
-    async def eval(self, context: QueryEvalContext) -> T:
-        return await self.src_expr.eval(context)
 
 
 @dataclass
-class SelectMessagesInCharBudget(QueryOpExpr[MessageAccumulator]):
-    src_expr: IQueryOpExpr[MessageAccumulator]
-    max_chars: int
-
+class MatchMessagesAndExpr(MatchMessagesBooleanExpr):
     async def eval(self, context: QueryEvalContext) -> MessageAccumulator:
-        matches = await self.src_expr.eval(context)
-        await matches.select_messages_in_budget(context.messages, self.max_chars)
-        return matches
+        self._begin_match(context)
+        combined: MessageAccumulator | None = None
+        for match_expr in self.term_expressions:
+            found = await match_expr.eval(context)
+            if not found:
+                return MessageAccumulator()  # any non-match fails the AND
+            message_matches = await self._as_message_matches(context, found)
+            if combined is None:
+                combined = message_matches
+            else:
+                combined = combined.intersect(message_matches)
+                if not combined:
+                    return MessageAccumulator()
+        if combined is None:
+            return MessageAccumulator()
+        combined.calculate_total_score()
+        combined.select_with_hit_count(len(self.term_expressions))
+        return combined

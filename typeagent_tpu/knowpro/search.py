@@ -10,6 +10,10 @@
     selectors when no explicit scope terms are given;
   * non-exact queries resolve related terms over select (dedupe) + predicate +
     scope term groups.)
+
+TPU addition: ``SearchOptions(use_device_executor=True)`` routes flat
+or/or_max groups through the fused device postings program
+(knowpro/device_executor.py) before falling back to this host compiler.
 """
 
 from __future__ import annotations
@@ -80,6 +84,66 @@ from .query import (
 )
 from .searchlib import create_tag_search_term_group
 
+# Scope-defining action property names (S.V.O. of an ActionTerm).
+_ACTION_PROPERTY_NAMES = ("subject", "verb", "object", "indirectObject")
+
+
+def is_property_term(term: SearchTerm) -> TypeGuard[PropertySearchTerm]:
+    return isinstance(term, PropertySearchTerm)
+
+
+def is_action_property_term(term: PropertySearchTerm) -> bool:
+    # Facet-style property names are SearchTerm objects, never action props.
+    return (
+        isinstance(term.property_name, str)
+        and term.property_name in _ACTION_PROPERTY_NAMES
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boolean-expression factories
+# ---------------------------------------------------------------------------
+
+_TERM_BOOL_EXPRS: dict[BooleanOp, type[MatchTermsBooleanExpr]] = {
+    "and": MatchTermsAndExpr,
+    "or": MatchTermsOrExpr,
+    "or_max": MatchTermsOrMaxExpr,
+}
+_MESSAGE_BOOL_EXPRS: dict[BooleanOp, type[MatchMessagesBooleanExpr]] = {
+    "and": MatchMessagesAndExpr,
+    "or": MatchMessagesOrExpr,
+    "or_max": MatchMessagesOrMaxExpr,
+}
+
+
+def create_match_terms_boolean_expr(
+    term_expressions: list[IQueryOpExpr[SemanticRefAccumulator | None]],
+    boolean_op: BooleanOp,
+    scope_expr: GetScopeExpr | None = None,
+) -> MatchTermsBooleanExpr:
+    try:
+        return _TERM_BOOL_EXPRS[boolean_op](term_expressions, scope_expr)
+    except KeyError:
+        raise ValueError(f"Unknown boolean op: {boolean_op}") from None
+
+
+def create_match_messages_boolean_expr(
+    term_expressions: list[
+        IQueryOpExpr[SemanticRefAccumulator | MessageAccumulator | None]
+    ],
+    boolean_op: BooleanOp,
+    scope_expr: GetScopeExpr | None = None,
+) -> MatchMessagesBooleanExpr:
+    try:
+        return _MESSAGE_BOOL_EXPRS[boolean_op](term_expressions)
+    except KeyError:
+        raise ValueError(f"Unknown boolean op: {boolean_op}") from None
+
+
+# ---------------------------------------------------------------------------
+# Public result/option types
+# ---------------------------------------------------------------------------
+
 
 @dataclass
 class SearchQueryExpr:
@@ -103,12 +167,13 @@ class SearchOptions:
     use_device_executor: bool = False
 
     def __repr__(self):
-        parts = [
-            f"{k}={v!r}"
-            for k, v in vars(self).items()
-            if not k.startswith("_") and v is not None
-        ]
-        return f"{self.__class__.__name__}({', '.join(parts)})"
+        set_fields = (
+            (name, value)
+            for name, value in vars(self).items()
+            if value is not None and not name.startswith("_")
+        )
+        inner = ", ".join(f"{name}={value!r}" for name, value in set_fields)
+        return f"{type(self).__name__}({inner})"
 
 
 @dataclass
@@ -116,6 +181,61 @@ class ConversationSearchResult:
     message_matches: list[ScoredMessageOrdinal]
     knowledge_matches: dict[KnowledgeType, SemanticRefSearchResult]
     raw_query_text: str | None = None
+
+
+def has_conversation_result(result: ConversationSearchResult) -> bool:
+    return bool(result.knowledge_matches or result.message_matches)
+
+
+def has_conversation_results(results: list[ConversationSearchResult]) -> bool:
+    return any(map(has_conversation_result, results))
+
+
+# ---------------------------------------------------------------------------
+# Entry points
+# ---------------------------------------------------------------------------
+
+
+async def run_query[T](
+    conversation: IConversation,
+    options: SearchOptions | None,
+    query: IQueryOpExpr[T],
+) -> T:
+    indexes = conversation.secondary_indexes
+    assert indexes is not None, (
+        "Conversation secondary indexes must be initialized before running queries"
+    )
+    context = QueryEvalContext(
+        conversation,
+        indexes.property_to_semantic_ref_index,
+        indexes.timestamp_index,
+    )
+    return await query.eval(context)
+
+
+async def search_conversation_knowledge(
+    conversation: IConversation,
+    search_term_group: SearchTermGroup,
+    when_filter: WhenFilter | None = None,
+    options: SearchOptions | None = None,
+) -> dict[KnowledgeType, SemanticRefSearchResult] | None:
+    options = options or SearchOptions()
+    if not is_conversation_searchable(conversation):
+        return None
+    assert conversation.secondary_indexes is not None, (
+        "Conversation secondary indexes must be initialized before searching"
+    )
+    if options.use_device_executor and when_filter is None and options.exact_match:
+        device_result = await _try_device_executor(
+            conversation, search_term_group, options
+        )
+        if device_result is not None:
+            return device_result
+    compiler = QueryCompiler(conversation, conversation.secondary_indexes)
+    knowledge_query = await compiler.compile_knowledge_query(
+        search_term_group, when_filter, options
+    )
+    return await run_query(conversation, options, knowledge_query)
 
 
 async def search_conversation(
@@ -144,29 +264,22 @@ async def search_conversation(
     )
 
 
-async def search_conversation_knowledge(
+async def run_search_query(
     conversation: IConversation,
-    search_term_group: SearchTermGroup,
-    when_filter: WhenFilter | None = None,
+    query: SearchQueryExpr,
     options: SearchOptions | None = None,
-) -> dict[KnowledgeType, SemanticRefSearchResult] | None:
+    original_query_text: str | None = None,
+) -> list[ConversationSearchResult]:
     options = options or SearchOptions()
-    if not is_conversation_searchable(conversation):
-        return None
-    assert conversation.secondary_indexes is not None, (
-        "Conversation secondary indexes must be initialized before searching"
-    )
-    if options.use_device_executor and when_filter is None and options.exact_match:
-        device_result = await _try_device_executor(
-            conversation, search_term_group, options
+    raw_text = original_query_text or query.raw_query
+    results: list[ConversationSearchResult] = []
+    for expr in query.select_expressions:
+        one = await search_conversation(
+            conversation, expr.search_term_group, expr.when, options, raw_text
         )
-        if device_result is not None:
-            return device_result
-    compiler = QueryCompiler(conversation, conversation.secondary_indexes)
-    knowledge_query = await compiler.compile_knowledge_query(
-        search_term_group, when_filter, options
-    )
-    return await run_query(conversation, options, knowledge_query)
+        if one is not None:
+            results.append(one)
+    return results
 
 
 async def _try_device_executor(
@@ -199,64 +312,37 @@ async def _try_device_executor(
     )
 
 
-async def run_search_query(
-    conversation: IConversation,
-    query: SearchQueryExpr,
-    options: SearchOptions | None = None,
-    original_query_text: str | None = None,
-) -> list[ConversationSearchResult]:
-    options = options or SearchOptions()
-    results: list[ConversationSearchResult] = []
-    for expr in query.select_expressions:
-        search_results = await search_conversation(
-            conversation,
-            expr.search_term_group,
-            expr.when,
-            options,
-            original_query_text or query.raw_query,
-        )
-        if search_results is not None:
-            results.append(search_results)
-    return results
-
-
-async def run_query[T](
-    conversation: IConversation,
-    options: SearchOptions | None,
-    query: IQueryOpExpr[T],
-) -> T:
-    secondary_indexes = conversation.secondary_indexes
-    assert secondary_indexes is not None, (
-        "Conversation secondary indexes must be initialized before running queries"
-    )
-    return await query.eval(
-        QueryEvalContext(
-            conversation,
-            secondary_indexes.property_to_semantic_ref_index,
-            secondary_indexes.timestamp_index,
-        )
-    )
-
+# ---------------------------------------------------------------------------
+# The compiler
+# ---------------------------------------------------------------------------
 
 # NOTE: QueryCompiler instances are stateful and not thread-safe; create a
 # fresh one per query.
 class QueryCompiler:
+    # Compile-rule weights (reference search.py:200-213).
+    ENTITY_TERM_WEIGHT = 100.0
+    DEFAULT_TERM_WEIGHT = 10.0
+    RELATED_IS_EXACT_THRESHOLD = 0.95
+
     def __init__(
         self,
         conversation: IConversation,
         secondary_indexes: IConversationSecondaryIndexes | None,
-        entity_term_match_weight: float = 100.0,
-        default_term_match_weight: float = 10.0,
-        related_is_exact_threshold: float = 0.95,
+        entity_term_match_weight: float = ENTITY_TERM_WEIGHT,
+        default_term_match_weight: float = DEFAULT_TERM_WEIGHT,
+        related_is_exact_threshold: float = RELATED_IS_EXACT_THRESHOLD,
     ):
         self.conversation = conversation
         self.secondary_indexes = secondary_indexes
         self.entity_term_match_weight = entity_term_match_weight
         self.default_term_match_weight = default_term_match_weight
         self.related_is_exact_threshold = related_is_exact_threshold
+        # Term groups gathered during compilation, for related-term resolution.
         self.all_search_terms: list[CompiledTermGroup] = []
         self.all_predicate_search_terms: list[CompiledTermGroup] = []
         self.all_scope_search_terms: list[CompiledTermGroup] = []
+
+    # -- top-level compiles ---------------------------------------------------
 
     async def compile_knowledge_query(
         self,
@@ -265,12 +351,27 @@ class QueryCompiler:
         options: SearchOptions | None = None,
     ) -> GroupSearchResultsExpr:
         query = await self.compile_query(terms, filter, options)
-        exact_match = options.exact_match if options is not None else False
-        if not exact_match:
+        if not (options.exact_match if options else False):
+            # Non-exact queries expand terms through aliases + the fuzzy index.
             await self.resolve_related_terms(self.all_search_terms, True)
             await self.resolve_related_terms(self.all_predicate_search_terms, False)
             await self.resolve_related_terms(self.all_scope_search_terms, False)
         return GroupSearchResultsExpr(query)
+
+    async def compile_query(
+        self,
+        search_term_group: SearchTermGroup,
+        filter: WhenFilter | None = None,
+        options: SearchOptions | None = None,
+    ) -> IQueryOpExpr[dict[KnowledgeType, SemanticRefAccumulator]]:
+        scope = await self.compile_scope(search_term_group, filter)
+        select_expr = self.compile_select(search_term_group, scope, options)
+        if filter:
+            select_expr = WhereSemanticRefExpr(select_expr, self.compile_where(filter))
+        top_n = options.max_knowledge_matches if options else None
+        return SelectTopNKnowledgeGroupExpr(
+            GroupByKnowledgeTypeExpr(select_expr), top_n or None
+        )
 
     async def compile_message_query(
         self,
@@ -284,27 +385,12 @@ class QueryCompiler:
         query: IQueryOpExpr = MessagesFromKnowledgeExpr(knowledge)
         if options is not None:
             query = await self.compile_message_re_rank(query, raw_query_text, options)
-            if options.max_chars_in_budget and options.max_chars_in_budget > 0:
-                query = SelectMessagesInCharBudget(query, options.max_chars_in_budget)
+            budget = options.max_chars_in_budget
+            if budget and budget > 0:
+                query = SelectMessagesInCharBudget(query, budget)
         return GetScoredMessagesExpr(query)
 
-    async def compile_query(
-        self,
-        search_term_group: SearchTermGroup,
-        filter: WhenFilter | None = None,
-        options: SearchOptions | None = None,
-    ) -> IQueryOpExpr[dict[KnowledgeType, SemanticRefAccumulator]]:
-        select_expr = self.compile_select(
-            search_term_group,
-            await self.compile_scope(search_term_group, filter),
-            options,
-        )
-        if filter:
-            select_expr = WhereSemanticRefExpr(select_expr, self.compile_where(filter))
-        return SelectTopNKnowledgeGroupExpr(
-            GroupByKnowledgeTypeExpr(select_expr),
-            options.max_knowledge_matches if options and options.max_knowledge_matches else None,
-        )
+    # -- select compilation ----------------------------------------------------
 
     def compile_select(
         self,
@@ -312,10 +398,8 @@ class QueryCompiler:
         scope_expr: GetScopeExpr | None = None,
         options: SearchOptions | None = None,
     ) -> IQueryOpExpr[SemanticRefAccumulator]:
-        search_terms_used, select_expr = self.compile_search_group_terms(
-            term_group, scope_expr
-        )
-        self.all_search_terms.extend(search_terms_used)
+        used, select_expr = self.compile_search_group_terms(term_group, scope_expr)
+        self.all_search_terms.extend(used)
         return select_expr
 
     def compile_search_group_terms(
@@ -343,108 +427,123 @@ class QueryCompiler:
         ],
         scope_expr: GetScopeExpr | None = None,
     ) -> tuple[list[CompiledTermGroup], IQueryOpExpr]:
-        t0_terms: list[CompiledSearchTerm] = []
-        compiled_terms: list[CompiledTermGroup] = [
-            CompiledTermGroup(boolean_op=search_group.boolean_op, terms=t0_terms)
+        this_level: list[CompiledSearchTerm] = []
+        groups: list[CompiledTermGroup] = [
+            CompiledTermGroup(boolean_op=search_group.boolean_op, terms=this_level)
         ]
-        term_expressions: list[IQueryOpExpr] = []
+        exprs: list[IQueryOpExpr] = []
         for term in search_group.terms:
-            if isinstance(term, PropertySearchTerm):
-                term_expressions.append(self.compile_property_term(term))
-                if not isinstance(term.property_name, str):
-                    t0_terms.append(to_required_search_term(term.property_name))
-                t0_terms.append(to_required_search_term(term.property_value))
-            elif isinstance(term, SearchTermGroup):
-                nested_terms, group_expr = self.compile_search_group(term, create_op)
-                compiled_terms.extend(nested_terms)
-                term_expressions.append(group_expr)
-            else:
-                term_expressions.append(self.compile_search_term(term))
-                t0_terms.append(to_non_required_search_term(term))
-        bool_expr = create_op(term_expressions, search_group.boolean_op, scope_expr)
-        return (compiled_terms, bool_expr)
+            match term:
+                case PropertySearchTerm():
+                    exprs.append(self.compile_property_term(term))
+                    # Free-form (facet) property names also resolve as terms;
+                    # both halves keep whatever related terms they carry.
+                    if not isinstance(term.property_name, str):
+                        this_level.append(to_required_search_term(term.property_name))
+                    this_level.append(to_required_search_term(term.property_value))
+                case SearchTermGroup():
+                    nested, expr = self.compile_search_group(term, create_op)
+                    groups.extend(nested)
+                    exprs.append(expr)
+                case _:
+                    exprs.append(self.compile_search_term(term))
+                    this_level.append(to_non_required_search_term(term))
+        return groups, create_op(exprs, search_group.boolean_op, scope_expr)
 
     def compile_search_term(
         self, term: SearchTerm
     ) -> IQueryOpExpr[SemanticRefAccumulator | None]:
-        boost_weight = self.entity_term_match_weight / self.default_term_match_weight
-        return MatchSearchTermExpr(
-            term,
-            lambda term, sr, scored: self.boost_entities(
-                term, sr, scored, boost_weight
-            ),
-        )
+        boost = self.entity_term_match_weight / self.default_term_match_weight
+
+        def booster(t: SearchTerm, sr: SemanticRef, scored: ScoredSemanticRefOrdinal):
+            return self.boost_entities(t, sr, scored, boost)
+
+        return MatchSearchTermExpr(term, booster)
 
     def compile_property_term(
         self, term: PropertySearchTerm
     ) -> IQueryOpExpr[SemanticRefAccumulator | None]:
-        match term.property_name:
-            case "tag":
-                return MatchTagExpr(term.property_value)
-            case "topic":
-                return MatchTopicExpr(term.property_value)
-            case _:
-                if term.property_name in ("name", "type"):
-                    value_term = term.property_value.term
-                    if value_term.weight is None:
-                        value_term.weight = self.entity_term_match_weight
-                return MatchPropertySearchTermExpr(term)
+        name = term.property_name
+        if name == "tag":
+            return MatchTagExpr(term.property_value)
+        if name == "topic":
+            return MatchTopicExpr(term.property_value)
+        if name in ("name", "type") and term.property_value.term.weight is None:
+            # Entity name/type matches carry the entity weight.
+            term.property_value.term.weight = self.entity_term_match_weight
+        return MatchPropertySearchTermExpr(term)
+
+    # -- scope compilation -------------------------------------------------------
 
     async def compile_scope(
         self,
         term_group: SearchTermGroup | None = None,
         filter: WhenFilter | None = None,
     ) -> GetScopeExpr | None:
-        scope_selectors: list[IQueryTextRangeSelector] = []
+        selectors: list[IQueryTextRangeSelector] = []
 
         if filter and filter.date_range:
-            scope_selectors.append(TextRangesInDateRangeSelector(filter.date_range))
+            selectors.append(TextRangesInDateRangeSelector(filter.date_range))
 
-        # 'OUTER' scope: explicit scope terms, else any action terms.
-        if filter and filter.scope_defining_terms is not None:
-            self.add_terms_scope_selector(filter.scope_defining_terms, scope_selectors)
+        # 'OUTER' scope: explicit scope terms win; otherwise any action terms
+        # present in the select group become the scope.
+        explicit = filter.scope_defining_terms if filter else None
+        if explicit is not None:
+            self.add_terms_scope_selector(explicit, selectors)
         elif term_group is not None:
-            action_terms_group = self.get_action_terms_from_search_group(term_group)
-            if action_terms_group is not None:
-                self.add_terms_scope_selector(action_terms_group, scope_selectors)
+            action_group = self.get_action_terms_from_search_group(term_group)
+            if action_group is not None:
+                self.add_terms_scope_selector(action_group, selectors)
 
         if filter and filter.text_ranges_in_scope:
-            scope_selectors.append(TextRangeSelector(filter.text_ranges_in_scope))
+            selectors.append(TextRangeSelector(filter.text_ranges_in_scope))
 
         if filter and filter.tags:
             self.add_terms_scope_selector(
-                create_tag_search_term_group(filter.tags), scope_selectors
+                create_tag_search_term_group(filter.tags), selectors
             )
 
         threads = self.secondary_indexes.threads if self.secondary_indexes else None
-        if filter and filter.thread_description and threads:
-            threads_in_scope = await threads.lookup_thread(filter.thread_description)
-            if threads_in_scope:
-                scope_selectors.append(
+        if threads and filter and filter.thread_description:
+            matching = await threads.lookup_thread(filter.thread_description)
+            if matching:
+                selectors.append(
                     ThreadSelector(
-                        [threads.threads[t.thread_ordinal] for t in threads_in_scope]
+                        [threads.threads[t.thread_ordinal] for t in matching]
                     )
                 )
 
-        return GetScopeExpr(scope_selectors) if scope_selectors else None
+        return GetScopeExpr(selectors) if selectors else None
 
     def add_terms_scope_selector(
         self,
         term_group: SearchTermGroup,
         scope_selectors: list[IQueryTextRangeSelector],
     ) -> None:
-        if term_group.terms:
-            search_terms_used, select_expr = self.compile_search_group_messages(
-                term_group
-            )
-            scope_selectors.append(TextRangesFromMessagesSelector(select_expr))
-            self.all_scope_search_terms.extend(search_terms_used)
+        if not term_group.terms:
+            return
+        used, select_expr = self.compile_search_group_messages(term_group)
+        scope_selectors.append(TextRangesFromMessagesSelector(select_expr))
+        self.all_scope_search_terms.extend(used)
+
+    def get_action_terms_from_search_group(
+        self, search_group: SearchTermGroup
+    ) -> SearchTermGroup | None:
+        action_terms = [
+            term
+            for term in search_group.terms
+            if is_property_term(term) and is_action_property_term(term)
+        ]
+        if not action_terms:
+            return None
+        return SearchTermGroup(boolean_op="and", terms=list(action_terms))
 
     def compile_where(self, filter: WhenFilter) -> list[IQuerySemanticRefPredicate]:
-        predicates: list[IQuerySemanticRefPredicate] = []
         if filter.knowledge_type:
-            predicates.append(KnowledgeTypePredicate(filter.knowledge_type))
-        return predicates
+            return [KnowledgeTypePredicate(filter.knowledge_type)]
+        return []
+
+    # -- message re-rank ---------------------------------------------------------
 
     async def compile_message_re_rank(
         self,
@@ -452,16 +551,14 @@ class QueryCompiler:
         raw_query_text: str | None = None,
         options: SearchOptions | None = None,
     ) -> IQueryOpExpr:
-        message_index = (
-            self.conversation.secondary_indexes.message_index
-            if self.conversation.secondary_indexes
-            else None
-        )
-        if (
+        indexes = self.conversation.secondary_indexes
+        message_index = indexes.message_index if indexes else None
+        can_re_rank = (
             raw_query_text is not None
             and isinstance(message_index, IMessageTextEmbeddingIndex)
             and not await message_index.is_empty()
-        ):
+        )
+        if can_re_rank:
             embedding = await message_index.generate_embedding(raw_query_text)
             return RankMessagesBySimilarityExpr(
                 src_expr,
@@ -469,19 +566,12 @@ class QueryCompiler:
                 options.max_message_matches if options else None,
                 options.threshold_score if options else None,
             )
-        if options and options.max_message_matches and options.max_message_matches > 0:
-            return SelectTopNExpr(src_expr, options.max_message_matches)
+        max_messages = options.max_message_matches if options else None
+        if max_messages and max_messages > 0:
+            return SelectTopNExpr(src_expr, max_messages)
         return NoOpExpr(src_expr)
 
-    def get_action_terms_from_search_group(
-        self, search_group: SearchTermGroup
-    ) -> SearchTermGroup | None:
-        action_group: SearchTermGroup | None = None
-        for term in search_group.terms:
-            if isinstance(term, PropertySearchTerm) and is_action_property_term(term):
-                action_group = action_group or SearchTermGroup(boolean_op="and")
-                action_group.terms.append(term)
-        return action_group
+    # -- term preparation ---------------------------------------------------------
 
     async def resolve_related_terms(
         self,
@@ -491,19 +581,18 @@ class QueryCompiler:
     ) -> None:
         if not compiled_terms:
             return
-        for ct in compiled_terms:
-            self.validate_and_prepare_search_terms(ct.terms)
-        if (
-            self.secondary_indexes is not None
-            and self.secondary_indexes.term_to_related_terms_index is not None
-        ):
-            await resolve_related_terms(
-                self.secondary_indexes.term_to_related_terms_index,
-                compiled_terms,
-                dedupe,
-            )
-            for ct in compiled_terms:
-                self.validate_and_prepare_search_terms(ct.terms)
+        for group in compiled_terms:
+            self.validate_and_prepare_search_terms(group.terms)
+        index = (
+            self.secondary_indexes.term_to_related_terms_index
+            if self.secondary_indexes
+            else None
+        )
+        if index is not None:
+            await resolve_related_terms(index, compiled_terms, dedupe)
+            # Resolution may have added related terms: prepare those too.
+            for group in compiled_terms:
+                self.validate_and_prepare_search_terms(group.terms)
 
     def validate_and_prepare_search_terms(
         self, terms: list[CompiledSearchTerm]
@@ -511,23 +600,24 @@ class QueryCompiler:
         for term in terms:
             self.validate_and_prepare_search_term(term)
 
-    def validate_and_prepare_search_term(self, search_term: CompiledSearchTerm) -> bool:
+    def validate_and_prepare_search_term(
+        self, search_term: CompiledSearchTerm
+    ) -> bool:
         if not self.validate_and_prepare_term(search_term.term):
             return False
         # Exact matches count more than related matches, so the main term
         # gets the default weight when none was assigned.
         if search_term.term.weight is None:
             search_term.term.weight = self.default_term_match_weight
-        if search_term.related_terms is not None:
-            for related_term in search_term.related_terms:
-                if not self.validate_and_prepare_term(related_term):
-                    return False
-                # A related term nearly identical to the main term scores the same.
-                if (
-                    related_term.weight is not None
-                    and related_term.weight >= self.related_is_exact_threshold
-                ):
-                    related_term.weight = self.default_term_match_weight
+        for related in search_term.related_terms or ():
+            if not self.validate_and_prepare_term(related):
+                return False
+            # A related term nearly identical to the main term scores the same.
+            if (
+                related.weight is not None
+                and related.weight >= self.related_is_exact_threshold
+            ):
+                related.weight = self.default_term_match_weight
         return True
 
     def validate_and_prepare_term(self, term: Term | None) -> bool:
@@ -542,61 +632,12 @@ class QueryCompiler:
         scored_ref: ScoredSemanticRefOrdinal,
         boost_weight: float,
     ) -> ScoredSemanticRefOrdinal:
-        if sr.knowledge.knowledge_type == "entity" and match_entity_name_or_type(
+        if sr.knowledge.knowledge_type != "entity":
+            return scored_ref
+        if not match_entity_name_or_type(
             search_term, cast(ConcreteEntity, sr.knowledge)
         ):
-            return ScoredSemanticRefOrdinal(
-                scored_ref.semantic_ref_ordinal,
-                scored_ref.score * boost_weight,
-            )
-        return scored_ref
-
-
-def has_conversation_results(results: list[ConversationSearchResult]) -> bool:
-    return any(r.knowledge_matches or r.message_matches for r in results)
-
-
-def has_conversation_result(result: ConversationSearchResult) -> bool:
-    return bool(result.knowledge_matches or result.message_matches)
-
-
-def create_match_terms_boolean_expr(
-    term_expressions: list[IQueryOpExpr[SemanticRefAccumulator | None]],
-    boolean_op: BooleanOp,
-    scope_expr: GetScopeExpr | None = None,
-) -> MatchTermsBooleanExpr:
-    match boolean_op:
-        case "and":
-            return MatchTermsAndExpr(term_expressions, scope_expr)
-        case "or":
-            return MatchTermsOrExpr(term_expressions, scope_expr)
-        case "or_max":
-            return MatchTermsOrMaxExpr(term_expressions, scope_expr)
-        case _:
-            raise ValueError(f"Unknown boolean op: {boolean_op}")
-
-
-def create_match_messages_boolean_expr(
-    term_expressions: list[
-        IQueryOpExpr[SemanticRefAccumulator | MessageAccumulator | None]
-    ],
-    boolean_op: BooleanOp,
-    scope_expr: GetScopeExpr | None = None,
-) -> MatchMessagesBooleanExpr:
-    match boolean_op:
-        case "and":
-            return MatchMessagesAndExpr(term_expressions)
-        case "or":
-            return MatchMessagesOrExpr(term_expressions)
-        case "or_max":
-            return MatchMessagesOrMaxExpr(term_expressions)
-        case _:
-            raise ValueError(f"Unknown boolean op: {boolean_op}")
-
-
-def is_property_term(term: SearchTerm) -> TypeGuard[PropertySearchTerm]:
-    return isinstance(term, PropertySearchTerm)
-
-
-def is_action_property_term(term: PropertySearchTerm) -> bool:
-    return term.property_name in ("subject", "verb", "object", "indirectObject")
+            return scored_ref
+        return ScoredSemanticRefOrdinal(
+            scored_ref.semantic_ref_ordinal, scored_ref.score * boost_weight
+        )

@@ -1,7 +1,8 @@
 """List-backed append-only collections (parity: storage/memory/collections.py).
 
-Message appends auto-feed the message text index (so embeddings land on
-device as messages arrive)."""
+Message appends auto-feed the message text index, so chunk embeddings land
+on the device buffer as messages arrive rather than in a separate pass.
+"""
 
 from __future__ import annotations
 
@@ -9,32 +10,47 @@ from typing import Iterable
 
 import numpy as np
 
-from ...knowpro.interfaces import (
-    ICollection,
-    IMessage,
-    IMessageTextIndex,
-    MessageOrdinal,
-    SemanticRef,
-    SemanticRefMetadata,
-    SemanticRefOrdinal,
-)
+from ...knowpro import interfaces
+from ...knowpro.interfaces import IMessage, IMessageTextIndex
+
+type _SemRef = interfaces.SemanticRef
+type _SemRefOrdinal = interfaces.SemanticRefOrdinal
 
 
-class MemoryCollection[T, TOrdinal: int](ICollection[T, TOrdinal]):
-    """A generic in-memory (non-persistent) append-only collection."""
+class MemoryCollection[T, TOrdinal: int](interfaces.ICollection[T, TOrdinal]):
+    """A generic in-memory (non-persistent) append-only collection.
+
+    The async surface mirrors the SQLite-backed collections so callers never
+    care which backend they hold; here every operation is just a list op.
+    """
+
+    is_persistent = False  # property on the protocol; a constant here
 
     def __init__(self, items: list[T] | None = None):
-        self.items: list[T] = items or []
+        self.items: list[T] = [] if items is None else items
+
+    def __repr__(self) -> str:
+        return f"{type(self).__name__}(n={len(self.items)})"
+
+    def __aiter__(self):
+        async def gen():
+            for item in self.items:
+                yield item
+
+        return gen()
+
+    # writes -----------------------------------------------------------------
+
+    async def append(self, item: T) -> None:
+        self.items.append(item)
+
+    async def extend(self, items: Iterable[T]) -> None:
+        self.items.extend(items)
+
+    # reads ------------------------------------------------------------------
 
     async def size(self) -> int:
         return len(self.items)
-
-    def __aiter__(self):
-        return self._async_iterator()
-
-    async def _async_iterator(self):
-        for item in self.items:
-            yield item
 
     async def get_item(self, arg: int) -> T:
         return self.items[arg]
@@ -43,39 +59,35 @@ class MemoryCollection[T, TOrdinal: int](ICollection[T, TOrdinal]):
         return self.items[start:stop]
 
     async def get_multiple(self, arg: list[TOrdinal]) -> list[T]:
-        size = len(self.items)
-        if not all(0 <= i < size for i in arg):
+        if any(i < 0 or i >= len(self.items) for i in arg):
             raise IndexError("One or more indices are out of bounds")
-        return [self.items[ordinal] for ordinal in arg]
-
-    @property
-    def is_persistent(self) -> bool:
-        return False
-
-    async def append(self, item: T) -> None:
-        self.items.append(item)
-
-    async def extend(self, items: Iterable[T]) -> None:
-        self.items.extend(items)
+        return [self.items[i] for i in arg]
 
 
-class MemorySemanticRefCollection(MemoryCollection[SemanticRef, SemanticRefOrdinal]):
+class MemorySemanticRefCollection(MemoryCollection[_SemRef, _SemRefOrdinal]):
     async def get_metadata_multiple(
-        self, ordinals: list[SemanticRefOrdinal]
-    ) -> list[SemanticRefMetadata]:
-        return [
-            SemanticRefMetadata(
-                ordinal=o,
-                range=self.items[o].range,
-                knowledge_type=self.items[o].knowledge.knowledge_type,
+        self, ordinals: list[_SemRefOrdinal]
+    ) -> list[interfaces.SemanticRefMetadata]:
+        # Metadata-only reads keep hot query paths off the knowledge payloads
+        # (mirrors the SQLite backend, where this skips the knowledge JSON).
+        out = []
+        for o in ordinals:
+            ref = self.items[o]
+            out.append(
+                interfaces.SemanticRefMetadata(
+                    ordinal=o,
+                    range=ref.range,
+                    knowledge_type=ref.knowledge.knowledge_type,
+                )
             )
-            for o in ordinals
-        ]
+        return out
 
 
 class MemoryMessageCollection[TMessage: IMessage](
-    MemoryCollection[TMessage, MessageOrdinal]
+    MemoryCollection[TMessage, interfaces.MessageOrdinal]
 ):
+    """Message list that writes through into the message text index."""
+
     def __init__(
         self,
         items: list[TMessage] | None = None,
@@ -85,10 +97,11 @@ class MemoryMessageCollection[TMessage: IMessage](
         self.message_text_index = message_text_index
 
     async def append(self, item: TMessage) -> None:
-        msg_id = len(self.items)
+        start = len(self.items)
         self.items.append(item)
-        if self.message_text_index is not None:
-            await self.message_text_index.add_messages_starting_at(msg_id, [item])
+        index = self.message_text_index
+        if index is not None:
+            await index.add_messages_starting_at(start, [item])
 
     async def extend(
         self,
@@ -96,17 +109,19 @@ class MemoryMessageCollection[TMessage: IMessage](
         chunk_embeddings: list[np.ndarray] | None = None,
         index_messages: bool = True,
     ) -> None:
-        items_list = list(items)
-        if not items_list:
+        batch = list(items)
+        if not batch:
             return
         start = len(self.items)
-        self.items.extend(items_list)
-        if index_messages and self.message_text_index is not None:
-            if chunk_embeddings is not None:
-                await self.message_text_index.add_messages_starting_at_with_embeddings(
-                    start, items_list, chunk_embeddings
-                )
-            else:
-                await self.message_text_index.add_messages_starting_at(
-                    start, items_list
-                )
+        self.items.extend(batch)
+        index = self.message_text_index if index_messages else None
+        if index is None:
+            return
+        if chunk_embeddings is None:
+            # Embeds through the model (cache-aware).
+            await index.add_messages_starting_at(start, batch)
+        else:
+            # Pipeline path: chunk embeddings were computed upstream.
+            await index.add_messages_starting_at_with_embeddings(
+                start, batch, chunk_embeddings
+            )
