@@ -44,12 +44,14 @@ class EmailMessageMeta(IKnowledgeSource, IMessageMetadata):
         )
 
     def to_entities(self) -> list[kplib.ConcreteEntity]:
-        entities: list[kplib.ConcreteEntity] = []
-        if self.sender:
-            entities.extend(self._email_address_to_entities(self.sender))
+        participants = [self.sender] if self.sender else []
         for group in (self.recipients, self.cc, self.bcc):
-            for address in group or []:
-                entities.extend(self._email_address_to_entities(address))
+            participants.extend(group or ())
+        entities = [
+            entity
+            for address in participants
+            for entity in self._email_address_to_entities(address)
+        ]
         entities.append(kplib.ConcreteEntity(name="email", type=["message"]))
         return entities
 
@@ -57,11 +59,12 @@ class EmailMessageMeta(IKnowledgeSource, IMessageMetadata):
         return [self.subject] if self.subject else []
 
     def to_actions(self) -> list[kplib.Action]:
+        if not (self.sender and self.recipients):
+            return []
         actions: list[kplib.Action] = []
-        if self.sender and self.recipients:
-            for recipient in self.recipients:
-                actions.extend(self._create_actions("sent", self.sender, recipient))
-                actions.extend(self._create_actions("received", recipient, self.sender))
+        for recipient in self.recipients:
+            actions += self._create_actions("sent", self.sender, recipient)
+            actions += self._create_actions("received", recipient, self.sender)
         return actions
 
     def _email_address_to_entities(
@@ -80,23 +83,21 @@ class EmailMessageMeta(IKnowledgeSource, IMessageMetadata):
             )
         return entities
 
+    @staticmethod
+    def _name_forms(address: str) -> list[str]:
+        """Both the display name and the bare address, where present."""
+        display, bare = parseaddr(address)
+        return [form for form in (display, bare) if form]
+
     def _create_actions(
         self, verb: str, sender: str, recipient: str
     ) -> list[kplib.Action]:
-        sender_display_name, sender_address = parseaddr(sender)
-        actions: list[kplib.Action] = []
-        for sender_name in (sender_display_name, sender_address):
-            if sender_name:
-                self._add_actions_for_sender(actions, verb, sender_name, recipient)
-        return actions
-
-    def _add_actions_for_sender(
-        self, actions: list[kplib.Action], verb: str, sender: str, recipient: str
-    ) -> None:
-        recipient_display_name, recipient_address = parseaddr(recipient)
-        for recipient_name in (recipient_display_name, recipient_address):
-            if recipient_name:
-                actions.append(self._create_action(verb, sender, recipient_name))
+        # Cross product: every sender name form x every recipient name form.
+        return [
+            self._create_action(verb, s, r)
+            for s in self._name_forms(sender)
+            for r in self._name_forms(recipient)
+        ]
 
     def _create_action(
         self, verb: str, sender: str, recipient: str, use_indirect: bool = True

@@ -197,29 +197,24 @@ async def _producer_task[TMessage: IMessage](
             chunk_count = len(message.text_chunks)
             if chunk_count == 0:
                 # Nothing to process: emit a zero-chunk result directly.
-                await result_queue.put(
-                    ChunkProcessingResult[TMessage](
-                        chunk_id=TextLocation(message_id, 0),
-                        chunk_count=0,
-                        message=message,
-                    )
+                zero = ChunkProcessingResult[TMessage](
+                    chunk_id=TextLocation(message_id, 0),
+                    chunk_count=0,
+                    message=message,
                 )
-                producer_state.produced_messages += 1
-                producer_state.next_message_id += 1
-                continue
-
-            for chunk_ordinal, chunk_text in enumerate(message.text_chunks):
-                if message_id >= stop_state.stop_at_message_id:
-                    break
-                await chunk_queue.put(
-                    ChunkWorkItem[TMessage](
+                await result_queue.put(zero)
+            else:
+                for chunk_ordinal, chunk_text in enumerate(message.text_chunks):
+                    if message_id >= stop_state.stop_at_message_id:
+                        break
+                    work = ChunkWorkItem[TMessage](
                         chunk_id=TextLocation(message_id, chunk_ordinal),
                         chunk_count=chunk_count,
                         chunk_text=chunk_text,
                         message=message,
                     )
-                )
-                producer_state.produced_chunks += 1
+                    await chunk_queue.put(work)
+                    producer_state.produced_chunks += 1
 
             producer_state.produced_messages += 1
             producer_state.next_message_id += 1
@@ -270,12 +265,11 @@ async def _dispatcher_task[TMessage: IMessage](
                     embedding_model=embedding_model,
                 )
                 if result.error is not None and not skip_failed_messages:
-                    new_stop = min(
-                        stop_state.stop_at_message_id,
-                        work_item.chunk_id.message_ordinal,
-                    )
-                    if new_stop < stop_state.stop_at_message_id:
-                        stop_state.stop_at_message_id = new_stop
+                    # Halt-on-first-failure: lower the watermark to this
+                    # message so later chunks turn into deterministic skips.
+                    failed_at = work_item.chunk_id.message_ordinal
+                    if failed_at < stop_state.stop_at_message_id:
+                        stop_state.stop_at_message_id = failed_at
                     if stop_state.exception is None:
                         stop_state.exception = result.error
         finally:

@@ -1,4 +1,11 @@
 """Answer response schema (parity: reference knowpro/answer_response_schema.py)."""
+#
+# NOTE ON SIMILARITY TO THE REFERENCE: this module is a wire/prompt CONTRACT,
+# not logic. The field names are the camelCase JSON format shared with the
+# reference's serialized data, and the Doc() strings are the literal text the
+# LLM sees — changing either would change behavior, so they intentionally
+# match the reference schema's semantics word for word.
+#
 
 from __future__ import annotations
 

@@ -3,7 +3,8 @@
 (Parity: reference knowpro/answers.py — strict answer-only-from-context
 prompt, per-search-result answers with bounded concurrency and optional
 fast-stop (env TYPEAGENT_ANSWER_CONCURRENCY / TYPEAGENT_ANSWER_FAST_STOP),
-entity/topic merging with source-ordinal enrichment, multi-answer combine.)
+entity/topic merging with source-ordinal enrichment, multi-answer combine.
+Prompt rule text is part of the behavioral contract and matches verbatim.)
 """
 
 from __future__ import annotations
@@ -83,91 +84,363 @@ def create_answer_translator(model) -> TypedTranslator[AnswerResponse]:
     )
 
 
-async def generate_answers(
-    translator: TypedTranslator[AnswerResponse],
-    search_results: list[ConversationSearchResult],
-    conversation: IConversation,
-    orig_query_text: str,
-    options: AnswerContextOptions | None = None,
-    settings: AnswerGeneratorSettings | None = None,
-) -> tuple[list[AnswerResponse], AnswerResponse]:
-    """Returns (per-result answers, combined answer). With fast_stop, results
-    not yet started when a good answer landed are skipped."""
-    settings = settings or AnswerGeneratorSettings()
-    all_answers = await _generate_answers_concurrently(
-        translator, search_results, conversation, options, settings
+# ---------------------------------------------------------------------------
+# Knowledge merging (entities/topics collapse by name before prompting)
+# ---------------------------------------------------------------------------
+
+type MergedFacets = dict[str, list[str]]
+
+
+class MergedKnowledge:
+    source_message_ordinals: set[MessageOrdinal] | None = None
+
+
+@dataclass
+class MergedTopic(MergedKnowledge):
+    topic: Topic
+
+
+@dataclass
+class MergedEntity(MergedKnowledge):
+    name: str
+    type: list[str]
+    facets: MergedFacets | None = None
+
+
+def merge_message_ordinals(merged: MergedKnowledge, sr: SemanticRef) -> None:
+    if merged.source_message_ordinals is None:
+        merged.source_message_ordinals = set()
+    merged.source_message_ordinals.add(sr.range.start.message_ordinal)
+
+
+def facets_to_merged_facets(facets: list[Facet]) -> MergedFacets:
+    merged: MergedFacets = {}
+    for facet in facets:
+        merged.setdefault(facet.name.lower(), []).append(str(facet.value).lower())
+    return merged
+
+
+def merged_facets_to_facets(merged_facets: MergedFacets) -> list[Facet]:
+    return [
+        Facet(name=name, value="; ".join(values))
+        for name, values in merged_facets.items()
+        if values
+    ]
+
+
+def concrete_to_merged_entity(entity: ConcreteEntity) -> MergedEntity:
+    return MergedEntity(
+        name=entity.name.lower(),
+        type=sorted(tp.lower() for tp in entity.type),
+        facets=facets_to_merged_facets(entity.facets) if entity.facets else None,
     )
-    good_answers: list[str] = []
-    for answer in all_answers:
-        if answer.type == "Answered":
-            assert answer.answer is not None, "Answered answer must not be None"
-            good = answer.answer.strip()
-            if good:
-                good_answers.append(good)
-    if len(all_answers) == 1:
-        return all_answers, all_answers[0]
-    if len(good_answers) >= 2:
-        combined = await combine_answers(translator, good_answers, orig_query_text)
-    elif len(good_answers) == 1:
-        combined = AnswerResponse(type="Answered", answer=good_answers[0])
-    else:
-        combined = AnswerResponse(
-            type="NoAnswer", why_no_answer="No good answers found."
-        )
-    return all_answers, combined
 
 
-async def _generate_answers_concurrently(
-    translator: TypedTranslator[AnswerResponse],
-    search_results: list[ConversationSearchResult],
+def merged_to_concrete_entity(merged_entity: MergedEntity) -> ConcreteEntity:
+    entity = ConcreteEntity(name=merged_entity.name, type=merged_entity.type)
+    if merged_entity.facets:
+        entity.facets = merged_facets_to_facets(merged_entity.facets)
+    return entity
+
+
+def merge_scored_topics(
+    scored_topics: Iterable[Scored[SemanticRef]],
+    merge_ordinals: bool,
+) -> dict[str, Scored[MergedTopic]]:
+    merged: dict[str, Scored[MergedTopic]] = {}
+    for scored in scored_topics:
+        topic = scored.item.knowledge
+        assert isinstance(topic, Topic)
+        slot = merged.get(topic.text)
+        if slot is None:
+            slot = merged[topic.text] = Scored(MergedTopic(topic=topic), scored.score)
+        elif scored.score > slot.score:
+            slot.score = scored.score
+        if merge_ordinals:
+            merge_message_ordinals(slot.item, scored.item)
+    return merged
+
+
+def merge_scored_concrete_entities(
+    scored_entities: Iterable[Scored[SemanticRef]],
+    merge_ordinals: bool,
+) -> dict[str, Scored[MergedEntity]]:
+    merged: dict[str, Scored[MergedEntity]] = {}
+    for scored in scored_entities:
+        assert isinstance(scored.item.knowledge, ConcreteEntity)
+        incoming = concrete_to_merged_entity(scored.item.knowledge)
+        slot = merged.get(incoming.name)
+        if slot is None:
+            slot = merged[incoming.name] = Scored(incoming, scored.score)
+        else:
+            held = slot.item
+            if not held.type:
+                held.type = incoming.type
+            elif incoming.type:
+                held.type = sorted(set(held.type) | set(incoming.type))
+            if not held.facets:
+                held.facets = incoming.facets
+            elif incoming.facets:
+                for name, values in incoming.facets.items():
+                    held.facets.setdefault(name, []).extend(values)
+            if scored.score > slot.score:
+                slot.score = scored.score
+        if merge_ordinals:
+            merge_message_ordinals(slot.item, scored.item)
+    return merged
+
+
+# ---------------------------------------------------------------------------
+# Source enrichment (time ranges, origin/audience from message metadata)
+# ---------------------------------------------------------------------------
+
+
+def text_range_from_message_range(
+    start: MessageOrdinal, end: MessageOrdinal
+) -> TextRange | None:
+    if start == end:
+        return TextRange(start=TextLocation(start))
+    if start < end:
+        return TextRange(start=TextLocation(start), end=TextLocation(end))
+    raise ValueError(f"Expect message ordinal range: {start} <= {end}")
+
+
+def get_enclosing_text_range(
+    message_ordinals: Iterable[MessageOrdinal],
+) -> TextRange | None:
+    ordinals = list(message_ordinals)
+    if not ordinals:
+        return None
+    return text_range_from_message_range(min(ordinals), max(ordinals))
+
+
+async def get_enclosing_date_range_for_text_range(
+    messages: IMessageCollection,
+    range: TextRange,
+) -> DateRange | None:
+    start_timestamp = (await messages.get_item(range.start.message_ordinal)).timestamp
+    if not start_timestamp:
+        return None
+    end_timestamp: str | None = None
+    if range.end and range.end.message_ordinal < await messages.size():
+        end_timestamp = (await messages.get_item(range.end.message_ordinal)).timestamp
+    return DateRange(
+        start=Datetime.fromisoformat(start_timestamp),
+        end=Datetime.fromisoformat(end_timestamp) if end_timestamp else None,
+    )
+
+
+async def get_enclosing_data_range_for_messages(
+    messages: IMessageCollection,
+    message_ordinals: Iterable[MessageOrdinal],
+) -> DateRange | None:
+    text_range = get_enclosing_text_range(message_ordinals)
+    if not text_range:
+        return None
+    return await get_enclosing_date_range_for_text_range(messages, text_range)
+
+
+@dataclass
+class MessageMetadata(IMessageMetadata):
+    source: str | list[str] | None = None
+    dest: str | list[str] | None = None
+
+
+async def get_enclosing_metadata_for_messages(
+    messages: IMessageCollection,
+    message_ordinals: Iterable[MessageOrdinal],
+) -> IMessageMetadata:
+    sources: set[str] = set()
+    dests: set[str] = set()
+
+    def collect(into: set[str], value: str | list[str] | None) -> None:
+        if isinstance(value, str):
+            into.add(value)
+        elif isinstance(value, list):
+            into.update(value)
+
+    for ordinal in message_ordinals:
+        metadata = (await messages.get_item(ordinal)).metadata
+        if metadata:
+            collect(sources, metadata.source)
+            collect(dests, metadata.dest)
+
+    return MessageMetadata(
+        source=list(sources) or None, dest=list(dests) or None
+    )
+
+
+async def create_relevant_knowledge(
     conversation: IConversation,
-    options: AnswerContextOptions | None,
-    settings: AnswerGeneratorSettings,
-) -> list[AnswerResponse]:
-    semaphore = asyncio.Semaphore(max(1, settings.concurrency))
-    found_answer = asyncio.Event()
-
-    async def run_one(result: ConversationSearchResult) -> AnswerResponse | None:
-        async with semaphore:
-            if settings.fast_stop and found_answer.is_set():
-                return None
-            answer = await generate_answer(translator, result, conversation, options)
-            if settings.fast_stop and answer.type == "Answered" and answer.answer:
-                if answer.answer.strip():
-                    found_answer.set()
-            return answer
-
-    results = await asyncio.gather(*(run_one(r) for r in search_results))
-    return [a for a in results if a is not None]
+    knowledge: Knowledge,
+    source_message_ordinals: set[MessageOrdinal] | None = None,
+) -> RelevantKnowledge:
+    relevant = RelevantKnowledge(knowledge)
+    if source_message_ordinals:
+        relevant.time_range = await get_enclosing_data_range_for_messages(
+            conversation.messages, source_message_ordinals
+        )
+        meta = await get_enclosing_metadata_for_messages(
+            conversation.messages, source_message_ordinals
+        )
+        if meta.source:
+            relevant.origin = meta.source
+        if meta.dest:
+            relevant.audience = meta.dest
+    return relevant
 
 
-async def generate_answer[TMessage: IMessage, TIndex: ITermToSemanticRefIndex](
-    translator: TypedTranslator[AnswerResponse],
+# ---------------------------------------------------------------------------
+# Context assembly
+# ---------------------------------------------------------------------------
+
+
+async def get_scored_semantic_refs_from_ordinals_iter(
+    semantic_refs: ISemanticRefCollection,
+    semantic_ref_matches: list[ScoredSemanticRefOrdinal],
+    knowledge_type: KnowledgeType,
+) -> list[Scored[SemanticRef]]:
+    if not semantic_ref_matches:
+        return []
+    metadata = await semantic_refs.get_metadata_multiple(
+        [m.semantic_ref_ordinal for m in semantic_ref_matches]
+    )
+    of_type = [
+        (sr_match, m.ordinal)
+        for sr_match, m in zip(semantic_ref_matches, metadata)
+        if m.knowledge_type == knowledge_type
+    ]
+    if not of_type:
+        return []
+    full_refs = await semantic_refs.get_multiple([o for _, o in of_type])
+    return [
+        Scored(item=ref, score=sr_match.score)
+        for (sr_match, _), ref in zip(of_type, full_refs)
+    ]
+
+
+async def get_relevant_messages_for_answer[
+    TMessage: IMessage, TIndex: ITermToSemanticRefIndex
+](
+    conversation: IConversation[TMessage, TIndex],
+    message_matches: list[ScoredMessageOrdinal],
+    top_k: int | None = None,
+) -> list[RelevantMessage]:
+    relevant: list[RelevantMessage] = []
+    for scored in message_matches:
+        msg = await conversation.messages.get_item(scored.message_ordinal)
+        if not msg.text_chunks:
+            continue
+        metadata: IMessageMetadata | None = msg.metadata
+        assert metadata is not None
+        chunks = msg.text_chunks
+        relevant.append(
+            RelevantMessage(
+                from_=metadata.source,
+                to=metadata.dest,
+                timestamp=msg.timestamp,
+                message_text=chunks[0] if len(chunks) == 1 else chunks,
+            )
+        )
+        if top_k and len(relevant) >= top_k:
+            break
+    return relevant
+
+
+async def get_relevant_topics_for_answer(
+    conversation: IConversation,
+    search_result: SemanticRefSearchResult,
+    top_k: int | None = None,
+) -> list[RelevantKnowledge]:
+    assert conversation.semantic_refs is not None
+    merged = merge_scored_topics(
+        await get_scored_semantic_refs_from_ordinals_iter(
+            conversation.semantic_refs, search_result.semantic_ref_matches, "topic"
+        ),
+        merge_ordinals=True,
+    )
+    candidates: Iterable[Scored[MergedTopic]] = merged.values()
+    if top_k and len(merged) > top_k:
+        candidates = get_top_k(candidates, top_k)
+    return [
+        await create_relevant_knowledge(
+            conversation, sv.item.topic, sv.item.source_message_ordinals
+        )
+        for sv in candidates
+    ]
+
+
+async def get_relevant_entities_for_answer(
+    conversation: IConversation,
+    search_result: SemanticRefSearchResult,
+    top_k: int | None = None,
+) -> list[RelevantKnowledge]:
+    assert conversation.semantic_refs is not None
+    merged = merge_scored_concrete_entities(
+        await get_scored_semantic_refs_from_ordinals_iter(
+            conversation.semantic_refs, search_result.semantic_ref_matches, "entity"
+        ),
+        merge_ordinals=True,
+    )
+    candidates: Iterable[Scored[MergedEntity]] = merged.values()
+    if top_k and len(merged) > top_k:
+        candidates = get_top_k(candidates, top_k)
+    return [
+        await create_relevant_knowledge(
+            conversation,
+            merged_to_concrete_entity(sv.item),
+            sv.item.source_message_ordinals,
+        )
+        for sv in candidates
+    ]
+
+
+async def make_context[TMessage: IMessage, TIndex: ITermToSemanticRefIndex](
     search_result: ConversationSearchResult,
     conversation: IConversation[TMessage, TIndex],
     options: AnswerContextOptions | None = None,
-) -> AnswerResponse:
-    assert search_result.raw_query_text is not None, "Raw query text must not be None"
-    context = await make_context(search_result, conversation, options)
-    request = (
-        f"{create_question_prompt(search_result.raw_query_text)}\n\n"
-        f"{create_context_prompt(context)}"
-    )
-    if options and options.debug:
-        print("Stage 4 input:")
-        print(request)
-        print("-" * 50)
-    result = await translator.translate(request)
-    if isinstance(result, Failure):
-        return AnswerResponse(
-            type="NoAnswer",
-            answer=None,
-            why_no_answer=f"Translation failure: {result.message}",
+) -> AnswerContext:
+    context = AnswerContext([], [], [])
+    if search_result.message_matches:
+        context.messages = await get_relevant_messages_for_answer(
+            conversation,
+            search_result.message_matches,
+            options and options.messages_top_k,
         )
-    return result.value
+    for knowledge_type, knowledge in search_result.knowledge_matches.items():
+        if knowledge_type == "entity":
+            context.entities = await get_relevant_entities_for_answer(
+                conversation, knowledge, options and options.entities_top_k
+            )
+        elif knowledge_type == "topic":
+            context.topics = await get_relevant_topics_for_answer(
+                conversation, knowledge, options and options.topics_top_k
+            )
+    return context
+
+
+# ---------------------------------------------------------------------------
+# Prompt construction
+# ---------------------------------------------------------------------------
+
+
+def dictify(obj: object) -> Any:
+    """Recursively convert to plain dicts/lists, dropping None values."""
+    if ann := getattr(obj.__class__, "__annotations__", None):
+        return {k: dictify(v) for k in ann if (v := getattr(obj, k, None)) is not None}
+    if isinstance(obj, dict):
+        return {k: dictify(v) for k, v in obj.items() if v is not None}
+    if isinstance(obj, list):
+        return [dictify(item) for item in obj]
+    if hasattr(obj, "__dict__"):
+        return {k: dictify(v) for k, v in obj.__dict__.items() if v is not None}
+    if isinstance(obj, float) and obj.is_integer():
+        return int(obj)
+    return obj
 
 
 def create_question_prompt(question: str) -> str:
+    # Rule text matches the reference verbatim (it IS the stage-4 behavior).
     return "\n".join(
         [
             "The following is a user question:",
@@ -199,357 +472,100 @@ def create_context_prompt(context: AnswerContext) -> str:
     )
 
 
-def dictify(obj: object) -> Any:
-    """Recursively convert to plain dicts/lists, dropping None values."""
-    if ann := getattr(obj.__class__, "__annotations__", None):
-        return {k: dictify(v) for k in ann if (v := getattr(obj, k, None)) is not None}
-    if isinstance(obj, dict):
-        return {k: dictify(v) for k, v in obj.items() if v is not None}
-    if isinstance(obj, list):
-        return [dictify(item) for item in obj]
-    if hasattr(obj, "__dict__"):
-        return {k: dictify(v) for k, v in obj.__dict__.items() if v is not None}
-    if isinstance(obj, float) and obj.is_integer():
-        return int(obj)
-    return obj
+# ---------------------------------------------------------------------------
+# Answer generation
+# ---------------------------------------------------------------------------
 
 
-async def make_context[TMessage: IMessage, TIndex: ITermToSemanticRefIndex](
+async def generate_answer[TMessage: IMessage, TIndex: ITermToSemanticRefIndex](
+    translator: TypedTranslator[AnswerResponse],
     search_result: ConversationSearchResult,
     conversation: IConversation[TMessage, TIndex],
     options: AnswerContextOptions | None = None,
-) -> AnswerContext:
-    context = AnswerContext([], [], [])
-    if search_result.message_matches:
-        context.messages = await get_relevant_messages_for_answer(
-            conversation,
-            search_result.message_matches,
-            options and options.messages_top_k,
+) -> AnswerResponse:
+    assert search_result.raw_query_text is not None, "Raw query text must not be None"
+    context = await make_context(search_result, conversation, options)
+    request = (
+        f"{create_question_prompt(search_result.raw_query_text)}\n\n"
+        f"{create_context_prompt(context)}"
+    )
+    if options and options.debug:
+        print("Stage 4 input:")
+        print(request)
+        print("-" * 50)
+    result = await translator.translate(request)
+    if isinstance(result, Failure):
+        return AnswerResponse(
+            type="NoAnswer",
+            answer=None,
+            why_no_answer=f"Translation failure: {result.message}",
         )
-    for knowledge_type, knowledge in search_result.knowledge_matches.items():
-        match knowledge_type:
-            case "entity":
-                context.entities = await get_relevant_entities_for_answer(
-                    conversation, knowledge, options and options.entities_top_k
-                )
-            case "topic":
-                context.topics = await get_relevant_topics_for_answer(
-                    conversation, knowledge, options and options.topics_top_k
-                )
-            case _:
-                pass
-    return context
+    return result.value
 
 
-type MergedFacets = dict[str, list[str]]
+async def _generate_answers_concurrently(
+    translator: TypedTranslator[AnswerResponse],
+    search_results: list[ConversationSearchResult],
+    conversation: IConversation,
+    options: AnswerContextOptions | None,
+    settings: AnswerGeneratorSettings,
+) -> list[AnswerResponse]:
+    semaphore = asyncio.Semaphore(max(1, settings.concurrency))
+    found_answer = asyncio.Event()
+
+    async def run_one(result: ConversationSearchResult) -> AnswerResponse | None:
+        async with semaphore:
+            if settings.fast_stop and found_answer.is_set():
+                return None
+            answer = await generate_answer(translator, result, conversation, options)
+            if (
+                settings.fast_stop
+                and answer.type == "Answered"
+                and answer.answer
+                and answer.answer.strip()
+            ):
+                found_answer.set()
+            return answer
+
+    results = await asyncio.gather(*(run_one(r) for r in search_results))
+    return [a for a in results if a is not None]
 
 
-class MergedKnowledge:
-    source_message_ordinals: set[MessageOrdinal] | None = None
-
-
-@dataclass
-class MergedTopic(MergedKnowledge):
-    topic: Topic
-
-
-@dataclass
-class MergedEntity(MergedKnowledge):
-    name: str
-    type: list[str]
-    facets: MergedFacets | None = None
-
-
-async def get_relevant_messages_for_answer[
-    TMessage: IMessage, TIndex: ITermToSemanticRefIndex
-](
-    conversation: IConversation[TMessage, TIndex],
-    message_matches: list[ScoredMessageOrdinal],
-    top_k: int | None = None,
-) -> list[RelevantMessage]:
-    relevant_messages = []
-    for scored in message_matches:
-        msg = await conversation.messages.get_item(scored.message_ordinal)
-        if not msg.text_chunks:
-            continue
-        metadata: IMessageMetadata | None = msg.metadata
-        assert metadata is not None
-        relevant_messages.append(
-            RelevantMessage(
-                from_=metadata.source,
-                to=metadata.dest,
-                timestamp=msg.timestamp,
-                message_text=(
-                    msg.text_chunks[0] if len(msg.text_chunks) == 1 else msg.text_chunks
-                ),
+async def generate_answers(
+    translator: TypedTranslator[AnswerResponse],
+    search_results: list[ConversationSearchResult],
+    conversation: IConversation,
+    orig_query_text: str,
+    options: AnswerContextOptions | None = None,
+    settings: AnswerGeneratorSettings | None = None,
+) -> tuple[list[AnswerResponse], AnswerResponse]:
+    """Returns (per-result answers, combined answer). With fast_stop, results
+    not yet started when a good answer landed are skipped."""
+    settings = settings or AnswerGeneratorSettings()
+    all_answers = await _generate_answers_concurrently(
+        translator, search_results, conversation, options, settings
+    )
+    good_answers = [
+        stripped
+        for answer in all_answers
+        if answer.type == "Answered"
+        and answer.answer is not None
+        and (stripped := answer.answer.strip())
+    ]
+    if len(all_answers) == 1:
+        return all_answers, all_answers[0]
+    match len(good_answers):
+        case 0:
+            combined = AnswerResponse(
+                type="NoAnswer", why_no_answer="No good answers found."
             )
-        )
-        if top_k and len(relevant_messages) >= top_k:
-            break
-    return relevant_messages
-
-
-async def get_relevant_topics_for_answer(
-    conversation: IConversation,
-    search_result: SemanticRefSearchResult,
-    top_k: int | None = None,
-) -> list[RelevantKnowledge]:
-    assert conversation.semantic_refs is not None
-    scored_topics = await get_scored_semantic_refs_from_ordinals_iter(
-        conversation.semantic_refs, search_result.semantic_ref_matches, "topic"
-    )
-    merged_topics = merge_scored_topics(scored_topics, True)
-    candidates: Iterable[Scored[MergedTopic]] = merged_topics.values()
-    if top_k and len(merged_topics) > top_k:
-        candidates = get_top_k(candidates, top_k)
-    return [
-        await create_relevant_knowledge(
-            conversation, sv.item.topic, sv.item.source_message_ordinals
-        )
-        for sv in candidates
-    ]
-
-
-def merge_scored_topics(
-    scored_topics: Iterable[Scored[SemanticRef]],
-    merge_ordinals: bool,
-) -> dict[str, Scored[MergedTopic]]:
-    merged: dict[str, Scored[MergedTopic]] = {}
-    for scored_topic in scored_topics:
-        assert isinstance(scored_topic.item.knowledge, Topic)
-        topic = scored_topic.item.knowledge
-        existing = merged.get(topic.text)
-        if existing is not None:
-            if existing.score < scored_topic.score:
-                existing.score = scored_topic.score
-        else:
-            existing = Scored(item=MergedTopic(topic=topic), score=scored_topic.score)
-            merged[topic.text] = existing
-        if merge_ordinals:
-            merge_message_ordinals(existing.item, scored_topic.item)
-    return merged
-
-
-async def get_relevant_entities_for_answer(
-    conversation: IConversation,
-    search_result: SemanticRefSearchResult,
-    top_k: int | None = None,
-) -> list[RelevantKnowledge]:
-    assert conversation.semantic_refs is not None
-    merged_entities = merge_scored_concrete_entities(
-        await get_scored_semantic_refs_from_ordinals_iter(
-            conversation.semantic_refs, search_result.semantic_ref_matches, "entity"
-        ),
-        merge_ordinals=True,
-    )
-    candidates = merged_entities.values()
-    if top_k and len(merged_entities) > top_k:
-        candidates = get_top_k(candidates, top_k)
-    return [
-        await create_relevant_knowledge(
-            conversation,
-            merged_to_concrete_entity(sv.item),
-            sv.item.source_message_ordinals,
-        )
-        for sv in candidates
-    ]
-
-
-async def create_relevant_knowledge(
-    conversation: IConversation,
-    knowledge: Knowledge,
-    source_message_ordinals: set[MessageOrdinal] | None = None,
-) -> RelevantKnowledge:
-    relevant = RelevantKnowledge(knowledge)
-    if source_message_ordinals:
-        relevant.time_range = await get_enclosing_data_range_for_messages(
-            conversation.messages, source_message_ordinals
-        )
-        meta = await get_enclosing_metadata_for_messages(
-            conversation.messages, source_message_ordinals
-        )
-        if meta.source:
-            relevant.origin = meta.source
-        if meta.dest:
-            relevant.audience = meta.dest
-    return relevant
-
-
-async def get_enclosing_data_range_for_messages(
-    messages: IMessageCollection,
-    message_ordinals: Iterable[MessageOrdinal],
-) -> DateRange | None:
-    text_range = get_enclosing_text_range(message_ordinals)
-    if not text_range:
-        return None
-    return await get_enclosing_date_range_for_text_range(messages, text_range)
-
-
-def get_enclosing_text_range(
-    message_ordinals: Iterable[MessageOrdinal],
-) -> TextRange | None:
-    start: MessageOrdinal | None = None
-    end: MessageOrdinal | None = None
-    for ordinal in message_ordinals:
-        if start is None or ordinal < start:
-            start = ordinal
-        if end is None or ordinal > end:
-            end = ordinal
-    if start is None or end is None:
-        return None
-    return text_range_from_message_range(start, end)
-
-
-def text_range_from_message_range(
-    start: MessageOrdinal, end: MessageOrdinal
-) -> TextRange | None:
-    if start == end:
-        return TextRange(start=TextLocation(start))
-    if start < end:
-        return TextRange(start=TextLocation(start), end=TextLocation(end))
-    raise ValueError(f"Expect message ordinal range: {start} <= {end}")
-
-
-async def get_enclosing_date_range_for_text_range(
-    messages: IMessageCollection,
-    range: TextRange,
-) -> DateRange | None:
-    start_timestamp = (await messages.get_item(range.start.message_ordinal)).timestamp
-    if not start_timestamp:
-        return None
-    end_timestamp: str | None = None
-    if range.end:
-        end_ordinal = range.end.message_ordinal
-        if end_ordinal < await messages.size():
-            end_timestamp = (await messages.get_item(end_ordinal)).timestamp
-    return DateRange(
-        start=Datetime.fromisoformat(start_timestamp),
-        end=Datetime.fromisoformat(end_timestamp) if end_timestamp else None,
-    )
-
-
-@dataclass
-class MessageMetadata(IMessageMetadata):
-    source: str | list[str] | None = None
-    dest: str | list[str] | None = None
-
-
-async def get_enclosing_metadata_for_messages(
-    messages: IMessageCollection,
-    message_ordinals: Iterable[MessageOrdinal],
-) -> IMessageMetadata:
-    source: set[str] = set()
-    dest: set[str] = set()
-
-    def collect(s: set[str], value: str | list[str] | None) -> None:
-        if isinstance(value, str):
-            s.add(value)
-        elif isinstance(value, list):
-            s.update(value)
-
-    for ordinal in message_ordinals:
-        metadata = (await messages.get_item(ordinal)).metadata
-        if not metadata:
-            continue
-        collect(source, metadata.source)
-        collect(dest, metadata.dest)
-
-    return MessageMetadata(
-        source=list(source) if source else None, dest=list(dest) if dest else None
-    )
-
-
-async def get_scored_semantic_refs_from_ordinals_iter(
-    semantic_refs: ISemanticRefCollection,
-    semantic_ref_matches: list[ScoredSemanticRefOrdinal],
-    knowledge_type: KnowledgeType,
-) -> list[Scored[SemanticRef]]:
-    if not semantic_ref_matches:
-        return []
-    metadata = await semantic_refs.get_metadata_multiple(
-        [m.semantic_ref_ordinal for m in semantic_ref_matches]
-    )
-    matching = [
-        (sr_match, m.ordinal)
-        for sr_match, m in zip(semantic_ref_matches, metadata)
-        if m.knowledge_type == knowledge_type
-    ]
-    if not matching:
-        return []
-    full_refs = await semantic_refs.get_multiple([o for _, o in matching])
-    return [
-        Scored(item=ref, score=sr_match.score)
-        for (sr_match, _), ref in zip(matching, full_refs)
-    ]
-
-
-def merge_scored_concrete_entities(
-    scored_entities: Iterable[Scored[SemanticRef]],
-    merge_ordinals: bool,
-) -> dict[str, Scored[MergedEntity]]:
-    merged_entities: dict[str, Scored[MergedEntity]] = {}
-    for scored_entity in scored_entities:
-        assert isinstance(scored_entity.item.knowledge, ConcreteEntity)
-        merged_entity = concrete_to_merged_entity(scored_entity.item.knowledge)
-        existing = merged_entities.get(merged_entity.name)
-        if existing is not None:
-            if not existing.item.type:
-                existing.item.type = merged_entity.type
-            elif merged_entity.type:
-                existing.item.type = sorted(
-                    set(existing.item.type) | set(merged_entity.type)
-                )
-            if not existing.item.facets:
-                existing.item.facets = merged_entity.facets
-            elif merged_entity.facets:
-                for name, value in merged_entity.facets.items():
-                    existing.item.facets.setdefault(name, []).extend(value)
-            if existing.score < scored_entity.score:
-                existing.score = scored_entity.score
-        else:
-            existing = Scored(item=merged_entity, score=scored_entity.score)
-            merged_entities[merged_entity.name] = existing
-        if existing and merge_ordinals:
-            merge_message_ordinals(existing.item, scored_entity.item)
-    return merged_entities
-
-
-def merge_message_ordinals(merged: MergedKnowledge, sr: SemanticRef) -> None:
-    if merged.source_message_ordinals is None:
-        merged.source_message_ordinals = set()
-    merged.source_message_ordinals.add(sr.range.start.message_ordinal)
-
-
-def concrete_to_merged_entity(entity: ConcreteEntity) -> MergedEntity:
-    return MergedEntity(
-        name=entity.name.lower(),
-        type=sorted(tp.lower() for tp in entity.type),
-        facets=facets_to_merged_facets(entity.facets) if entity.facets else None,
-    )
-
-
-def merged_to_concrete_entity(merged_entity: MergedEntity) -> ConcreteEntity:
-    entity = ConcreteEntity(name=merged_entity.name, type=merged_entity.type)
-    if merged_entity.facets:
-        entity.facets = merged_facets_to_facets(merged_entity.facets)
-    return entity
-
-
-def facets_to_merged_facets(facets: list[Facet]) -> MergedFacets:
-    merged_facets: MergedFacets = {}
-    for facet in facets:
-        merged_facets.setdefault(facet.name.lower(), []).append(
-            str(facet.value).lower()
-        )
-    return merged_facets
-
-
-def merged_facets_to_facets(merged_facets: MergedFacets) -> list[Facet]:
-    return [
-        Facet(name=name, value="; ".join(values))
-        for name, values in merged_facets.items()
-        if values
-    ]
+        case 1:
+            combined = AnswerResponse(type="Answered", answer=good_answers[0])
+        case _:
+            combined = await combine_answers(
+                translator, good_answers, orig_query_text
+            )
+    return all_answers, combined
 
 
 async def combine_answers(

@@ -89,14 +89,14 @@ class ConversationBase(
         name: str | None = None,
         tags: list[str] | None = None,
     ) -> Self:
-        storage_provider = await settings.get_storage_provider()
-        instance = cls(settings, name or "", tags if tags is not None else [])
-        instance.storage_provider = storage_provider
-        instance.messages = storage_provider.messages
-        instance.semantic_refs = storage_provider.semantic_refs
-        instance.semantic_ref_index = storage_provider.semantic_ref_index
+        provider = await settings.get_storage_provider()
+        instance = cls(settings, name or "", list(tags or ()))
+        instance.storage_provider = provider
+        instance.messages = provider.messages
+        instance.semantic_refs = provider.semantic_refs
+        instance.semantic_ref_index = provider.semantic_ref_index
         instance.secondary_indexes = secindex.ConversationSecondaryIndexes(
-            storage_provider, settings.related_term_index_settings
+            provider, settings.related_term_index_settings
         )
         return instance
 
@@ -134,18 +134,14 @@ class ConversationBase(
             )
 
         async with storage:
-            sids = (
-                source_ids
-                if source_ids is not None
-                else [m.source_id for m in messages if m.source_id is not None]
-            )
+            if source_ids is not None:
+                sids = source_ids
+            else:
+                sids = [m.source_id for m in messages if m.source_id is not None]
             if sids:
                 await storage.mark_sources_ingested_batch(sids)
 
-            start_points = IndexingStartPoints(
-                message_count=await self.messages.size(),
-                semref_count=await self.semantic_refs.size(),
-            )
+            start_points = await self._start_points()
 
             await self.messages.extend(messages)
             await self._add_metadata_knowledge_incremental(start_points.message_count)
@@ -156,19 +152,10 @@ class ConversationBase(
                 )
 
             await self._update_secondary_indexes_incremental(start_points)
-
-            messages_added = await self.messages.size() - start_points.message_count
-            chunks_added = sum(len(m.text_chunks) for m in messages[:messages_added])
-            result = AddMessagesResult(
-                messages_added=messages_added,
-                chunks_added=chunks_added,
-                semrefs_added=await self.semantic_refs.size()
-                - start_points.semref_count,
-            )
             await storage.update_conversation_timestamps(
                 updated_at=datetime.now(timezone.utc)
             )
-            return result
+            return await self._result_since(start_points, messages)
 
     async def add_messages_streaming(
         self,
@@ -179,9 +166,9 @@ class ConversationBase(
         skip_failed_messages: bool = False,
         shutdown_event: asyncio.Event | None = None,
     ) -> AddMessagesResult:
-        from . import add_messages
+        from .add_messages import add_messages_streaming as run_pipeline
 
-        return await add_messages.add_messages_streaming(
+        return await run_pipeline(
             self,
             messages,
             batch_size=batch_size,
@@ -257,10 +244,7 @@ class ConversationBase(
             ] = result.chunk_embedding
 
         async with storage:
-            start_points = IndexingStartPoints(
-                message_count=await self.messages.size(),
-                semref_count=await self.semantic_refs.size(),
-            )
+            start_points = await self._start_points()
 
             chunk_embeddings: list[np.ndarray] = []
             for batch_pos, message in enumerate(messages_batch):
@@ -292,17 +276,26 @@ class ConversationBase(
             await storage.update_conversation_timestamps(
                 updated_at=datetime.now(timezone.utc)
             )
+            return await self._result_since(start_points, messages_batch)
 
-            messages_added = await self.messages.size() - start_points.message_count
-            chunks_added = sum(
-                len(m.text_chunks) for m in messages_batch[:messages_added]
-            )
-            return AddMessagesResult(
-                messages_added=messages_added,
-                chunks_added=chunks_added,
-                semrefs_added=await self.semantic_refs.size()
-                - start_points.semref_count,
-            )
+    async def _result_since(
+        self, start_points: IndexingStartPoints, batch: list[TMessage]
+    ) -> AddMessagesResult:
+        """Tally what an ingest actually landed relative to its start points."""
+        messages_added = await self.messages.size() - start_points.message_count
+        return AddMessagesResult(
+            messages_added=messages_added,
+            chunks_added=sum(len(m.text_chunks) for m in batch[:messages_added]),
+            semrefs_added=(
+                await self.semantic_refs.size() - start_points.semref_count
+            ),
+        )
+
+    async def _start_points(self) -> IndexingStartPoints:
+        return IndexingStartPoints(
+            message_count=await self.messages.size(),
+            semref_count=await self.semantic_refs.size(),
+        )
 
     # -- incremental index helpers ----------------------------------------------
 
@@ -409,19 +402,23 @@ class ConversationBase(
             start_from_semref_ordinal, 999_999_999
         )
         fuzzy_index = self.secondary_indexes.term_to_related_terms_index.fuzzy_index
-        if fuzzy_index is not None and new_semrefs:
-            new_terms = set()
-            for semref in new_semrefs:
-                knowledge = semref.knowledge
-                if isinstance(knowledge, kplib.ConcreteEntity):
-                    new_terms.add(knowledge.name.lower())
-                elif isinstance(knowledge, Topic):
-                    new_terms.add(knowledge.text.lower())
-                elif isinstance(knowledge, kplib.Action):
-                    for verb in knowledge.verbs:
-                        new_terms.add(verb.lower())
-            if new_terms:
-                await fuzzy_index.add_terms(list(new_terms))
+        if fuzzy_index is None or not new_semrefs:
+            return
+
+        def terms_of(knowledge) -> list[str]:
+            if isinstance(knowledge, kplib.ConcreteEntity):
+                return [knowledge.name]
+            if isinstance(knowledge, Topic):
+                return [knowledge.text]
+            if isinstance(knowledge, kplib.Action):
+                return list(knowledge.verbs)
+            return []
+
+        new_terms = {
+            t.lower() for semref in new_semrefs for t in terms_of(semref.knowledge)
+        }
+        if new_terms:
+            await fuzzy_index.add_terms(list(new_terms))
 
     async def _update_message_index_incremental(
         self,
@@ -437,6 +434,21 @@ class ConversationBase(
 
     # -- the 4-stage query path ----------------------------------------------
 
+    def _ensure_translators(self) -> None:
+        """Lazy stage-1/stage-4 translators over the configured chat model."""
+        if self._query_translator is not None and self._answer_translator is not None:
+            return
+        from ..models.adapters import create_chat_model
+
+        if self._query_translator is None:
+            self._query_translator = searchlang.create_search_query_translator(
+                create_chat_model(retrier=self.settings.chat_retrier)
+            )
+        if self._answer_translator is None:
+            self._answer_translator = answers.create_answer_translator(
+                create_chat_model(retrier=self.settings.chat_retrier)
+            )
+
     async def query(
         self,
         question: str,
@@ -444,28 +456,18 @@ class ConversationBase(
         answer_options: answers.AnswerContextOptions | None = None,
     ) -> str:
         """End-to-end natural-language query -> answer string."""
-        if self._query_translator is None:
-            from ..models.adapters import create_chat_model
+        self._ensure_translators()
 
-            model = create_chat_model(retrier=self.settings.chat_retrier)
-            self._query_translator = searchlang.create_search_query_translator(model)
-        if self._answer_translator is None:
-            from ..models.adapters import create_chat_model
-
-            model = create_chat_model(retrier=self.settings.chat_retrier)
-            self._answer_translator = answers.create_answer_translator(model)
-
-        if search_options is None:
-            search_options = searchlang.LanguageSearchOptions(
-                compile_options=searchlang.LanguageQueryCompileOptions(
-                    exact_scope=False,
-                    verb_scope=True,
-                    term_filter=None,
-                    apply_scope=True,
-                ),
-                exact_match=False,
-                max_message_matches=25,
-            )
+        search_options = search_options or searchlang.LanguageSearchOptions(
+            compile_options=searchlang.LanguageQueryCompileOptions(
+                exact_scope=False,
+                verb_scope=True,
+                term_filter=None,
+                apply_scope=True,
+            ),
+            exact_match=False,
+            max_message_matches=25,
+        )
 
         result = await searchlang.search_conversation_with_language(
             self, self._query_translator, question, search_options
@@ -474,10 +476,9 @@ class ConversationBase(
             return f"Search failed: {result.message}"
         search_results = result.value
 
-        if answer_options is None:
-            answer_options = answers.AnswerContextOptions(
-                entities_top_k=50, topics_top_k=50, messages_top_k=None, chunking=None
-            )
+        answer_options = answer_options or answers.AnswerContextOptions(
+            entities_top_k=50, topics_top_k=50, messages_top_k=None, chunking=None
+        )
 
         _, combined_answer = await answers.generate_answers(
             self._answer_translator,

@@ -12,21 +12,8 @@ from .interfaces import (
 )
 
 
-async def get_time_range_prompt_section_for_conversation[
-    TMessage: IMessage, TIndex: ITermToSemanticRefIndex
-](conversation: IConversation[TMessage, TIndex]) -> PromptSection | None:
-    time_range = await get_time_range_for_conversation(conversation)
-    if time_range is not None:
-        start = time_range.start.replace(tzinfo=None).isoformat()
-        end = time_range.end.replace(tzinfo=None).isoformat() if time_range.end else "now"
-        return PromptSection(
-            role="system",
-            content=(
-                f"ONLY IF user request explicitly asks for time ranges, THEN "
-                f'use the CONVERSATION TIME RANGE: "{start} to {end}"'
-            ),
-        )
-    return None
+def _naive_iso(dt: Datetime) -> str:
+    return dt.replace(tzinfo=None).isoformat()
 
 
 async def get_time_range_for_conversation[
@@ -37,12 +24,32 @@ async def get_time_range_for_conversation[
     half-open."""
     messages = conversation.messages
     size = await messages.size()
-    if size > 0:
-        start = (await messages.get_item(0)).timestamp
-        if start is not None:
-            end = (await messages.get_item(size - 1)).timestamp
-            return DateRange(
-                start=Datetime.fromisoformat(start),
-                end=Datetime.fromisoformat(end) if end else None,
-            )
-    return None
+    if size == 0:
+        return None
+    start = (await messages.get_item(0)).timestamp
+    if start is None:
+        return None
+    end = (await messages.get_item(size - 1)).timestamp
+    return DateRange(
+        start=Datetime.fromisoformat(start),
+        end=Datetime.fromisoformat(end) if end else None,
+    )
+
+
+async def get_time_range_prompt_section_for_conversation[
+    TMessage: IMessage, TIndex: ITermToSemanticRefIndex
+](conversation: IConversation[TMessage, TIndex]) -> PromptSection | None:
+    time_range = await get_time_range_for_conversation(conversation)
+    if time_range is None:
+        return None
+    span = (
+        f"{_naive_iso(time_range.start)} to "
+        f"{_naive_iso(time_range.end) if time_range.end else 'now'}"
+    )
+    return PromptSection(
+        role="system",
+        content=(
+            "ONLY IF user request explicitly asks for time ranges, THEN "
+            f'use the CONVERSATION TIME RANGE: "{span}"'
+        ),
+    )

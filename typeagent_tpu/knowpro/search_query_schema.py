@@ -3,6 +3,13 @@
 (Parity: reference knowpro/search_query_schema.py — the Doc annotations feed
 the translation prompt's JSON schema, camelCase aliases match.)
 """
+#
+# NOTE ON SIMILARITY TO THE REFERENCE: this module is a wire/prompt CONTRACT,
+# not logic. The field names are the camelCase JSON format shared with the
+# reference's serialized data, and the Doc() strings are the literal text the
+# LLM sees — changing either would change behavior, so they intentionally
+# match the reference schema's semantics word for word.
+#
 
 from __future__ import annotations
 

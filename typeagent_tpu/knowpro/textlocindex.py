@@ -65,32 +65,7 @@ class TextToTextLocationIndex:
         self._embedding_index.push(array)
         self._text_locations.extend(text_locations)
 
-    async def lookup_text(
-        self,
-        text: str,
-        max_matches: int | None = None,
-        threshold_score: float | None = None,
-    ) -> list[ScoredTextLocation]:
-        embedding = await self.generate_embedding(text)
-        matches = self._embedding_index.get_indexes_of_nearest(
-            embedding,
-            max_matches=max_matches,
-            min_score=threshold_score if threshold_score is not None else 0.85,
-        )
-        return self.to_scored_locations(matches)
-
-    async def lookup_text_in_subset(
-        self,
-        text: str,
-        ordinals_to_search: list[int],
-        max_matches: int | None = None,
-        threshold_score: float | None = None,
-    ) -> list[ScoredTextLocation]:
-        embedding = await self.generate_embedding(text)
-        matches = self._embedding_index.get_indexes_of_nearest_in_subset(
-            embedding, ordinals_to_search, max_matches, threshold_score
-        )
-        return self.to_scored_locations(matches)
+    # -- embedding generation (model + cache live in the vector base) --------
 
     async def generate_embedding(self, text: str, cache: bool = True) -> np.ndarray:
         return await self._embedding_index.get_embedding(text, cache)
@@ -100,10 +75,15 @@ class TextToTextLocationIndex:
     ) -> list[np.ndarray]:
         if not texts:
             return []
-        embeddings = await self._embedding_index._vector_base.get_embeddings(
-            texts, cache=cache
-        )
-        return list(embeddings)
+        base = self._embedding_index._vector_base
+        return list(await base.get_embeddings(texts, cache=cache))
+
+    # -- lookups: text strings embed first, embedding variants go straight
+    # to the device index ------------------------------------------------------
+
+    def to_scored_locations(self, matches: list[ScoredInt]) -> list[ScoredTextLocation]:
+        locations = self._text_locations
+        return [ScoredTextLocation(locations[m.item], m.score) for m in matches]
 
     def lookup_by_embedding(
         self,
@@ -112,10 +92,11 @@ class TextToTextLocationIndex:
         threshold_score: float | None = None,
         predicate: Callable[[int], bool] | None = None,
     ) -> list[ScoredTextLocation]:
-        matches = self._embedding_index.get_indexes_of_nearest(
-            text_embedding, max_matches, threshold_score, predicate
+        return self.to_scored_locations(
+            self._embedding_index.get_indexes_of_nearest(
+                text_embedding, max_matches, threshold_score, predicate
+            )
         )
-        return self.to_scored_locations(matches)
 
     def lookup_in_subset_by_embedding(
         self,
@@ -124,15 +105,40 @@ class TextToTextLocationIndex:
         max_matches: int | None = None,
         threshold_score: float | None = None,
     ) -> list[ScoredTextLocation]:
-        matches = self._embedding_index.get_indexes_of_nearest_in_subset(
-            text_embedding, ordinals_to_match, max_matches, threshold_score
+        return self.to_scored_locations(
+            self._embedding_index.get_indexes_of_nearest_in_subset(
+                text_embedding, ordinals_to_match, max_matches, threshold_score
+            )
         )
-        return self.to_scored_locations(matches)
 
-    def to_scored_locations(self, matches: list[ScoredInt]) -> list[ScoredTextLocation]:
-        return [
-            ScoredTextLocation(self._text_locations[m.item], m.score) for m in matches
-        ]
+    async def lookup_text(
+        self,
+        text: str,
+        max_matches: int | None = None,
+        threshold_score: float | None = None,
+    ) -> list[ScoredTextLocation]:
+        min_score = 0.85 if threshold_score is None else threshold_score
+        return self.to_scored_locations(
+            self._embedding_index.get_indexes_of_nearest(
+                await self.generate_embedding(text),
+                max_matches=max_matches,
+                min_score=min_score,
+            )
+        )
+
+    async def lookup_text_in_subset(
+        self,
+        text: str,
+        ordinals_to_search: list[int],
+        max_matches: int | None = None,
+        threshold_score: float | None = None,
+    ) -> list[ScoredTextLocation]:
+        return self.lookup_in_subset_by_embedding(
+            await self.generate_embedding(text),
+            ordinals_to_search,
+            max_matches,
+            threshold_score,
+        )
 
     def clear(self) -> None:
         self._text_locations = []

@@ -37,9 +37,10 @@ async def build_message_index[
         return
     if csi.message_index is None:
         csi.message_index = storage_provider.message_text_index
-    messages = conversation.messages
-    messages_list = await messages.get_slice(0, await messages.size())
-    await csi.message_index.add_messages(messages_list)
+    all_messages = await conversation.messages.get_slice(
+        0, await conversation.messages.size()
+    )
+    await csi.message_index.add_messages(all_messages)
 
 
 class IMessageTextEmbeddingIndex(IMessageTextIndex):
@@ -114,12 +115,11 @@ class MessageTextIndex(IMessageTextEmbeddingIndex):
         messages: list[TMessage],
         chunk_embeddings: list[np.ndarray],
     ) -> None:
-        text_locations: list[TextLocation] = []
-        for idx, message in enumerate(messages):
-            for chunk_ord in range(len(message.text_chunks)):
-                text_locations.append(
-                    TextLocation(start_message_ordinal + idx, chunk_ord)
-                )
+        text_locations = [
+            TextLocation(start_message_ordinal + idx, chunk_ord)
+            for idx, message in enumerate(messages)
+            for chunk_ord in range(len(message.text_chunks))
+        ]
         if len(text_locations) != len(chunk_embeddings):
             raise ValueError(
                 "messages and chunk_embeddings produced different chunk counts: "
@@ -140,12 +140,11 @@ class MessageTextIndex(IMessageTextEmbeddingIndex):
         max_matches: int | None = None,
         threshold_score: float | None = None,
     ) -> list[ScoredMessageOrdinal]:
-        max_matches = max_matches or self.settings.embedding_index_settings.max_matches
-        threshold_score = (
-            threshold_score or self.settings.embedding_index_settings.min_score
-        )
+        defaults = self.settings.embedding_index_settings
         scored = await self.text_location_index.lookup_text(
-            message_text, max_matches, threshold_score
+            message_text,
+            max_matches or defaults.max_matches,
+            threshold_score or defaults.min_score,
         )
         return self.to_scored_message_ordinals(scored)
 
@@ -192,15 +191,14 @@ class MessageTextIndex(IMessageTextEmbeddingIndex):
         self, scored_locations: list[ScoredTextLocation]
     ) -> list[ScoredMessageOrdinal]:
         # Max-merge chunk scores into message scores.
-        matches: dict[MessageOrdinal, ScoredMessageOrdinal] = {}
+        best: dict[MessageOrdinal, float] = {}
         for sl in scored_locations:
             ordinal = sl.text_location.message_ordinal
-            match = matches.get(ordinal)
-            if match is None:
-                matches[ordinal] = ScoredMessageOrdinal(ordinal, sl.score)
-            else:
-                match.score = max(sl.score, match.score)
-        return sorted(matches.values(), key=lambda m: m.score, reverse=True)
+            prior = best.get(ordinal)
+            if prior is None or sl.score > prior:
+                best[ordinal] = sl.score
+        ranked = sorted(best.items(), key=lambda kv: kv[1], reverse=True)
+        return [ScoredMessageOrdinal(o, s) for o, s in ranked]
 
     async def serialize(self) -> MessageTextIndexData:
         return MessageTextIndexData(indexData=self.text_location_index.serialize())
