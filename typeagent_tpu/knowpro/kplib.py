@@ -5,6 +5,14 @@ field names and camelCase aliases must match so serialized conversations and
 extraction prompts interoperate. Docstrings/Doc annotations feed the
 extraction prompt's JSON schema.
 """
+#
+# NOTE ON SIMILARITY TO THE REFERENCE: this module is a wire/prompt CONTRACT,
+# not logic (reference knowpro/knowledge_schema.py). The field names are the
+# camelCase JSON format shared with the reference's serialized conversations
+# (verified against its real Episode-53 fixture), and the Doc() strings are
+# the literal text the extraction LLM sees — changing either would change
+# behavior, so they intentionally match the reference schema word for word.
+#
 
 from __future__ import annotations
 
