@@ -259,3 +259,32 @@ async def test_incremental_sync_matches_full_rebuild():
         SearchTermGroup(boolean_op="or", terms=[SearchTerm(Term("Bach"))])
     )
     assert old and "entity" in old
+
+
+async def test_or_max_hit_count_filter_matches_host():
+    """or_max keeps only matches at the max exact-hit count (> 1), device
+    and host identically."""
+    conv = await build_conversation()
+    # "Bach" + "composer": the Bach entity matches both (name + type);
+    # other semrefs match at most one.
+    group = SearchTermGroup(
+        boolean_op="or_max",
+        terms=[
+            SearchTerm(Term("Bach")),
+            SearchTerm(Term("composer")),
+        ],
+    )
+    host = await search_conversation_knowledge(
+        conv, group, options=SearchOptions(exact_match=True)
+    )
+    device = await search_conversation_knowledge(
+        conv, group, options=SearchOptions(exact_match=True, use_device_executor=True)
+    )
+    host_keys = as_score_map(host)
+    device_keys = as_score_map(device)
+    assert set(device_keys) == set(host_keys) != set()
+    # The max-hit filter fired: every surviving entity matched both terms.
+    for (ktype, ordinal) in device_keys:
+        if ktype == "entity":
+            sr = await conv.semantic_refs.get_item(ordinal)
+            assert sr.knowledge.name == "Bach"
