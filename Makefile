@@ -1,6 +1,6 @@
 # typeagent-tpu developer targets (parity role: reference Makefile)
 
-.PHONY: test coverage eval bench native clean format help profile
+.PHONY: test coverage eval bench native clean format help profile check-similarity
 
 help:
 	@echo "targets: test coverage eval bench native clean"
@@ -31,6 +31,10 @@ profile:
 
 native:
 	$(MAKE) -C native
+
+# Guard against drifting back toward reference-identical file structure.
+check-similarity:
+	python tools/check_similarity.py
 
 clean:
 	$(MAKE) -C native clean
