@@ -609,3 +609,75 @@ async def test_facet_search_via_query_vm():
         conv, wildcard, options=SearchOptions(exact_match=True)
     )
     assert result and "entity" in result
+
+
+async def test_thread_scope_when_filter():
+    """WhenFilter.thread_description scopes matches to the thread's ranges.
+
+    One thread per conversation: the fake hash embedder has no semantics, so
+    multiple thread descriptions can fuzzily cross-match above threshold.
+    """
+    from typeagent_tpu.knowpro.interfaces import Thread
+
+    group = SearchTermGroup(boolean_op="or", terms=[SearchTerm(Term("Bach"))])
+
+    # Thread covering only message 0 — the Bach knowledge (message 1) is out.
+    conv = await build_conversation()
+    await conv.secondary_indexes.threads.add_thread(
+        Thread("intro pleasantries", [TextRange(TextLocation(0), TextLocation(1))])
+    )
+    scoped_out = await search_conversation_knowledge(
+        conv,
+        group,
+        when_filter=WhenFilter(thread_description="intro pleasantries"),
+        options=SearchOptions(exact_match=True),
+    )
+    assert not scoped_out
+
+    # Thread covering messages 1-2 — Bach is in scope.
+    conv2 = await build_conversation()
+    await conv2.secondary_indexes.threads.add_thread(
+        Thread(
+            "the recording discussion",
+            [TextRange(TextLocation(1), TextLocation(3))],
+        )
+    )
+    scoped_in = await search_conversation_knowledge(
+        conv2,
+        group,
+        when_filter=WhenFilter(thread_description="the recording discussion"),
+        options=SearchOptions(exact_match=True),
+    )
+    assert scoped_in and "entity" in scoped_in
+
+
+async def test_tags_when_filter_scopes_by_tag_ranges():
+    """WhenFilter.tags compiles a tag scope selector."""
+    from typeagent_tpu.knowpro.interfaces import SemanticRef, Tag
+
+    conv = await build_conversation()
+    # Tag message 1 (where the Bach knowledge lives).
+    ordinal = await conv.semantic_refs.size()
+    await conv.semantic_refs.append(
+        SemanticRef(
+            ordinal,
+            TextRange(TextLocation(1)),
+            Tag(text="music-history"),
+        )
+    )
+    await conv.semantic_ref_index.add_term("music-history", ordinal)
+    group = SearchTermGroup(boolean_op="or", terms=[SearchTerm(Term("Bach"))])
+    tagged = await search_conversation_knowledge(
+        conv,
+        group,
+        when_filter=WhenFilter(tags=["music-history"]),
+        options=SearchOptions(exact_match=True),
+    )
+    assert tagged and "entity" in tagged
+    untagged = await search_conversation_knowledge(
+        conv,
+        group,
+        when_filter=WhenFilter(tags=["nonexistent-tag"]),
+        options=SearchOptions(exact_match=True),
+    )
+    assert not untagged
