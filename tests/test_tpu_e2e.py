@@ -59,3 +59,52 @@ async def test_bf16_conversation_end_to_end():
     assert found.message_matches
     m = await conv.messages.get_item(found.message_matches[0].message_ordinal)
     assert "subject7" in m.text_chunks[0]
+
+
+@pytest.mark.skipif("not __import__('jax').default_backend() == 'tpu'")
+async def test_int8_conversation_end_to_end():
+    """Same flow with int8 (per-row scales) embedding storage on device."""
+    from typeagent_tpu import create_conversation
+    from typeagent_tpu.knowpro import kplib
+    from typeagent_tpu.knowpro.convsettings import ConversationSettings
+    from typeagent_tpu.knowpro.interfaces import SearchTerm, SearchTermGroup, Term
+    from typeagent_tpu.knowpro.search import SearchOptions, search_conversation
+    from typeagent_tpu.knowpro.universal_message import (
+        ConversationMessage,
+        ConversationMessageMeta,
+    )
+    from typeagent_tpu.models.adapters import create_test_embedding_model
+    from typeagent_tpu.models.result import Success
+
+    class WordExtractor:
+        async def extract(self, text):
+            words = [w.strip(".,:") for w in text.split() if len(w) > 3]
+            return Success(
+                kplib.KnowledgeResponse(
+                    entities=[], actions=[], inverse_actions=[], topics=words
+                )
+            )
+
+    settings = ConversationSettings(model=create_test_embedding_model(384))
+    settings.semantic_ref_index_settings.knowledge_extractor = WordExtractor()
+    settings.message_text_index_settings.embedding_index_settings.dtype = "int8"
+    settings.related_term_index_settings.embedding_index_settings.dtype = "int8"
+    conv = await create_conversation(None, ConversationMessage, settings=settings)
+    await conv.add_messages_with_indexing(
+        [
+            ConversationMessage(
+                [f"entry {i}: notes about theme{i % 7}"],
+                ConversationMessageMeta("A", ["B"]),
+            )
+            for i in range(30)
+        ]
+    )
+    found = await search_conversation(
+        conv,
+        SearchTermGroup(boolean_op="or", terms=[SearchTerm(Term("theme3"))]),
+        options=SearchOptions(exact_match=True),
+        raw_search_query="theme3",
+    )
+    assert found.message_matches
+    m = await conv.messages.get_item(found.message_matches[0].message_ordinal)
+    assert "theme3" in m.text_chunks[0]
