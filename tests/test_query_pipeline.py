@@ -681,3 +681,94 @@ async def test_tags_when_filter_scopes_by_tag_ranges():
         options=SearchOptions(exact_match=True),
     )
     assert not untagged
+
+
+def test_accumulator_union_and_intersect_semantics():
+    a = MatchAccumulator()
+    a.add("x", 2.0, True)
+    a.add("y", 1.0, True)
+    b = MatchAccumulator()
+    b.add("x", 3.0, True)
+    b.add("x", 0.5, False)
+    b.add("z", 4.0, True)
+    # Union folds matching values' exact AND related tallies.
+    a.add_union(b)
+    x = a.get_match("x")
+    assert (x.score, x.hit_count, x.related_score, x.related_hit_count) == (
+        5.0, 2, 0.5, 1,
+    )
+    assert {m.value for m in a} == {"x", "y", "z"}
+
+    # Intersect keeps only shared values, combining tallies into the left.
+    left = MatchAccumulator()
+    left.add("p", 1.0, True)
+    left.add("q", 2.0, True)
+    right = MatchAccumulator()
+    right.add("q", 3.0, True)
+    out = MatchAccumulator()
+    left.intersect(right, out)
+    assert [m.value for m in out] == ["q"]
+    assert out.get_match("q").score == 5.0 and out.get_match("q").hit_count == 2
+
+
+def test_semref_accumulator_intersect_merges_term_matches():
+    a = SemanticRefAccumulator({"alpha"})
+    a.add(1, 1.0, True)
+    b = SemanticRefAccumulator({"beta"})
+    b.add(1, 2.0, True)
+    out = a.intersect(b)
+    assert out.search_term_matches == {"alpha", "beta"}
+    # Empty intersection keeps term sets empty.
+    c = SemanticRefAccumulator({"gamma"})
+    c.add(99, 1.0, True)
+    empty = a.intersect(c)
+    assert len(empty) == 0 and empty.search_term_matches == set()
+
+
+def test_text_range_collection_dedupe_and_point_containment():
+    def r(start, end=None):
+        return TextRange(
+            TextLocation(start), TextLocation(end) if end is not None else None
+        )
+
+    ranges = TextRangeCollection(ensure_sorted=True)
+    assert ranges.add_range(r(5, 10)) is True
+    assert ranges.add_range(r(5, 10)) is False  # exact duplicate rejected
+    assert ranges.add_range(r(0, 3)) is True
+    assert len(ranges) == 2
+    # Sorted insertion order maintained.
+    assert [x.start.message_ordinal for x in ranges] == [0, 5]
+    # Point range (end=None) containment.
+    assert ranges.contains_range(r(7))
+    assert ranges.contains_range(r(2))
+    assert not ranges.contains_range(r(3))  # half-open: [0,3) excludes 3
+    assert not ranges.contains_range(r(4))
+
+
+def test_top_n_collection_rank_and_overflow():
+    from typeagent_tpu.knowpro.collections import TopNCollection
+
+    top = TopNCollection(3)
+    for item, score in [("a", 1.0), ("b", 5.0), ("c", 3.0), ("d", 4.0), ("e", 0.5)]:
+        top.push(item, score)
+    assert top.values_by_rank() == ["b", "d", "c"]
+    assert len(top) == 3
+
+
+async def test_char_budget_counts_whole_messages():
+    from typeagent_tpu.knowpro.collections import (
+        get_count_of_messages_in_char_budget,
+    )
+
+    conv = await build_conversation()
+    sizes = []
+    for i in range(3):
+        m = await conv.messages.get_item(i)
+        sizes.append(sum(len(c) for c in m.text_chunks))
+    # Budget for exactly the first two messages: the third must not fit.
+    budget = sizes[0] + sizes[1]
+    n = await get_count_of_messages_in_char_budget(conv.messages, [0, 1, 2], budget)
+    assert n == 2
+    # A budget one char short of the first message fits none.
+    n = await get_count_of_messages_in_char_budget(conv.messages, [0], sizes[0] - 1)
+    assert n == 0
