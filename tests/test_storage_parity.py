@@ -369,3 +369,30 @@ async def test_sqlite_nested_transaction_raises():
     async with p:
         with pytest.raises(RuntimeError, match="already in progress"):
             await p.__aenter__()
+
+
+def test_sqlite_term_normalization_rules():
+    """strip + NFC + whitespace collapse + lowercase (reference
+    sqlite/semrefindex.py:172-182)."""
+    from typeagent_tpu.storage.sqlite.indexes import prepare_term
+
+    assert prepare_term("  Hello   World  ") == "hello world"
+    assert prepare_term("Café") == "café"  # e + combining acute -> é (NFC)
+    assert prepare_term("TAB\tand\nnewline") == "tab and newline"
+    assert prepare_term("ÉCLAIR") == "éclair"
+
+
+async def test_sqlite_index_lookup_uses_normalized_terms(tmp_path):
+    """A term stored with odd casing/whitespace is findable via any variant."""
+    from tests.test_persistence import WordExtractor, make_settings, msg
+    from typeagent_tpu import create_conversation
+    from typeagent_tpu.knowpro.universal_message import ConversationMessage
+
+    db = str(tmp_path / "norm.db")
+    conv = await create_conversation(db, ConversationMessage, settings=make_settings())
+    async with conv.storage_provider:
+        await conv.semantic_ref_index.add_term("  Mixedé   Case  ", 0)
+    for variant in ("mixedé case", "MIXEDÉ   CASE", " mixedé case "):
+        postings = await conv.semantic_ref_index.lookup_term(variant)
+        assert postings and postings[0].semantic_ref_ordinal == 0, variant
+    await conv.storage_provider.close()
