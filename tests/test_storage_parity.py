@@ -390,6 +390,8 @@ async def test_sqlite_index_lookup_uses_normalized_terms(tmp_path):
 
     db = str(tmp_path / "norm.db")
     conv = await create_conversation(db, ConversationMessage, settings=make_settings())
+    # Terms FK-reference semrefs, so seed one via a real ingest first.
+    await conv.add_messages_with_indexing([msg("seed message")])
     async with conv.storage_provider:
         await conv.semantic_ref_index.add_term("  Mixedé   Case  ", 0)
     for variant in ("mixedé case", "MIXEDÉ   CASE", " mixedé case "):
