@@ -147,3 +147,61 @@ async def test_episode53_device_executor_agrees_with_host():
             for m in res.semantic_ref_matches
         }
     assert keys(device) == keys(host) != set()
+
+
+async def test_episode53_pinned_goldens():
+    """Exact semref ordinals + scores for structured searches over the
+    reference's real index, pinned in tests/testdata/golden_episode53.json.
+    Any regression in index rebuild, scoring, or format parity breaks this."""
+    import json
+
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "testdata", "golden_episode53.json"
+    )
+    golden = json.load(open(golden_path))
+    queries = {
+        "spider-or-evolution": SearchTermGroup(
+            boolean_op="or",
+            terms=[SearchTerm(Term("spider")), SearchTerm(Term("evolution"))],
+        ),
+        "name-adrian": SearchTermGroup(
+            boolean_op="or",
+            terms=[
+                PropertySearchTerm(
+                    "name", SearchTerm(Term("Adrian Tchaikovsky"), related_terms=[])
+                )
+            ],
+        ),
+        "subject-adrian-actions": SearchTermGroup(
+            boolean_op="or",
+            terms=[
+                PropertySearchTerm(
+                    "subject",
+                    SearchTerm(Term("Adrian Tchaikovsky"), related_terms=[]),
+                )
+            ],
+        ),
+        "topic-books": SearchTermGroup(
+            boolean_op="or",
+            terms=[
+                PropertySearchTerm(
+                    "topic", SearchTerm(Term("science fiction"), related_terms=[])
+                )
+            ],
+        ),
+    }
+    pod = await load_episode53()
+    for case in golden:
+        result = await search_conversation_knowledge(
+            pod,
+            queries[case["name"]],
+            options=SearchOptions(exact_match=True, max_knowledge_matches=10),
+        )
+        got = {
+            ktype: [
+                [m.semantic_ref_ordinal, round(m.score, 4)]
+                for m in r.semantic_ref_matches
+            ]
+            for ktype, r in sorted((result or {}).items())
+        }
+        assert got == case["matches"], case["name"]
