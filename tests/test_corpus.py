@@ -84,3 +84,18 @@ async def test_corpus_normalizes_rows_on_append():
     assert hits[0].score == pytest.approx(1.0, abs=1e-3)
     # Non-identical rows score strictly below 1 once rows are normalized.
     assert hits[1].score < 0.999
+
+
+async def test_corpus_normalizes_queries_too():
+    """Unnormalized QUERY embeddings must not saturate scores either."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    corpus = CorpusVectorStore(dim=16, mesh=create_mesh(n_shard=2, n_dp=1))
+    rng = np.random.default_rng(11)
+    rows = rng.standard_normal((30, 16)).astype(np.float32)
+    corpus.append("c", rows)
+    raw_query = rows[4:5] * 25.0  # huge norm
+    hits = corpus.search(raw_query, k=2)[0]
+    assert hits[0].local_ordinal == 4
+    assert hits[0].score == pytest.approx(1.0, abs=1e-3)
+    assert hits[1].score < 0.999

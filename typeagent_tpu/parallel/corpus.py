@@ -102,7 +102,13 @@ class CorpusVectorStore:
         Scoping oversamples the global top-k then filters — exact when the
         target conversations dominate the winners; callers needing guaranteed
         depth within one small conversation should raise k.
+
+        Queries are unit-normalized here, mirroring append(), so the
+        (cos+1)/2 score stays meaningful for any embedding scale.
         """
+        queries = np.asarray(queries, dtype=np.float32)
+        norms = np.linalg.norm(queries, axis=1, keepdims=True)
+        queries = queries / np.where(norms > 0, norms, 1.0)
         wanted = set(conversations) if conversations is not None else None
         # Oversample when scoping so filtered results keep depth.
         fetch_k = k if wanted is None else min(len(self._store), k * 8)
