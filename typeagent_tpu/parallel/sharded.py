@@ -107,6 +107,8 @@ class ShardedVectorStore:
         self.buf = jax.jit(pad, out_shardings=self._sharding)(self.buf)
 
     def append(self, rows: np.ndarray) -> None:
+        """Append rows (callers pass UNIT-NORMALIZED embeddings, as with the
+        reference VectorBase; CorpusVectorStore normalizes for you)."""
         rows = np.asarray(rows, dtype=np.float32)
         assert rows.ndim == 2 and rows.shape[1] == self.dim
         n = rows.shape[0]
