@@ -772,3 +772,36 @@ async def test_char_budget_counts_whole_messages():
     # A budget one char short of the first message fits none.
     n = await get_count_of_messages_in_char_budget(conv.messages, [0], sizes[0] - 1)
     assert n == 0
+
+
+def test_text_range_ordering_properties():
+    """TextRange/TextLocation comparisons back bisect-based scope math:
+    total order, half-open containment, end=None point semantics."""
+    import random
+
+    def loc(m, c=0):
+        return TextLocation(m, c)
+
+    rng = random.Random(7)
+    locations = [loc(rng.randrange(10), rng.randrange(4)) for _ in range(50)]
+    ordered = sorted(locations)
+    for a, b in zip(ordered, ordered[1:]):
+        assert (a.message_ordinal, a.chunk_ordinal) <= (
+            b.message_ordinal, b.chunk_ordinal
+        )
+
+    outer = TextRange(loc(2), loc(6))
+    assert TextRange(loc(2)) in outer           # start boundary
+    assert TextRange(loc(5, 3)) in outer        # interior chunk
+    assert TextRange(loc(6)) not in outer       # exclusive end
+    assert TextRange(loc(3), loc(6)) in outer   # same exclusive end
+    assert TextRange(loc(3), loc(7)) not in outer
+    point = TextRange(loc(4))                   # end=None: ONE chunk
+    assert TextRange(loc(4)) in point
+    # A point range spans a single chunk, not the whole message
+    # (reference interfaces_core.py _effective_end: start.chunk + 1).
+    assert TextRange(loc(4), loc(5)) not in point
+    assert TextRange(loc(4, 1)) not in point
+    assert TextRange(loc(5)) not in point
+    # ...but the point IS inside the whole-message range.
+    assert point in TextRange(loc(4), loc(5))
