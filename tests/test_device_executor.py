@@ -288,3 +288,48 @@ async def test_or_max_hit_count_filter_matches_host():
         if ktype == "entity":
             sr = await conv.semantic_refs.get_item(ordinal)
             assert sr.knowledge.name == "Bach"
+
+
+async def test_related_term_parity_guard_falls_back():
+    """Groups where fused accumulation could diverge from the host VM's
+    per-subexpression add_if_new rule must return None (host fallback)."""
+    conv = await build_conversation()
+    executor = DeviceQueryExecutor(conv)
+    await executor.sync()
+    # Multiple subterms + related terms -> fall back.
+    risky = SearchTermGroup(
+        boolean_op="or",
+        terms=[
+            SearchTerm(Term("Bach"), related_terms=[Term("composer", weight=0.9)]),
+            SearchTerm(Term("harpsichord")),
+        ],
+    )
+    assert await executor.search(risky) is None
+    # A single subterm with >1 related terms -> fall back.
+    multi_related = SearchTermGroup(
+        boolean_op="or",
+        terms=[
+            SearchTerm(
+                Term("Bach"),
+                related_terms=[Term("composer", weight=0.9), Term("organist", weight=0.8)],
+            )
+        ],
+    )
+    assert await executor.search(multi_related) is None
+    # Identical duplicate term texts -> fall back (host matches each
+    # distinct text once via matched_terms; fused would double-add).
+    dupes = SearchTermGroup(
+        boolean_op="or",
+        terms=[SearchTerm(Term("Bach")), SearchTerm(Term("Bach", weight=2.0))],
+    )
+    assert await executor.search(dupes) is None
+    # The public API still answers through the host VM.
+    from typeagent_tpu.knowpro.search import SearchOptions, search_conversation_knowledge
+
+    via_flag = await search_conversation_knowledge(
+        conv, risky, options=SearchOptions(exact_match=True, use_device_executor=True)
+    )
+    direct = await search_conversation_knowledge(
+        conv, risky, options=SearchOptions(exact_match=True)
+    )
+    assert as_score_map(via_flag) == as_score_map(direct) != {}

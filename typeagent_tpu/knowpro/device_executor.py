@@ -152,7 +152,30 @@ class DeviceQueryExecutor:
     def _compile_flat_terms(
         self, group: SearchTermGroup
     ) -> list[tuple[str, float, bool, str]] | None:
-        """Flatten a group into (key, weight, exact, match_text) or None."""
+        """Flatten a group into (key, weight, exact, match_text) or None.
+
+        Related-term parity guard: the host VM applies the
+        add_term_matches_if_new rule per SUB-EXPRESSION accumulator, but this
+        fused program uses one accumulator for the whole group — the two
+        diverge when related terms collide with other subterms' matches on
+        the same semref. Exact only when related terms are confined to a
+        single subterm carrying at most one of them, so anything broader
+        falls back to the host VM.
+        """
+        subterms_with_related = 0
+        max_related_per_subterm = 0
+        for term in group.terms:
+            related = getattr(term, "related_terms", None)
+            if isinstance(term, PropertySearchTerm):
+                related = term.property_value.related_terms
+            if related:
+                subterms_with_related += 1
+                max_related_per_subterm = max(max_related_per_subterm, len(related))
+        if subterms_with_related and (
+            len(group.terms) > 1 or max_related_per_subterm > 1
+        ):
+            return None
+
         compiled: list[tuple[str, float, bool, str]] = []
         for term in group.terms:
             if isinstance(term, SearchTermGroup):
@@ -203,6 +226,11 @@ class DeviceQueryExecutor:
                     )
             else:
                 return None
+        # Duplicate keys: the host VM matches each distinct term text once
+        # (context.matched_terms); a fused double-add would double-count.
+        keys = [key for key, _, _, _ in compiled]
+        if len(set(keys)) != len(keys):
+            return None
         return compiled
 
     def _scope_mask(
