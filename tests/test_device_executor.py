@@ -333,3 +333,38 @@ async def test_related_term_parity_guard_falls_back():
         conv, risky, options=SearchOptions(exact_match=True)
     )
     assert as_score_map(via_flag) == as_score_map(direct) != {}
+
+
+async def test_or_max_with_scope_on_device():
+    """or_max and scope filtering compose in one device program."""
+    from typeagent_tpu.knowpro.collections import (
+        TextRangeCollection,
+        TextRangesInScope,
+    )
+    from typeagent_tpu.knowpro.interfaces import TextLocation, TextRange
+
+    conv = await build_conversation()
+    executor = DeviceQueryExecutor(conv)
+    await executor.sync()
+    group = SearchTermGroup(
+        boolean_op="or_max",
+        terms=[SearchTerm(Term("Bach")), SearchTerm(Term("composer"))],
+    )
+    # Scope includes message 1 (where Bach lives): or_max keeps the 2-hit
+    # Bach entity.
+    scope = TextRangesInScope()
+    scope.add_text_ranges(
+        TextRangeCollection([TextRange(TextLocation(0), TextLocation(2))])
+    )
+    result = await executor.search(group, ranges_in_scope=scope)
+    assert result and "entity" in result
+    top = await conv.semantic_refs.get_item(
+        result["entity"].semantic_ref_matches[0].semantic_ref_ordinal
+    )
+    assert top.knowledge.name == "Bach"
+    # Scope excluding message 1 removes everything.
+    scope2 = TextRangesInScope()
+    scope2.add_text_ranges(
+        TextRangeCollection([TextRange(TextLocation(0), TextLocation(1))])
+    )
+    assert await executor.search(group, ranges_in_scope=scope2) == {}
