@@ -368,3 +368,19 @@ async def test_or_max_with_scope_on_device():
         TextRangeCollection([TextRange(TextLocation(0), TextLocation(1))])
     )
     assert await executor.search(group, ranges_in_scope=scope2) == {}
+
+
+async def test_shrunk_conversation_triggers_full_rebuild():
+    """A semref count below the watermark (cleared/reloaded conversation)
+    falls through to a full rebuild instead of corrupt incremental state."""
+    conv = await build_conversation()
+    executor = DeviceQueryExecutor(conv)
+    await executor.sync()
+    real_count = executor._n_semrefs
+    executor._n_semrefs = real_count + 100  # simulate a stale watermark
+    await executor.sync()  # count "shrank" -> full rebuild
+    assert executor._n_semrefs == real_count
+    result = await executor.search(
+        SearchTermGroup(boolean_op="or", terms=[SearchTerm(Term("Bach"))])
+    )
+    assert result and "entity" in result
