@@ -221,3 +221,13 @@ def test_recall_and_mrr():
     assert recall_at_k([], {1}, 5) == 0.0
     assert mrr([5, 1, 2], {1}) == pytest.approx(0.5)
     assert mrr([9, 8], {1}) == 0.0
+
+
+def test_batched_and_timelog_utilities(capsys):
+    from typeagent_tpu.utils.misc import batched, timelog
+
+    assert [list(b) for b in batched(range(7), 3)] == [[0, 1, 2], [3, 4, 5], [6]]
+    assert [list(b) for b in batched([], 3)] == []
+    with timelog("unit-test block"):
+        pass
+    assert "unit-test block" in capsys.readouterr().out
