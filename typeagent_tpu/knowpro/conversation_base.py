@@ -18,6 +18,7 @@ import numpy as np
 
 from ..models.result import Failure
 from ..models.structured import TypedTranslator
+from ..utils.trace import span
 from . import answers, convknowledge, kplib, searchlang, secindex, semrefindex
 from .answer_response_schema import AnswerResponse
 from .convsettings import ConversationSettings
@@ -133,6 +134,17 @@ class ConversationBase(
                 f"messages {len(messages)}"
             )
 
+        with span("ingest.batch", messages=len(messages)):
+            return await self._add_messages_with_indexing_traced(
+                storage, messages, source_ids
+            )
+
+    async def _add_messages_with_indexing_traced(
+        self,
+        storage: IStorageProvider[TMessage],
+        messages: list[TMessage],
+        source_ids: list[str] | None,
+    ) -> AddMessagesResult:
         async with storage:
             if source_ids is not None:
                 sids = source_ids
@@ -469,9 +481,10 @@ class ConversationBase(
             max_message_matches=25,
         )
 
-        result = await searchlang.search_conversation_with_language(
-            self, self._query_translator, question, search_options
-        )
+        with span("query.translate_and_search"):
+            result = await searchlang.search_conversation_with_language(
+                self, self._query_translator, question, search_options
+            )
         if isinstance(result, Failure):
             return f"Search failed: {result.message}"
         search_results = result.value
@@ -480,13 +493,14 @@ class ConversationBase(
             entities_top_k=50, topics_top_k=50, messages_top_k=None, chunking=None
         )
 
-        _, combined_answer = await answers.generate_answers(
-            self._answer_translator,
-            search_results,
-            self,
-            question,
-            options=answer_options,
-        )
+        with span("query.answers", results=len(search_results)):
+            _, combined_answer = await answers.generate_answers(
+                self._answer_translator,
+                search_results,
+                self,
+                question,
+                options=answer_options,
+            )
 
         match combined_answer.type:
             case "NoAnswer":

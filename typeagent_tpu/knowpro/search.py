@@ -23,6 +23,7 @@ from typing import TypeGuard, cast
 
 from ..storage.memory.messageindex import IMessageTextEmbeddingIndex
 from ..storage.memory.reltermsindex import resolve_related_terms
+from ..utils.trace import span
 from .collections import MessageAccumulator, SemanticRefAccumulator
 from .fields import dataclass
 from .interfaces import (
@@ -226,16 +227,18 @@ async def search_conversation_knowledge(
         "Conversation secondary indexes must be initialized before searching"
     )
     if options.use_device_executor and when_filter is None and options.exact_match:
-        device_result = await _try_device_executor(
-            conversation, search_term_group, options
-        )
+        with span("search.knowledge", route="device"):
+            device_result = await _try_device_executor(
+                conversation, search_term_group, options
+            )
         if device_result is not None:
             return device_result
-    compiler = QueryCompiler(conversation, conversation.secondary_indexes)
-    knowledge_query = await compiler.compile_knowledge_query(
-        search_term_group, when_filter, options
-    )
-    return await run_query(conversation, options, knowledge_query)
+    with span("search.knowledge", route="host"):
+        compiler = QueryCompiler(conversation, conversation.secondary_indexes)
+        knowledge_query = await compiler.compile_knowledge_query(
+            search_term_group, when_filter, options
+        )
+        return await run_query(conversation, options, knowledge_query)
 
 
 async def search_conversation(
