@@ -180,14 +180,15 @@ class ConversationBase(
     ) -> AddMessagesResult:
         from .add_messages import add_messages_streaming as run_pipeline
 
-        return await run_pipeline(
-            self,
-            messages,
-            batch_size=batch_size,
-            on_batch_committed=on_batch_committed,
-            skip_failed_messages=skip_failed_messages,
-            shutdown_event=shutdown_event,
-        )
+        with span("ingest.streaming", batch_size=batch_size):
+            return await run_pipeline(
+                self,
+                messages,
+                batch_size=batch_size,
+                on_batch_committed=on_batch_committed,
+                skip_failed_messages=skip_failed_messages,
+                shutdown_event=shutdown_event,
+            )
 
     async def _commit_batch_from_chunk_results(
         self,
