@@ -268,3 +268,32 @@ async def test_streaming_skip_records_chunk_failures():
     assert len(failures) == 1
     assert failures[0].error_class == "RuntimeError"
     assert "src-bad" in failures[0].error_message
+
+
+async def test_engine_emits_tracing_spans():
+    """Ingest + query paths record spans into the metrics registry."""
+    from typeagent_tpu.utils.metrics import METRICS
+
+    before = {
+        k: len(v) for k, v in METRICS.latencies.items() if k.startswith("span.")
+    }
+    settings = make_settings(FakeExtractor())
+    conv = await create_conversation(None, ConversationMessage, settings=settings)
+    await conv.add_messages_with_indexing([msg("trace me")])
+
+    async def stream():
+        yield msg("streamed one")
+
+    await conv.add_messages_streaming(stream(), batch_size=1)
+    await search_conversation(
+        conv,
+        SearchTermGroup(boolean_op="or", terms=[SearchTerm(Term("trace"))]),
+        options=SearchOptions(exact_match=True),
+        raw_search_query="trace",
+    )
+    def count(name):
+        return len(METRICS.latencies.get(name, [])) - before.get(name, 0)
+
+    assert count("span.ingest.batch") >= 1
+    assert count("span.ingest.streaming") >= 1
+    assert count("span.search.knowledge") >= 1
