@@ -99,3 +99,31 @@ async def test_corpus_normalizes_queries_too():
     assert hits[0].local_ordinal == 4
     assert hits[0].score == pytest.approx(1.0, abs=1e-3)
     assert hits[1].score < 0.999
+
+
+def test_corpus_scoped_search_exact_for_buried_conversation(mesh, rng):
+    """A small conversation buried under a dominant corpus must return its
+    own top-k under scoping — the device segment mask guarantees exactness
+    (no global-top-k oversampling that could miss the small tenant)."""
+    dim = 32
+    corpus = CorpusVectorStore(dim, mesh=mesh)
+    q = normalized(rng, 1, dim)
+    # "big" dominates every global winner slot for q...
+    near = q + 0.01 * rng.standard_normal((3000, dim)).astype(np.float32)
+    near /= np.linalg.norm(near, axis=1, keepdims=True)
+    corpus.append("big", near)
+    # ...while "tiny" holds only anti-correlated rows.
+    far = -q + 0.01 * rng.standard_normal((6, dim)).astype(np.float32)
+    far /= np.linalg.norm(far, axis=1, keepdims=True)
+    corpus.append("tiny", far)
+
+    scoped = corpus.search(q, k=5, conversations=["tiny"])[0]
+    assert len(scoped) == 5
+    assert all(h.conversation == "tiny" for h in scoped)
+    # Exact parity with a host oracle over the tiny segment only.
+    scores = np.clip((far @ q[0] + 1) / 2, 0, 1)
+    expect = list(np.argsort(-scores, kind="stable")[:5])
+    assert [h.local_ordinal for h in scoped] == [int(i) for i in expect]
+
+    # Scoping to an unknown conversation returns empty, not garbage.
+    assert corpus.search(q, k=5, conversations=["nope"]) == [[]]

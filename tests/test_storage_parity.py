@@ -398,3 +398,26 @@ async def test_sqlite_index_lookup_uses_normalized_terms(tmp_path):
         postings = await conv.semantic_ref_index.lookup_term(variant)
         assert postings and postings[0].semantic_ref_ordinal == 0, variant
     await conv.storage_provider.close()
+
+
+async def test_bulk_ordinal_fetch_beyond_bind_limit(backend, monkeypatch):
+    """get_multiple/get_metadata_multiple must handle ordinal lists larger
+    than SQLite's bind-variable limit (the device executor syncs whole
+    conversations at once). Contiguous lists take a range scan; scattered
+    sets chunk the IN-list."""
+    from typeagent_tpu.storage.sqlite import collections as sqlite_collections
+
+    monkeypatch.setattr(sqlite_collections, "_SQL_IN_CHUNK", 7)
+    p = make_provider(backend)
+    n = 40
+    async with p:
+        await _add_dummy_semrefs(p, n)
+    # Contiguous (the executor-sync shape).
+    meta = await p.semantic_refs.get_metadata_multiple(list(range(n)))
+    assert [m.ordinal for m in meta] == list(range(n))
+    # Scattered + out of order + duplicates.
+    scattered = [3, 39, 0, 17, 3, 28, 11]
+    refs = await p.semantic_refs.get_multiple(scattered)
+    assert [r.knowledge.name for r in refs] == [f"e{i}" for i in scattered]
+    meta2 = await p.semantic_refs.get_metadata_multiple(scattered)
+    assert [m.ordinal for m in meta2] == scattered

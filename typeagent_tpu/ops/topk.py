@@ -443,6 +443,29 @@ def topk_program(
     return _topk_xla_impl(emb, queries, count, k=k)
 
 
+def topk_program_quantized(
+    emb_q: jax.Array,
+    scales: jax.Array,
+    queries: jax.Array,
+    count: jax.Array,
+    k: int,
+    use_pallas: bool | None = None,
+):
+    """Traceable (unjitted) quantized top-k — usable inside shard_map bodies.
+
+    ``count`` must be a scalar int32 array; ``use_pallas`` as in
+    :func:`topk_program` (True only for TPU meshes).
+    """
+    k = min(k, emb_q.shape[0])
+    if use_pallas is None:
+        use_pallas = _use_pallas()
+    if use_pallas and k <= _PALLAS_MAX_K:
+        return _topk_pallas_q_impl(
+            emb_q, scales, queries.astype(jnp.bfloat16), count.reshape(1), k=k
+        )
+    return _topk_xla_q_impl(emb_q, scales, queries, count, k=k)
+
+
 def _scores_xla(emb: jax.Array, queries: jax.Array, count: jax.Array) -> jax.Array:
     scores = jnp.einsum(
         "bd,nd->bn",

@@ -90,6 +90,14 @@ class CorpusVectorStore:
             segment.local_base + (global_ordinal - segment.start),
         )
 
+    def _segment_mask(self, wanted: set[str]) -> np.ndarray:
+        """Bool row mask selecting every segment owned by a wanted conversation."""
+        mask = np.zeros((len(self._store),), dtype=bool)
+        for seg in self._segments:
+            if seg.conversation in wanted:
+                mask[seg.start : seg.start + seg.count] = True
+        return mask
+
     def search(
         self,
         queries: np.ndarray,
@@ -99,9 +107,10 @@ class CorpusVectorStore:
     ) -> list[list[CorpusHit]]:
         """Batched corpus search, optionally scoped to conversations.
 
-        Scoping oversamples the global top-k then filters — exact when the
-        target conversations dominate the winners; callers needing guaranteed
-        depth within one small conversation should raise k.
+        Scoped search is EXACT: the target conversations' row segments become
+        a device-side mask sharded with the matrix, so a scoped search runs
+        the same fused SPMD scan as a global one — a small conversation's best
+        matches are never shadowed by other conversations' winners.
 
         Queries are unit-normalized here, mirroring append(), so the
         (cos+1)/2 score stays meaningful for any embedding scale.
@@ -109,19 +118,18 @@ class CorpusVectorStore:
         queries = np.asarray(queries, dtype=np.float32)
         norms = np.linalg.norm(queries, axis=1, keepdims=True)
         queries = queries / np.where(norms > 0, norms, 1.0)
-        wanted = set(conversations) if conversations is not None else None
-        # Oversample when scoping so filtered results keep depth.
-        fetch_k = k if wanted is None else min(len(self._store), k * 8)
-        raw = self._store.search(np.asarray(queries, np.float32), fetch_k, min_score)
+        if conversations is None:
+            raw = self._store.search(queries, k, min_score)
+        else:
+            mask = self._segment_mask(set(conversations))
+            if not mask.any():
+                return [[] for _ in range(queries.shape[0])]
+            raw = self._store.search_masked(queries, mask, k, min_score)
         results: list[list[CorpusHit]] = []
         for per_query in raw:
             hits: list[CorpusHit] = []
             for global_ordinal, score in per_query:
                 conversation, local = self._resolve(global_ordinal)
-                if wanted is not None and conversation not in wanted:
-                    continue
                 hits.append(CorpusHit(conversation, local, global_ordinal, score))
-                if len(hits) >= k:
-                    break
             results.append(hits)
         return results

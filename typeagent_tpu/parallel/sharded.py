@@ -13,6 +13,10 @@ is one SPMD program per query batch:
 Queries ride the ``dp`` axis for data-parallel batching. This is the
 TPU-native replacement for scaling the reference's serial numpy scan
 (`aitools/vectorbase.py:163-201`), per SURVEY.md §7 / BASELINE.json.
+
+All device programs are cached at module level keyed by (mesh, k, mode) so
+repeated appends/searches hit the jit cache — a per-call ``jax.jit(lambda…)``
+would retrace every time (seconds per append on a TPU mesh).
 """
 
 from __future__ import annotations
@@ -30,61 +34,203 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _shard_map
 
 from ..ops import append as append_ops
-from ..ops.topk import topk_program
+from ..ops.topk import _NEG, topk_program, topk_program_quantized
 from .mesh import AXIS_DP, AXIS_SHARD
 
 __all__ = ["make_sharded_topk", "ShardedVectorStore"]
 
 
+def _row_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(AXIS_SHARD, None))
+
+
+def _vec_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(AXIS_SHARD))
+
+
+def _replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _query_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(AXIS_DP, None))
+
+
+# ---------------------------------------------------------------------------
+# Cached device programs (mesh-keyed; Mesh is hashable)
+# ---------------------------------------------------------------------------
+
+
 @functools.lru_cache(maxsize=64)
-def _sharded_topk_cached(mesh: Mesh, k: int):
+def _append_rows_cached(mesh: Mesh):
+    return jax.jit(
+        lambda buf, rows, count: jax.lax.dynamic_update_slice(
+            buf, rows.astype(buf.dtype), (count, 0)
+        ),
+        out_shardings=_row_sharding(mesh),
+        donate_argnums=(0,),
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _append_scales_cached(mesh: Mesh):
+    return jax.jit(
+        lambda scales, row_scales, count: jax.lax.dynamic_update_slice(
+            scales, row_scales, (count,)
+        ),
+        out_shardings=_vec_sharding(mesh),
+        donate_argnums=(0,),
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _grow_rows_cached(mesh: Mesh):
+    def _grow(buf, *, new_capacity: int):
+        return jnp.pad(buf, ((0, new_capacity - buf.shape[0]), (0, 0)))
+
+    return jax.jit(
+        _grow, static_argnames=("new_capacity",), out_shardings=_row_sharding(mesh)
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _grow_scales_cached(mesh: Mesh):
+    def _grow(scales, *, new_capacity: int):
+        return jnp.pad(
+            scales, (0, new_capacity - scales.shape[0]), constant_values=1.0
+        )
+
+    return jax.jit(
+        _grow, static_argnames=("new_capacity",), out_shardings=_vec_sharding(mesh)
+    )
+
+
+def _merge_shard_winners(vals, idx, k, min_score):
+    """Gather per-shard winners over ICI and re-top-k; filter by min_score."""
+    all_vals = jax.lax.all_gather(vals, AXIS_SHARD, axis=1, tiled=True)
+    all_idx = jax.lax.all_gather(idx, AXIS_SHARD, axis=1, tiled=True)
+    merged_vals, pos = jax.lax.top_k(all_vals, k)
+    merged_idx = jnp.take_along_axis(all_idx, pos, axis=1)
+    keep = (merged_vals >= min_score[0]) & (merged_idx >= 0)
+    return jnp.where(keep, merged_vals, _NEG), jnp.where(keep, merged_idx, -1)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_topk_cached(mesh: Mesh, k: int, quantized: bool):
     use_pallas = mesh.devices.flat[0].platform == "tpu"
+    emb_spec = (P(AXIS_SHARD, None), P(AXIS_SHARD)) if quantized else (P(AXIS_SHARD, None),)
 
     @functools.partial(
         _shard_map,
         mesh=mesh,
-        in_specs=(P(AXIS_SHARD, None), P(AXIS_DP, None), P()),
+        in_specs=emb_spec + (P(AXIS_DP, None), P(), P()),
         out_specs=(P(AXIS_DP, None), P(AXIS_DP, None)),
         check_vma=False,  # outputs are replicated over 'shard' via all_gather
     )
-    def _search(emb_local, q_local, count):
+    def _search(*args):
+        if quantized:
+            emb_local, scales_local, q_local, count, min_score = args
+        else:
+            (emb_local, q_local, count, min_score) = args
         local_n = emb_local.shape[0]
         shard = jax.lax.axis_index(AXIS_SHARD)
         offset = shard * local_n
         local_count = jnp.clip(count[0] - offset, 0, local_n)
-        vals, idx = topk_program(emb_local, q_local, local_count, k, use_pallas)
+        if quantized:
+            vals, idx = topk_program_quantized(
+                emb_local, scales_local, q_local, local_count, k, use_pallas
+            )
+        else:
+            vals, idx = topk_program(emb_local, q_local, local_count, k, use_pallas)
         idx = jnp.where(vals >= 0.0, idx + offset, -1)
-        # k-small merge over ICI: gather all shards' winners, re-top-k.
-        all_vals = jax.lax.all_gather(vals, AXIS_SHARD, axis=1, tiled=True)
-        all_idx = jax.lax.all_gather(idx, AXIS_SHARD, axis=1, tiled=True)
-        merged_vals, pos = jax.lax.top_k(all_vals, k)
-        merged_idx = jnp.take_along_axis(all_idx, pos, axis=1)
-        return merged_vals, merged_idx
+        return _merge_shard_winners(vals, idx, k, min_score)
 
     return jax.jit(_search)
 
 
-def make_sharded_topk(mesh: Mesh, k: int):
-    """Compiled distributed top-k: (emb, queries, count[1]) -> (vals, idx)."""
-    return _sharded_topk_cached(mesh, k)
+@functools.lru_cache(maxsize=64)
+def _sharded_subset_topk_cached(mesh: Mesh, k: int, quantized: bool):
+    """Masked full-scan top-k: exact scoped search via a row mask.
+
+    The mask shards with the rows (P over ``shard``), so scoping costs the
+    same SPMD program as a global search — no oversampling, no host filter.
+    """
+    emb_spec = (P(AXIS_SHARD, None), P(AXIS_SHARD)) if quantized else (P(AXIS_SHARD, None),)
+
+    @functools.partial(
+        _shard_map,
+        mesh=mesh,
+        in_specs=emb_spec + (P(AXIS_SHARD), P(AXIS_DP, None), P(), P()),
+        out_specs=(P(AXIS_DP, None), P(AXIS_DP, None)),
+        check_vma=False,
+    )
+    def _search(*args):
+        if quantized:
+            emb_local, scales_local, mask_local, q_local, count, min_score = args
+        else:
+            (emb_local, mask_local, q_local, count, min_score) = args
+        local_n = emb_local.shape[0]
+        shard = jax.lax.axis_index(AXIS_SHARD)
+        offset = shard * local_n
+        local_count = jnp.clip(count[0] - offset, 0, local_n)
+        raw = jnp.einsum(
+            "bd,nd->bn",
+            q_local.astype(jnp.float32),
+            emb_local.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if quantized:
+            raw = raw * scales_local[None, :]
+        scores = jnp.clip((raw + 1.0) * 0.5, 0.0, 1.0)
+        row_ok = mask_local & (
+            jnp.arange(local_n, dtype=jnp.int32) < local_count
+        )
+        scores = jnp.where(row_ok[None, :], scores, _NEG)
+        kk = min(k, local_n)
+        vals, pos = jax.lax.top_k(scores, kk)
+        idx = jnp.where(vals >= 0.0, pos + offset, -1)
+        return _merge_shard_winners(vals, idx, kk, min_score)
+
+    return jax.jit(_search)
+
+
+def make_sharded_topk(mesh: Mesh, k: int, quantized: bool = False):
+    """Compiled distributed top-k: (emb[, scales], queries, count[1],
+    min_score[1]) -> (vals, idx)."""
+    return _sharded_topk_cached(mesh, k, quantized)
+
+
+# ---------------------------------------------------------------------------
+# The store
+# ---------------------------------------------------------------------------
+
+
+_DTYPE_NAMES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "int8": jnp.int8}
 
 
 class ShardedVectorStore:
     """An appendable embedding matrix sharded over a mesh's ``shard`` axis.
 
     Single-conversation stores fit one chip (`vectorstore.VectorStore`); this
-    class is the 1M+ fragment scale-out path (BASELINE.json config #5).
+    class is the 1M+ fragment scale-out path (BASELINE.json config #5). It
+    mirrors the single-chip store's feature set: pending-buffer batching,
+    bf16/int8 storage modes, on-device min_score, exact subset search, and
+    serialize/deserialize round-trips.
     """
 
     def __init__(self, mesh: Mesh, dim: int, dtype=jnp.float32):
+        if isinstance(dtype, str):
+            dtype = _DTYPE_NAMES[dtype]
         self.mesh = mesh
         self.dim = dim
         self.dim_pad = append_ops.round_up(dim, append_ops.LANES)
         self.n_shard = mesh.shape[AXIS_SHARD]
         self.n_dp = mesh.shape[AXIS_DP]
         self._dtype = dtype
-        self._sharding = NamedSharding(mesh, P(AXIS_SHARD, None))
-        self._rep = NamedSharding(mesh, P())
+        self._quantized = dtype == jnp.int8
+        self._sharding = _row_sharding(mesh)
+        self._rep = _replicated(mesh)
         # capacity is always a multiple of n_shard * 8 sublanes
         self._cap_quantum = self.n_shard * 8
         cap = max(append_ops.MIN_CAPACITY, self._cap_quantum)
@@ -92,10 +238,33 @@ class ShardedVectorStore:
         self.buf = jax.device_put(
             jnp.zeros((cap, self.dim_pad), dtype=dtype), self._sharding
         )
-        self.count = 0
+        self._scales = (
+            jax.device_put(jnp.ones((cap,), jnp.float32), _vec_sharding(mesh))
+            if self._quantized
+            else None
+        )
+        self.count = 0  # rows committed to the device buffer
+        self._pending: list[np.ndarray] = []  # host rows awaiting flush
+        self._pending_rows = 0
 
     def __len__(self) -> int:
-        return self.count
+        return self.count + self._pending_rows
+
+    # -- appends -------------------------------------------------------------
+
+    def append(self, rows: np.ndarray) -> None:
+        """Buffer rows for append (callers pass UNIT-NORMALIZED embeddings, as
+        with the reference VectorBase; CorpusVectorStore normalizes for you).
+
+        Rows flush to the device lazily before the next search, so per-row
+        adds don't pay a device dispatch each.
+        """
+        rows = np.asarray(rows, dtype=np.float32)
+        assert rows.ndim == 2 and rows.shape[1] == self.dim
+        if rows.shape[0] == 0:
+            return
+        self._pending.append(rows)
+        self._pending_rows += rows.shape[0]
 
     def _grow(self, needed: int) -> None:
         cap = self.buf.shape[0]
@@ -103,27 +272,70 @@ class ShardedVectorStore:
             cap *= 2
         if cap == self.buf.shape[0]:
             return
-        pad = functools.partial(jnp.pad, pad_width=((0, cap - self.buf.shape[0]), (0, 0)))
-        self.buf = jax.jit(pad, out_shardings=self._sharding)(self.buf)
+        self.buf = _grow_rows_cached(self.mesh)(self.buf, new_capacity=cap)
+        if self._quantized:
+            self._scales = _grow_scales_cached(self.mesh)(
+                self._scales, new_capacity=cap
+            )
 
-    def append(self, rows: np.ndarray) -> None:
-        """Append rows (callers pass UNIT-NORMALIZED embeddings, as with the
-        reference VectorBase; CorpusVectorStore normalizes for you)."""
-        rows = np.asarray(rows, dtype=np.float32)
-        assert rows.ndim == 2 and rows.shape[1] == self.dim
-        n = rows.shape[0]
-        if n == 0:
+    def _flush(self) -> None:
+        if not self._pending:
             return
+        rows = np.concatenate(self._pending, axis=0)
+        self._pending.clear()
+        self._pending_rows = 0
+        n = rows.shape[0]
         padded = np.zeros((n, self.dim_pad), dtype=np.float32)
         padded[:, : self.dim] = rows
         self._grow(self.count + n)
-        upd = jax.jit(
-            lambda b, r, c: jax.lax.dynamic_update_slice(b, r.astype(b.dtype), (c, 0)),
-            out_shardings=self._sharding,
-            donate_argnums=(0,),
-        )
-        self.buf = upd(self.buf, jnp.asarray(padded), jnp.int32(self.count))
+        count = jnp.int32(self.count)
+        if self._quantized:
+            from ..ops.topk import quantize_rows
+
+            q_rows, row_scales = quantize_rows(padded)
+            self.buf = _append_rows_cached(self.mesh)(
+                self.buf, jnp.asarray(q_rows), count
+            )
+            self._scales = _append_scales_cached(self.mesh)(
+                self._scales, jnp.asarray(row_scales), count
+            )
+        else:
+            self.buf = _append_rows_cached(self.mesh)(
+                self.buf, jnp.asarray(padded), count
+            )
         self.count += n
+
+    # -- lookups ---------------------------------------------------------------
+
+    def _pad_queries(self, queries: np.ndarray) -> np.ndarray:
+        b = queries.shape[0]
+        b_quantum = max(8, self.n_dp * 8)
+        b_pad = append_ops.round_up(b, b_quantum)
+        q = np.zeros((b_pad, self.dim_pad), dtype=np.float32)
+        q[:b, : self.dim] = queries
+        return q
+
+    def _device_args(self, q: np.ndarray, min_score: float):
+        args = [self.buf]
+        if self._quantized:
+            args.append(self._scales)
+        return args, (
+            jax.device_put(q, _query_sharding(self.mesh)),
+            jax.device_put(jnp.asarray([self.count], jnp.int32), self._rep),
+            jax.device_put(jnp.asarray([min_score], jnp.float32), self._rep),
+        )
+
+    @staticmethod
+    def _collect(vals, idx, b) -> list[list[tuple[int, float]]]:
+        vals = np.asarray(vals)[:b]
+        idx = np.asarray(idx)[:b]
+        out = []
+        for r in range(b):
+            keep = idx[r] >= 0
+            out.append(
+                [(int(i), float(v)) for v, i in zip(vals[r][keep], idx[r][keep])]
+            )
+        return out
 
     def search(
         self,
@@ -132,24 +344,96 @@ class ShardedVectorStore:
         min_score: float = 0.0,
     ) -> list[list[tuple[int, float]]]:
         """Batched distributed lookup -> per-query (ordinal, score) lists."""
+        self._flush()
         if self.count == 0:
             return [[] for _ in range(queries.shape[0])]
         b = queries.shape[0]
-        b_quantum = max(8, self.n_dp * 8)
-        b_pad = append_ops.round_up(b, b_quantum)
-        q = np.zeros((b_pad, self.dim_pad), dtype=np.float32)
-        q[:b, : self.dim] = queries
+        q = self._pad_queries(queries)
         k_eff = min(k, self.count)
-        fn = make_sharded_topk(self.mesh, k_eff)
-        vals, idx = fn(
-            self.buf,
-            jax.device_put(q, NamedSharding(self.mesh, P(AXIS_DP, None))),
-            jax.device_put(jnp.asarray([self.count], jnp.int32), self._rep),
+        fn = _sharded_topk_cached(self.mesh, k_eff, self._quantized)
+        pre, post = self._device_args(q, min_score)
+        vals, idx = fn(*pre, *post)
+        return self._collect(vals, idx, b)
+
+    def search_subset(
+        self,
+        queries: np.ndarray,
+        ordinals: list[int] | np.ndarray,
+        k: int,
+        min_score: float = 0.0,
+    ) -> list[list[tuple[int, float]]]:
+        """Exact top-k restricted to a set of global ordinals.
+
+        The subset becomes a device-side row mask sharded with the matrix, so
+        scoped search runs the same fused SPMD scan as a global one.
+        """
+        self._flush()
+        ordinals = np.asarray(ordinals, dtype=np.int64)
+        if self.count == 0 or ordinals.size == 0:
+            return [[] for _ in range(queries.shape[0])]
+        mask = np.zeros((self.buf.shape[0],), dtype=bool)
+        mask[ordinals[ordinals < self.count]] = True
+        return self.search_masked(queries, mask, k, min_score)
+
+    def search_masked(
+        self,
+        queries: np.ndarray,
+        mask: np.ndarray,
+        k: int,
+        min_score: float = 0.0,
+    ) -> list[list[tuple[int, float]]]:
+        """Exact top-k over rows where ``mask`` (bool, [>=count]) is True."""
+        self._flush()
+        b = queries.shape[0]
+        if self.count == 0:
+            return [[] for _ in range(b)]
+        full = np.zeros((self.buf.shape[0],), dtype=bool)
+        full[: min(mask.shape[0], full.shape[0])] = mask[: full.shape[0]]
+        q = self._pad_queries(queries)
+        k_eff = min(k, self.count)
+        fn = _sharded_subset_topk_cached(self.mesh, k_eff, self._quantized)
+        pre, post = self._device_args(q, min_score)
+        mask_dev = jax.device_put(full, _vec_sharding(self.mesh))
+        vals, idx = fn(*pre, mask_dev, *post)
+        return self._collect(vals, idx, b)
+
+    # -- persistence -----------------------------------------------------------
+
+    def serialize(self) -> np.ndarray:
+        """All live rows as a host array [len, dim] (dequantized)."""
+        parts = []
+        if self.count:
+            rows = self.buf[: self.count, : self.dim].astype(jnp.float32)
+            if self._quantized:
+                rows = rows * self._scales[: self.count, None]
+            parts.append(np.asarray(rows))
+        parts.extend(self._pending)
+        if not parts:
+            return np.empty((0, self.dim), dtype=np.float32)
+        return np.concatenate(parts, axis=0)
+
+    def deserialize(self, data: np.ndarray | None) -> None:
+        self.clear()
+        if data is None:
+            return
+        data = np.asarray(data, dtype=np.float32)
+        if data.ndim < 2 or data.shape[0] == 0:
+            return
+        assert data.shape[1] == self.dim, (data.shape, self.dim)
+        self._pending.append(data)
+        self._pending_rows += data.shape[0]
+
+    def clear(self) -> None:
+        cap = max(append_ops.MIN_CAPACITY, self._cap_quantum)
+        cap = append_ops.round_up(cap, self._cap_quantum)
+        self.buf = jax.device_put(
+            jnp.zeros((cap, self.dim_pad), dtype=self._dtype), self._sharding
         )
-        vals = np.asarray(vals)[:b]
-        idx = np.asarray(idx)[:b]
-        out = []
-        for r in range(b):
-            keep = (vals[r] >= min_score) & (idx[r] >= 0)
-            out.append([(int(i), float(v)) for v, i in zip(vals[r][keep], idx[r][keep])])
-        return out
+        self._scales = (
+            jax.device_put(jnp.ones((cap,), jnp.float32), _vec_sharding(self.mesh))
+            if self._quantized
+            else None
+        )
+        self.count = 0
+        self._pending.clear()
+        self._pending_rows = 0

@@ -17,6 +17,38 @@ from ...knowpro import interfaces
 from ...knowpro.fields import deserialize_object, serialize_object
 from .schema import ShreddedMessage, ShreddedSemanticRef
 
+# Stay far under SQLITE_MAX_VARIABLE_NUMBER (999 on older SQLite builds) —
+# the device executor syncs with ordinal lists spanning whole conversations.
+_SQL_IN_CHUNK = 500
+
+
+def _fetch_rows_by_id(
+    db: sqlite3.Connection, select_sql: str, id_column: str, ids: list[int]
+) -> dict[int, tuple]:
+    """Fetch ``select_sql WHERE id_column …`` for ``ids``; first selected
+    column must be the id. Contiguous id runs use one range scan; arbitrary
+    sets chunk the IN-list to stay under the bind-variable limit."""
+    cursor = db.cursor()
+    rows: dict[int, tuple] = {}
+    lo, hi = min(ids), max(ids)
+    if hi - lo + 1 == len(set(ids)):  # contiguous (modulo duplicates)
+        cursor.execute(
+            f"{select_sql} WHERE {id_column} >= ? AND {id_column} <= ?", (lo, hi)
+        )
+        for row in cursor.fetchall():
+            rows[row[0]] = row
+        return rows
+    unique = list(dict.fromkeys(ids))
+    for start in range(0, len(unique), _SQL_IN_CHUNK):
+        chunk = unique[start : start + _SQL_IN_CHUNK]
+        placeholders = ",".join("?" * len(chunk))
+        cursor.execute(
+            f"{select_sql} WHERE {id_column} IN ({placeholders})", chunk
+        )
+        for row in cursor.fetchall():
+            rows[row[0]] = row
+    return rows
+
 
 class SqliteMessageCollection[TMessage: interfaces.IMessage](
     interfaces.IMessageCollection[TMessage]
@@ -111,16 +143,15 @@ class SqliteMessageCollection[TMessage: interfaces.IMessage](
             raise IndexError("One or more Message indices are out of bounds")
         if len(arg) < 2:
             return [await self.get_item(i) for i in arg]
-        placeholders = ",".join("?" * len(arg))
-        cursor = self.db.cursor()
-        cursor.execute(
-            f"SELECT msg_id, chunks, chunk_uri, start_timestamp, tags, metadata, extra "
-            f"FROM Messages WHERE msg_id IN ({placeholders})",
+        rowdict = _fetch_rows_by_id(
+            self.db,
+            "SELECT msg_id, chunks, chunk_uri, start_timestamp, tags, metadata, "
+            "extra FROM Messages",
+            "msg_id",
             arg,
         )
-        rowdict = {row[0]: row[1:] for row in cursor.fetchall()}
         assert set(rowdict) == set(arg)
-        return [self._from_row(rowdict[i]) for i in arg]
+        return [self._from_row(rowdict[i][1:]) for i in arg]
 
     async def append(self, item: TMessage) -> None:
         msg_id = await self.size()  # 0-based dense ids
@@ -240,14 +271,13 @@ class SqliteSemanticRefCollection(interfaces.ISemanticRefCollection):
             raise IndexError("One or more SemanticRef indices are out of bounds")
         if len(arg) < 2:
             return [await self.get_item(i) for i in arg]
-        placeholders = ",".join("?" * len(arg))
-        cursor = self.db.cursor()
-        cursor.execute(
-            f"SELECT semref_id, range_json, knowledge_type, knowledge_json "
-            f"FROM SemanticRefs WHERE semref_id IN ({placeholders})",
+        rowdict = _fetch_rows_by_id(
+            self.db,
+            "SELECT semref_id, range_json, knowledge_type, knowledge_json "
+            "FROM SemanticRefs",
+            "semref_id",
             arg,
         )
-        rowdict = {row[0]: row for row in cursor.fetchall()}
         assert set(rowdict) == set(arg)
         return [self._from_row(rowdict[i]) for i in arg]
 
@@ -257,14 +287,12 @@ class SqliteSemanticRefCollection(interfaces.ISemanticRefCollection):
         """Lightweight metadata — avoids knowledge JSON deserialization."""
         if not ordinals:
             return []
-        placeholders = ",".join("?" * len(ordinals))
-        cursor = self.db.cursor()
-        cursor.execute(
-            f"SELECT semref_id, range_json, knowledge_type "
-            f"FROM SemanticRefs WHERE semref_id IN ({placeholders})",
-            ordinals,
+        rowdict = _fetch_rows_by_id(
+            self.db,
+            "SELECT semref_id, range_json, knowledge_type FROM SemanticRefs",
+            "semref_id",
+            list(ordinals),
         )
-        rowdict = {r[0]: r for r in cursor.fetchall()}
         result = []
         for o in ordinals:
             row = rowdict[o]
