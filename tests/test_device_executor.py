@@ -14,10 +14,12 @@ from typeagent_tpu.knowpro.interfaces import (
 from typeagent_tpu.knowpro.search import SearchOptions, search_conversation_knowledge
 
 
+def host_options(**kw):
+    return SearchOptions(exact_match=True, use_device_executor=False, **kw)
+
+
 async def both_results(conv, group, **kwargs):
-    host = await search_conversation_knowledge(
-        conv, group, options=SearchOptions(exact_match=True)
-    )
+    host = await search_conversation_knowledge(conv, group, options=host_options())
     executor = DeviceQueryExecutor(conv)
     await executor.sync()
     device = await executor.search(group, **kwargs)
@@ -44,16 +46,10 @@ async def test_flat_or_matches_host_vm():
         ],
     )
     host, device = await both_results(conv, group)
-    host_map = as_score_map(host)
-    device_map = as_score_map(device)
-    # Host applies the x10 entity boost (score booster callback); the device
-    # path accumulates raw weights — compare structure, then scores modulo
-    # the boost on entity name/type matches.
-    assert set(device_map) == set(host_map)
-    for key, score in device_map.items():
-        assert host_map[key] == pytest.approx(score) or host_map[
-            key
-        ] == pytest.approx(score * 10)
+    # Exact parity including the x10 entity boost (device replicates the
+    # booster via name/type property membership masks).
+    assert as_score_map(device) == pytest.approx(as_score_map(host))
+    assert as_score_map(device)
 
 
 async def test_property_terms_match_host_vm():
@@ -120,28 +116,51 @@ async def test_device_scope_filtering():
     assert result and "entity" in result
 
 
-async def test_device_executor_falls_back_on_complex_groups():
+async def test_device_executor_handles_complex_groups():
+    """Nested groups, AND groups and topic wildcards run on device with
+    exact host-VM parity (round-1 fallbacks, now first-class)."""
     conv = await build_conversation()
-    executor = DeviceQueryExecutor(conv)
-    await executor.sync()
-    nested = SearchTermGroup(
-        boolean_op="or",
-        terms=[SearchTermGroup(boolean_op="and", terms=[SearchTerm(Term("x"))])],
-    )
-    assert await executor.search(nested) is None
-    and_group = SearchTermGroup(boolean_op="and", terms=[SearchTerm(Term("x"))])
-    assert await executor.search(and_group) is None
-    wildcard = SearchTermGroup(
-        boolean_op="or",
-        terms=[PropertySearchTerm("topic", SearchTerm(Term("*")))],
-    )
-    assert await executor.search(wildcard) is None
+    groups = [
+        SearchTermGroup(
+            boolean_op="or",
+            terms=[
+                SearchTermGroup(boolean_op="and", terms=[SearchTerm(Term("x"))])
+            ],
+        ),
+        SearchTermGroup(boolean_op="and", terms=[SearchTerm(Term("x"))]),
+        SearchTermGroup(
+            boolean_op="or",
+            terms=[PropertySearchTerm("topic", SearchTerm(Term("*")))],
+        ),
+        SearchTermGroup(
+            boolean_op="and",
+            terms=[SearchTerm(Term("Bach")), SearchTerm(Term("composer"))],
+        ),
+        SearchTermGroup(
+            boolean_op="or",
+            terms=[
+                SearchTerm(Term("harpsichord")),
+                SearchTermGroup(
+                    boolean_op="and",
+                    terms=[
+                        SearchTerm(Term("Bach")),
+                        SearchTerm(Term("composer")),
+                    ],
+                ),
+            ],
+        ),
+    ]
+    for group in groups:
+        host, device = await both_results(conv, group)
+        assert device is not None, group
+        assert as_score_map(device) == pytest.approx(as_score_map(host)), group
+    # The wildcard topic scan actually matched something.
+    host, device = await both_results(conv, groups[2])
+    assert "topic" in device
 
 
 async def test_device_related_terms_accumulate():
     conv = await build_conversation()
-    executor = DeviceQueryExecutor(conv)
-    await executor.sync()
     group = SearchTermGroup(
         boolean_op="or",
         terms=[
@@ -151,11 +170,13 @@ async def test_device_related_terms_accumulate():
             )
         ],
     )
-    result = await executor.search(group)
-    assert result and "entity" in result
-    # Related-only matches score at related weight.
-    top = result["entity"].semantic_ref_matches[0]
-    assert top.score == pytest.approx(0.9)
+    host, device = await both_results(conv, group)
+    assert device and "entity" in device
+    assert as_score_map(device) == pytest.approx(as_score_map(host))
+    # Related-only matches score at related weight x the entity boost (the
+    # related text matches the entity's name, reference boost_entities).
+    top = device["entity"].semantic_ref_matches[0]
+    assert top.score == pytest.approx(9.0)
 
 
 async def test_public_api_device_executor_flag():
@@ -290,49 +311,64 @@ async def test_or_max_hit_count_filter_matches_host():
             assert sr.knowledge.name == "Bach"
 
 
-async def test_related_term_parity_guard_falls_back():
-    """Groups where fused accumulation could diverge from the host VM's
-    per-subexpression add_if_new rule must return None (host fallback)."""
+async def test_related_term_per_subexpression_parity():
+    """Round-1's fused-accumulator parity guards are gone: per-sub-expression
+    segmented accumulation handles multi-subterm related groups, multi-
+    related subterms and duplicate term texts with exact VM parity."""
     conv = await build_conversation()
-    executor = DeviceQueryExecutor(conv)
-    await executor.sync()
-    # Multiple subterms + related terms -> fall back.
-    risky = SearchTermGroup(
-        boolean_op="or",
-        terms=[
-            SearchTerm(Term("Bach"), related_terms=[Term("composer", weight=0.9)]),
-            SearchTerm(Term("harpsichord")),
-        ],
-    )
-    assert await executor.search(risky) is None
-    # A single subterm with >1 related terms -> fall back.
-    multi_related = SearchTermGroup(
-        boolean_op="or",
-        terms=[
-            SearchTerm(
-                Term("Bach"),
-                related_terms=[Term("composer", weight=0.9), Term("organist", weight=0.8)],
-            )
-        ],
-    )
-    assert await executor.search(multi_related) is None
-    # Identical duplicate term texts -> fall back (host matches each
-    # distinct text once via matched_terms; fused would double-add).
-    dupes = SearchTermGroup(
-        boolean_op="or",
-        terms=[SearchTerm(Term("Bach")), SearchTerm(Term("Bach", weight=2.0))],
-    )
-    assert await executor.search(dupes) is None
-    # The public API still answers through the host VM.
-    from typeagent_tpu.knowpro.search import SearchOptions, search_conversation_knowledge
-
-    via_flag = await search_conversation_knowledge(
-        conv, risky, options=SearchOptions(exact_match=True, use_device_executor=True)
+    groups = [
+        # Multiple subterms + related terms (add_if_new is per-subexpression).
+        SearchTermGroup(
+            boolean_op="or",
+            terms=[
+                SearchTerm(
+                    Term("Bach"), related_terms=[Term("composer", weight=0.9)]
+                ),
+                SearchTerm(Term("harpsichord")),
+            ],
+        ),
+        # One subterm, several related terms (first-adder rule).
+        SearchTermGroup(
+            boolean_op="or",
+            terms=[
+                SearchTerm(
+                    Term("Bach"),
+                    related_terms=[
+                        Term("composer", weight=0.9),
+                        Term("organist", weight=0.8),
+                    ],
+                )
+            ],
+        ),
+        # Identical duplicate term texts (matched_terms dedupe).
+        SearchTermGroup(
+            boolean_op="or",
+            terms=[SearchTerm(Term("Bach")), SearchTerm(Term("Bach", weight=2.0))],
+        ),
+        # Related terms under or_max.
+        SearchTermGroup(
+            boolean_op="or_max",
+            terms=[
+                SearchTerm(
+                    Term("Bach"), related_terms=[Term("organist", weight=0.7)]
+                ),
+                SearchTerm(Term("composer")),
+            ],
+        ),
+    ]
+    for group in groups:
+        host, device = await both_results(conv, group)
+        assert device is not None, group
+        assert as_score_map(device) == pytest.approx(as_score_map(host)), group
+    # The public API routes through the device engine by default.
+    via_default = await search_conversation_knowledge(
+        conv, groups[0], options=SearchOptions(exact_match=True)
     )
     direct = await search_conversation_knowledge(
-        conv, risky, options=SearchOptions(exact_match=True)
+        conv, groups[0], options=host_options()
     )
-    assert as_score_map(via_flag) == as_score_map(direct) != {}
+    assert as_score_map(via_default) == pytest.approx(as_score_map(direct))
+    assert as_score_map(direct) != {}
 
 
 async def test_or_max_with_scope_on_device():

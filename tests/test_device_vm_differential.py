@@ -1,0 +1,353 @@
+"""Differential suite: device executor == host VM over randomized queries.
+
+The device engine evaluates the SAME stage-3 compiled tree as the host VM
+(`search.py:QueryCompiler`), so for every query it can express, results must
+match exactly: per-(ktype, ordinal) scores, membership, and the
+term_matches bookkeeping. This suite generates randomized conversations and
+query trees (nested and/or/or_max, property terms, related terms, duplicate
+texts, wildcards, when-filters with date ranges / knowledge types / scope
+ranges at chunk granularity) and asserts parity, also tracking how much of
+the query space the device engine covers (it must stay the default engine,
+not an opt-in corner).
+"""
+
+import numpy as np
+import pytest
+
+from typeagent_tpu.knowpro import kplib
+from typeagent_tpu.knowpro.convsettings import (
+    MessageTextIndexSettings,
+    RelatedTermIndexSettings,
+)
+from typeagent_tpu.knowpro.device_executor import DeviceQueryExecutor
+from typeagent_tpu.knowpro.interfaces import (
+    DateRange,
+    Datetime,
+    PropertySearchTerm,
+    SearchTerm,
+    SearchTermGroup,
+    Term,
+    TextLocation,
+    TextRange,
+    WhenFilter,
+)
+from typeagent_tpu.knowpro.propindex import build_property_index
+from typeagent_tpu.knowpro.query import QueryEvalContext
+from typeagent_tpu.knowpro.search import QueryCompiler, SearchOptions, run_query
+from typeagent_tpu.knowpro.secindex import ConversationSecondaryIndexes
+from typeagent_tpu.knowpro.semrefindex import (
+    add_knowledge_batch_to_semantic_ref_index,
+    add_metadata_to_index_from_list,
+)
+from typeagent_tpu.knowpro.universal_message import (
+    ConversationMessage,
+    ConversationMessageMeta,
+)
+from typeagent_tpu.models.adapters import create_test_embedding_model
+from typeagent_tpu.storage.memory import MemoryStorageProvider
+from typeagent_tpu.vectorstore import TextEmbeddingIndexSettings
+
+from tests.test_query_pipeline import FakeConversation
+
+WORDS = [
+    "bach", "gould", "piano", "harpsichord", "fugue", "variation",
+    "counterpoint", "recording", "sonata", "concert", "composer",
+    "pianist", "baroque", "melody", "tempo",
+]
+VERBS = ["compose", "record", "perform", "discuss", "praise"]
+SPEAKERS = ["Alice", "Bob", "Carol"]
+
+
+async def build_fuzz_conversation(rng: np.random.Generator):
+    model = create_test_embedding_model(16)
+    provider = MemoryStorageProvider(
+        message_text_settings=MessageTextIndexSettings(
+            TextEmbeddingIndexSettings(model, min_score=0.0)
+        ),
+        related_terms_settings=RelatedTermIndexSettings(
+            TextEmbeddingIndexSettings(model, min_score=0.0, max_matches=3)
+        ),
+    )
+    conv = FakeConversation(
+        messages=provider.messages,
+        semantic_refs=provider.semantic_refs,
+        semantic_ref_index=provider.semantic_ref_index,
+        secondary_indexes=ConversationSecondaryIndexes(provider),
+    )
+    n_messages = 14
+    messages = [
+        ConversationMessage(
+            [f"message {i} about {rng.choice(WORDS)}", f"chunk two of {i}"],
+            ConversationMessageMeta(
+                str(rng.choice(SPEAKERS)), [str(rng.choice(SPEAKERS))]
+            ),
+            timestamp=f"2024-03-{(i % 27) + 1:02d}T10:00:00Z",
+            tags=[str(rng.choice(WORDS))] if rng.random() < 0.3 else [],
+        )
+        for i in range(n_messages)
+    ]
+    await provider.messages.extend(messages)
+    await add_metadata_to_index_from_list(
+        messages, provider.semantic_refs, provider.semantic_ref_index, 0
+    )
+    batch = []
+    for i in range(n_messages):
+        if rng.random() < 0.25:
+            continue
+        entities = [
+            kplib.ConcreteEntity(
+                str(rng.choice(WORDS)),
+                [str(w) for w in rng.choice(WORDS, size=2, replace=False)],
+                facets=(
+                    [kplib.Facet(str(rng.choice(WORDS)), str(rng.choice(WORDS)))]
+                    if rng.random() < 0.5
+                    else None
+                ),
+            )
+            for _ in range(int(rng.integers(1, 3)))
+        ]
+        actions = (
+            [
+                kplib.Action(
+                    verbs=[str(rng.choice(VERBS))],
+                    verb_tense="past",
+                    subject_entity_name=str(rng.choice(WORDS)),
+                    object_entity_name=str(rng.choice(WORDS)),
+                )
+            ]
+            if rng.random() < 0.6
+            else []
+        )
+        topics = [str(rng.choice(WORDS))] if rng.random() < 0.6 else []
+        chunk = int(rng.integers(0, 2))  # chunk-granular knowledge ranges
+        batch.append(
+            (
+                i,
+                chunk,
+                kplib.KnowledgeResponse(
+                    entities=entities,
+                    actions=actions,
+                    inverse_actions=[],
+                    topics=topics,
+                ),
+            )
+        )
+    await add_knowledge_batch_to_semantic_ref_index(conv, batch)
+    await build_property_index(conv)
+    from typeagent_tpu.storage.memory.indexes import add_to_timestamp_index
+
+    await add_to_timestamp_index(provider.timestamp_index, provider.messages, 0)
+    from typeagent_tpu.storage.memory.reltermsindex import (
+        build_related_terms_index,
+    )
+
+    await build_related_terms_index(
+        conv,
+        RelatedTermIndexSettings(
+            TextEmbeddingIndexSettings(model, min_score=0.5, max_matches=3)
+        ),
+    )
+    return conv
+
+
+def random_search_term(rng) -> SearchTerm:
+    text = str(rng.choice(WORDS + ["unknown-term", "*"]))
+    weight = float(rng.choice([1.0, 2.0, 10.0])) if rng.random() < 0.4 else None
+    related = None
+    if rng.random() < 0.5:
+        related = [
+            Term(
+                str(rng.choice(WORDS)),
+                weight=float(np.round(rng.uniform(0.3, 1.0), 2)),
+            )
+            for _ in range(int(rng.integers(1, 4)))
+        ]
+    return SearchTerm(Term(text, weight=weight), related_terms=related)
+
+
+def random_property_term(rng) -> PropertySearchTerm:
+    name = str(rng.choice(["name", "type", "topic", "tag", "verb", "object"]))
+    value = random_search_term(rng)
+    if rng.random() < 0.15:
+        # Facet-style free-form property name (SearchTerm name).
+        return PropertySearchTerm(random_search_term(rng), value)
+    return PropertySearchTerm(name, value)
+
+
+def random_group(rng, depth: int = 0) -> SearchTermGroup:
+    op = str(rng.choice(["or", "or_max", "and"] if depth else ["or", "or_max"]))
+    n_terms = int(rng.integers(1, 5))
+    terms = []
+    for _ in range(n_terms):
+        roll = rng.random()
+        if roll < 0.15 and depth < 2:
+            terms.append(random_group(rng, depth + 1))
+        elif roll < 0.45:
+            terms.append(random_property_term(rng))
+        else:
+            terms.append(random_search_term(rng))
+    return SearchTermGroup(boolean_op=op, terms=terms)
+
+
+def random_when_filter(rng) -> WhenFilter | None:
+    roll = rng.random()
+    if roll < 0.5:
+        return None
+    filter = WhenFilter()
+    if rng.random() < 0.4:
+        day = int(rng.integers(1, 20))
+        filter.date_range = DateRange(
+            start=Datetime(2024, 3, day),
+            end=Datetime(2024, 3, day + int(rng.integers(1, 8))),
+        )
+    if rng.random() < 0.3:
+        filter.knowledge_type = str(rng.choice(["entity", "topic", "action"]))
+    if rng.random() < 0.3:
+        start_msg = int(rng.integers(0, 10))
+        start_chunk = int(rng.integers(0, 2))
+        filter.text_ranges_in_scope = [
+            TextRange(
+                TextLocation(start_msg, start_chunk),
+                TextLocation(start_msg + int(rng.integers(1, 5))),
+            )
+        ]
+    return filter
+
+
+def result_fingerprint(result):
+    if not result:
+        return {}
+    return {
+        ktype: (
+            sorted(
+                (m.semantic_ref_ordinal, round(float(m.score), 4))
+                for m in r.semantic_ref_matches
+            ),
+            frozenset(r.term_matches),
+        )
+        for ktype, r in result.items()
+    }
+
+
+def assert_sequences_equivalent(dev_pairs, host_pairs, detail):
+    """Exact order parity, tolerating reordering only WITHIN runs of
+    approx-equal scores (float32-vs-float64 drift can flip strict
+    comparisons between near-identical scores; the insertion-order
+    replication makes everything else deterministic)."""
+    assert len(dev_pairs) == len(host_pairs), (detail, dev_pairs, host_pairs)
+    i = 0
+    while i < len(host_pairs):
+        j = i + 1
+        while (
+            j < len(host_pairs)
+            and abs(host_pairs[j][1] - host_pairs[i][1]) < 2e-3
+        ):
+            j += 1
+        dev_run = {o for o, _ in dev_pairs[i:j]}
+        host_run = {o for o, _ in host_pairs[i:j]}
+        assert dev_run == host_run, (detail, i, j, dev_pairs, host_pairs)
+        for (_, ds), (_, hs) in zip(dev_pairs[i:j], host_pairs[i:j]):
+            assert ds == pytest.approx(hs, abs=2e-3), (detail, dev_pairs, host_pairs)
+        i = j
+
+
+def assert_results_equivalent(device, host, detail):
+    device = device or {}
+    host = host or {}
+    # Dict (knowledge-type) order is observable downstream: must match.
+    assert list(device.keys()) == list(host.keys()), (detail, device, host)
+    for ktype in device:
+        assert device[ktype].term_matches == host[ktype].term_matches, (
+            detail,
+            ktype,
+        )
+        dev_pairs = [
+            (m.semantic_ref_ordinal, float(m.score))
+            for m in device[ktype].semantic_ref_matches
+        ]
+        host_pairs = [
+            (m.semantic_ref_ordinal, float(m.score))
+            for m in host[ktype].semantic_ref_matches
+        ]
+        assert_sequences_equivalent(dev_pairs, host_pairs, (detail, ktype))
+
+
+async def run_differential(seed: int, n_queries: int) -> tuple[int, int]:
+    rng = np.random.default_rng(seed)
+    conv = await build_fuzz_conversation(rng)
+    executor = DeviceQueryExecutor(conv)
+    await executor.sync()
+    indexes = conv.secondary_indexes
+    covered = 0
+    for qi in range(n_queries):
+        group = random_group(rng)
+        when = random_when_filter(rng)
+        options = SearchOptions(
+            exact_match=bool(rng.random() < 0.4),
+            max_knowledge_matches=(
+                int(rng.integers(1, 8)) if rng.random() < 0.3 else None
+            ),
+        )
+        compiler = QueryCompiler(conv, indexes)
+        query = await compiler.compile_knowledge_query(group, when, options)
+        context = QueryEvalContext(
+            conv,
+            indexes.property_to_semantic_ref_index,
+            indexes.timestamp_index,
+        )
+        device = await executor.execute(query, context)
+        host = await run_query(conv, options, query)
+        if device is None:
+            continue
+        covered += 1
+        assert_results_equivalent(device, host, (seed, qi, group, when, options))
+    return covered, n_queries
+
+
+async def test_full_pipeline_message_matches_parity():
+    """search_conversation end-to-end: message matches (which observe
+    knowledge-match ordering through the order-sensitive MessageAccumulator)
+    must agree between routes."""
+    from typeagent_tpu.knowpro.search import search_conversation
+
+    rng = np.random.default_rng(99)
+    conv = await build_fuzz_conversation(rng)
+    checked = 0
+    for qi in range(15):
+        group = random_group(rng)
+        when = random_when_filter(rng)
+        base = dict(
+            exact_match=bool(rng.random() < 0.5),
+            max_message_matches=int(rng.integers(2, 10)),
+        )
+        dev = await search_conversation(
+            conv, group, when,
+            SearchOptions(use_device_executor=True, **base),
+            raw_search_query="what happened with the recording?",
+        )
+        host = await search_conversation(
+            conv, group, when,
+            SearchOptions(use_device_executor=False, **base),
+            raw_search_query="what happened with the recording?",
+        )
+        assert (dev is None) == (host is None)
+        if dev is None:
+            continue
+        checked += 1
+        assert_results_equivalent(
+            dev.knowledge_matches, host.knowledge_matches, (99, qi, group)
+        )
+        dev_msgs = [(m.message_ordinal, round(float(m.score), 3))
+                    for m in dev.message_matches]
+        host_msgs = [(m.message_ordinal, round(float(m.score), 3))
+                     for m in host.message_matches]
+        assert dev_msgs == host_msgs, (qi, group, when, dev_msgs, host_msgs)
+    assert checked >= 10
+
+
+@pytest.mark.parametrize("seed", [7, 42, 1234])
+async def test_device_vm_differential(seed):
+    covered, total = await run_differential(seed, 40)
+    # The device engine must cover the overwhelming share of compiled
+    # queries — it is the default engine, not a fast path for corner cases.
+    assert covered >= int(0.85 * total), (covered, total)

@@ -1,24 +1,46 @@
-"""Device query executor: flat term groups as one compiled XLA program.
+"""Device query executor: compiled query trees as one fused XLA program.
 
 The host query VM (`knowpro/query.py`) evaluates expression trees with
-per-term dict lookups — exact, general, but serial. This executor handles the
-dominant fast path — a flat "or"/"or_max" group of SearchTerms and
-PropertySearchTerms (what `filter.search_terms` queries and scope selectors
-compile to) — as ONE fused device program over CSR postings:
+per-term dict lookups — exact, general, but serial. This executor evaluates
+the SAME stage-3 compiled tree (`search.py:QueryCompiler`) against device CSR
+postings: every leaf sub-expression's term/related/property lookups run as
+ONE fused scatter program (`ops/postings.py:accumulate_postings_segmented`),
+and the boolean tree combines the per-leaf raw accumulators with vectorized
+numpy that replicates ``MatchAccumulator`` semantics bit-for-bit:
 
-    term-id gather -> scope mask -> exact/related accumulation -> smoothing
-    -> knowledge-type grouping -> top-k
+  * per-leaf exact/related bookkeeping incl. ``add_term_matches_if_new``
+    first-adder masking (reference query.py:446-489, collections.py:73-106);
+  * ``or`` union-sum + log-smoothing fold, ``or_max`` peak-hit filter,
+    ``and`` member intersection + hit-count >= N (reference query.py:332-398);
+  * the x10 entity boost via device membership masks over the name/type
+    property postings (reference search.py boost_entities);
+  * chunk-granular scope masks from ``TextRangesInScope`` built with a
+    sorted-interval prefix-max sweep (reference collections.py:528-562);
+  * tag/topic knowledge-type-gated lookups and ``*`` wildcard scans
+    (reference query.py:612-649).
 
-Semantics tie out with the host VM (tested in tests/test_device_executor.py);
-anything it can't express (nested groups, "and", facet-name search terms,
-wildcards) returns None so callers fall back to the VM.
+Anything the tree can contain that isn't expressible here (custom boosters,
+unknown expression types, data-dependent AND-early-break dedupe hazards)
+returns None so callers fall back to the host VM; a differential test suite
+(tests/test_device_executor.py, tests/test_device_vm_differential.py) pins
+device == VM over randomized compiled queries.
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass, field
+
 import numpy as np
 
-from ..ops.postings import DevicePostingsIndex
+from ..ops.postings import (
+    OP_BOOST,
+    OP_EXACT,
+    OP_RELATED,
+    DevicePostingsIndex,
+    _SEG_BUCKETS,
+    _bucket,
+)
+from ..storage.sqlite.indexes import prepare_term
 from .collections import TextRangesInScope
 from .common import is_search_term_wildcard
 from .interfaces import (
@@ -29,8 +51,27 @@ from .interfaces import (
     SearchTerm,
     SearchTermGroup,
     SemanticRefSearchResult,
+    Term,
+    TextRange,
 )
-from .propindex import make_property_term_text
+from .propindex import PropertyNames, make_property_term_text
+from .query import (
+    GetScopeExpr,
+    GroupByKnowledgeTypeExpr,
+    GroupSearchResultsExpr,
+    KnowledgeTypePredicate,
+    MatchPropertySearchTermExpr,
+    MatchSearchTermExpr,
+    MatchTagExpr,
+    MatchTermsAndExpr,
+    MatchTermsBooleanExpr,
+    MatchTermsOrExpr,
+    MatchTermsOrMaxExpr,
+    MatchTopicExpr,
+    QueryEvalContext,
+    SelectTopNKnowledgeGroupExpr,
+    WhereSemanticRefExpr,
+)
 
 _KTYPE_CODES: dict[KnowledgeType, int] = {
     "entity": 0,
@@ -40,6 +81,104 @@ _KTYPE_CODES: dict[KnowledgeType, int] = {
 }
 _PROP_PREFIX = "prop!"  # namespace separating property keys from plain terms
 
+# (msg, chunk) -> sortable int64 key; chunk ordinals stay far below this.
+_CHUNK_BASE = 1 << 21
+
+# Transfer gate: per-segment dense output is 4 x [n_seg_pad, semref_cap] f32;
+# past this many entries the host VM is the better engine.
+_MAX_DENSE_ENTRIES = 4 * 1024 * 1024
+
+
+def _loc_key(message_ordinal: int, chunk_ordinal: int) -> int:
+    return message_ordinal * _CHUNK_BASE + chunk_ordinal
+
+
+def _range_keys(r: TextRange) -> tuple[int, int]:
+    """(start key, effective-exclusive-end key) per TextRange._key()."""
+    start = _loc_key(r.start.message_ordinal, r.start.chunk_ordinal)
+    if r.end is not None:
+        end = _loc_key(r.end.message_ordinal, r.end.chunk_ordinal)
+    else:
+        end = start + 1
+    return start, end
+
+
+def _smooth_vec(score: np.ndarray, hits: np.ndarray) -> np.ndarray:
+    """Vectorized get_smooth_score: 0 hits -> 0, 1 hit -> score,
+    else log(hits+1) * score / hits (collections.py:52-61)."""
+    out = np.zeros_like(score)
+    one = hits == 1
+    out[one] = score[one]
+    many = hits > 1
+    if many.any():
+        h = hits[many]
+        out[many] = np.log(h + 1.0) * score[many] / h
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Compiled plan
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _Op:
+    key: str
+    weight: float
+    kind: int  # OP_EXACT / OP_RELATED
+    position: int  # VM execution order within the leaf (first-adder rule)
+    ktype_gate: int  # -1 or knowledge-type code (tag/topic lookups)
+    match_text: str  # text recorded in term_matches when this op "hits"
+    # True: text contributes iff the op had in-scope postings (property
+    # semantics, propindex.py:156-166). False: iff the key has any postings
+    # at all (plain-term semantics — lookup_term returns None pre-filter,
+    # query.py:160-192 + storage lookup conventions).
+    text_needs_scope_hit: bool
+
+
+@dataclass
+class _Leaf:
+    seg: int
+    ops: list[_Op] = field(default_factory=list)
+    # (ktype code, weight, text) '*' scans — evaluated host-side, no scope
+    # (reference lookup_knowledge_type ignores ranges, query.py:195-202).
+    wildcards: list[tuple[int, float, str]] = field(default_factory=list)
+    boost_keys: list[str] = field(default_factory=list)
+    boost_factor: float = 1.0
+
+
+@dataclass
+class _GroupNode:
+    op: str  # "and" | "or" | "or_max"
+    children: list["_GroupNode | _Leaf"] = field(default_factory=list)
+
+
+@dataclass
+class _NodeResult:
+    member: np.ndarray  # bool [n]
+    score: np.ndarray  # f32 [n] exact score (+ folded smoothing at groups)
+    hits: np.ndarray  # f32 [n] exact hit counts
+    rel_score: np.ndarray
+    rel_hits: np.ndarray
+    texts: set[str]
+    # Member ordinals in the VM accumulator's dict-insertion order: the
+    # reference's downstream stages are order-sensitive (MessageAccumulator
+    # max-merge hit bumps, tie ordering, ktype dict order), so the device
+    # result must reproduce it, not just the score map.
+    order: np.ndarray
+
+
+def _first_occurrence(cat: np.ndarray) -> np.ndarray:
+    """Order-preserving dedupe (first occurrence wins)."""
+    if cat.size == 0:
+        return cat
+    _, first_idx = np.unique(cat, return_index=True)
+    return cat[np.sort(first_idx)]
+
+
+class _Unsupported(Exception):
+    """Internal: tree contains something the device engine can't express."""
+
 
 class DeviceQueryExecutor:
     """Device CSR postings over a conversation's semref + property indexes."""
@@ -48,8 +187,11 @@ class DeviceQueryExecutor:
         self.conversation = conversation
         self._postings = DevicePostingsIndex()
         self._n_semrefs = 0
-        self._semref_msg: np.ndarray | None = None  # start message per semref
-        self._semref_ktype: np.ndarray | None = None
+        self._semref_ktype: np.ndarray | None = None  # i8 codes
+        self._sem_start_key: np.ndarray | None = None  # i64 (msg, chunk) keys
+        self._sem_end_key: np.ndarray | None = None
+
+    # -- index sync -------------------------------------------------------------
 
     async def sync(self) -> None:
         """(Re)build device postings from the storage indexes.
@@ -89,13 +231,7 @@ class DeviceQueryExecutor:
         self._n_semrefs = n
         if n:
             metadata = await conv.semantic_refs.get_metadata_multiple(list(range(n)))
-            self._semref_msg = np.array(
-                [m.range.start.message_ordinal for m in metadata], dtype=np.int32
-            )
-            self._semref_ktype = np.array(
-                [_KTYPE_CODES[m.knowledge_type] for m in metadata], dtype=np.int8
-            )
-            self._semref_meta = metadata
+            self._set_metadata_arrays(metadata, append=False)
         self._postings.build()
 
     async def _sync_incremental(self, start: int, n: int) -> None:
@@ -131,118 +267,621 @@ class DeviceQueryExecutor:
         metadata = await conv.semantic_refs.get_metadata_multiple(
             list(range(start, n))
         )
-        new_msg = np.array(
-            [m.range.start.message_ordinal for m in metadata], dtype=np.int32
-        )
-        new_ktype = np.array(
-            [_KTYPE_CODES[m.knowledge_type] for m in metadata], dtype=np.int8
-        )
-        if self._semref_msg is None:
-            self._semref_msg, self._semref_ktype = new_msg, new_ktype
-            self._semref_meta = list(metadata)
-        else:
-            self._semref_msg = np.concatenate([self._semref_msg, new_msg])
-            self._semref_ktype = np.concatenate([self._semref_ktype, new_ktype])
-            self._semref_meta = list(self._semref_meta) + list(metadata)
+        self._set_metadata_arrays(metadata, append=self._sem_start_key is not None)
         self._n_semrefs = n
         self._postings.build()
 
-    # -- query compilation -----------------------------------------------------
+    def _set_metadata_arrays(self, metadata, append: bool) -> None:
+        ktype = np.array(
+            [_KTYPE_CODES[m.knowledge_type] for m in metadata], dtype=np.int8
+        )
+        start_keys = np.empty(len(metadata), dtype=np.int64)
+        end_keys = np.empty(len(metadata), dtype=np.int64)
+        for i, m in enumerate(metadata):
+            start_keys[i], end_keys[i] = _range_keys(m.range)
+        if append:
+            self._semref_ktype = np.concatenate([self._semref_ktype, ktype])
+            self._sem_start_key = np.concatenate([self._sem_start_key, start_keys])
+            self._sem_end_key = np.concatenate([self._sem_end_key, end_keys])
+        else:
+            self._semref_ktype = ktype
+            self._sem_start_key = start_keys
+            self._sem_end_key = end_keys
 
-    def _compile_flat_terms(
-        self, group: SearchTermGroup
-    ) -> list[tuple[str, float, bool, str]] | None:
-        """Flatten a group into (key, weight, exact, match_text) or None.
-
-        Related-term parity guard: the host VM applies the
-        add_term_matches_if_new rule per SUB-EXPRESSION accumulator, but this
-        fused program uses one accumulator for the whole group — the two
-        diverge when related terms collide with other subterms' matches on
-        the same semref. Exact only when related terms are confined to a
-        single subterm carrying at most one of them, so anything broader
-        falls back to the host VM.
-        """
-        subterms_with_related = 0
-        max_related_per_subterm = 0
-        for term in group.terms:
-            related = getattr(term, "related_terms", None)
-            if isinstance(term, PropertySearchTerm):
-                related = term.property_value.related_terms
-            if related:
-                subterms_with_related += 1
-                max_related_per_subterm = max(max_related_per_subterm, len(related))
-        if subterms_with_related and (
-            len(group.terms) > 1 or max_related_per_subterm > 1
-        ):
-            return None
-
-        compiled: list[tuple[str, float, bool, str]] = []
-        for term in group.terms:
-            if isinstance(term, SearchTermGroup):
-                return None  # nested groups -> host VM
-            if isinstance(term, PropertySearchTerm):
-                if not isinstance(term.property_name, str):
-                    return None  # facet-style free property names -> host VM
-                value = term.property_value
-                if is_search_term_wildcard(value):
-                    return None
-                weight = value.term.weight if value.term.weight is not None else 1.0
-                compiled.append(
-                    (
-                        _PROP_PREFIX
-                        + make_property_term_text(
-                            term.property_name, value.term.text
-                        ),
-                        weight,
-                        True,
-                        value.term.text,
-                    )
-                )
-                for related in value.related_terms or []:
-                    compiled.append(
-                        (
-                            _PROP_PREFIX
-                            + make_property_term_text(
-                                term.property_name, related.text
-                            ),
-                            related.weight if related.weight is not None else 1.0,
-                            False,
-                            value.term.text,
-                        )
-                    )
-            elif isinstance(term, SearchTerm):
-                if is_search_term_wildcard(term):
-                    return None
-                weight = term.term.weight if term.term.weight is not None else 1.0
-                compiled.append((term.term.text, weight, True, term.term.text))
-                for related in term.related_terms or []:
-                    compiled.append(
-                        (
-                            related.text,
-                            related.weight if related.weight is not None else 1.0,
-                            False,
-                            term.term.text,
-                        )
-                    )
-            else:
-                return None
-        # Duplicate keys: the host VM matches each distinct term text once
-        # (context.matched_terms); a fused double-add would double-count.
-        keys = [key for key, _, _, _ in compiled]
-        if len(set(keys)) != len(keys):
-            return None
-        return compiled
+    # -- scope mask ----------------------------------------------------------
 
     def _scope_mask(
         self, ranges_in_scope: TextRangesInScope | None
     ) -> np.ndarray | None:
-        """Message-granularity scope mask over semref ordinals."""
+        """Chunk-granular scope mask over semref ordinals.
+
+        Replicates TextRangesInScope.is_range_in_scope (every selector
+        collection must contain the semref's range) with one vectorized
+        sorted-interval sweep per selector: a range [s, e) is contained in
+        some collection range iff max{outer_end : outer_start <= s} >= e.
+        """
         if ranges_in_scope is None or not ranges_in_scope.text_ranges:
             return None
         mask = np.ones(self._n_semrefs, dtype=bool)
-        for i, meta in enumerate(self._semref_meta):
-            mask[i] = ranges_in_scope.is_range_in_scope(meta.range)
+        s_keys, e_keys = self._sem_start_key, self._sem_end_key
+        for collection in ranges_in_scope.text_ranges:
+            ranges = collection.get_ranges()
+            if not ranges:
+                mask[:] = False
+                continue
+            pairs = np.array([_range_keys(r) for r in ranges], dtype=np.int64)
+            order = np.argsort(pairs[:, 0], kind="stable")
+            starts = pairs[order, 0]
+            ends_prefix_max = np.maximum.accumulate(pairs[order, 1])
+            idx = np.searchsorted(starts, s_keys, side="right")
+            ok = idx > 0
+            ok[ok] = ends_prefix_max[idx[ok] - 1] >= e_keys[ok]
+            mask &= ok
         return mask
+
+    # -- plan compilation -----------------------------------------------------
+
+    def _norm_key(self, text: str) -> str:
+        """Index-normalized interner key for a query text.
+
+        Memory indexes lowercase; SQLite additionally strips/NFC-normalizes/
+        collapses whitespace. Try the cheap form first, then the full
+        normalization if the interner only knows the prepared form.
+        """
+        key = text.lower()
+        if self._postings.lookup(key) >= 0:
+            return key
+        prepared = prepare_term(text)
+        if prepared != key and self._postings.lookup(prepared) >= 0:
+            return prepared
+        return key
+
+    def _prop_key(self, name: str, value_text: str) -> str:
+        key = (_PROP_PREFIX + make_property_term_text(name, value_text)).lower()
+        if self._postings.lookup(key) >= 0:
+            return key
+        prepared = _PROP_PREFIX + make_property_term_text(
+            name, prepare_term(value_text)
+        ).lower()
+        if prepared != key and self._postings.lookup(prepared) >= 0:
+            return prepared
+        return key
+
+    def _compile_tree(self, expr: MatchTermsBooleanExpr) -> tuple[
+        _GroupNode, list[_Leaf]
+    ]:
+        """Compile the boolean tree to leaves + group nodes, simulating the
+        VM's matched_terms / matched_property_terms dedupe in execution
+        order (cleared at every group begin, query.py begin_match)."""
+        leaves: list[_Leaf] = []
+        # The VM dedupe state (context.matched_terms / matched_property_terms)
+        # simulated in execution order. Entries: ("t", text) for plain terms,
+        # ("p", name, text) for property pairs.
+        seen: set[tuple] = set()
+        # Entries whose presence in `seen` is data-dependent: an AND group
+        # stops evaluating children at the first empty one, so everything an
+        # AND subtree adds is uncertain for LATER siblings (until the next
+        # group-begin clears the live set). If a later leaf's dedupe would
+        # consult an uncertain entry, results could diverge -> host VM.
+        uncertain: set[tuple] = set()
+        added_stack: list[set[tuple]] = []
+
+        def mark_seen(entry: tuple) -> None:
+            seen.add(entry)
+            for recorder in added_stack:
+                recorder.add(entry)
+
+        def clear_seen() -> None:
+            seen.clear()
+            uncertain.clear()
+
+        def group_op(e: MatchTermsBooleanExpr) -> str:
+            # Subclass order matters: OrMax < Or.
+            if isinstance(e, MatchTermsAndExpr):
+                return "and"
+            if isinstance(e, MatchTermsOrMaxExpr):
+                return "or_max"
+            if isinstance(e, MatchTermsOrExpr):
+                return "or"
+            raise _Unsupported
+
+        def leaf_footprint(child) -> set[tuple]:
+            """Every seen-set entry this leaf would consult or add."""
+            entries: set[tuple] = set()
+            if isinstance(child, (MatchTagExpr, MatchTopicExpr)) or isinstance(
+                child, MatchSearchTermExpr
+            ):
+                st = child.search_term
+                entries.add(("t", st.term.text))
+                for related in st.related_terms or ():
+                    entries.add(("t", related.text))
+            elif isinstance(child, MatchPropertySearchTermExpr):
+                pst = child.property_search_term
+                halves = []
+                if isinstance(pst.property_name, str):
+                    halves.append((pst.property_name, pst.property_value))
+                else:
+                    halves.append(
+                        (PropertyNames.FacetName.value, pst.property_name)
+                    )
+                    if not is_search_term_wildcard(pst.property_value):
+                        halves.append(
+                            (PropertyNames.FacetValue.value, pst.property_value)
+                        )
+                for name, value in halves:
+                    entries.add(("p", name, value.term.text))
+                    for related in value.related_terms or ():
+                        entries.add(("p", name, related.text))
+            return entries
+
+        def compile_group(e: MatchTermsBooleanExpr, top: bool) -> _GroupNode:
+            if not top and e.get_scope_expr is not None:
+                raise _Unsupported  # nested scopes -> host VM
+            clear_seen()
+            node = _GroupNode(group_op(e))
+            recorder: set[tuple] = set()
+            if node.op == "and":
+                added_stack.append(recorder)
+            for child in e.term_expressions:
+                if isinstance(child, MatchTermsBooleanExpr):
+                    node.children.append(compile_group(child, top=False))
+                    continue
+                if leaf_footprint(child) & uncertain:
+                    raise _Unsupported  # data-dependent dedupe -> host VM
+                leaf = compile_leaf(child)
+                if leaf is not None:
+                    node.children.append(leaf)
+                else:
+                    # Fully deduped leaf: the VM evaluates it to an empty
+                    # accumulator (falsy) -> parent skips it; drop entirely
+                    # UNLESS inside an AND, where an empty child fails the
+                    # whole AND.
+                    if node.op == "and":
+                        node.children.append(_Leaf(seg=-1))  # always-empty
+            if node.op == "and":
+                added_stack.pop()
+                uncertain.update(recorder)
+            return node
+
+        def new_leaf() -> _Leaf:
+            leaf = _Leaf(seg=len(leaves))
+            leaves.append(leaf)
+            return leaf
+
+        def add_plain_ops(
+            leaf: _Leaf,
+            search_term: SearchTerm,
+            ktype_gate: int,
+        ) -> None:
+            pos = len(leaf.ops) + len(leaf.wildcards)
+            main = search_term.term
+            main_weight = main.weight if main.weight is not None else 1.0
+            if ("t", main.text) not in seen:
+                leaf.ops.append(
+                    _Op(
+                        key=self._norm_key(main.text),
+                        weight=main_weight,
+                        kind=OP_EXACT,
+                        position=pos,
+                        ktype_gate=ktype_gate,
+                        match_text=main.text,
+                        text_needs_scope_hit=False,
+                    )
+                )
+                pos += 1
+                mark_seen(("t", main.text))
+            for related in search_term.related_terms or ():
+                if ("t", related.text) in seen:
+                    continue
+                weight = (
+                    related.weight if related.weight is not None else main_weight
+                )
+                leaf.ops.append(
+                    _Op(
+                        key=self._norm_key(related.text),
+                        weight=weight,
+                        kind=OP_RELATED,
+                        position=pos,
+                        ktype_gate=ktype_gate,
+                        match_text=main.text,
+                        text_needs_scope_hit=False,
+                    )
+                )
+                pos += 1
+                mark_seen(("t", related.text))
+
+        def add_property_ops(
+            leaf: _Leaf, name: str, value: SearchTerm
+        ) -> None:
+            pos = len(leaf.ops) + len(leaf.wildcards)
+            main = value.term
+            main_weight = main.weight if main.weight is not None else 1.0
+            if ("p", name, main.text) not in seen:
+                leaf.ops.append(
+                    _Op(
+                        key=self._prop_key(name, main.text),
+                        weight=main_weight,
+                        kind=OP_EXACT,
+                        position=pos,
+                        ktype_gate=-1,
+                        match_text=main.text,
+                        text_needs_scope_hit=True,
+                    )
+                )
+                pos += 1
+                mark_seen(("p", name, main.text))
+            for related in value.related_terms or ():
+                if ("p", name, related.text) in seen:
+                    continue
+                weight = (
+                    related.weight if related.weight is not None else main_weight
+                )
+                leaf.ops.append(
+                    _Op(
+                        key=self._prop_key(name, related.text),
+                        weight=weight,
+                        kind=OP_RELATED,
+                        position=pos,
+                        ktype_gate=-1,
+                        match_text=main.text,
+                        text_needs_scope_hit=True,
+                    )
+                )
+                pos += 1
+                mark_seen(("p", name, related.text))
+
+        def compile_leaf(child) -> _Leaf | None:
+            # Tag/Topic subclass MatchSearchTermExpr: dispatch them first.
+            if isinstance(child, (MatchTagExpr, MatchTopicExpr)):
+                code = _KTYPE_CODES[
+                    "tag" if isinstance(child, MatchTagExpr) else "topic"
+                ]
+                st = child.search_term
+                if st.term.text == "*":
+                    if st.related_terms:
+                        raise _Unsupported  # '*' main reroutes related lookups
+                    if ("t", st.term.text) in seen:
+                        return None
+                    mark_seen(("t", st.term.text))
+                    leaf = new_leaf()
+                    w = st.term.weight if st.term.weight is not None else 1.0
+                    leaf.wildcards.append((code, w, st.term.text))
+                    return leaf
+                leaf = new_leaf()
+                add_plain_ops(leaf, st, ktype_gate=code)
+                return leaf if (leaf.ops or leaf.wildcards) else _drop(leaf)
+            if isinstance(child, MatchSearchTermExpr):
+                factor = getattr(child, "entity_boost_factor", None)
+                if child.score_booster is not None and factor is None:
+                    raise _Unsupported  # custom booster -> host VM
+                st = child.search_term
+                if is_search_term_wildcard(st):
+                    # The VM looks up the literal '*' text for plain terms;
+                    # compile it the same way (typically no postings).
+                    pass
+                leaf = new_leaf()
+                add_plain_ops(leaf, st, ktype_gate=-1)
+                if not leaf.ops:
+                    return _drop(leaf)
+                if factor is not None:
+                    leaf.boost_factor = float(factor)
+                    texts = [st.term.text] + [
+                        r.text for r in st.related_terms or ()
+                    ]
+                    for text in texts:
+                        leaf.boost_keys.append(
+                            self._prop_key(PropertyNames.EntityName.value, text)
+                        )
+                        leaf.boost_keys.append(
+                            self._prop_key(PropertyNames.EntityType.value, text)
+                        )
+                return leaf
+            if isinstance(child, MatchPropertySearchTermExpr):
+                pst = child.property_search_term
+                leaf = new_leaf()
+                if isinstance(pst.property_name, str):
+                    add_property_ops(leaf, pst.property_name, pst.property_value)
+                else:
+                    # Facet-style: name matches facet.name; a non-wildcard
+                    # value must also match facet.value (query.py:517-532).
+                    add_property_ops(
+                        leaf, PropertyNames.FacetName.value, pst.property_name
+                    )
+                    if not is_search_term_wildcard(pst.property_value):
+                        add_property_ops(
+                            leaf,
+                            PropertyNames.FacetValue.value,
+                            pst.property_value,
+                        )
+                return leaf if leaf.ops else _drop(leaf)
+            raise _Unsupported
+
+        def _drop(leaf: _Leaf) -> None:
+            assert leaves[-1] is leaf
+            leaves.pop()
+            return None
+
+        root = compile_group(expr, top=True)
+        return root, leaves
+
+    # -- execution -------------------------------------------------------------
+
+    async def execute(
+        self,
+        query,
+        context: QueryEvalContext,
+    ) -> dict[KnowledgeType, SemanticRefSearchResult] | None:
+        """Evaluate a stage-3 compiled knowledge query; None = fall back.
+
+        Accepts the GroupSearchResultsExpr produced by
+        QueryCompiler.compile_knowledge_query (or any of its inner wrappers).
+        """
+        top_n: int | None = None
+        min_hit: int | None = None
+        ktype_predicates: list[KnowledgeType] = []
+
+        expr = query
+        if isinstance(expr, GroupSearchResultsExpr):
+            expr = expr.src_expr
+        if isinstance(expr, SelectTopNKnowledgeGroupExpr):
+            top_n = expr.max_matches
+            min_hit = expr.min_hit_count
+            expr = expr.source_expr
+        if isinstance(expr, GroupByKnowledgeTypeExpr):
+            expr = expr.matches
+        if isinstance(expr, WhereSemanticRefExpr):
+            for predicate in expr.predicates:
+                if not isinstance(predicate, KnowledgeTypePredicate):
+                    return None
+                ktype_predicates.append(predicate.knowledge_type)
+            expr = expr.source_expr
+        if not isinstance(expr, MatchTermsBooleanExpr):
+            return None
+
+        if self._n_semrefs == 0:
+            return {}
+
+        # Scope selectors run on the host (timestamp index, threads,
+        # message-derived sub-queries) exactly as begin_match would.
+        ranges_in_scope: TextRangesInScope | None = None
+        if expr.get_scope_expr is not None:
+            ranges_in_scope = await expr.get_scope_expr.eval(context)
+
+        return await self._execute_tree(expr, ranges_in_scope, top_n, min_hit,
+                                        ktype_predicates)
+
+    async def _execute_tree(
+        self,
+        expr: MatchTermsBooleanExpr,
+        ranges_in_scope: TextRangesInScope | None,
+        top_n: int | None,
+        min_hit: int | None,
+        ktype_predicates: list[KnowledgeType],
+    ) -> dict[KnowledgeType, SemanticRefSearchResult] | None:
+        try:
+            root, leaves = self._compile_tree(expr)
+        except _Unsupported:
+            return None
+
+        n_seg = len(leaves)
+        seg_pad = _bucket(max(n_seg, 1), _SEG_BUCKETS)
+        if seg_pad * self._postings._semref_cap > _MAX_DENSE_ENTRIES:
+            return None  # transfer too large; host VM wins here
+
+        ops: list[tuple[int, float, int, int, int, int]] = []
+        op_owner: list[_Op] = []
+        boost_factor = 1.0
+        for leaf in leaves:
+            for op in leaf.ops:
+                ops.append(
+                    (
+                        self._postings.lookup(op.key),
+                        op.weight,
+                        leaf.seg,
+                        op.kind,
+                        op.position,
+                        op.ktype_gate,
+                    )
+                )
+                op_owner.append(op)
+            for key in leaf.boost_keys:
+                ops.append(
+                    (self._postings.lookup(key), 1.0, leaf.seg, OP_BOOST, 0, -1)
+                )
+                op_owner.append(None)
+            if leaf.boost_keys:
+                boost_factor = leaf.boost_factor
+
+        scope = self._scope_mask(ranges_in_scope)
+        n = self._n_semrefs
+        if ops:
+            exact_score, exact_hits, rel_score, rel_hits, op_hit = (
+                self._postings.lookup_ops(
+                    ops, n_seg, self._semref_ktype, scope, boost_factor
+                )
+            )
+        else:
+            exact_score = exact_hits = rel_score = rel_hits = np.zeros((n_seg, n),
+                                                                       np.float32)
+            op_hit = np.zeros(0, dtype=bool)
+
+        # Per-op term_matches bookkeeping (see _Op.text_needs_scope_hit).
+        op_text: dict[int, set[str]] = {}
+        op_i = 0
+        for leaf in leaves:
+            texts: set[str] = set()
+            for op in leaf.ops:
+                if op.text_needs_scope_hit:
+                    hit = bool(op_hit[op_i]) if op_i < len(op_hit) else False
+                else:
+                    tid = ops[op_i][0]
+                    hit = tid >= 0 and self._postings.posting_size(tid) > 0
+                if hit:
+                    texts.add(op.match_text)
+                op_i += 1
+            op_i += len(leaf.boost_keys)
+            for _, _, text in leaf.wildcards:
+                texts.add(text)
+            op_text[leaf.seg] = texts
+
+        ktype = self._semref_ktype
+        scope_arr = scope if scope is not None else np.ones(n, dtype=bool)
+
+        def leaf_insertion_order(leaf: _Leaf, member: np.ndarray) -> np.ndarray:
+            """First-add order over the leaf's lookups in VM order: each
+            op's postings in index order, scope/ktype-gated."""
+            parts: list[np.ndarray] = []
+            for code, _w, _t in leaf.wildcards:
+                # Wildcard: all semrefs of the ktype, ordinal order (no scope,
+                # matching lookup_knowledge_type).
+                parts.append(np.flatnonzero(ktype == code).astype(np.int32))
+            for op in sorted(leaf.ops, key=lambda o: o.position):
+                tid = self._postings.lookup(op.key)
+                ids = self._postings.posting_semrefs(tid)
+                ids = ids[ids < n]
+                keep = scope_arr[ids]
+                if op.ktype_gate >= 0:
+                    keep = keep & (ktype[ids] == op.ktype_gate)
+                parts.append(ids[keep])
+            if not parts:
+                return np.empty(0, dtype=np.int64)
+            order = _first_occurrence(np.concatenate(parts)).astype(np.int64)
+            return order[member[order]]
+
+        def eval_leaf(leaf: _Leaf) -> _NodeResult | None:
+            if leaf.seg < 0:
+                return None  # always-empty placeholder inside an AND
+            es = exact_score[leaf.seg].astype(np.float64)
+            eh = exact_hits[leaf.seg].astype(np.float64)
+            rs = rel_score[leaf.seg].astype(np.float64)
+            rh = rel_hits[leaf.seg].astype(np.float64)
+            for code, weight, _text in leaf.wildcards:
+                members = (ktype == code).astype(np.float64)
+                es += weight * members
+                eh += members
+            member = (eh > 0) | (rh > 0)
+            if not member.any():
+                return None
+            order = leaf_insertion_order(leaf, member)
+            return _NodeResult(member, es, eh, rs, rh, op_text[leaf.seg], order)
+
+        def eval_node(node: _GroupNode | _Leaf) -> _NodeResult | None:
+            if isinstance(node, _Leaf):
+                return eval_leaf(node)
+            results = [eval_node(child) for child in node.children]
+            if node.op in ("or", "or_max"):
+                present = [r for r in results if r is not None]
+                if not present:
+                    return None
+                member = np.zeros(n, dtype=bool)
+                score = np.zeros(n)
+                hits = np.zeros(n)
+                rscore = np.zeros(n)
+                rhits = np.zeros(n)
+                texts: set[str] = set()
+                for r in present:
+                    member |= r.member
+                    score += r.score
+                    hits += r.hits
+                    rscore += r.rel_score
+                    rhits += r.rel_hits
+                    texts |= r.texts
+                order = _first_occurrence(
+                    np.concatenate([r.order for r in present])
+                )
+                score = score + _smooth_vec(rscore, rhits)  # calculate_total_score
+                if node.op == "or_max":
+                    peak = hits[member].max(initial=0.0)
+                    if peak > 1:
+                        member = member & (hits >= peak)
+                        if not member.any():
+                            return None
+                        # Dropped values leave the accumulator entirely: a
+                        # parent union must not see their fields.
+                        score, hits, rscore, rhits = (
+                            a * member for a in (score, hits, rscore, rhits)
+                        )
+                        order = order[member[order]]
+                return _NodeResult(member, score, hits, rscore, rhits, texts, order)
+            # AND: any empty child fails the whole conjunction.
+            if any(r is None for r in results):
+                return None
+            member = np.ones(n, dtype=bool)
+            score = np.zeros(n)
+            hits = np.zeros(n)
+            rscore = np.zeros(n)
+            rhits = np.zeros(n)
+            texts = set()
+            for r in results:
+                member &= r.member
+                score += r.score
+                hits += r.hits
+                rscore += r.rel_score
+                rhits += r.rel_hits
+                texts |= r.texts
+            if not member.any():
+                return None
+            score = score + _smooth_vec(rscore, rhits)
+            member = member & (hits >= len(results))  # select_with_hit_count
+            if not member.any():
+                return None
+            score, hits, rscore, rhits = (
+                a * member for a in (score, hits, rscore, rhits)
+            )
+            # intersect() iterates the left accumulator: the first child's
+            # insertion order survives the chain.
+            order = results[0].order
+            order = order[member[order]]
+            return _NodeResult(member, score, hits, rscore, rhits, texts, order)
+
+        result = eval_node(root)
+        if result is None:
+            return {}
+
+        member = result.member
+        for knowledge_type in ktype_predicates:
+            member = member & (ktype == _KTYPE_CODES[knowledge_type])
+        insertion = result.order[member[result.order]]
+
+        # Group by knowledge type: group dict order and per-group order both
+        # follow the accumulator's insertion order (group_matches_by_type
+        # iterates matches with setdefault); then per-group selection mirrors
+        # select_top_n_scoring (bounded heap, by_rank) + to_scored
+        # (stable sort by -score over insertion order).
+        code_to_ktype = {code: kt for kt, code in _KTYPE_CODES.items()}
+        grouped: dict[KnowledgeType, list[int]] = {}
+        for o in insertion:
+            grouped.setdefault(code_to_ktype[int(ktype[o])], []).append(int(o))
+
+        from .collections import TopNCollection
+
+        out: dict[KnowledgeType, SemanticRefSearchResult] = {}
+        for knowledge_type, ordinals in grouped.items():
+            if min_hit:
+                ordinals = [
+                    o for o in ordinals if result.hits[o] >= min_hit
+                ]
+            if top_n and top_n > 0:
+                top = TopNCollection(top_n)
+                for o in ordinals:
+                    top.push(o, float(result.score[o]))
+                ranked = top.values_by_rank()
+            else:
+                ranked = sorted(
+                    ordinals, key=lambda o: -float(result.score[o])
+                )
+            if not ranked:
+                continue
+            out[knowledge_type] = SemanticRefSearchResult(
+                term_matches=set(result.texts),
+                semantic_ref_matches=[
+                    ScoredSemanticRefOrdinal(int(o), float(result.score[o]))
+                    for o in ranked
+                ],
+            )
+        return out
+
+    # -- direct (uncompiled) entry point ---------------------------------------
 
     async def search(
         self,
@@ -250,44 +889,47 @@ class DeviceQueryExecutor:
         ranges_in_scope: TextRangesInScope | None = None,
         max_knowledge_matches: int | None = None,
     ) -> dict[KnowledgeType, SemanticRefSearchResult] | None:
-        """Run a flat or/or_max group; None = not expressible here."""
-        if group.boolean_op not in ("or", "or_max"):
-            return None
-        compiled = self._compile_flat_terms(group)
-        if compiled is None or self._n_semrefs == 0:
-            return None
+        """Run a raw term group through the standard stage-3 compile and the
+        device engine (exact-match compile: no related-term resolution, given
+        related terms are kept). None = not expressible on device."""
+        from .search import QueryCompiler, SearchOptions
 
-        terms = [(key, weight, exact) for key, weight, exact, _ in compiled]
-        scope = self._scope_mask(ranges_in_scope)
-        total, exact_hits, related_hits = self._postings.lookup_terms(terms, scope)
+        compiler = QueryCompiler(
+            self.conversation, self.conversation.secondary_indexes
+        )
+        options = SearchOptions(
+            exact_match=True, max_knowledge_matches=max_knowledge_matches
+        )
+        query = await compiler.compile_knowledge_query(group, None, options)
 
-        hits = exact_hits + related_hits
-        matched = np.flatnonzero((hits > 0) & (np.abs(total) > 0))
-        if matched.size == 0:
+        expr = query.src_expr
+        if isinstance(expr, SelectTopNKnowledgeGroupExpr):
+            top_n = expr.max_matches
+            inner = expr.source_expr
+        else:
+            top_n = max_knowledge_matches
+            inner = expr
+        if isinstance(inner, GroupByKnowledgeTypeExpr):
+            inner = inner.matches
+        if not isinstance(inner, MatchTermsBooleanExpr):
+            return None
+        if self._n_semrefs == 0:
             return {}
-        if group.boolean_op == "or_max":
-            max_hits = exact_hits[matched].max(initial=0.0)
-            if max_hits > 1:
-                matched = matched[exact_hits[matched] == max_hits]
 
-        term_texts = {
-            match_text
-            for (key, _, exact, match_text) in compiled
-            if exact and self._postings._interner.lookup(key) >= 0
-        }
-
-        results: dict[KnowledgeType, SemanticRefSearchResult] = {}
-        for ktype, code in _KTYPE_CODES.items():
-            members = matched[self._semref_ktype[matched] == code]
-            if members.size == 0:
-                continue
-            order = members[np.argsort(-total[members], kind="stable")]
-            if max_knowledge_matches:
-                order = order[:max_knowledge_matches]
-            results[ktype] = SemanticRefSearchResult(
-                term_matches=set(term_texts),
-                semantic_ref_matches=[
-                    ScoredSemanticRefOrdinal(int(o), float(total[o])) for o in order
-                ],
-            )
-        return results
+        indexes = self.conversation.secondary_indexes
+        context = QueryEvalContext(
+            self.conversation,
+            indexes.property_to_semantic_ref_index if indexes else None,
+            indexes.timestamp_index if indexes else None,
+        )
+        combined_scope = ranges_in_scope
+        if inner.get_scope_expr is not None:
+            compiled_scope = await inner.get_scope_expr.eval(context)
+            if combined_scope is None:
+                combined_scope = compiled_scope
+            else:
+                combined_scope = TextRangesInScope(
+                    list(combined_scope.text_ranges or [])
+                    + list(compiled_scope.text_ranges or [])
+                )
+        return await self._execute_tree(inner, combined_scope, top_n, None, [])

@@ -162,10 +162,11 @@ class SearchOptions:
     # Cumulative character cap for selected messages.
     max_chars_in_budget: int | None = None
     threshold_score: float | None = None
-    # Opt-in: run flat or/or_max groups as one fused device program
-    # (knowpro/device_executor.py); falls back to the host VM for anything
-    # the executor can't express.
-    use_device_executor: bool = False
+    # Default engine: run the compiled knowledge query as one fused device
+    # program (knowpro/device_executor.py) — related terms, scopes, boolean
+    # groups, wildcards and the entity boost included; falls back to the
+    # host VM transparently for anything the executor can't express.
+    use_device_executor: bool = True
 
     def __repr__(self):
         set_fields = (
@@ -226,18 +227,18 @@ async def search_conversation_knowledge(
     assert conversation.secondary_indexes is not None, (
         "Conversation secondary indexes must be initialized before searching"
     )
-    if options.use_device_executor and when_filter is None and options.exact_match:
+    compiler = QueryCompiler(conversation, conversation.secondary_indexes)
+    knowledge_query = await compiler.compile_knowledge_query(
+        search_term_group, when_filter, options
+    )
+    if options.use_device_executor:
         with span("search.knowledge", route="device"):
             device_result = await _try_device_executor(
-                conversation, search_term_group, options
+                conversation, knowledge_query, options
             )
         if device_result is not None:
             return device_result
     with span("search.knowledge", route="host"):
-        compiler = QueryCompiler(conversation, conversation.secondary_indexes)
-        knowledge_query = await compiler.compile_knowledge_query(
-            search_term_group, when_filter, options
-        )
         return await run_query(conversation, options, knowledge_query)
 
 
@@ -287,10 +288,14 @@ async def run_search_query(
 
 async def _try_device_executor(
     conversation: IConversation,
-    search_term_group: SearchTermGroup,
+    knowledge_query,
     options: SearchOptions,
 ):
-    """Cached per-conversation device executor; None = fall back to host."""
+    """Cached per-conversation device executor; None = fall back to host.
+
+    Evaluates the SAME compiled query tree the host VM would run, so the
+    device route sees identical weights, related terms, boosters and scopes.
+    """
     from .device_executor import DeviceQueryExecutor
 
     executor = getattr(conversation, "_device_executor", None)
@@ -310,9 +315,13 @@ async def _try_device_executor(
             conversation._device_executor_count = semref_count
         except AttributeError:
             pass
-    return await executor.search(
-        search_term_group, max_knowledge_matches=options.max_knowledge_matches
+    indexes = conversation.secondary_indexes
+    context = QueryEvalContext(
+        conversation,
+        indexes.property_to_semantic_ref_index if indexes else None,
+        indexes.timestamp_index if indexes else None,
     )
+    return await executor.execute(knowledge_query, context)
 
 
 # ---------------------------------------------------------------------------
@@ -461,7 +470,11 @@ class QueryCompiler:
         def booster(t: SearchTerm, sr: SemanticRef, scored: ScoredSemanticRefOrdinal):
             return self.boost_entities(t, sr, scored, boost)
 
-        return MatchSearchTermExpr(term, booster)
+        expr = MatchSearchTermExpr(term, booster)
+        # Declared boost factor lets the device executor replicate the boost
+        # via name/type property membership instead of per-ref callbacks.
+        expr.entity_boost_factor = boost
+        return expr
 
     def compile_property_term(
         self, term: PropertySearchTerm

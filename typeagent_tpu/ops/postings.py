@@ -28,10 +28,22 @@ import numpy as np
 from ..native import create_interner
 from .append import round_up
 
-__all__ = ["DevicePostingsIndex", "accumulate_postings"]
+__all__ = [
+    "DevicePostingsIndex",
+    "accumulate_postings",
+    "accumulate_postings_segmented",
+]
 
 _WINDOW_BUCKETS = (64, 256, 1024, 4096, 16384)
 _TERM_BUCKETS = (8, 32, 128, 512)
+_SEG_BUCKETS = (4, 16, 64, 256)
+
+# Op kinds for the segmented accumulator.
+OP_EXACT = 0
+OP_RELATED = 1
+OP_BOOST = 2  # membership-only scatter for the entity-boost mask
+
+_BIG_POS = np.int32(2**30)
 
 
 def _bucket(n: int, buckets) -> int:
@@ -112,6 +124,130 @@ def accumulate_postings(
     return total, exact_hits, related_hits_eff
 
 
+@functools.partial(
+    jax.jit, static_argnames=("window", "semref_cap", "n_seg", "dedup_related")
+)
+def accumulate_postings_segmented(
+    offsets: jax.Array,  # [terms_cap+1] i64 CSR offsets
+    post_semrefs: jax.Array,  # [post_cap] i32
+    post_scores: jax.Array,  # [post_cap] f32
+    tids: jax.Array,  # [t_pad] i32 query term ids (-1 = padding)
+    weights: jax.Array,  # [t_pad] f32 per-op weight
+    segs: jax.Array,  # [t_pad] i32 leaf segment per op
+    kinds: jax.Array,  # [t_pad] i8: 0 exact, 1 related, 2 boost-membership
+    positions: jax.Array,  # [t_pad] i32 op position within its leaf (VM order)
+    ktype_gate: jax.Array,  # [t_pad] i8: -1 none, else required knowledge type
+    scope_mask: jax.Array,  # [semref_cap] bool (True = in scope)
+    semref_ktype: jax.Array,  # [semref_cap] i8
+    boost_factor: jax.Array,  # scalar f32 entity-boost multiplier
+    *,
+    window: int,
+    semref_cap: int,
+    n_seg: int,
+    dedup_related: bool = False,
+):
+    """Per-leaf-segment raw accumulation replicating the host VM's
+    per-sub-expression ``MatchAccumulator`` bookkeeping in one fused pass:
+
+      * exact ops always scatter-add (score*weight, +1 hit) into their leaf;
+      * related ops follow ``add_term_matches_if_new``: a related op
+        contributes to a semref only if NO earlier op of the same leaf (in VM
+        order) added that semref — computed via a scatter-min of op
+        positions;
+      * boost ops build a per-leaf membership mask (entity name/type
+        postings); scoring contributions of that leaf multiply by
+        ``boost_factor`` where the mask is set (the x10 entity boost,
+        reference search.py boost_entities);
+      * per-op knowledge-type gates replicate the tag/topic-restricted
+        lookups; the scope mask replicates range filtering.
+
+    Returns (exact_score, exact_hits, related_score, related_hits) each
+    [n_seg, semref_cap], plus op_hit[t_pad] (op had >= 1 in-scope posting).
+    """
+    safe_tids = jnp.clip(tids, 0, offsets.shape[0] - 2)
+    starts = offsets[safe_tids]
+    sizes = offsets[safe_tids + 1] - starts
+    term_valid = tids >= 0
+
+    lane = jnp.arange(window, dtype=jnp.int32)[None, :]
+    pos_idx = jnp.clip(starts[:, None] + lane, 0, post_semrefs.shape[0] - 1)
+    valid = (lane < sizes[:, None]) & term_valid[:, None]
+
+    ids = post_semrefs[pos_idx]  # [t_pad, window]
+    base_scores = post_scores[pos_idx] * weights[:, None]
+    seg2d = jnp.broadcast_to(segs[:, None], ids.shape)
+
+    gate = ktype_gate.astype(jnp.int8)
+    gate_ok = (gate[:, None] < 0) | (semref_ktype[ids] == gate[:, None])
+    scoring = kinds[:, None] <= OP_RELATED
+    valid_scoring = valid & scoring & gate_ok & scope_mask[ids]
+
+    # Boost membership (no scope/ktype gates: the VM booster inspects the
+    # semref's knowledge, not a scoped lookup).
+    valid_boost = valid & (kinds[:, None] == OP_BOOST)
+    boost_ids = jnp.where(valid_boost, ids, semref_cap)
+    boost = (
+        jnp.zeros((n_seg, semref_cap), jnp.int8)
+        .at[seg2d, boost_ids]
+        .max(valid_boost.astype(jnp.int8), mode="drop")
+    )
+    mult = jnp.where(boost[seg2d, ids] > 0, boost_factor, 1.0)
+    scores = base_scores * mult
+
+    is_exact = valid_scoring & (kinds[:, None] == OP_EXACT)
+    is_related = valid_scoring & (kinds[:, None] == OP_RELATED)
+
+    if dedup_related:
+        # A related lookup counts each semref at most once even when the
+        # posting list contains duplicates (the VM's if_new sees the semref
+        # already added after the first occurrence; exact lookups DO
+        # double-count, matching add_term_matches). Keep only the first
+        # in-list occurrence per (op, semref): stable-sort the window by
+        # semref id, flag first occurrences, un-permute.
+        sort_keys = jnp.where(is_related, ids, jnp.int32(2**31 - 1))
+        order = jnp.argsort(sort_keys, axis=1, stable=True)
+        sorted_keys = jnp.take_along_axis(sort_keys, order, axis=1)
+        first_sorted = jnp.concatenate(
+            [
+                jnp.ones_like(sorted_keys[:, :1], dtype=bool),
+                sorted_keys[:, 1:] != sorted_keys[:, :-1],
+            ],
+            axis=1,
+        )
+        inverse = jnp.argsort(order, axis=1, stable=True)
+        is_related = is_related & jnp.take_along_axis(first_sorted, inverse, axis=1)
+
+    zeros2 = jnp.zeros((n_seg, semref_cap), jnp.float32)
+    ex_ids = jnp.where(is_exact, ids, semref_cap)
+    exact_score = zeros2.at[seg2d, ex_ids].add(
+        jnp.where(is_exact, scores, 0.0), mode="drop"
+    )
+    exact_hits = zeros2.at[seg2d, ex_ids].add(
+        is_exact.astype(jnp.float32), mode="drop"
+    )
+
+    # First adder per (leaf, semref): the earliest valid scoring op. A
+    # related op contributes only when it IS the first adder.
+    any_ids = jnp.where(valid_scoring, ids, semref_cap)
+    pos_grid = jnp.where(valid_scoring, positions[:, None], _BIG_POS)
+    first = (
+        jnp.full((n_seg, semref_cap), _BIG_POS, jnp.int32)
+        .at[seg2d, any_ids]
+        .min(pos_grid, mode="drop")
+    )
+    winner = is_related & (positions[:, None] == first[seg2d, ids])
+    rel_ids = jnp.where(winner, ids, semref_cap)
+    related_score = zeros2.at[seg2d, rel_ids].add(
+        jnp.where(winner, scores, 0.0), mode="drop"
+    )
+    related_hits = zeros2.at[seg2d, rel_ids].add(
+        winner.astype(jnp.float32), mode="drop"
+    )
+
+    op_hit = valid_scoring.any(axis=1)
+    return exact_score, exact_hits, related_score, related_hits, op_hit
+
+
 class DevicePostingsIndex:
     """Term -> scored semref postings with a device-compiled accumulator.
 
@@ -129,6 +265,9 @@ class DevicePostingsIndex:
         self._semref_cap = 0
         self._n_semrefs = 0
         self._max_postings = 0
+        self._offsets_host: np.ndarray | None = None
+        self._semrefs_host: np.ndarray | None = None
+        self._term_has_dups: np.ndarray = np.zeros(0, dtype=bool)
 
     def add_term(self, term: str, semref_id: int, score: float = 1.0) -> None:
         tid = self._interner.intern(term)
@@ -170,7 +309,126 @@ class DevicePostingsIndex:
         self._semref_cap = round_up(max(self._n_semrefs, 1), 1024)
         sizes = np.diff(offsets)
         self._max_postings = int(sizes.max()) if len(sizes) else 0
+        self._offsets_host = off_padded
+        self._semrefs_host = sem_padded
+        # Terms whose posting list repeats a semref (e.g. an entity whose
+        # name equals one of its types): related lookups must dedup these.
+        self._term_has_dups = np.zeros(n_terms, dtype=bool)
+        if len(semrefs):
+            term_of = np.repeat(np.arange(n_terms, dtype=np.int64), sizes)
+            combo = term_of * (self._semref_cap + 1) + np.asarray(semrefs)
+            combo_sorted = np.sort(combo)
+            dup_pos = np.flatnonzero(combo_sorted[1:] == combo_sorted[:-1])
+            if dup_pos.size:
+                dup_terms = (combo_sorted[dup_pos] // (self._semref_cap + 1)).astype(
+                    np.int64
+                )
+                self._term_has_dups[dup_terms] = True
         self._built = True
+
+    def lookup(self, term: str) -> int:
+        """Interned id for a term, or -1 if absent."""
+        return self._interner.lookup(term)
+
+    def posting_size(self, tid: int) -> int:
+        """Host-side posting-list length for an interned term id."""
+        if not self._built:
+            self.build()
+        if tid < 0:
+            return 0
+        if self._offsets_host is None:
+            self._offsets_host = np.asarray(self._offsets)
+        return int(self._offsets_host[tid + 1] - self._offsets_host[tid])
+
+    def posting_semrefs(self, tid: int) -> np.ndarray:
+        """Host-side posting list (semref ordinals, in index insertion
+        order) for an interned term id — used to replicate the host VM's
+        accumulator insertion order, which downstream stages observe."""
+        if not self._built:
+            self.build()
+        if tid < 0:
+            return np.empty(0, dtype=np.int32)
+        start = int(self._offsets_host[tid])
+        stop = int(self._offsets_host[tid + 1])
+        return self._semrefs_host[start:stop]
+
+    def lookup_ops(
+        self,
+        ops: list[tuple[int, float, int, int, int, int]],
+        n_seg: int,
+        semref_ktype: np.ndarray,
+        scope_semrefs: np.ndarray | None = None,
+        boost_factor: float = 1.0,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Segmented fused accumulation.
+
+        ``ops``: (tid, weight, seg, kind, position, ktype_gate) per lookup op
+        (tid from :meth:`lookup`; kind per OP_* constants; ktype_gate -1 or a
+        knowledge-type code). Returns host arrays
+        (exact_score[n_seg, n], exact_hits, related_score, related_hits,
+        op_hit[len(ops)]) truncated to n_semrefs.
+        """
+        if not self._built:
+            self.build()
+        t_pad = _bucket(len(ops), _TERM_BUCKETS)
+        seg_pad = _bucket(n_seg, _SEG_BUCKETS)
+        tids = np.full(t_pad, -1, dtype=np.int32)
+        weights = np.zeros(t_pad, dtype=np.float32)
+        segs = np.zeros(t_pad, dtype=np.int32)
+        kinds = np.zeros(t_pad, dtype=np.int8)
+        positions = np.zeros(t_pad, dtype=np.int32)
+        gates = np.full(t_pad, -1, dtype=np.int8)
+        max_size = 1
+        dedup_related = False
+        for i, (tid, weight, seg, kind, position, gate) in enumerate(ops):
+            tids[i] = tid
+            weights[i] = weight
+            segs[i] = seg
+            kinds[i] = kind
+            positions[i] = position
+            gates[i] = gate
+            if tid >= 0:
+                max_size = max(max_size, self.posting_size(tid))
+                if kind == OP_RELATED and self._term_has_dups[tid]:
+                    dedup_related = True
+        window = _bucket(max_size, _WINDOW_BUCKETS)
+
+        if scope_semrefs is None:
+            mask = np.ones(self._semref_cap, dtype=bool)
+        else:
+            mask = np.zeros(self._semref_cap, dtype=bool)
+            mask[: len(scope_semrefs)] = scope_semrefs
+        ktype_padded = np.full(self._semref_cap, -1, dtype=np.int8)
+        ktype_padded[: len(semref_ktype)] = semref_ktype
+
+        exact_score, exact_hits, related_score, related_hits, op_hit = (
+            accumulate_postings_segmented(
+                self._offsets,
+                self._semrefs,
+                self._scores,
+                jnp.asarray(tids),
+                jnp.asarray(weights),
+                jnp.asarray(segs),
+                jnp.asarray(kinds),
+                jnp.asarray(positions),
+                jnp.asarray(gates),
+                jnp.asarray(mask),
+                jnp.asarray(ktype_padded),
+                jnp.float32(boost_factor),
+                window=window,
+                semref_cap=self._semref_cap,
+                n_seg=seg_pad,
+                dedup_related=dedup_related,
+            )
+        )
+        n = self._n_semrefs
+        return (
+            np.asarray(exact_score)[:n_seg, :n],
+            np.asarray(exact_hits)[:n_seg, :n],
+            np.asarray(related_score)[:n_seg, :n],
+            np.asarray(related_hits)[:n_seg, :n],
+            np.asarray(op_hit)[: len(ops)],
+        )
 
     def lookup_terms(
         self,
