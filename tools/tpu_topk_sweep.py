@@ -1,0 +1,94 @@
+"""TPU sweep for the fused top-k kernel (run on real hardware).
+
+Methodology (see NOTES.md): buffers are device-created (no host upload),
+timing uses many distinct query batches in ONE dispatch via lax.map inside
+jit, so the per-call tunnel RTT and host-literal uploads don't pollute the
+numbers. First compile in a fresh process is slow (remote compile service
+cold start); subsequent compiles take seconds.
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from typeagent_tpu.ops import topk
+
+N, D, K = 1_000_448, 384, 10
+REPS = 16  # distinct batches per dispatch
+
+
+def log(*args):
+    print(*args, flush=True)
+
+
+def make_buffers(dtype):
+    key = jax.random.PRNGKey(0)
+    emb = jax.random.normal(key, (N, D), dtype=jnp.float32)
+    emb = emb / jnp.linalg.norm(emb, axis=1, keepdims=True)
+    if dtype == "int8":
+        scales = jnp.max(jnp.abs(emb), axis=1) / 127.0
+        q = jnp.clip(jnp.round(emb / scales[:, None]), -127, 127).astype(jnp.int8)
+        return q, scales
+    return emb.astype(dtype), None
+
+
+def bench(dtype, b, k=K):
+    emb, scales = make_buffers(dtype)
+    qkey = jax.random.PRNGKey(1)
+    queries = jax.random.normal(qkey, (REPS, b, D), dtype=jnp.float32)
+    queries = queries / jnp.linalg.norm(queries, axis=2, keepdims=True)
+    count = jnp.asarray([N], jnp.int32)
+
+    if dtype == "int8":
+
+        @jax.jit
+        def run(e, s, qs):
+            return jax.lax.map(
+                lambda q: topk._topk_pallas_q_impl(
+                    e, s, q.astype(jnp.bfloat16), count, k=k
+                ),
+                qs,
+            )
+
+        args = (emb, scales, queries)
+    else:
+
+        @jax.jit
+        def run(e, qs):
+            return jax.lax.map(
+                lambda q: topk._topk_pallas_impl(e, q, count, k=k), qs
+            )
+
+        args = (emb, queries)
+
+    out = run(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = run(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / REPS
+    qps = b / dt
+    log(
+        f"dtype={dtype:8s} b={b:4d} k={k:3d}: {dt*1e3:7.2f} ms/batch "
+        f"{qps:9.0f} QPS"
+    )
+    return dt, qps
+
+
+def main():
+    log("devices:", jax.devices())
+    for dtype in ("bfloat16", "int8", "float32"):
+        for b in (64, 256):
+            bench(dtype, b)
+    # scaling check: k=1 floor and k=16 ceiling at the headline config
+    bench("bfloat16", 256, k=1)
+    bench("bfloat16", 256, k=16)
+
+
+if __name__ == "__main__":
+    main()

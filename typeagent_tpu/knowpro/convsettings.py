@@ -58,10 +58,16 @@ class ConversationSettings:
         *,
         chat_retrier: AsyncRetrier | None = None,
         embed_retrier: AsyncRetrier | None = None,
+        mesh=None,
+        embedding_dtype: str = "float32",
     ):
         self.chat_retrier = chat_retrier
         self.embed_retrier = embed_retrier
         self._storage_provider = storage_provider
+        # Optional jax.sharding.Mesh: the conversation's embedding-backed
+        # indexes (message text + related-terms fuzzy + threads) ride a
+        # row-sharded multi-chip store instead of a single-chip buffer.
+        self.mesh = mesh
 
         if model is None:
             from ..models.adapters import create_embedding_model
@@ -71,7 +77,11 @@ class ConversationSettings:
 
         def emb(min_score: float, max_matches: int | None = None):
             return TextEmbeddingIndexSettings(
-                model, min_score=min_score, max_matches=max_matches
+                model,
+                min_score=min_score,
+                max_matches=max_matches,
+                dtype=embedding_dtype,
+                mesh=mesh,
             )
 
         self.related_term_index_settings = RelatedTermIndexSettings(

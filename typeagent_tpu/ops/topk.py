@@ -194,7 +194,10 @@ def _fold_tile_into_topk(scores, row_ids, vals_ref, idx_ref, *, k: int):
     theta = vals_ref[:, k - 1 : k]  # running kth best per row, [b, 1]
     n_above = jnp.max(jnp.sum((scores > theta).astype(jnp.int32), axis=1))
 
-    @pl.when(n_above <= _FAST_M)
+    # Most tiles beat nothing once the running top-k warms up (a new top-k
+    # entry lands in O(k log n_tiles) of the tiles): skip all extraction
+    # work for them — the only per-tile cost is the score pass + this count.
+    @pl.when((n_above > 0) & (n_above <= _FAST_M))
     def _fast():
         top_vals, top_idx = _extract_topk(scores, row_ids, _FAST_M)
         # Splice the tile's top-m into the pad lanes k..k+m-1 of the running

@@ -9,4 +9,27 @@ second mesh axis for data-parallel query batches.
 from .mesh import create_mesh, default_mesh
 from .sharded import ShardedVectorStore, make_sharded_topk
 
-__all__ = ["create_mesh", "default_mesh", "ShardedVectorStore", "make_sharded_topk"]
+
+def __getattr__(name):
+    # Lazy: conversation_corpus pulls in the knowpro stack.
+    if name in ("ConversationCorpus", "CorpusMessageHit"):
+        from . import conversation_corpus
+
+        return getattr(conversation_corpus, name)
+    if name in ("CorpusVectorStore", "CorpusHit"):
+        from . import corpus
+
+        return getattr(corpus, name)
+    raise AttributeError(name)
+
+
+__all__ = [
+    "create_mesh",
+    "default_mesh",
+    "ShardedVectorStore",
+    "make_sharded_topk",
+    "ConversationCorpus",
+    "CorpusMessageHit",
+    "CorpusVectorStore",
+    "CorpusHit",
+]

@@ -1,0 +1,156 @@
+"""Corpus-of-conversations search over one mesh-sharded fragment matrix.
+
+BASELINE.json config #5 integrated with the conversation stack: every
+registered conversation's message-chunk embeddings live in ONE row-sharded
+device matrix (`CorpusVectorStore`), so a query can search one conversation,
+a set, or the whole corpus with the same fused SPMD program — scoped search
+is EXACT via device segment masks.
+
+This is the multi-tenant replacement for the reference's one-VectorBase-per-
+conversation design (`aitools/vectorbase.py:82`): instead of N small
+host-RAM matrices scanned serially, N conversations share one HBM-resident
+matrix across the mesh.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..knowpro.interfaces import IConversation, ScoredMessageOrdinal, TextLocation
+from .corpus import CorpusVectorStore
+
+__all__ = ["ConversationCorpus", "CorpusMessageHit"]
+
+
+@dataclass
+class CorpusMessageHit:
+    conversation: str
+    message_ordinal: int
+    chunk_ordinal: int
+    score: float
+
+
+class ConversationCorpus:
+    """Cross-conversation message-text search on a device mesh.
+
+    Conversations keep their own indexes/storage; the corpus mirrors their
+    message-chunk embeddings into the shared sharded matrix. ``refresh()``
+    folds in chunks indexed since the last sync (append-only, no rebuild).
+    """
+
+    def __init__(self, dim: int, mesh=None, dtype=None):
+        self._store = CorpusVectorStore(dim, mesh=mesh, dtype=dtype)
+        self._conversations: dict[str, IConversation] = {}
+        self._locations: dict[str, list[TextLocation]] = {}
+        self._synced_counts: dict[str, int] = {}
+        self._embedder = None  # first conversation's message index embeds
+
+    @property
+    def conversations(self) -> list[str]:
+        return list(self._conversations)
+
+    def _message_index(self, conversation: IConversation):
+        secondary = conversation.secondary_indexes
+        index = secondary.message_index if secondary else None
+        if index is None:
+            raise ValueError("conversation has no message text index")
+        return index
+
+    async def add_conversation(self, name: str, conversation: IConversation) -> None:
+        if name in self._conversations:
+            raise ValueError(f"conversation {name!r} already registered")
+        self._conversations[name] = conversation
+        self._locations[name] = []
+        self._synced_counts[name] = 0
+        if self._embedder is None:
+            self._embedder = self._message_index(conversation)
+        await self.refresh(name)
+
+    async def refresh(self, name: str | None = None) -> int:
+        """Mirror newly indexed chunks into the shared matrix.
+
+        Returns the number of fragment rows appended.
+        """
+        names = [name] if name is not None else list(self._conversations)
+        appended = 0
+        for conv_name in names:
+            conversation = self._conversations[conv_name]
+            tli = self._message_index(conversation).text_location_index
+            total = await tli.size()
+            synced = self._synced_counts[conv_name]
+            if total <= synced:
+                continue
+            base = tli._embedding_index._vector_base
+            rows = base.serialize()[synced:total]
+            locations = [tli.get(pos) for pos in range(synced, total)]
+            self._store.append(conv_name, np.asarray(rows, dtype=np.float32))
+            self._locations[conv_name].extend(locations)
+            self._synced_counts[conv_name] = total
+            appended += total - synced
+        return appended
+
+    async def search_text(
+        self,
+        text: str,
+        k: int = 10,
+        conversations: list[str] | None = None,
+        min_score: float = 0.0,
+    ) -> list[CorpusMessageHit]:
+        """Embed a query and search the corpus (optionally scoped)."""
+        if self._embedder is None:
+            return []
+        embedding = await self._embedder.generate_embedding(text)
+        return self.search_embedding(
+            np.asarray(embedding, dtype=np.float32),
+            k=k,
+            conversations=conversations,
+            min_score=min_score,
+        )
+
+    def search_embedding(
+        self,
+        embedding: np.ndarray,
+        k: int = 10,
+        conversations: list[str] | None = None,
+        min_score: float = 0.0,
+    ) -> list[CorpusMessageHit]:
+        raw = self._store.search(
+            embedding.reshape(1, -1), k, conversations=conversations,
+            min_score=min_score,
+        )[0]
+        hits = []
+        for h in raw:
+            location = self._locations[h.conversation][h.local_ordinal]
+            hits.append(
+                CorpusMessageHit(
+                    h.conversation,
+                    location.message_ordinal,
+                    location.chunk_ordinal,
+                    h.score,
+                )
+            )
+        return hits
+
+    @staticmethod
+    def merge_by_message(
+        hits: list[CorpusMessageHit],
+    ) -> list[tuple[str, ScoredMessageOrdinal]]:
+        """Max-merge chunk hits per (conversation, message) — the same rule
+        MessageTextIndex applies within one conversation."""
+        best: dict[tuple[str, int], float] = {}
+        order: list[tuple[str, int]] = []
+        for h in hits:
+            key = (h.conversation, h.message_ordinal)
+            if key not in best:
+                best[key] = h.score
+                order.append(key)
+            elif h.score > best[key]:
+                best[key] = h.score
+        merged = [
+            (conv, ScoredMessageOrdinal(msg, best[(conv, msg)]))
+            for conv, msg in order
+        ]
+        merged.sort(key=lambda pair: -pair[1].score)
+        return merged

@@ -195,6 +195,43 @@ def _sharded_subset_topk_cached(mesh: Mesh, k: int, quantized: bool):
     return jax.jit(_search)
 
 
+@functools.lru_cache(maxsize=64)
+def _sharded_scores_cached(mesh: Mesh, quantized: bool):
+    """Full masked score matrix [b, capacity] (host-predicate paths)."""
+    emb_spec = (P(AXIS_SHARD, None), P(AXIS_SHARD)) if quantized else (P(AXIS_SHARD, None),)
+
+    @functools.partial(
+        _shard_map,
+        mesh=mesh,
+        in_specs=emb_spec + (P(AXIS_DP, None), P()),
+        out_specs=P(AXIS_DP, AXIS_SHARD),
+        check_vma=False,
+    )
+    def _scores(*args):
+        if quantized:
+            emb_local, scales_local, q_local, count = args
+        else:
+            (emb_local, q_local, count) = args
+        local_n = emb_local.shape[0]
+        shard = jax.lax.axis_index(AXIS_SHARD)
+        offset = shard * local_n
+        local_count = jnp.clip(count[0] - offset, 0, local_n)
+        raw = jnp.einsum(
+            "bd,nd->bn",
+            q_local.astype(jnp.float32),
+            emb_local.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if quantized:
+            raw = raw * scales_local[None, :]
+        scores = jnp.clip((raw + 1.0) * 0.5, 0.0, 1.0)
+        valid = jnp.arange(local_n, dtype=jnp.int32)[None, :] < local_count
+        return jnp.where(valid, scores, _NEG)
+
+    return jax.jit(_scores)
+
+
 def make_sharded_topk(mesh: Mesh, k: int, quantized: bool = False):
     """Compiled distributed top-k: (emb[, scales], queries, count[1],
     min_score[1]) -> (vals, idx)."""
@@ -396,6 +433,33 @@ class ShardedVectorStore:
         mask_dev = jax.device_put(full, _vec_sharding(self.mesh))
         vals, idx = fn(*pre, mask_dev, *post)
         return self._collect(vals, idx, b)
+
+    def scores(self, queries: np.ndarray) -> np.ndarray:
+        """Full masked score matrix [b, count] (host-predicate paths)."""
+        self._flush()
+        b = queries.shape[0]
+        if self.count == 0:
+            return np.empty((b, 0), dtype=np.float32)
+        q = self._pad_queries(queries)
+        fn = _sharded_scores_cached(self.mesh, self._quantized)
+        args = [self.buf]
+        if self._quantized:
+            args.append(self._scales)
+        out = fn(
+            *args,
+            jax.device_put(q, _query_sharding(self.mesh)),
+            jax.device_put(jnp.asarray([self.count], jnp.int32), self._rep),
+        )
+        return np.asarray(out)[:b, : self.count]
+
+    def get_row(self, pos: int) -> np.ndarray:
+        """One live row as a host f32 vector (dequantized)."""
+        self._flush()
+        assert 0 <= pos < self.count
+        row = self.buf[pos, : self.dim].astype(jnp.float32)
+        if self._quantized:
+            row = row * self._scales[pos]
+        return np.asarray(row)
 
     # -- persistence -----------------------------------------------------------
 

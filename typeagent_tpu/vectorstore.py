@@ -76,6 +76,7 @@ class TextEmbeddingIndexSettings:
         max_matches: int | None = None,
         batch_size: int | None = None,
         dtype: str = "float32",
+        mesh=None,
     ):
         if embedding_model is None:
             from .models.adapters import create_embedding_model
@@ -88,6 +89,9 @@ class TextEmbeddingIndexSettings:
         self.max_matches = max_matches if max_matches and max_matches >= 1 else None
         self.batch_size = batch_size if batch_size and batch_size >= 1 else 8
         self.dtype = dtype
+        # Optional jax.sharding.Mesh: the store's embedding matrix shards
+        # over the mesh's fragment axis (multi-chip conversations).
+        self.mesh = mesh
 
 
 def _bucket(n: int, buckets=_QUERY_BUCKETS) -> int:
@@ -119,6 +123,11 @@ class VectorStore:
         self._count = 0  # rows committed to the device buffer
         self._pending: list[np.ndarray] = []  # host rows awaiting flush
         self._pending_rows = 0
+        # Mesh mode: the device state is a row-sharded store instead of a
+        # single-chip buffer (created lazily once the embedding size is
+        # known); host-side pending/scoring semantics stay identical.
+        self._mesh = getattr(self.settings, "mesh", None)
+        self._sharded = None
 
     # -- embedding model passthrough (parity: vectorbase.py:94-106) --------
 
@@ -194,8 +203,25 @@ class VectorStore:
         self.add_embeddings(keys if cache else None, embeddings)
         return embeddings
 
+    def _sharded_store(self):
+        if self._sharded is None:
+            from .parallel.sharded import ShardedVectorStore
+
+            self._sharded = ShardedVectorStore(
+                self._mesh, self._embedding_size, dtype=self.settings.dtype
+            )
+        return self._sharded
+
     def _flush(self) -> None:
         if not self._pending:
+            return
+        if self._mesh is not None:
+            rows = np.concatenate(self._pending, axis=0)
+            self._pending.clear()
+            self._pending_rows = 0
+            store = self._sharded_store()
+            store.append(rows)
+            self._count = len(store)
             return
         rows = np.concatenate(self._pending, axis=0)
         self._pending.clear()
@@ -271,12 +297,16 @@ class VectorStore:
         if self._count == 0 or b == 0:
             return [[] for _ in range(b)]
 
-        q = self._pad_queries(queries)
         if predicate is not None:
             # Host-callback path: pull the full masked score matrix and apply
             # the predicate to candidates above the threshold
             # (parity: vectorbase.py:191-201).
-            scores = np.asarray(self._all_scores(q))[:b]
+            if self._mesh is not None:
+                scores = self._sharded_store().scores(
+                    np.asarray(queries, dtype=np.float32)
+                )
+            else:
+                scores = np.asarray(self._all_scores(self._pad_queries(queries)))[:b]
             results = []
             for row in scores:
                 cand = np.flatnonzero(row >= min_score)
@@ -287,6 +317,15 @@ class VectorStore:
                 results.append(scored[:max_hits])
             return results
 
+        if self._mesh is not None:
+            raw = self._sharded_store().search(
+                np.asarray(queries, dtype=np.float32),
+                k=min(max_hits, self._count),
+                min_score=min_score,
+            )
+            return [[ScoredInt(i, v) for i, v in row] for row in raw]
+
+        q = self._pad_queries(queries)
         k = min(max_hits, self._count)
         vals, idx = self._topk(q, k)
         vals = np.asarray(vals)[:b]
@@ -327,6 +366,14 @@ class VectorStore:
         self._flush()
         if self._count == 0 or queries.shape[0] == 0:
             return None
+        if self._mesh is not None:
+            # Sharded search dispatches asynchronously too (jax dispatch);
+            # results materialize in collect_lookup.
+            raw = self._sharded_store().search(
+                np.asarray(queries, dtype=np.float32),
+                k=min(max_hits, self._count),
+            )
+            return ("sharded", raw)
         q = self._pad_queries(queries)
         k = min(max_hits, self._count)
         vals, idx = self._topk(q, k)
@@ -340,6 +387,11 @@ class VectorStore:
         """Materialize a dispatch_lookup handle into scored results."""
         if handle is None:
             return []
+        if isinstance(handle[0], str):  # ("sharded", raw-results)
+            return [
+                [ScoredInt(i, v) for i, v in row if v >= min_score]
+                for row in handle[1]
+            ]
         vals, idx, b = handle
         vals = np.asarray(vals)[:b]
         idx = np.asarray(idx)[:b]
@@ -366,6 +418,13 @@ class VectorStore:
         self._flush()
         if not ordinals_of_subset or self._count == 0:
             return []
+        if self._mesh is not None:
+            q = np.asarray(embedding, dtype=np.float32).reshape(1, -1)
+            raw = self._sharded_store().search_subset(
+                q, ordinals_of_subset, k=min(max_hits, len(ordinals_of_subset)),
+                min_score=min_score,
+            )[0]
+            return [ScoredInt(i, v) for i, v in raw]
         s = len(ordinals_of_subset)
         s_pad = _bucket(s, ( _SUBSET_MIN_BUCKET, 128, 256, 512, 1024, 2048, 4096))
         ords = np.full((s_pad,), 0, dtype=np.int32)
@@ -412,12 +471,19 @@ class VectorStore:
     def clear(self) -> None:
         self._buf = None
         self._scales = None
+        self._sharded = None
         self._count = 0
         self._pending.clear()
         self._pending_rows = 0
 
     def _host_matrix(self) -> np.ndarray:
         """All live rows as a host array [len, embedding_size]."""
+        if self._mesh is not None:
+            parts = [self._sharded.serialize()] if self._sharded else []
+            parts.extend(self._pending)
+            if not parts:
+                return np.empty((0, self._embedding_size), dtype=np.float32)
+            return np.concatenate(parts, axis=0)
         parts = []
         if self._count and self._buf is not None:
             rows = self._buf[: self._count, : self._embedding_size].astype(jnp.float32)
@@ -432,6 +498,14 @@ class VectorStore:
     def get_embedding_at(self, pos: int) -> np.ndarray:
         n = len(self)
         if 0 <= pos < n:
+            if self._mesh is not None:
+                if pos < self._count:
+                    return self._sharded_store().get_row(pos)
+                off = pos - self._count
+                for chunk in self._pending:
+                    if off < chunk.shape[0]:
+                        return chunk[off]
+                    off -= chunk.shape[0]
             if pos < self._count:
                 row = self._buf[pos, : self._embedding_size].astype(jnp.float32)
                 if self._quantized:
