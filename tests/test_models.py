@@ -231,3 +231,117 @@ def test_batched_and_timelog_utilities(capsys):
     with timelog("unit-test block"):
         pass
     assert "unit-test block" in capsys.readouterr().out
+
+
+# ---------------------------------------------------------------------------
+# Azure managed identity + provider registry
+# ---------------------------------------------------------------------------
+
+
+class _FakeToken:
+    def __init__(self, token, expires_on):
+        self.token = token
+        self.expires_on = expires_on
+
+
+class _FakeCredential:
+    """Credential double: counts get_token calls, controls expiry."""
+
+    def __init__(self, lifetime=3600.0):
+        self.calls = 0
+        self.lifetime = lifetime
+
+    def get_token(self, scope):
+        import time
+
+        from typeagent_tpu.models.auth import COGNITIVE_SERVICES_SCOPE
+
+        assert scope == COGNITIVE_SERVICES_SCOPE
+        self.calls += 1
+        return _FakeToken(f"tok-{self.calls}", int(time.time() + self.lifetime))
+
+
+def test_azure_token_provider_caches_and_refreshes():
+    from typeagent_tpu.models.auth import AzureTokenProvider
+
+    cred = _FakeCredential(lifetime=3600.0)
+    provider = AzureTokenProvider(credential=cred)
+    assert provider.get_token() == "tok-1"
+    assert provider.get_token() == "tok-1"  # cached
+    assert cred.calls == 1
+    # Within the 5-minute refresh margin -> refetch.
+    cred_short = _FakeCredential(lifetime=200.0)
+    provider2 = AzureTokenProvider(credential=cred_short)
+    assert provider2.get_token() == "tok-1"
+    assert provider2.get_token() == "tok-2"
+    assert cred_short.calls == 2
+
+
+async def test_azure_identity_headers_flow(monkeypatch):
+    """AZURE_OPENAI_API_KEY=identity builds per-request bearer headers from
+    the shared token provider (reference auth.py:20-63)."""
+    from typeagent_tpu.models import adapters
+    from typeagent_tpu.models.auth import (
+        AzureTokenProvider,
+        set_shared_token_provider,
+    )
+
+    monkeypatch.setenv("AZURE_OPENAI_API_KEY", "identity")
+    monkeypatch.setenv(
+        "AZURE_OPENAI_ENDPOINT",
+        "https://res.openai.azure.com/openai/deployments/gpt-4o/"
+        "chat/completions?api-version=2024-06-01",
+    )
+    monkeypatch.setenv(
+        "AZURE_OPENAI_ENDPOINT_EMBEDDING",
+        "https://res.openai.azure.com/openai/deployments/text-embedding-3-small/"
+        "embeddings?api-version=2024-06-01",
+    )
+    monkeypatch.setenv("AZURE_APIM_SUBSCRIPTION_KEY", "apim-key")
+    monkeypatch.delenv("OPENAI_API_KEY", raising=False)
+    cred = _FakeCredential(lifetime=200.0)  # force refresh between requests
+    set_shared_token_provider(AzureTokenProvider(credential=cred))
+    try:
+        model = adapters.create_chat_model("azure:gpt-4o")
+        assert callable(model._headers)
+        h1 = model._headers()
+        h2 = model._headers()
+        assert h1["Authorization"] == "Bearer tok-1"
+        assert h2["Authorization"] == "Bearer tok-2"  # rotated
+        assert h1["Ocp-Apim-Subscription-Key"] == "apim-key"
+        # Embedding factory shares the provider.
+        emb = adapters.create_embedding_model("azure:text-embedding-3-small")
+        assert callable(emb._embedder._headers)
+        assert emb._embedder._headers()["Authorization"].startswith("Bearer tok-")
+    finally:
+        set_shared_token_provider(None)
+
+
+def test_provider_registry_specs(monkeypatch):
+    from typeagent_tpu.models import adapters
+
+    monkeypatch.setenv("GROQ_API_KEY", "gk")
+    monkeypatch.delenv("AZURE_OPENAI_API_KEY", raising=False)
+    model = adapters.create_chat_model("groq:llama-3.3-70b")
+    assert model.model_name == "llama-3.3-70b"
+    assert model._url == "https://api.groq.com/openai/v1/chat/completions"
+    assert model._headers["Authorization"] == "Bearer gk"
+
+    # Per-provider base URL override.
+    monkeypatch.setenv("GROQ_BASE_URL", "http://proxy.local/v1")
+    model = adapters.create_chat_model("groq:llama-3.3-70b")
+    assert model._url == "http://proxy.local/v1/chat/completions"
+
+    # Custom provider registration.
+    adapters.register_provider(
+        "mycorp", adapters.ProviderSpec("https://llm.mycorp.dev/v1", "MYCORP_KEY")
+    )
+    monkeypatch.setenv("MYCORP_KEY", "mk")
+    emb = adapters.create_embedding_model("mycorp:embed-v2")
+    assert emb._embedder._url == "https://llm.mycorp.dev/v1/embeddings"
+
+    # Unknown providers fail with guidance instead of silently hitting OpenAI.
+    with pytest.raises(ValueError, match="register_provider"):
+        adapters.create_chat_model("nonsense:model-x")
+    with pytest.raises(ValueError, match="register_provider"):
+        adapters.create_embedding_model("nonsense:model-x")

@@ -68,6 +68,18 @@ def bench(dtype, b, k=K):
 
     out = run(*args)
     jax.block_until_ready(out)
+    # Correctness probe vs the XLA oracle on the first batch.
+    vals, idx = (np.asarray(x[0]) for x in out)
+    if dtype == "int8":
+        ov, oi = topk._topk_xla_q_impl(emb, scales, queries[0], jnp.int32(N), k=k)
+    else:
+        ov, oi = topk._topk_xla_impl(emb, queries[0], jnp.int32(N), k=k)
+    ov, oi = np.asarray(ov), np.asarray(oi)
+    if not (set(map(tuple, idx[:4, :].tolist())) == set(map(tuple, oi[:4, :].tolist()))):
+        mism = (idx != oi).mean()
+        log(f"  probe: idx mismatch rate {mism:.4f}")
+    np.testing.assert_allclose(np.sort(vals, axis=1), np.sort(ov, axis=1), atol=2e-2)
+    log("  probe OK (scores match oracle)")
     t0 = time.perf_counter()
     out = run(*args)
     jax.block_until_ready(out)

@@ -24,6 +24,8 @@ from __future__ import annotations
 import hashlib
 import os
 import urllib.parse
+from collections.abc import Callable
+from dataclasses import dataclass as _dataclass
 
 import httpx
 import numpy as np
@@ -94,7 +96,7 @@ class HttpChatModel:
         model_name: str,
         *,
         url: str,
-        headers: dict[str, str],
+        headers: dict[str, str] | Callable[[], dict[str, str]],
         retrier: AsyncRetrier | None = None,
         timeout: float = 120.0,
     ):
@@ -106,7 +108,8 @@ class HttpChatModel:
 
     async def _request(self, messages: list[dict]) -> str:
         payload = {"model": self.model_name, "messages": messages}
-        resp = await self._client.post(self._url, headers=self._headers, json=payload)
+        headers = self._headers() if callable(self._headers) else self._headers
+        resp = await self._client.post(self._url, headers=headers, json=payload)
         if resp.status_code == 429 or resp.status_code >= 500:
             raise TransientError(f"HTTP {resp.status_code}: {resp.text[:200]}")
         resp.raise_for_status()
@@ -142,7 +145,7 @@ class HttpEmbedder:
         model_name: str,
         *,
         url: str,
-        headers: dict[str, str],
+        headers: dict[str, str] | Callable[[], dict[str, str]],
         retrier: AsyncRetrier | None = None,
         timeout: float = 60.0,
         send_model_field: bool = True,
@@ -158,7 +161,8 @@ class HttpEmbedder:
         payload: dict = {"input": inputs}
         if self._send_model_field:
             payload["model"] = self.model_name
-        resp = await self._client.post(self._url, headers=self._headers, json=payload)
+        headers = self._headers() if callable(self._headers) else self._headers
+        resp = await self._client.post(self._url, headers=headers, json=payload)
         if resp.status_code == 429 or resp.status_code >= 500:
             raise TransientError(f"HTTP {resp.status_code}: {resp.text[:200]}")
         resp.raise_for_status()
@@ -230,6 +234,73 @@ class FakeChatModel:
 
 
 # ---------------------------------------------------------------------------
+# Provider registry
+# ---------------------------------------------------------------------------
+
+
+@_dataclass(frozen=True)
+class ProviderSpec:
+    """An OpenAI-compatible provider: base URL + API-key env var.
+
+    Covers the breadth the reference reaches through the pydantic-ai
+    registry (`model_adapters.py:254-367` there): any vendor speaking the
+    /chat/completions + /embeddings wire format plugs in with one entry.
+    """
+
+    base_url: str
+    api_key_envvar: str
+    chat_path: str = "/chat/completions"
+    embeddings_path: str = "/embeddings"
+
+
+# Built-in OpenAI-compatible endpoints. The base URL can be overridden per
+# provider with <PROVIDER>_BASE_URL.
+PROVIDERS: dict[str, ProviderSpec] = {
+    "openai": ProviderSpec("https://api.openai.com/v1", "OPENAI_API_KEY"),
+    "openrouter": ProviderSpec(
+        "https://openrouter.ai/api/v1", "OPENROUTER_API_KEY"
+    ),
+    "deepseek": ProviderSpec("https://api.deepseek.com/v1", "DEEPSEEK_API_KEY"),
+    "together": ProviderSpec("https://api.together.xyz/v1", "TOGETHER_API_KEY"),
+    "fireworks": ProviderSpec(
+        "https://api.fireworks.ai/inference/v1", "FIREWORKS_API_KEY"
+    ),
+    "groq": ProviderSpec("https://api.groq.com/openai/v1", "GROQ_API_KEY"),
+    "mistral": ProviderSpec("https://api.mistral.ai/v1", "MISTRAL_API_KEY"),
+    "xai": ProviderSpec("https://api.x.ai/v1", "XAI_API_KEY"),
+    "grok": ProviderSpec("https://api.x.ai/v1", "XAI_API_KEY"),
+    "perplexity": ProviderSpec("https://api.perplexity.ai", "PERPLEXITY_API_KEY"),
+    "moonshot": ProviderSpec("https://api.moonshot.ai/v1", "MOONSHOT_API_KEY"),
+    "cerebras": ProviderSpec("https://api.cerebras.ai/v1", "CEREBRAS_API_KEY"),
+    "anthropic": ProviderSpec(
+        # Anthropic's OpenAI-compatible surface (chat only).
+        "https://api.anthropic.com/v1",
+        "ANTHROPIC_API_KEY",
+    ),
+    "ollama": ProviderSpec("http://localhost:11434/v1", "OLLAMA_API_KEY"),
+    "vllm": ProviderSpec("http://localhost:8000/v1", "VLLM_API_KEY"),
+}
+
+
+def register_provider(name: str, spec: ProviderSpec) -> None:
+    """Add or replace a ``provider:model`` spec target at runtime."""
+    PROVIDERS[name] = spec
+
+
+def _provider_base_and_headers(provider: str) -> tuple[ProviderSpec, str, dict]:
+    spec = PROVIDERS[provider]
+    base = os.getenv(
+        f"{provider.upper()}_BASE_URL",
+        os.getenv("OPENAI_BASE_URL", spec.base_url) if provider == "openai"
+        else spec.base_url,
+    ).rstrip("/")
+    headers = {
+        "Authorization": f"Bearer {os.getenv(spec.api_key_envvar, '')}"
+    }
+    return spec, base, headers
+
+
+# ---------------------------------------------------------------------------
 # Factories
 # ---------------------------------------------------------------------------
 
@@ -242,15 +313,27 @@ def _needs_azure_fallback(provider: str) -> bool:
     )
 
 
-def _azure_headers(api_key_envvar: str) -> dict[str, str]:
+def _azure_headers(
+    api_key_envvar: str,
+) -> dict[str, str] | Callable[[], dict[str, str]]:
     raw_key = os.environ[api_key_envvar]
-    if raw_key.lower() == "identity":
-        raise NotImplementedError(
-            "Azure managed-identity auth requires the azure-identity package; "
-            "set an API key instead."
-        )
-    headers = {"api-key": raw_key}
     apim = os.getenv("AZURE_APIM_SUBSCRIPTION_KEY")
+    if raw_key.lower() == "identity":
+        # Managed identity: bearer tokens fetched per request through the
+        # shared caching provider (parity: reference aitools/auth.py:20-63,
+        # model_adapters.py managed-identity client path).
+        from .auth import get_shared_token_provider
+
+        provider = get_shared_token_provider()
+
+        def headers() -> dict[str, str]:
+            out = {"Authorization": f"Bearer {provider.get_token()}"}
+            if apim:
+                out["Ocp-Apim-Subscription-Key"] = apim
+            return out
+
+        return headers
+    headers = {"api-key": raw_key}
     if apim:
         headers["Ocp-Apim-Subscription-Key"] = apim
     return headers
@@ -286,10 +369,15 @@ def create_chat_model(
             name, url=url, headers=_azure_headers("AZURE_OPENAI_API_KEY"),
             retrier=retrier,
         )
-    base = os.getenv("OPENAI_BASE_URL", "https://api.openai.com/v1").rstrip("/")
-    headers = {"Authorization": f"Bearer {os.getenv('OPENAI_API_KEY', '')}"}
+    if provider not in PROVIDERS:
+        raise ValueError(
+            f"Unknown provider {provider!r}; known: azure, test, "
+            f"{', '.join(sorted(PROVIDERS))}. Use register_provider() for "
+            "custom OpenAI-compatible endpoints."
+        )
+    spec, base, headers = _provider_base_and_headers(provider)
     return HttpChatModel(
-        model_name, url=f"{base}/chat/completions", headers=headers, retrier=retrier
+        model_name, url=f"{base}{spec.chat_path}", headers=headers, retrier=retrier
     )
 
 
@@ -329,10 +417,18 @@ def create_embedding_model(
             send_model_field=False,
         )
         return CachingEmbeddingModel(embedder)
-    base = os.getenv("OPENAI_BASE_URL", "https://api.openai.com/v1").rstrip("/")
-    headers = {"Authorization": f"Bearer {os.getenv('OPENAI_API_KEY', '')}"}
+    if provider not in PROVIDERS:
+        raise ValueError(
+            f"Unknown provider {provider!r}; known: azure, test, "
+            f"{', '.join(sorted(PROVIDERS))}. Use register_provider() for "
+            "custom OpenAI-compatible endpoints."
+        )
+    spec, base, headers = _provider_base_and_headers(provider)
     embedder = HttpEmbedder(
-        model_name, url=f"{base}/embeddings", headers=headers, retrier=retrier
+        model_name,
+        url=f"{base}{spec.embeddings_path}",
+        headers=headers,
+        retrier=retrier,
     )
     return CachingEmbeddingModel(embedder)
 

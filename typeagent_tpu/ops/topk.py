@@ -53,6 +53,7 @@ _K_LANES = 128
 _PALLAS_MAX_K = 16
 _NEG = -1.0  # below any real score in [0, 1]; plain float (kernels must not
 # capture jnp constants)
+_RAW_NEG = -3.0  # below any real cosine in [-1, 1] (raw-space running buffer)
 
 
 def _pick_tile(n_pad: int, d_pad: int, b_pad: int, itemsize: int, k: int) -> int:
@@ -93,12 +94,19 @@ def _platform_of(arr) -> str:
 
 
 def _topk_kernel(count_ref, q_ref, e_ref, vals_ref, idx_ref, *, k: int, tile_n: int):
-    """One grid step: score a row tile and fold it into the running top-k."""
+    """One grid step: score a row tile and fold it into the running top-k.
+
+    The running buffer holds RAW dot products (cosines), not the public
+    (cos+1)/2 score: the map is monotone, so top-k order is identical, and
+    deferring it to the final [b, k] block removes two elementwise passes
+    from every tile. ``_RAW_NEG`` marks unfilled/invalid slots (real cosines
+    live in [-1, 1]).
+    """
     step = pl.program_id(0)
 
     @pl.when(step == 0)
     def _init():
-        vals_ref[:] = jnp.full_like(vals_ref, _NEG)
+        vals_ref[:] = jnp.full_like(vals_ref, _RAW_NEG)
         idx_ref[:] = jnp.full_like(idx_ref, -1)
 
     count = count_ref[0]
@@ -122,10 +130,9 @@ def _topk_kernel(count_ref, q_ref, e_ref, vals_ref, idx_ref, *, k: int, tile_n: 
             else jax.lax.Precision.DEFAULT
         ),
     )
-    scores = jnp.clip((scores + 1.0) * 0.5, 0.0, 1.0)
 
     row_ids = step * tile_n + jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
-    scores = jnp.where(row_ids < count, scores, _NEG)
+    scores = jnp.where(row_ids < count, scores, _RAW_NEG)
 
     _fold_tile_into_topk(scores, row_ids, vals_ref, idx_ref, k=k)
 
@@ -147,7 +154,9 @@ def _extract_topk(cand_vals, cand_idx, m: int):
         taken = col == pos
         out_vals.append(best)
         out_idx.append(jnp.sum(jnp.where(taken, cand_idx, 0), axis=1, keepdims=True))
-        cand_vals = jnp.where(taken, jnp.float32(-2.0), cand_vals)
+        # Knockout below _RAW_NEG so taken slots are never re-picked before
+        # invalid (-3) candidates — re-picks would duplicate indices.
+        cand_vals = jnp.where(taken, jnp.float32(-4.0), cand_vals)
     return out_vals, out_idx
 
 
@@ -155,7 +164,7 @@ def _write_topk(vals_ref, idx_ref, out_vals, out_idx, k: int):
     b = vals_ref.shape[0]
     pad = vals_ref.shape[1] - k
     vals_ref[:] = jnp.concatenate(
-        out_vals + [jnp.full((b, pad), _NEG, jnp.float32)], axis=1
+        out_vals + [jnp.full((b, pad), _RAW_NEG, jnp.float32)], axis=1
     )
     idx_ref[:] = jnp.concatenate(
         out_idx + [jnp.full((b, pad), -1, jnp.int32)], axis=1
@@ -191,29 +200,36 @@ def _fold_tile_into_topk(scores, row_ids, vals_ref, idx_ref, *, k: int):
         full_merge()
         return
 
-    theta = vals_ref[:, k - 1 : k]  # running kth best per row, [b, 1]
-    n_above = jnp.max(jnp.sum((scores > theta).astype(jnp.int32), axis=1))
-
     # Most tiles beat nothing once the running top-k warms up (a new top-k
-    # entry lands in O(k log n_tiles) of the tiles): skip all extraction
-    # work for them — the only per-tile cost is the score pass + this count.
-    @pl.when((n_above > 0) & (n_above <= _FAST_M))
-    def _fast():
-        top_vals, top_idx = _extract_topk(scores, row_ids, _FAST_M)
-        # Splice the tile's top-m into the pad lanes k..k+m-1 of the running
-        # block (running lanes stay first so ties keep preferring them).
-        lane = jax.lax.broadcasted_iota(jnp.int32, vals_ref.shape, 1)
-        cand_vals = vals_ref[:]
-        cand_idx = idx_ref[:]
-        for j in range(_FAST_M):
-            cand_vals = jnp.where(lane == k + j, top_vals[j], cand_vals)
-            cand_idx = jnp.where(lane == k + j, top_idx[j], cand_idx)
-        out_vals, out_idx = _extract_topk(cand_vals, cand_idx, k)
-        _write_topk(vals_ref, idx_ref, out_vals, out_idx, k)
+    # entry lands in O(k log n_tiles) of the tiles): the common-tile cost is
+    # the matmul + ONE max-reduction. Only improving tiles pay the candidate
+    # count and the merge.
+    theta = vals_ref[:, k - 1 : k]  # running kth best per row, [b, 1]
+    tile_best = jnp.max(scores, axis=1, keepdims=True)  # [b, 1]
+    improved = jnp.max((tile_best > theta).astype(jnp.int32))
 
-    @pl.when(n_above > _FAST_M)
-    def _full():
-        full_merge()
+    @pl.when(improved > 0)
+    def _merge():
+        n_above = jnp.max(jnp.sum((scores > theta).astype(jnp.int32), axis=1))
+
+        @pl.when(n_above <= _FAST_M)
+        def _fast():
+            top_vals, top_idx = _extract_topk(scores, row_ids, _FAST_M)
+            # Splice the tile's top-m into the pad lanes k..k+m-1 of the
+            # running block (running lanes stay first so ties keep
+            # preferring them).
+            lane = jax.lax.broadcasted_iota(jnp.int32, vals_ref.shape, 1)
+            cand_vals = vals_ref[:]
+            cand_idx = idx_ref[:]
+            for j in range(_FAST_M):
+                cand_vals = jnp.where(lane == k + j, top_vals[j], cand_vals)
+                cand_idx = jnp.where(lane == k + j, top_idx[j], cand_idx)
+            out_vals, out_idx = _extract_topk(cand_vals, cand_idx, k)
+            _write_topk(vals_ref, idx_ref, out_vals, out_idx, k)
+
+        @pl.when(n_above > _FAST_M)
+        def _full():
+            full_merge()
 
 
 def _topk_pallas_impl(emb: jax.Array, queries: jax.Array, count: jax.Array, *, k: int):
@@ -247,7 +263,15 @@ def _topk_pallas_impl(emb: jax.Array, queries: jax.Array, count: jax.Array, *, k
             transcendentals=0,
         ),
     )(count, queries, emb)
-    return vals[:, :k], idx[:, :k]
+    return _raw_to_score(vals[:, :k], idx[:, :k])
+
+
+def _raw_to_score(raw_vals, idx):
+    """Map the kernel's raw-cosine output block to the public score space:
+    clip((cos+1)/2) for real entries, (-1, -1) for unfilled/invalid slots."""
+    valid = raw_vals > -2.0  # real cosines live in [-1, 1]
+    vals = jnp.where(valid, jnp.clip((raw_vals + 1.0) * 0.5, 0.0, 1.0), _NEG)
+    return vals, jnp.where(valid, idx, -1)
 
 
 _topk_pallas = jax.jit(_topk_pallas_impl, static_argnames=("k",))
@@ -268,7 +292,7 @@ def _topk_kernel_q(
 
     @pl.when(step == 0)
     def _init():
-        vals_ref[:] = jnp.full_like(vals_ref, _NEG)
+        vals_ref[:] = jnp.full_like(vals_ref, _RAW_NEG)
         idx_ref[:] = jnp.full_like(idx_ref, -1)
 
     count = count_ref[0]
@@ -280,12 +304,13 @@ def _topk_kernel_q(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    # Row scales: [1, tile_n] broadcast over queries.
+    # Row scales: [1, tile_n] broadcast over queries. The buffer stays in
+    # raw (dequantized cosine) space; the (cos+1)/2 map is deferred to the
+    # final [b, k] block (_raw_to_score).
     scores = raw * s_ref[:].reshape(1, tile_n)
-    scores = jnp.clip((scores + 1.0) * 0.5, 0.0, 1.0)
 
     row_ids = step * tile_n + jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
-    scores = jnp.where(row_ids < count, scores, _NEG)
+    scores = jnp.where(row_ids < count, scores, _RAW_NEG)
 
     _fold_tile_into_topk(scores, row_ids, vals_ref, idx_ref, k=k)
 
@@ -303,6 +328,14 @@ def _topk_pallas_q_impl(
     # int8 rows; the tiled f32 scales add only ~8 bytes/row, inside the
     # _pick_tile budget's slack.
     tile_n = _pick_tile(n_pad, d_pad, b_pad, emb_q.dtype.itemsize, k)
+    # The 1-D scales operand carries (1024,) tiling: its block must be a
+    # multiple of 1024 (or the full shape). Buffer capacities are multiples
+    # of 1024 (ops/append.py), so rounding the tile down suffices.
+    if tile_n < n_pad:
+        tile_n = (tile_n // 1024) * 1024
+        if tile_n == 0:
+            # VMEM budget can't fit 1024 rows (enormous dim): XLA fallback.
+            return _topk_xla_q_impl(emb_q, scales, queries, count[0], k=k)
     grid = (pl.cdiv(n_pad, tile_n),)
     kernel = functools.partial(_topk_kernel_q, k=k, tile_n=tile_n)
     vals, idx = pl.pallas_call(
@@ -328,7 +361,7 @@ def _topk_pallas_q_impl(
             transcendentals=0,
         ),
     )(count, queries, emb_q, scales)
-    return vals[:, :k], idx[:, :k]
+    return _raw_to_score(vals[:, :k], idx[:, :k])
 
 
 _topk_pallas_q = jax.jit(_topk_pallas_q_impl, static_argnames=("k",))
