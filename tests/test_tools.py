@@ -216,3 +216,174 @@ def test_chat_sessions_rejects_non_sessions(tmp_path):
     other = tmp_path / "other.json"
     other.write_text(json.dumps({"something": "else"}))
     assert parse_session(other) is None
+
+
+# ---------------------------------------------------------------------------
+# Gmail / Outlook dumpers (REST over mocked transports)
+# ---------------------------------------------------------------------------
+
+EML_A = (
+    b"From: alice@example.com\r\nTo: bob@example.com\r\n"
+    b"Subject: quarterly report\r\nMessage-ID: <a1@example.com>\r\n\r\n"
+    b"Numbers are up.\r\n"
+)
+EML_B = (
+    b"From: carol@example.com\r\nTo: bob@example.com\r\n"
+    b"Subject: lunch\r\nMessage-ID: <b2@example.com>\r\n\r\nNoodles?\r\n"
+)
+
+
+def test_dump_gmail_roundtrip(tmp_path):
+    import base64
+
+    import httpx
+
+    from typeagent_tpu.emails.email_import import import_email_from_file
+    from typeagent_tpu.tools.mail.dump_gmail import dump_gmail
+
+    pages = {
+        None: {
+            "messages": [{"id": "m1"}],
+            "nextPageToken": "p2",
+        },
+        "p2": {"messages": [{"id": "m2"}]},
+    }
+    raws = {"m1": EML_A, "m2": EML_B}
+
+    def handler(request):
+        if request.url.path.endswith("/messages"):
+            token = request.url.params.get("pageToken")
+            assert request.url.params.get("q") == "from:alice"
+            assert request.headers["Authorization"] == "Bearer tok"
+            return httpx.Response(200, json=pages[token])
+        message_id = request.url.path.rsplit("/", 1)[-1]
+        assert request.url.params["format"] == "raw"
+        raw = base64.urlsafe_b64encode(raws[message_id]).decode().rstrip("=")
+        return httpx.Response(200, json={"id": message_id, "raw": raw})
+
+    client = httpx.Client(transport=httpx.MockTransport(handler))
+    out = tmp_path / "gmail"
+    count = dump_gmail(
+        str(out), max_results=10, query="from:alice", access_token="tok",
+        client=client,
+    )
+    assert count == 2
+    msg = import_email_from_file(str(out / "m1.eml"))
+    assert msg.metadata.sender == "alice@example.com"
+    assert msg.metadata.subject == "quarterly report"
+    msg2 = import_email_from_file(str(out / "m2.eml"))
+    assert msg2.metadata.sender == "carol@example.com"
+
+
+def test_dump_gmail_token_refresh(tmp_path):
+    import json
+
+    import httpx
+
+    from typeagent_tpu.tools.mail.dump_gmail import resolve_access_token
+
+    creds_dir = tmp_path / "creds"
+    creds_dir.mkdir()
+    (creds_dir / "token.json").write_text(
+        json.dumps(
+            {
+                "refresh_token": "rt",
+                "client_id": "cid",
+                "client_secret": "cs",
+            }
+        )
+    )
+
+    def handler(request):
+        assert request.url.host == "oauth2.googleapis.com"
+        body = dict(
+            pair.split("=") for pair in request.content.decode().split("&")
+        )
+        assert body["grant_type"] == "refresh_token"
+        assert body["refresh_token"] == "rt"
+        return httpx.Response(200, json={"access_token": "fresh-tok"})
+
+    client = httpx.Client(transport=httpx.MockTransport(handler))
+    token = resolve_access_token(None, str(creds_dir), client)
+    assert token == "fresh-tok"
+    # Cached into the file; a second resolve skips the network.
+    cached = json.loads((creds_dir / "token.json").read_text())
+    assert cached["access_token"] == "fresh-tok"
+    token2 = resolve_access_token(None, str(creds_dir), None)  # no client
+    assert token2 == "fresh-tok"
+
+
+def test_dump_outlook_roundtrip(tmp_path):
+    import httpx
+
+    from typeagent_tpu.emails.email_import import import_email_from_file
+    from typeagent_tpu.tools.mail.dump_outlook import dump_outlook
+
+    raws = {"AAA-1": EML_A, "BBB=2": EML_B}
+
+    def handler(request):
+        if request.url.path.endswith("/$value"):
+            message_id = httpx.URL(str(request.url)).path.split("/")[-2]
+            import urllib.parse
+
+            return httpx.Response(
+                200, content=raws[urllib.parse.unquote(message_id)]
+            )
+        assert request.url.path.endswith("/me/messages")
+        assert request.url.params["$filter"] == "isRead eq false"
+        if "$skiptoken" in str(request.url):
+            return httpx.Response(200, json={"value": [{"id": "BBB=2"}]})
+        return httpx.Response(
+            200,
+            json={
+                "value": [{"id": "AAA-1"}],
+                "@odata.nextLink": str(request.url) + "&$skiptoken=x",
+            },
+        )
+
+    client = httpx.Client(transport=httpx.MockTransport(handler))
+    out = tmp_path / "outlook"
+    count = dump_outlook(
+        str(out),
+        max_results=5,
+        filter="isRead eq false",
+        access_token="tok",
+        client=client,
+    )
+    assert count == 2
+    files = sorted(p.name for p in out.iterdir())
+    assert files == ["AAA-1.eml", "BBB_2.eml"]  # ids sanitized
+    msg = import_email_from_file(str(out / "AAA-1.eml"))
+    assert msg.metadata.subject == "quarterly report"
+
+
+def test_outlook_device_code_flow():
+    import httpx
+
+    from typeagent_tpu.tools.mail.dump_outlook import DeviceCodeAuth
+
+    polls = {"n": 0}
+
+    def handler(request):
+        if request.url.path.endswith("/devicecode"):
+            return httpx.Response(
+                200,
+                json={
+                    "device_code": "dc",
+                    "user_code": "ABCD-EFGH",
+                    "verification_uri": "https://microsoft.com/devicelogin",
+                    "interval": 0,
+                    "expires_in": 900,
+                },
+            )
+        polls["n"] += 1
+        if polls["n"] < 3:
+            return httpx.Response(
+                400, json={"error": "authorization_pending"}
+            )
+        return httpx.Response(200, json={"access_token": "graph-tok"})
+
+    client = httpx.Client(transport=httpx.MockTransport(handler))
+    auth = DeviceCodeAuth("app-id", client=client, sleeper=lambda s: None)
+    assert auth.acquire_token() == "graph-tok"
+    assert polls["n"] == 3
