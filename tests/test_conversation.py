@@ -297,3 +297,111 @@ async def test_engine_emits_tracing_spans():
     assert count("span.ingest.batch") >= 1
     assert count("span.ingest.streaming") >= 1
     assert count("span.search.knowledge") >= 1
+
+
+async def test_streaming_batch_size_counts_chunks_not_messages():
+    """batch_size is a CHUNK budget: multi-chunk messages fill batches
+    faster, and a message larger than the budget still commits whole."""
+    settings = make_settings(FakeExtractor())
+    conv = await create_conversation(None, ConversationMessage, settings=settings)
+    committed = []
+
+    async def stream():
+        # 3 chunks, 1 chunk, 5 chunks (exceeds batch budget of 4), 1 chunk.
+        yield ConversationMessage(
+            [f"alpha {i}" for i in range(3)], ConversationMessageMeta("A")
+        )
+        yield msg("beta")
+        yield ConversationMessage(
+            [f"gamma {i}" for i in range(5)], ConversationMessageMeta("A")
+        )
+        yield msg("delta")
+
+    result = await conv.add_messages_streaming(
+        stream(), batch_size=4, on_batch_committed=lambda r: committed.append(r)
+    )
+    assert result.messages_added == 4
+    assert result.chunks_added == 10
+    assert await conv.messages.size() == 4
+    # The 5-chunk message was never split across commits.
+    sizes = [r.messages_added for r in committed]
+    assert sum(sizes) == 4
+    big = await conv.messages.get_item(2)
+    assert len(big.text_chunks) == 5
+
+
+async def test_streaming_failure_across_batches_preserves_earlier_commits():
+    """A failure in a later batch keeps everything committed before it."""
+    extractor = FakeExtractor(fail_on={"bad message"})
+    settings = make_settings(extractor)
+    conv = await create_conversation(None, ConversationMessage, settings=settings)
+
+    async def stream():
+        for i in range(6):
+            yield msg(f"early {i}")
+        yield msg("bad message")
+        yield msg("late")
+
+    with pytest.raises(Exception):
+        await conv.add_messages_streaming(stream(), batch_size=2)
+    # The early batches landed; nothing at/after the failure did.
+    size = await conv.messages.size()
+    assert 1 <= size <= 6
+    for i in range(size):
+        assert (await conv.messages.get_item(i)).text_chunks[0] == f"early {i}"
+
+
+async def test_streaming_multi_chunk_failure_fails_whole_message():
+    """One bad chunk poisons its whole message; other messages unaffected
+    under skip_failed_messages."""
+    extractor = FakeExtractor(fail_on={"poison"})
+    settings = make_settings(extractor)
+    conv = await create_conversation(None, ConversationMessage, settings=settings)
+
+    async def stream():
+        yield msg("ok first")
+        yield ConversationMessage(
+            ["fine chunk", "poison", "also fine"], ConversationMessageMeta("A")
+        )
+        yield msg("ok last")
+
+    result = await conv.add_messages_streaming(
+        stream(), batch_size=100, skip_failed_messages=True
+    )
+    assert result.messages_added == 2
+    assert result.messages_skipped == 1
+    texts = [
+        (await conv.messages.get_item(i)).text_chunks[0]
+        for i in range(await conv.messages.size())
+    ]
+    assert texts == ["ok first", "ok last"]
+
+
+async def test_streaming_empty_stream():
+    settings = make_settings(FakeExtractor())
+    conv = await create_conversation(None, ConversationMessage, settings=settings)
+
+    async def stream():
+        return
+        yield  # pragma: no cover
+
+    result = await conv.add_messages_streaming(stream(), batch_size=10)
+    assert result.messages_added == 0
+    assert await conv.messages.size() == 0
+
+
+async def test_streaming_on_batch_committed_fires_per_batch_with_counts():
+    settings = make_settings(FakeExtractor())
+    conv = await create_conversation(None, ConversationMessage, settings=settings)
+    batches = []
+
+    async def stream():
+        for i in range(7):
+            yield msg(f"m{i}")
+
+    await conv.add_messages_streaming(
+        stream(), batch_size=3, on_batch_committed=lambda r: batches.append(r)
+    )
+    assert sum(b.messages_added for b in batches) == 7
+    assert all(b.messages_added >= 1 for b in batches)
+    assert len(batches) >= 3

@@ -420,3 +420,45 @@ async def test_shrunk_conversation_triggers_full_rebuild():
         SearchTermGroup(boolean_op="or", terms=[SearchTerm(Term("Bach"))])
     )
     assert result and "entity" in result
+
+
+async def test_chunk_granular_scope_mask_matches_host_oracle():
+    """_scope_mask (vectorized, chunk-granular) == is_range_in_scope for
+    randomized selector collections over chunk-boundary semref ranges."""
+    import numpy as np
+
+    from typeagent_tpu.knowpro.collections import (
+        TextRangeCollection,
+        TextRangesInScope,
+    )
+    from typeagent_tpu.knowpro.interfaces import TextLocation, TextRange
+
+    conv = await build_conversation()
+    executor = DeviceQueryExecutor(conv)
+    await executor.sync()
+    n = executor._n_semrefs
+    metadata = await conv.semantic_refs.get_metadata_multiple(list(range(n)))
+
+    rng = np.random.default_rng(5)
+    for trial in range(25):
+        scope = TextRangesInScope()
+        for _ in range(int(rng.integers(1, 3))):
+            ranges = []
+            for _ in range(int(rng.integers(1, 4))):
+                sm = int(rng.integers(0, 4))
+                sc = int(rng.integers(0, 3))
+                if rng.random() < 0.4:
+                    end = None  # point range (one chunk)
+                else:
+                    em = sm + int(rng.integers(0, 3))
+                    ec = int(rng.integers(0, 3))
+                    if (em, ec) <= (sm, sc):
+                        em, ec = sm, sc + 1
+                    end = TextLocation(em, ec)
+                ranges.append(TextRange(TextLocation(sm, sc), end))
+            scope.add_text_ranges(TextRangeCollection(ranges, True))
+        mask = executor._scope_mask(scope)
+        expect = np.array(
+            [scope.is_range_in_scope(m.range) for m in metadata], dtype=bool
+        )
+        np.testing.assert_array_equal(mask, expect, err_msg=f"trial {trial}")

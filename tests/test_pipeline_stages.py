@@ -267,3 +267,164 @@ async def test_reassembler_halts_behind_failed_message():
     assert state.chunk_failures == 1
     assert stop.stop_at_message_id == 0
     assert state.buffered_messages == 2  # both held back
+
+
+# ---------------------------------------------------------------------------
+# Dispatcher
+# ---------------------------------------------------------------------------
+
+
+class _FailOn:
+    def __init__(self, bad: str):
+        self.bad = bad
+
+    async def extract(self, text):
+        from typeagent_tpu.models.result import Failure, Success
+
+        if text == self.bad:
+            return Failure("bad chunk")
+        return Success(
+            kplib.KnowledgeResponse(
+                entities=[], actions=[], inverse_actions=[], topics=[]
+            )
+        )
+
+
+def _work(message, msg_id, chunk_ord, chunk_count, text):
+    return ChunkWorkItem(
+        chunk_id=TextLocation(msg_id, chunk_ord),
+        chunk_text=text,
+        chunk_count=chunk_count,
+        message=message,
+    )
+
+
+async def _run_dispatcher(items, stop, skip_failed=False, concurrency=2):
+    chunk_queue = asyncio.Queue()
+    result_queue = asyncio.Queue()
+    for item in items:
+        await chunk_queue.put(item)
+    await chunk_queue.put(None)
+    await _dispatcher_task(
+        chunk_queue,
+        result_queue,
+        stop,
+        _FailOn("BAD"),
+        create_test_embedding_model(8),
+        concurrency,
+        skip_failed,
+    )
+    results = []
+    while not result_queue.empty():
+        results.append(result_queue.get_nowait())
+    assert results[-1] is None  # sentinel emitted after workers drain
+    return results[:-1]
+
+
+async def test_dispatcher_processes_and_emits_sentinel():
+    m = msg("a", "b")
+    results = await _run_dispatcher(
+        [_work(m, 0, 0, 2, "a"), _work(m, 0, 1, 2, "b")], PipelineStopState()
+    )
+    assert len(results) == 2
+    assert all(r.error is None for r in results)
+
+
+async def test_dispatcher_failure_lowers_stop_watermark():
+    m0, m1 = msg("BAD"), msg("fine")
+    stop = PipelineStopState()
+    results = await _run_dispatcher(
+        [_work(m0, 3, 0, 1, "BAD"), _work(m1, 4, 0, 1, "fine")],
+        stop,
+        concurrency=1,
+    )
+    assert stop.stop_at_message_id == 3
+    assert stop.exception is not None
+    by_id = {r.chunk_id.message_ordinal: r for r in results}
+    assert by_id[3].error is not None
+    # The later chunk became a deterministic skip (>= watermark).
+    assert by_id[4].error is not None
+    assert "stop_at_message_id" in str(by_id[4].error)
+
+
+async def test_dispatcher_skip_failed_keeps_processing():
+    m0, m1 = msg("BAD"), msg("fine")
+    stop = PipelineStopState()
+    results = await _run_dispatcher(
+        [_work(m0, 0, 0, 1, "BAD"), _work(m1, 1, 0, 1, "fine")],
+        stop,
+        skip_failed=True,
+        concurrency=1,
+    )
+    assert stop.exception is None  # watermark untouched
+    by_id = {r.chunk_id.message_ordinal: r for r in results}
+    assert by_id[0].error is not None
+    assert by_id[1].error is None
+
+
+# ---------------------------------------------------------------------------
+# Reassembler: more edges
+# ---------------------------------------------------------------------------
+
+
+async def test_reassembler_commits_out_of_order_after_gap_fills():
+    result_queue = asyncio.Queue()
+    m0, m1, m2 = msg("a"), msg("b", "b2"), msg("c")
+    # m2 and m1's tail arrive before m1's head; commits happen once the
+    # consecutive prefix is complete.
+    await result_queue.put(_chunk_result(m2, 2, 0, 1))
+    await result_queue.put(_chunk_result(m1, 1, 1, 2))
+    await result_queue.put(_chunk_result(m0, 0, 0, 1))
+    await result_queue.put(_chunk_result(m1, 1, 0, 2))
+    await result_queue.put(None)
+    commits = []
+
+    async def commit(ms, results):
+        commits.append([id(m) for m in ms])
+
+    state = await _reassembler_task(
+        result_queue, PipelineStopState(), 0, 100, commit, False
+    )
+    assert state.messages_committed == 3
+    flat = [m for batch in commits for m in batch]
+    assert flat == [id(m0), id(m1), id(m2)]
+
+
+async def test_reassembler_skip_failed_commits_later_messages():
+    result_queue = asyncio.Queue()
+    m0, m1, m2 = msg("a"), msg("b"), msg("c")
+    await result_queue.put(_chunk_result(m0, 0, 0, 1))
+    await result_queue.put(_chunk_result(m1, 1, 0, 1, error=RuntimeError("x")))
+    await result_queue.put(_chunk_result(m2, 2, 0, 1))
+    await result_queue.put(None)
+    commits = []
+    skipped = []
+
+    async def commit(ms, results):
+        commits.extend(id(m) for m in ms)
+
+    async def on_skip(assembly):
+        skipped.append(assembly.message_id)
+
+    state = await _reassembler_task(
+        result_queue, PipelineStopState(), 0, 100, commit, True, on_skip
+    )
+    assert commits == [id(m0), id(m2)]
+    assert state.messages_skipped == 1
+    assert skipped == [1]
+
+
+async def test_reassembler_mismatched_chunk_count_raises():
+    result_queue = asyncio.Queue()
+    m = msg("a", "b")
+    await result_queue.put(_chunk_result(m, 0, 0, 2))
+    await result_queue.put(_chunk_result(m, 0, 1, 3))  # disagreeing count
+    await result_queue.put(None)
+
+    async def commit(ms, results):
+        pass
+
+    stop = PipelineStopState()
+    with pytest.raises(RuntimeError):
+        await _reassembler_task(result_queue, stop, 0, 10, commit, False)
+    assert stop.stop_at_message_id == 0  # watermark lowered for the producer

@@ -97,7 +97,9 @@ def main():
     for dtype in ("bfloat16", "int8", "float32"):
         for b in (64, 256):
             bench(dtype, b)
-    # scaling check: k=1 floor and k=16 ceiling at the headline config
+    # batch scaling + k scaling at the headline configs
+    bench("bfloat16", 1024)
+    bench("int8", 1024)
     bench("bfloat16", 256, k=1)
     bench("bfloat16", 256, k=16)
 

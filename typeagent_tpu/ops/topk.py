@@ -200,36 +200,61 @@ def _fold_tile_into_topk(scores, row_ids, vals_ref, idx_ref, *, k: int):
         full_merge()
         return
 
-    # Most tiles beat nothing once the running top-k warms up (a new top-k
-    # entry lands in O(k log n_tiles) of the tiles): the common-tile cost is
-    # the matmul + ONE max-reduction. Only improving tiles pay the candidate
-    # count and the merge.
+    # Tiered merge. INVARIANT: lanes [0, k) of the running block are sorted
+    # descending (init, sorted extraction, and sorted insertion all keep it).
+    #   n_above == 0: tile beats nothing (the common case once the running
+    #     top-k warms up) — no work beyond the count.
+    #   n_above == 1: every row has at most one candidate — the tile row-max
+    #     sort-inserts into the running block with a handful of [b, lanes]
+    #     ops (no k-pass re-extraction).
+    #   1 < n_above <= _FAST_M: extract the tile's top-m, splice into the
+    #     pad lanes, re-extract k over the 128-lane block.
+    #   else: full-width k-pass merge (first tiles / adversarial data).
     theta = vals_ref[:, k - 1 : k]  # running kth best per row, [b, 1]
-    tile_best = jnp.max(scores, axis=1, keepdims=True)  # [b, 1]
-    improved = jnp.max((tile_best > theta).astype(jnp.int32))
+    n_above = jnp.max(jnp.sum((scores > theta).astype(jnp.int32), axis=1))
 
-    @pl.when(improved > 0)
-    def _merge():
-        n_above = jnp.max(jnp.sum((scores > theta).astype(jnp.int32), axis=1))
+    @pl.when(n_above == 1)
+    def _insert_one():
+        best = jnp.max(scores, axis=1, keepdims=True)  # [b, 1]
+        pos = jnp.argmax(scores, axis=1, keepdims=True).astype(jnp.int32)
+        # row_ids is affine in the column: id = tile_base + column.
+        best_idx = row_ids[:, :1] + pos
+        lane = jax.lax.broadcasted_iota(jnp.int32, vals_ref.shape, 1)
+        vals = vals_ref[:]
+        idx = idx_ref[:]
+        # Rank among the k live lanes; ties keep the running entry ahead.
+        rank = jnp.sum(
+            (vals[:, :k] >= best).astype(jnp.int32), axis=1, keepdims=True
+        )
+        # Rows the tile doesn't improve get rank k -> the write lands in the
+        # pad lanes (no-op), so no predication is needed.
+        shifted_vals = jnp.concatenate([vals[:, :1], vals[:, :-1]], axis=1)
+        shifted_idx = jnp.concatenate([idx[:, :1], idx[:, :-1]], axis=1)
+        vals_ref[:] = jnp.where(
+            lane < rank, vals, jnp.where(lane == rank, best, shifted_vals)
+        )
+        idx_ref[:] = jnp.where(
+            lane < rank, idx, jnp.where(lane == rank, best_idx, shifted_idx)
+        )
 
-        @pl.when(n_above <= _FAST_M)
-        def _fast():
-            top_vals, top_idx = _extract_topk(scores, row_ids, _FAST_M)
-            # Splice the tile's top-m into the pad lanes k..k+m-1 of the
-            # running block (running lanes stay first so ties keep
-            # preferring them).
-            lane = jax.lax.broadcasted_iota(jnp.int32, vals_ref.shape, 1)
-            cand_vals = vals_ref[:]
-            cand_idx = idx_ref[:]
-            for j in range(_FAST_M):
-                cand_vals = jnp.where(lane == k + j, top_vals[j], cand_vals)
-                cand_idx = jnp.where(lane == k + j, top_idx[j], cand_idx)
-            out_vals, out_idx = _extract_topk(cand_vals, cand_idx, k)
-            _write_topk(vals_ref, idx_ref, out_vals, out_idx, k)
+    @pl.when((n_above > 1) & (n_above <= _FAST_M))
+    def _fast():
+        top_vals, top_idx = _extract_topk(scores, row_ids, _FAST_M)
+        # Splice the tile's top-m into the pad lanes k..k+m-1 of the
+        # running block (running lanes stay first so ties keep
+        # preferring them).
+        lane = jax.lax.broadcasted_iota(jnp.int32, vals_ref.shape, 1)
+        cand_vals = vals_ref[:]
+        cand_idx = idx_ref[:]
+        for j in range(_FAST_M):
+            cand_vals = jnp.where(lane == k + j, top_vals[j], cand_vals)
+            cand_idx = jnp.where(lane == k + j, top_idx[j], cand_idx)
+        out_vals, out_idx = _extract_topk(cand_vals, cand_idx, k)
+        _write_topk(vals_ref, idx_ref, out_vals, out_idx, k)
 
-        @pl.when(n_above > _FAST_M)
-        def _full():
-            full_merge()
+    @pl.when(n_above > _FAST_M)
+    def _full():
+        full_merge()
 
 
 def _topk_pallas_impl(emb: jax.Array, queries: jax.Array, count: jax.Array, *, k: int):
