@@ -250,7 +250,8 @@ def test_pick_tile_respects_vmem_budget():
     for n_pad, d_pad, b_pad, itemsize, k in cases:
         t = _pick_tile(n_pad, d_pad, b_pad, itemsize, k)
         assert 32 <= t <= min(_TILE_N, n_pad)
-        usage = t * (2 * d_pad * itemsize + b_pad * (8 + (5 * k) // 4))
+        coeff = (40 + 2 * k) if b_pad >= 512 else (8 + (5 * k) // 4)
+        usage = t * (2 * d_pad * itemsize + b_pad * coeff)
         assert usage <= 15 * 2**20 or t == 32, (n_pad, d_pad, b_pad, usage)
         # Tiles stay sublane-aligned for every dtype (int8 needs 32).
         assert t % 32 == 0

@@ -66,7 +66,14 @@ def _pick_tile(n_pad: int, d_pad: int, b_pad: int, itemsize: int, k: int) -> int
     k=50 pin the constants; the hard limit is ~16 MB).
     """
     budget = 15 * 1024 * 1024
-    per_row = 2 * d_pad * itemsize + b_pad * (8 + (5 * k) // 4)
+    # Liveness per (tile row x query): ~20 bytes at k=10 for b <= 256
+    # (validated by sweeps at tiles 2048/4096); large batches keep more
+    # [b, tile] intermediates live across the merge branches (Mosaic OOM
+    # reports at b=1024 measure ~38 bytes), so they budget conservatively.
+    if b_pad >= 512:
+        per_row = 2 * d_pad * itemsize + b_pad * (40 + 2 * k)
+    else:
+        per_row = 2 * d_pad * itemsize + b_pad * (8 + (5 * k) // 4)
     t = budget // per_row
     if t >= 512:
         t = (t // 512) * 512  # big tiles: keep row counts MXU-friendly
@@ -131,10 +138,22 @@ def _topk_kernel(count_ref, q_ref, e_ref, vals_ref, idx_ref, *, k: int, tile_n: 
         ),
     )
 
-    row_ids = step * tile_n + jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
-    scores = jnp.where(row_ids < count, scores, _RAW_NEG)
+    _mask_and_fold(scores, count, vals_ref, idx_ref, k=k, tile_n=tile_n)
 
-    _fold_tile_into_topk(scores, row_ids, vals_ref, idx_ref, k=k)
+
+def _mask_and_fold(scores, count, vals_ref, idx_ref, *, k: int, tile_n: int):
+    """Watermark masking + tiered merge.
+
+    (An interior/boundary branch specialization that skips the mask on full
+    tiles was measured SLOWER at b=256 — the duplicated fold body bloats
+    Mosaic's code and VMEM liveness — so every tile masks.)
+    """
+    step = pl.program_id(0)
+    tile_base = step * tile_n
+    b = scores.shape[0]
+    row_ids = tile_base + jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
+    masked = jnp.where(row_ids < count, scores, _RAW_NEG)
+    _fold_tile_into_topk(masked, tile_base, vals_ref, idx_ref, k=k)
 
 
 def _extract_topk(cand_vals, cand_idx, m: int):
@@ -177,7 +196,7 @@ def _write_topk(vals_ref, idx_ref, out_vals, out_idx, k: int):
 _FAST_M = 2
 
 
-def _fold_tile_into_topk(scores, row_ids, vals_ref, idx_ref, *, k: int):
+def _fold_tile_into_topk(scores, tile_base, vals_ref, idx_ref, *, k: int):
     """Fold one tile's scores into the running top-k (vals_ref/idx_ref).
 
     Threshold fast path: count this tile's scores above the running kth best
@@ -188,11 +207,15 @@ def _fold_tile_into_topk(scores, row_ids, vals_ref, idx_ref, *, k: int):
     on the TPU scalar core, not predication.
     """
     b = scores.shape[0]
+    tile_n = scores.shape[1]
     fast_ok = k + _FAST_M <= vals_ref.shape[1]
+
+    def make_row_ids():
+        return tile_base + jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
 
     def full_merge():
         cand_vals = jnp.concatenate([vals_ref[:, :k], scores], axis=1)
-        cand_idx = jnp.concatenate([idx_ref[:, :k], row_ids], axis=1)
+        cand_idx = jnp.concatenate([idx_ref[:, :k], make_row_ids()], axis=1)
         out_vals, out_idx = _extract_topk(cand_vals, cand_idx, k)
         _write_topk(vals_ref, idx_ref, out_vals, out_idx, k)
 
@@ -217,19 +240,21 @@ def _fold_tile_into_topk(scores, row_ids, vals_ref, idx_ref, *, k: int):
     def _insert_one():
         best = jnp.max(scores, axis=1, keepdims=True)  # [b, 1]
         pos = jnp.argmax(scores, axis=1, keepdims=True).astype(jnp.int32)
-        # row_ids is affine in the column: id = tile_base + column.
-        best_idx = row_ids[:, :1] + pos
+        best_idx = pos + tile_base  # column -> global row id (affine)
         lane = jax.lax.broadcasted_iota(jnp.int32, vals_ref.shape, 1)
         vals = vals_ref[:]
         idx = idx_ref[:]
-        # Rank among the k live lanes; ties keep the running entry ahead.
+        # Rank among the k live lanes (full-width masked reduce; ties keep
+        # the running entry ahead).
         rank = jnp.sum(
-            (vals[:, :k] >= best).astype(jnp.int32), axis=1, keepdims=True
+            jnp.where((lane < k) & (vals >= best), 1, 0),
+            axis=1,
+            keepdims=True,
         )
         # Rows the tile doesn't improve get rank k -> the write lands in the
         # pad lanes (no-op), so no predication is needed.
-        shifted_vals = jnp.concatenate([vals[:, :1], vals[:, :-1]], axis=1)
-        shifted_idx = jnp.concatenate([idx[:, :1], idx[:, :-1]], axis=1)
+        shifted_vals = pltpu.roll(vals, 1, 1)
+        shifted_idx = pltpu.roll(idx, 1, 1)
         vals_ref[:] = jnp.where(
             lane < rank, vals, jnp.where(lane == rank, best, shifted_vals)
         )
@@ -239,7 +264,7 @@ def _fold_tile_into_topk(scores, row_ids, vals_ref, idx_ref, *, k: int):
 
     @pl.when((n_above > 1) & (n_above <= _FAST_M))
     def _fast():
-        top_vals, top_idx = _extract_topk(scores, row_ids, _FAST_M)
+        top_vals, top_idx = _extract_topk(scores, make_row_ids(), _FAST_M)
         # Splice the tile's top-m into the pad lanes k..k+m-1 of the
         # running block (running lanes stay first so ties keep
         # preferring them).
@@ -334,10 +359,7 @@ def _topk_kernel_q(
     # final [b, k] block (_raw_to_score).
     scores = raw * s_ref[:].reshape(1, tile_n)
 
-    row_ids = step * tile_n + jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
-    scores = jnp.where(row_ids < count, scores, _RAW_NEG)
-
-    _fold_tile_into_topk(scores, row_ids, vals_ref, idx_ref, k=k)
+    _mask_and_fold(scores, count, vals_ref, idx_ref, k=k, tile_n=tile_n)
 
 
 def _topk_pallas_q_impl(
