@@ -82,3 +82,89 @@ def test_multiple_choice_question():
     q = create_multiple_choice_question("Pick one", ["a", "b"])
     assert "Pick one" in q and "- a" in q and "- None of the above" in q
     assert create_multiple_choice_question("Q", []) == "Q"
+
+
+def test_create_search_terms_semicolon_related():
+    terms = create_search_terms(["novel;book;bestseller", "music"])
+    assert len(terms) == 2
+    assert terms[0].term.text == "novel"
+    assert [t.text for t in terms[0].related_terms] == ["book", "bestseller"]
+    assert terms[1].term.text == "music"
+    assert terms[1].related_terms is None
+
+
+def test_create_search_terms_lowercases_and_strips():
+    [term] = create_search_terms(["  Novel ; BOOK "])
+    assert term.term.text == "novel"
+    assert [t.text for t in term.related_terms] == ["book"]
+
+
+def test_create_search_terms_skips_empty():
+    assert create_search_terms(["", "  ", ";"]) == []
+    assert create_search_terms([";;x"])[0].term.text == "x"
+
+
+def test_create_property_search_terms_comma_multivalue():
+    terms = create_property_search_terms({"name": "Bach, Gould", "type": "person"})
+    pairs = [(t.property_name, t.property_value.term.text) for t in terms]
+    assert pairs == [("name", "Bach"), ("name", "Gould"), ("type", "person")]
+
+
+def test_topic_group_exact_match_blocks_expansion():
+    group = create_topic_search_term_group(["jazz", "blues"], exact_match=True)
+    assert group.boolean_op == "or_max"
+    assert [t.property_value.term.text for t in group.terms] == ["jazz", "blues"]
+    assert all(t.property_value.related_terms == [] for t in group.terms)
+    fuzzy = create_topic_search_term_group("jazz")
+    assert fuzzy.terms[0].property_value.related_terms is None
+
+
+def test_entity_group_includes_only_given_parts():
+    def name_of(term):
+        # facet.* are not well-known property names: they compile to
+        # SearchTerm property names (facet-style), reference parity.
+        name = term.property_name
+        return name if isinstance(name, str) else name.term.text
+
+    group = create_entity_search_term_group(name="Bach", facet_value="baroque")
+    pairs = [(name_of(t), t.property_value.term.text) for t in group.terms]
+    assert pairs == [("name", "Bach"), ("facet.value", "baroque")]
+    assert isinstance(group.terms[0].property_name, str)
+    assert isinstance(group.terms[1].property_name, SearchTerm)
+    full = create_entity_search_term_group(
+        name="n", type_="t", facet_name="f", facet_value="v"
+    )
+    assert [name_of(t) for t in full.terms] == [
+        "name",
+        "type",
+        "facet.name",
+        "facet.value",
+    ]
+
+
+def test_tag_group_defaults_exact():
+    group = create_tag_search_term_group(["alpha", "beta"])
+    assert group.boolean_op == "or_max"
+    assert all(t.property_name == "tag" for t in group.terms)
+    assert all(t.property_value.related_terms == [] for t in group.terms)
+    fuzzy = create_tag_search_term_group(["alpha"], exact_match=False)
+    assert fuzzy.terms[0].property_value.related_terms is None
+
+
+def test_group_builders_shape():
+    a = create_search_term("x")
+    b = create_search_term("y")
+    assert create_and_term_group(a, b).boolean_op == "and"
+    assert create_or_term_group(a).boolean_op == "or"
+    assert create_or_max_term_group().terms == []
+
+
+def test_multiple_choice_question_formatting():
+    text = create_multiple_choice_question("Pick one", ["A", " B "], add_none=True)
+    assert "Multiple choice question:" in text
+    assert "- A\n" in text and "- B\n" in text
+    assert "- None of the above" in text
+    no_none = create_multiple_choice_question("Pick", ["A"], add_none=False)
+    assert "None of the above" not in no_none
+    bare = create_multiple_choice_question("Just a question", [])
+    assert bare == "Just a question"

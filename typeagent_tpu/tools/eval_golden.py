@@ -174,6 +174,143 @@ PINNED_QUERIES: list[tuple[str, dict]] = [
             ]
         },
     ),
+    (
+        # Entity + type or_max group: type 'word' matches every extracted
+        # entity; or_max keeps only the double hits (name AND type).
+        "Tell me about bach the word",
+        {
+            "searchExpressions": [
+                {
+                    "rewrittenQuery": "Tell me about bach the word",
+                    "filters": [
+                        {
+                            "entitySearchTerms": [
+                                {
+                                    "name": "bach",
+                                    "isNamePronoun": False,
+                                    "type": ["word"],
+                                }
+                            ]
+                        }
+                    ],
+                }
+            ]
+        },
+    ),
+    (
+        # Actor scope from metadata knowledge: Alice's say-actions scope the
+        # matches to her messages; the verbless fallback also runs.
+        "What did Alice Johnson say about Gould?",
+        {
+            "searchExpressions": [
+                {
+                    "rewrittenQuery": "What did Alice Johnson say about Gould?",
+                    "filters": [
+                        {
+                            "actionSearchTerm": {
+                                "actorEntities": [
+                                    {
+                                        "name": "Alice Johnson",
+                                        "isNamePronoun": False,
+                                    }
+                                ],
+                                "isInformational": False,
+                                "actionVerbs": {"words": ["say"], "tense": "Past"},
+                                "additionalEntities": [
+                                    {"name": "gould", "isNamePronoun": False}
+                                ],
+                            }
+                        }
+                    ],
+                }
+            ]
+        },
+    ),
+    (
+        # Facet-shaped entity term: the extractor yields no facets, so the
+        # facet half matches nothing while name/topic still hit.
+        "Which recordings have a year facet?",
+        {
+            "searchExpressions": [
+                {
+                    "rewrittenQuery": "Which recordings have a year facet?",
+                    "filters": [
+                        {
+                            "entitySearchTerms": [
+                                {
+                                    "name": "recorded",
+                                    "isNamePronoun": False,
+                                    "facets": [
+                                        {
+                                            "facetName": "year",
+                                            "facetValue": "*",
+                                        }
+                                    ],
+                                }
+                            ]
+                        }
+                    ],
+                }
+            ]
+        },
+    ),
+    (
+        # Pronoun entity names never become property terms; the search term
+        # rides alone.
+        "What did he record?",
+        {
+            "searchExpressions": [
+                {
+                    "rewrittenQuery": "What did he record?",
+                    "filters": [
+                        {
+                            "entitySearchTerms": [
+                                {"name": "he", "isNamePronoun": True}
+                            ],
+                            "searchTerms": ["recorded"],
+                        }
+                    ],
+                }
+            ]
+        },
+    ),
+    (
+        # Two search expressions in one query -> two result sets.
+        "Compare the 1955 and 1981 recordings",
+        {
+            "searchExpressions": [
+                {
+                    "rewrittenQuery": "the 1955 recording",
+                    "filters": [{"searchTerms": ["1955"]}],
+                },
+                {
+                    "rewrittenQuery": "the 1981 recording",
+                    "filters": [{"searchTerms": ["1981"]}],
+                },
+            ]
+        },
+    ),
+    (
+        # Time range with no terms: summary wildcard + date scope compose.
+        "Summarize the first day",
+        {
+            "searchExpressions": [
+                {
+                    "rewrittenQuery": "Summarize the first day",
+                    "filters": [
+                        {
+                            "timeRange": {
+                                "startDate": {
+                                    "date": {"day": 1, "month": 1, "year": 2024}
+                                },
+                                "stopDate": None,
+                            }
+                        }
+                    ],
+                }
+            ]
+        },
+    ),
 ]
 
 
@@ -203,7 +340,7 @@ async def build_fixture_conversation():
     )
 
 
-async def run_eval(update: bool) -> int:
+async def run_eval(update: bool, use_device_executor: bool = True) -> int:
     conversation = await build_fixture_conversation()
     results = []
     for question, pinned in PINNED_QUERIES:
@@ -212,12 +349,14 @@ async def run_eval(update: bool) -> int:
             conversation, query, LanguageQueryCompileOptions()
         )
         search_results = []
+        options = LanguageSearchOptions(max_message_matches=10)
+        options.use_device_executor = use_device_executor
         for expr in exprs:
             search_results.extend(
                 await run_search_query(
                     conversation,
                     expr,
-                    LanguageSearchOptions(max_message_matches=10),
+                    options,
                     question,
                 )
             )
@@ -274,8 +413,13 @@ async def run_eval(update: bool) -> int:
 def main() -> None:
     parser = argparse.ArgumentParser(description="Golden query evaluation")
     parser.add_argument("--update", action="store_true", help="Rewrite goldens")
+    parser.add_argument(
+        "--host-vm",
+        action="store_true",
+        help="Evaluate through the host query VM instead of the device engine",
+    )
     args = parser.parse_args()
-    sys.exit(asyncio.run(run_eval(args.update)))
+    sys.exit(asyncio.run(run_eval(args.update, not args.host_vm)))
 
 
 if __name__ == "__main__":
