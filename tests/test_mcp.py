@@ -127,6 +127,40 @@ async def test_mcp_server_end_to_end(tmp_path):
         assert content == "Alice welcomed everyone."
         # Both pipeline stages sampled the client's LLM.
         assert len(client.sampling_requests) == 2
+
+        # Resources: advertised, listable, readable.
+        assert "resources" in init["result"]["capabilities"]
+        resources = await client.request("resources/list")
+        uris = [r["uri"] for r in resources["result"]["resources"]]
+        assert uris == ["conversation://info", "conversation://messages/recent"]
+        info = await client.request(
+            "resources/read", {"uri": "conversation://info"}, timeout=120
+        )
+        payload = json.loads(info["result"]["contents"][0]["text"])
+        assert payload["messages"] > 0
+        recent = await client.request(
+            "resources/read", {"uri": "conversation://messages/recent"}
+        )
+        assert "[" in recent["result"]["contents"][0]["text"]  # speaker tags
+        missing = await client.request(
+            "resources/read", {"uri": "conversation://nope"}
+        )
+        assert "error" in missing
+
+        # Prompts: listable with arguments, instantiable.
+        prompts = await client.request("prompts/list")
+        names = {p["name"] for p in prompts["result"]["prompts"]}
+        assert names == {"ask_conversation", "summarize_conversation"}
+        got = await client.request(
+            "prompts/get",
+            {
+                "name": "ask_conversation",
+                "arguments": {"question": "Who spoke first?"},
+            },
+        )
+        messages = got["result"]["messages"]
+        assert messages[0]["role"] == "user"
+        assert "Who spoke first?" in messages[0]["content"]["text"]
     finally:
         proc.stdin.close()
         await asyncio.wait_for(proc.wait(), 10)

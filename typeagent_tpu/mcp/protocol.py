@@ -1,9 +1,11 @@
 """Minimal MCP stdio server: JSON-RPC 2.0, newline-delimited messages.
 
 Standalone replacement for the FastMCP dependency the reference uses
-(`mcp/server.py`). Supports: initialize / tools/list / tools/call / ping,
-plus server->client requests (sampling/createMessage) with response routing —
-the mechanism that lets the server borrow the CLIENT's LLM.
+(`mcp/server.py`). Supports: initialize / ping / tools/list / tools/call /
+resources/list / resources/read / prompts/list / prompts/get, plus
+server->client requests (sampling/createMessage) with response routing —
+the mechanism that lets the server borrow the CLIENT's LLM. (The reference
+exposes only the single tool; resources and prompts are an extension.)
 """
 
 from __future__ import annotations
@@ -33,6 +35,23 @@ class Tool:
 
 
 @dataclass
+class Resource:
+    uri: str
+    name: str
+    description: str
+    mime_type: str
+    handler: Callable  # async (server) -> str
+
+
+@dataclass
+class Prompt:
+    name: str
+    description: str
+    arguments: list[dict]  # [{"name", "description", "required"}]
+    handler: Callable  # async (server, **args) -> list[message dicts] | str
+
+
+@dataclass
 class McpServer:
     """A tiny MCP server over stdio."""
 
@@ -40,6 +59,8 @@ class McpServer:
     version: str = "0.1.0"
     instructions: str | None = None
     tools: dict[str, Tool] = field(default_factory=dict)
+    resources: dict[str, Resource] = field(default_factory=dict)
+    prompts: dict[str, Prompt] = field(default_factory=dict)
 
     def __post_init__(self):
         self._next_id = 1
@@ -68,6 +89,41 @@ class McpServer:
                     ],
                 }
             self.tools[fn.__name__] = Tool(fn.__name__, description, schema, fn)
+            return fn
+
+        return register
+
+    def resource(
+        self,
+        uri: str,
+        name: str,
+        description: str,
+        mime_type: str = "text/plain",
+    ):
+        """Decorator registering an async resource reader: (server) -> str."""
+
+        def register(fn):
+            self.resources[uri] = Resource(uri, name, description, mime_type, fn)
+            return fn
+
+        return register
+
+    def prompt(self, description: str, arguments: list[dict] | None = None):
+        """Decorator registering an async prompt builder.
+
+        The handler returns either a string (one user message) or a list of
+        MCP message dicts.
+        """
+
+        def register(fn):
+            args = arguments
+            if args is None:
+                args = [
+                    {"name": p.name, "required": p.default is inspect.Parameter.empty}
+                    for p in inspect.signature(fn).parameters.values()
+                    if p.name != "server"
+                ]
+            self.prompts[fn.__name__] = Prompt(fn.__name__, description, args, fn)
             return fn
 
         return register
@@ -112,11 +168,16 @@ class McpServer:
         try:
             match method:
                 case "initialize":
+                    capabilities: dict = {"tools": {}}
+                    if self.resources:
+                        capabilities["resources"] = {}
+                    if self.prompts:
+                        capabilities["prompts"] = {}
                     result = {
                         "protocolVersion": params.get(
                             "protocolVersion", PROTOCOL_VERSION
                         ),
-                        "capabilities": {"tools": {}},
+                        "capabilities": capabilities,
                         "serverInfo": {"name": self.name, "version": self.version},
                     }
                     if self.instructions:
@@ -139,6 +200,62 @@ class McpServer:
                     result = await self._call_tool(
                         params.get("name"), params.get("arguments") or {}
                     )
+                case "resources/list":
+                    result = {
+                        "resources": [
+                            {
+                                "uri": r.uri,
+                                "name": r.name,
+                                "description": r.description,
+                                "mimeType": r.mime_type,
+                            }
+                            for r in self.resources.values()
+                        ]
+                    }
+                case "resources/read":
+                    uri = params.get("uri")
+                    resource = self.resources.get(uri)
+                    if resource is None:
+                        raise ValueError(f"Unknown resource {uri!r}")
+                    text = await resource.handler(self)
+                    result = {
+                        "contents": [
+                            {
+                                "uri": uri,
+                                "mimeType": resource.mime_type,
+                                "text": str(text),
+                            }
+                        ]
+                    }
+                case "prompts/list":
+                    result = {
+                        "prompts": [
+                            {
+                                "name": p.name,
+                                "description": p.description,
+                                "arguments": p.arguments,
+                            }
+                            for p in self.prompts.values()
+                        ]
+                    }
+                case "prompts/get":
+                    prompt = self.prompts.get(params.get("name"))
+                    if prompt is None:
+                        raise ValueError(f"Unknown prompt {params.get('name')!r}")
+                    built = await prompt.handler(
+                        self, **(params.get("arguments") or {})
+                    )
+                    if isinstance(built, str):
+                        built = [
+                            {
+                                "role": "user",
+                                "content": {"type": "text", "text": built},
+                            }
+                        ]
+                    result = {
+                        "description": prompt.description,
+                        "messages": built,
+                    }
                 case _:
                     if request_id is not None:
                         await self._send(

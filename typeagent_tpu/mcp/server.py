@@ -158,6 +158,82 @@ def build_server(args) -> McpServer:
             return combined.answer or "No answer provided"
         return f"No answer found: {combined.why_no_answer or 'unknown reason'}"
 
+    async def get_ctx(srv: McpServer) -> ProcessingContext:
+        if "ctx" not in context_holder:
+            context_holder["ctx"] = await make_context(
+                srv, args.database, args.index_path, args.embedding_model
+            )
+        return context_holder["ctx"]
+
+    @server.resource(
+        "conversation://info",
+        "Conversation overview",
+        "Name, message/knowledge counts and index sizes of the loaded "
+        "conversation.",
+        mime_type="application/json",
+    )
+    async def conversation_info(srv: McpServer) -> str:
+        import json
+
+        ctx = await get_ctx(srv)
+        conv = ctx.conversation
+        secondary = conv.secondary_indexes
+        message_index = secondary.message_index if secondary else None
+        return json.dumps(
+            {
+                "name": conv.name_tag,
+                "tags": conv.tags,
+                "messages": await conv.messages.size(),
+                "semanticRefs": await conv.semantic_refs.size(),
+                "indexedChunks": (
+                    await message_index.size() if message_index else 0
+                ),
+            }
+        )
+
+    @server.resource(
+        "conversation://messages/recent",
+        "Recent messages",
+        "The last few messages of the loaded conversation, speaker-tagged.",
+    )
+    async def recent_messages(srv: McpServer) -> str:
+        ctx = await get_ctx(srv)
+        conv = ctx.conversation
+        total = await conv.messages.size()
+        start = max(0, total - 10)
+        lines = []
+        for message in await conv.messages.get_slice(start, total):
+            speaker = getattr(message.metadata, "speaker", None) or "?"
+            text = " ".join(message.text_chunks)[:500]
+            lines.append(f"[{speaker}] {text}")
+        return "\n".join(lines) or "(conversation is empty)"
+
+    @server.prompt(
+        "Ask a question grounded in the loaded conversation index.",
+        arguments=[
+            {
+                "name": "question",
+                "description": "The natural-language question to answer",
+                "required": True,
+            }
+        ],
+    )
+    async def ask_conversation(srv: McpServer, question: str) -> str:
+        return (
+            "Use the query_conversation tool to answer the following from "
+            f"the loaded conversation index, and cite speakers:\n{question}"
+        )
+
+    @server.prompt(
+        "Summarize what the loaded conversation is about.", arguments=[]
+    )
+    async def summarize_conversation(srv: McpServer) -> str:
+        return (
+            "Use the query_conversation tool with the question "
+            "'Summarize the conversation' and present the main topics, "
+            "participants and conclusions."
+        )
+
     return server
 
 
