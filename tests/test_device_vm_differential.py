@@ -351,3 +351,55 @@ async def test_device_vm_differential(seed):
     # The device engine must cover the overwhelming share of compiled
     # queries — it is the default engine, not a fast path for corner cases.
     assert covered >= int(0.85 * total), (covered, total)
+
+
+async def test_execute_batch_matches_sequential():
+    """N queries (mixed scopes, related terms, booleans) in ONE fused device
+    call must equal per-query execution — per-op scope rows keep each
+    query's when-filter separate."""
+    rng = np.random.default_rng(17)
+    conv = await build_fuzz_conversation(rng)
+    executor = DeviceQueryExecutor(conv)
+    await executor.sync()
+    indexes = conv.secondary_indexes
+    context = QueryEvalContext(
+        conv, indexes.property_to_semantic_ref_index, indexes.timestamp_index
+    )
+    compiled = []
+    for _ in range(12):
+        group = random_group(rng)
+        when = random_when_filter(rng)
+        options = SearchOptions(exact_match=bool(rng.random() < 0.5))
+        compiler = QueryCompiler(conv, indexes)
+        compiled.append(
+            await compiler.compile_knowledge_query(group, when, options)
+        )
+    batch = await executor.execute_batch(compiled, context)
+    covered = 0
+    for query, batched in zip(compiled, batch):
+        single = await executor.execute(query, context)
+        assert (batched is None) == (single is None)
+        if batched is None:
+            continue
+        covered += 1
+        assert_results_equivalent(batched, single, query)
+    assert covered >= 8
+
+
+async def test_search_conversation_knowledge_batch_api():
+    """Public batch API == sequential search_conversation_knowledge."""
+    from typeagent_tpu.knowpro.search import (
+        search_conversation_knowledge,
+        search_conversation_knowledge_batch,
+    )
+
+    rng = np.random.default_rng(23)
+    conv = await build_fuzz_conversation(rng)
+    selects = []
+    for _ in range(6):
+        selects.append((random_group(rng), random_when_filter(rng)))
+    options = SearchOptions(exact_match=True)
+    batch = await search_conversation_knowledge_batch(conv, selects, options)
+    for (group, when), batched in zip(selects, batch):
+        single = await search_conversation_knowledge(conv, group, when, options)
+        assert_results_equivalent(batched, single, group)

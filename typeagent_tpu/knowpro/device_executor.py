@@ -180,6 +180,28 @@ class _Unsupported(Exception):
     """Internal: tree contains something the device engine can't express."""
 
 
+@dataclass
+class _Plan:
+    """One compiled query's share of a batched device call."""
+
+    index: int  # position in the caller's query list
+    root: _GroupNode
+    leaves: list[_Leaf]
+    top_n: int | None
+    min_hit: int | None
+    ktype_predicates: list[KnowledgeType]
+    scope: np.ndarray | None  # host bool mask over semrefs (None = all)
+    seg_base: int = 0  # assigned when packed into a device call
+    op_start: int = 0
+    op_stop: int = 0
+
+    def boost_factor(self) -> float | None:
+        for leaf in self.leaves:
+            if leaf.boost_keys:
+                return leaf.boost_factor
+        return None
+
+
 class DeviceQueryExecutor:
     """Device CSR postings over a conversation's semref + property indexes."""
 
@@ -616,10 +638,88 @@ class DeviceQueryExecutor:
         Accepts the GroupSearchResultsExpr produced by
         QueryCompiler.compile_knowledge_query (or any of its inner wrappers).
         """
+        return (await self.execute_batch([query], context))[0]
+
+    async def execute_batch(
+        self,
+        queries: list,
+        context: QueryEvalContext,
+    ) -> list[dict[KnowledgeType, SemanticRefSearchResult] | None]:
+        """Evaluate MANY compiled knowledge queries in fused device calls.
+
+        All expressible queries' lookup ops batch into one segmented device
+        program (per-op scope rows keep each query's when-filter separate);
+        the host combine then runs per query. Queries the engine can't
+        express return None at their position (callers fall back per query).
+        This is the TPU-first batch path the reference has no analogue for —
+        its VM evaluates queries strictly one at a time.
+        """
+        results: list[dict | None] = [None] * len(queries)
+        plans: list[_Plan] = []
+        for i, query in enumerate(queries):
+            unwrapped = self._unwrap(query)
+            if unwrapped is None:
+                continue
+            expr, top_n, min_hit, preds = unwrapped
+            if self._n_semrefs == 0:
+                results[i] = {}
+                continue
+            # Scope selectors run on the host (timestamp index, threads,
+            # message-derived sub-queries) exactly as begin_match would.
+            ranges_in_scope: TextRangesInScope | None = None
+            if expr.get_scope_expr is not None:
+                ranges_in_scope = await expr.get_scope_expr.eval(context)
+            try:
+                root, leaves = self._compile_tree(expr)
+            except _Unsupported:
+                continue
+            plans.append(
+                _Plan(
+                    index=i,
+                    root=root,
+                    leaves=leaves,
+                    top_n=top_n,
+                    min_hit=min_hit,
+                    ktype_predicates=preds,
+                    scope=self._scope_mask(ranges_in_scope),
+                )
+            )
+        for plan_group in self._group_plans(plans):
+            for index, result in self._run_plan_group(plan_group).items():
+                results[index] = result
+        return results
+
+    async def _execute_tree(
+        self,
+        expr: MatchTermsBooleanExpr,
+        ranges_in_scope: TextRangesInScope | None,
+        top_n: int | None,
+        min_hit: int | None,
+        ktype_predicates: list[KnowledgeType],
+    ) -> dict[KnowledgeType, SemanticRefSearchResult] | None:
+        """Single-query path over the batched machinery (precomputed scope)."""
+        try:
+            root, leaves = self._compile_tree(expr)
+        except _Unsupported:
+            return None
+        plan = _Plan(
+            index=0,
+            root=root,
+            leaves=leaves,
+            top_n=top_n,
+            min_hit=min_hit,
+            ktype_predicates=ktype_predicates,
+            scope=self._scope_mask(ranges_in_scope),
+        )
+        groups = self._group_plans([plan])
+        if not groups:
+            return None
+        return self._run_plan_group(groups[0])[0]
+
+    def _unwrap(self, query):
         top_n: int | None = None
         min_hit: int | None = None
         ktype_predicates: list[KnowledgeType] = []
-
         expr = query
         if isinstance(expr, GroupSearchResultsExpr):
             expr = expr.src_expr
@@ -637,77 +737,130 @@ class DeviceQueryExecutor:
             expr = expr.source_expr
         if not isinstance(expr, MatchTermsBooleanExpr):
             return None
+        return expr, top_n, min_hit, ktype_predicates
 
-        if self._n_semrefs == 0:
-            return {}
+    def _group_plans(self, plans: list["_Plan"]) -> list[list["_Plan"]]:
+        """Pack plans into device calls under the dense-output budget; plans
+        with conflicting boost factors split into separate calls."""
+        cap = self._postings._semref_cap
+        groups: list[list[_Plan]] = []
+        current: list[_Plan] = []
+        current_segs = 0
+        current_factor: float | None = None
+        for plan in plans:
+            n_seg = len(plan.leaves)
+            if _bucket(max(n_seg, 1), _SEG_BUCKETS) * cap > _MAX_DENSE_ENTRIES:
+                continue  # too large even alone: host VM wins here
+            factor = plan.boost_factor()
+            compatible = (
+                current_factor is None
+                or factor is None
+                or factor == current_factor
+            )
+            fits = (
+                _bucket(max(current_segs + n_seg, 1), _SEG_BUCKETS) * cap
+                <= _MAX_DENSE_ENTRIES
+            )
+            if current and not (compatible and fits):
+                groups.append(current)
+                current, current_segs, current_factor = [], 0, None
+            current.append(plan)
+            current_segs += n_seg
+            if factor is not None:
+                current_factor = factor
+        if current:
+            groups.append(current)
+        return groups
 
-        # Scope selectors run on the host (timestamp index, threads,
-        # message-derived sub-queries) exactly as begin_match would.
-        ranges_in_scope: TextRangesInScope | None = None
-        if expr.get_scope_expr is not None:
-            ranges_in_scope = await expr.get_scope_expr.eval(context)
-
-        return await self._execute_tree(expr, ranges_in_scope, top_n, min_hit,
-                                        ktype_predicates)
-
-    async def _execute_tree(
-        self,
-        expr: MatchTermsBooleanExpr,
-        ranges_in_scope: TextRangesInScope | None,
-        top_n: int | None,
-        min_hit: int | None,
-        ktype_predicates: list[KnowledgeType],
-    ) -> dict[KnowledgeType, SemanticRefSearchResult] | None:
-        try:
-            root, leaves = self._compile_tree(expr)
-        except _Unsupported:
-            return None
-
-        n_seg = len(leaves)
-        seg_pad = _bucket(max(n_seg, 1), _SEG_BUCKETS)
-        if seg_pad * self._postings._semref_cap > _MAX_DENSE_ENTRIES:
-            return None  # transfer too large; host VM wins here
-
-        ops: list[tuple[int, float, int, int, int, int]] = []
-        op_owner: list[_Op] = []
-        boost_factor = 1.0
-        for leaf in leaves:
-            for op in leaf.ops:
-                ops.append(
-                    (
-                        self._postings.lookup(op.key),
-                        op.weight,
-                        leaf.seg,
-                        op.kind,
-                        op.position,
-                        op.ktype_gate,
-                    )
-                )
-                op_owner.append(op)
-            for key in leaf.boost_keys:
-                ops.append(
-                    (self._postings.lookup(key), 1.0, leaf.seg, OP_BOOST, 0, -1)
-                )
-                op_owner.append(None)
-            if leaf.boost_keys:
-                boost_factor = leaf.boost_factor
-
-        scope = self._scope_mask(ranges_in_scope)
+    def _run_plan_group(self, plans: list["_Plan"]) -> dict[int, dict]:
+        """One fused device call for a group of plans, host combine each."""
         n = self._n_semrefs
+        ops: list[tuple[int, float, int, int, int, int, int]] = []
+        scopes: list[np.ndarray | None] = [None]
+        boost_factor = 1.0
+        base = 0
+        for plan in plans:
+            plan.seg_base = base
+            plan.op_start = len(ops)
+            if plan.scope is None:
+                scope_id = 0
+            else:
+                scope_id = len(scopes)
+                scopes.append(plan.scope)
+            for leaf in plan.leaves:
+                for op in leaf.ops:
+                    ops.append(
+                        (
+                            self._postings.lookup(op.key),
+                            op.weight,
+                            base + leaf.seg,
+                            op.kind,
+                            op.position,
+                            op.ktype_gate,
+                            scope_id,
+                        )
+                    )
+                for key in leaf.boost_keys:
+                    ops.append(
+                        (
+                            self._postings.lookup(key),
+                            1.0,
+                            base + leaf.seg,
+                            OP_BOOST,
+                            0,
+                            -1,
+                            0,  # boost membership ignores scope
+                        )
+                    )
+                if leaf.boost_keys:
+                    boost_factor = leaf.boost_factor
+            plan.op_stop = len(ops)
+            base += len(plan.leaves)
+
         if ops:
             exact_score, exact_hits, rel_score, rel_hits, op_hit = (
                 self._postings.lookup_ops(
-                    ops, n_seg, self._semref_ktype, scope, boost_factor
+                    ops, base, self._semref_ktype, scopes, boost_factor
                 )
             )
         else:
-            exact_score = exact_hits = rel_score = rel_hits = np.zeros((n_seg, n),
-                                                                       np.float32)
+            exact_score = exact_hits = rel_score = rel_hits = np.zeros(
+                (max(base, 1), n), np.float32
+            )
             op_hit = np.zeros(0, dtype=bool)
+
+        out: dict[int, dict] = {}
+        for plan in plans:
+            lo, hi = plan.seg_base, plan.seg_base + len(plan.leaves)
+            out[plan.index] = self._combine_plan(
+                plan,
+                exact_score[lo:hi],
+                exact_hits[lo:hi],
+                rel_score[lo:hi],
+                rel_hits[lo:hi],
+                op_hit,
+                ops,
+            )
+        return out
+
+    def _combine_plan(
+        self,
+        plan: "_Plan",
+        exact_score: np.ndarray,
+        exact_hits: np.ndarray,
+        rel_score: np.ndarray,
+        rel_hits: np.ndarray,
+        op_hit: np.ndarray,
+        ops: list,
+    ) -> dict[KnowledgeType, SemanticRefSearchResult]:
+        n = self._n_semrefs
+        root, leaves = plan.root, plan.leaves
+        top_n, min_hit = plan.top_n, plan.min_hit
+        ktype_predicates = plan.ktype_predicates
 
         # Per-op term_matches bookkeeping (see _Op.text_needs_scope_hit).
         op_text: dict[int, set[str]] = {}
-        op_i = 0
+        op_i = plan.op_start
         for leaf in leaves:
             texts: set[str] = set()
             for op in leaf.ops:
@@ -725,7 +878,7 @@ class DeviceQueryExecutor:
             op_text[leaf.seg] = texts
 
         ktype = self._semref_ktype
-        scope_arr = scope if scope is not None else np.ones(n, dtype=bool)
+        scope_arr = plan.scope if plan.scope is not None else np.ones(n, dtype=bool)
 
         def leaf_insertion_order(leaf: _Leaf, member: np.ndarray) -> np.ndarray:
             """First-add order over the leaf's lookups in VM order: each

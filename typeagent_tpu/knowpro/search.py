@@ -242,6 +242,44 @@ async def search_conversation_knowledge(
         return await run_query(conversation, options, knowledge_query)
 
 
+async def search_conversation_knowledge_batch(
+    conversation: IConversation,
+    selects: list[tuple[SearchTermGroup, WhenFilter | None]],
+    options: SearchOptions | None = None,
+) -> list[dict[KnowledgeType, SemanticRefSearchResult] | None]:
+    """Knowledge matches for MANY term groups in fused device calls.
+
+    All expressible queries' term lookups run as one segmented device
+    program (knowpro/device_executor.py); inexpressible ones fall back to
+    the host VM individually. The reference has no batch analogue — its VM
+    evaluates queries strictly one at a time.
+    """
+    options = options or SearchOptions()
+    if not is_conversation_searchable(conversation):
+        return [None] * len(selects)
+    assert conversation.secondary_indexes is not None
+    compiled = []
+    for search_term_group, when_filter in selects:
+        compiler = QueryCompiler(conversation, conversation.secondary_indexes)
+        compiled.append(
+            await compiler.compile_knowledge_query(
+                search_term_group, when_filter, options
+            )
+        )
+    results: list[dict | None] = [None] * len(selects)
+    if options.use_device_executor:
+        with span("search.knowledge", route="device", batch=len(selects)):
+            executor, context = await _get_device_executor(conversation)
+            if executor is not None:
+                device_results = await executor.execute_batch(compiled, context)
+                results = list(device_results)
+    for i, knowledge_query in enumerate(compiled):
+        if results[i] is None:
+            with span("search.knowledge", route="host"):
+                results[i] = await run_query(conversation, options, knowledge_query)
+    return results
+
+
 async def search_conversation(
     conversation: IConversation,
     search_term_group: SearchTermGroup,
@@ -276,25 +314,38 @@ async def run_search_query(
 ) -> list[ConversationSearchResult]:
     options = options or SearchOptions()
     raw_text = original_query_text or query.raw_query
+    if not is_conversation_searchable(conversation):
+        return []
+    # Knowledge stage batches across all select expressions (one fused
+    # device call when the engine can express them).
+    selects = [
+        (expr.search_term_group, expr.when) for expr in query.select_expressions
+    ]
+    knowledge_results = await search_conversation_knowledge_batch(
+        conversation, selects, options
+    )
     results: list[ConversationSearchResult] = []
-    for expr in query.select_expressions:
-        one = await search_conversation(
-            conversation, expr.search_term_group, expr.when, options, raw_text
+    for knowledge_matches in knowledge_results:
+        if knowledge_matches is None:
+            continue
+        compiler = QueryCompiler(conversation, conversation.secondary_indexes)
+        message_query = await compiler.compile_message_query(
+            knowledge_matches, options, raw_text
         )
-        if one is not None:
-            results.append(one)
+        message_matches: list[ScoredMessageOrdinal] = await run_query(
+            conversation, options, message_query
+        )
+        results.append(
+            ConversationSearchResult(message_matches, knowledge_matches, raw_text)
+        )
     return results
 
 
-async def _try_device_executor(
-    conversation: IConversation,
-    knowledge_query,
-    options: SearchOptions,
-):
-    """Cached per-conversation device executor; None = fall back to host.
+async def _get_device_executor(conversation: IConversation):
+    """Cached per-conversation device executor + an eval context.
 
-    Evaluates the SAME compiled query tree the host VM would run, so the
-    device route sees identical weights, related terms, boosters and scopes.
+    Returns (None, None) for conversation objects that forbid attribute
+    caching AND fail executor construction.
     """
     from .device_executor import DeviceQueryExecutor
 
@@ -321,6 +372,20 @@ async def _try_device_executor(
         indexes.property_to_semantic_ref_index if indexes else None,
         indexes.timestamp_index if indexes else None,
     )
+    return executor, context
+
+
+async def _try_device_executor(
+    conversation: IConversation,
+    knowledge_query,
+    options: SearchOptions,
+):
+    """Cached per-conversation device executor; None = fall back to host.
+
+    Evaluates the SAME compiled query tree the host VM would run, so the
+    device route sees identical weights, related terms, boosters and scopes.
+    """
+    executor, context = await _get_device_executor(conversation)
     return await executor.execute(knowledge_query, context)
 
 

@@ -137,7 +137,8 @@ def accumulate_postings_segmented(
     kinds: jax.Array,  # [t_pad] i8: 0 exact, 1 related, 2 boost-membership
     positions: jax.Array,  # [t_pad] i32 op position within its leaf (VM order)
     ktype_gate: jax.Array,  # [t_pad] i8: -1 none, else required knowledge type
-    scope_mask: jax.Array,  # [semref_cap] bool (True = in scope)
+    scope_ids: jax.Array,  # [t_pad] i32 row into scope_masks per op
+    scope_masks: jax.Array,  # [n_scopes, semref_cap] bool (True = in scope)
     semref_ktype: jax.Array,  # [semref_cap] i8
     boost_factor: jax.Array,  # scalar f32 entity-boost multiplier
     *,
@@ -180,7 +181,10 @@ def accumulate_postings_segmented(
     gate = ktype_gate.astype(jnp.int8)
     gate_ok = (gate[:, None] < 0) | (semref_ktype[ids] == gate[:, None])
     scoring = kinds[:, None] <= OP_RELATED
-    valid_scoring = valid & scoring & gate_ok & scope_mask[ids]
+    # Per-op scope row: lets one fused call serve MANY queries, each with
+    # its own scope mask.
+    scope_ok = scope_masks[scope_ids[:, None], ids]
+    valid_scoring = valid & scoring & gate_ok & scope_ok
 
     # Boost membership (no scope/ktype gates: the VM booster inspects the
     # semref's knowledge, not a scoped lookup).
@@ -354,19 +358,22 @@ class DevicePostingsIndex:
 
     def lookup_ops(
         self,
-        ops: list[tuple[int, float, int, int, int, int]],
+        ops: list[tuple[int, float, int, int, int, int, int]],
         n_seg: int,
         semref_ktype: np.ndarray,
-        scope_semrefs: np.ndarray | None = None,
+        scopes: list[np.ndarray | None] | None = None,
         boost_factor: float = 1.0,
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-        """Segmented fused accumulation.
+        """Segmented fused accumulation (multi-query capable).
 
-        ``ops``: (tid, weight, seg, kind, position, ktype_gate) per lookup op
-        (tid from :meth:`lookup`; kind per OP_* constants; ktype_gate -1 or a
-        knowledge-type code). Returns host arrays
-        (exact_score[n_seg, n], exact_hits, related_score, related_hits,
-        op_hit[len(ops)]) truncated to n_semrefs.
+        ``ops``: (tid, weight, seg, kind, position, ktype_gate, scope_id)
+        per lookup op (tid from :meth:`lookup`; kind per OP_* constants;
+        ktype_gate -1 or a knowledge-type code; scope_id indexes ``scopes``).
+        ``scopes``: one bool mask (or None = everything) per scope id —
+        distinct queries batched into one call carry distinct scope rows.
+        Returns host arrays (exact_score[n_seg, n], exact_hits,
+        related_score, related_hits, op_hit[len(ops)]) truncated to
+        n_semrefs.
         """
         if not self._built:
             self.build()
@@ -378,26 +385,31 @@ class DevicePostingsIndex:
         kinds = np.zeros(t_pad, dtype=np.int8)
         positions = np.zeros(t_pad, dtype=np.int32)
         gates = np.full(t_pad, -1, dtype=np.int8)
+        scope_ids = np.zeros(t_pad, dtype=np.int32)
         max_size = 1
         dedup_related = False
-        for i, (tid, weight, seg, kind, position, gate) in enumerate(ops):
+        for i, (tid, weight, seg, kind, position, gate, scope_id) in enumerate(ops):
             tids[i] = tid
             weights[i] = weight
             segs[i] = seg
             kinds[i] = kind
             positions[i] = position
             gates[i] = gate
+            scope_ids[i] = scope_id
             if tid >= 0:
                 max_size = max(max_size, self.posting_size(tid))
                 if kind == OP_RELATED and self._term_has_dups[tid]:
                     dedup_related = True
         window = _bucket(max_size, _WINDOW_BUCKETS)
 
-        if scope_semrefs is None:
-            mask = np.ones(self._semref_cap, dtype=bool)
-        else:
-            mask = np.zeros(self._semref_cap, dtype=bool)
-            mask[: len(scope_semrefs)] = scope_semrefs
+        scopes = scopes or [None]
+        n_scopes = _bucket(len(scopes), (1, 2, 4, 8, 16))
+        masks = np.zeros((n_scopes, self._semref_cap), dtype=bool)
+        for row, scope in enumerate(scopes):
+            if scope is None:
+                masks[row, :] = True
+            else:
+                masks[row, : len(scope)] = scope
         ktype_padded = np.full(self._semref_cap, -1, dtype=np.int8)
         ktype_padded[: len(semref_ktype)] = semref_ktype
 
@@ -412,7 +424,8 @@ class DevicePostingsIndex:
                 jnp.asarray(kinds),
                 jnp.asarray(positions),
                 jnp.asarray(gates),
-                jnp.asarray(mask),
+                jnp.asarray(scope_ids),
+                jnp.asarray(masks),
                 jnp.asarray(ktype_padded),
                 jnp.float32(boost_factor),
                 window=window,
