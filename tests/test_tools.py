@@ -387,3 +387,33 @@ def test_outlook_device_code_flow():
     auth = DeviceCodeAuth("app-id", client=client, sleeper=lambda s: None)
     assert auth.acquire_token() == "graph-tok"
     assert polls["n"] == 3
+
+
+def test_query_batch_golden_compare(tmp_path, capsys):
+    from typeagent_tpu.tools.query import compare_results
+
+    golden = [
+        {"question": "Q1?", "answer": "The answer is A."},
+        {"question": "Q2?", "answer": "B"},
+        {"question": "Q3?", "answer": "never asked"},
+    ]
+    golden_file = tmp_path / "golden.json"
+    golden_file.write_text(json.dumps(golden))
+
+    results = [
+        {"question": "Q1?", "answer": "The  answer is   A."},  # ws-insensitive
+        {"question": "Q2?", "answer": "C"},  # mismatch
+        {"question": "Q4?", "answer": "extra"},  # not in golden
+    ]
+    mismatches = compare_results(results, str(golden_file))
+    out = capsys.readouterr().out
+    assert mismatches == 3  # Q2 diff + Q4 extra + Q3 missing
+    assert "ok: Q1?" in out
+    assert "MISMATCH: Q2?" in out and "-B" in out and "+C" in out
+    assert "EXTRA" in out and "MISSING" in out
+
+    # A clean run is a clean exit.
+    assert compare_results([{"question": "Q1?", "answer": "The answer is A."},
+                            {"question": "Q2?", "answer": "B"},
+                            {"question": "Q3?", "answer": "never asked"}],
+                           str(golden_file)) == 0

@@ -267,7 +267,60 @@ async def interactive_loop(context: QueryContext) -> None:
             print(f"[{time.perf_counter() - t0:.1f}s]")
 
 
-async def batch_loop(context: QueryContext, batch_file: str, out_file: str | None) -> None:
+def compare_results(results: list[dict], golden_file: str) -> int:
+    """Diff batch answers against a golden file; returns the mismatch count.
+
+    (Parity role: the reference driver's batch compare against
+    Episode_53_Answer_results.json with per-question diff output.) Golden
+    format: a JSON list of {"question", "answer"} objects — exactly what
+    ``--output`` writes, so a reviewed run becomes the next golden.
+    """
+    import difflib
+
+    with open(golden_file) as f:
+        golden = json.load(f)
+    by_question = {g["question"]: g for g in golden}
+    mismatches = 0
+    seen = set()
+    for result in results:
+        question = result["question"]
+        seen.add(question)
+        expected = by_question.get(question)
+        if expected is None:
+            mismatches += 1
+            print(f"EXTRA (not in golden): {question!r}")
+            continue
+        got_answer = " ".join(str(result.get("answer", "")).split())
+        want_answer = " ".join(str(expected.get("answer", "")).split())
+        if got_answer == want_answer:
+            print(f"ok: {question}")
+            continue
+        mismatches += 1
+        print(f"MISMATCH: {question}")
+        diff = difflib.unified_diff(
+            want_answer.splitlines() or [want_answer],
+            got_answer.splitlines() or [got_answer],
+            fromfile="golden",
+            tofile="got",
+            lineterm="",
+        )
+        for line in diff:
+            print(f"  {line}")
+    for question in by_question:
+        if question not in seen:
+            mismatches += 1
+            print(f"MISSING (in golden, not answered): {question!r}")
+    status = "all match" if not mismatches else f"{mismatches} mismatches"
+    print(f"golden compare: {len(results)} answers vs {golden_file}: {status}")
+    return mismatches
+
+
+async def batch_loop(
+    context: QueryContext,
+    batch_file: str,
+    out_file: str | None,
+    compare_file: str | None = None,
+) -> int:
     with open(batch_file) as f:
         questions = [q.strip() for q in f if q.strip() and not q.startswith("#")]
     results = []
@@ -290,6 +343,9 @@ async def batch_loop(context: QueryContext, batch_file: str, out_file: str | Non
             json.dump(results, f, indent=2)
         print(f"Wrote {len(results)} answers to {out_file}")
     print(json.dumps(METRICS.report(), indent=2))
+    if compare_file:
+        return compare_results(results, compare_file)
+    return 0
 
 
 def make_arg_parser() -> argparse.ArgumentParser:
@@ -300,6 +356,11 @@ def make_arg_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument("--batch", "-b", help="Batch file of questions")
     parser.add_argument("--output", "-o", help="Batch output JSON file")
+    parser.add_argument(
+        "--compare",
+        help="Golden answers JSON (an earlier --output) to diff against; "
+        "exits nonzero on mismatches",
+    )
     parser.add_argument("--verbose", "-v", action="store_true")
     parser.add_argument(
         "--search", nargs="+", help="Run one no-LLM term search and exit"
@@ -326,7 +387,11 @@ async def amain() -> None:
     if args.search:
         await do_term_search(context, args.search)
     elif args.batch:
-        await batch_loop(context, args.batch, args.output)
+        mismatches = await batch_loop(
+            context, args.batch, args.output, args.compare
+        )
+        if mismatches:
+            raise SystemExit(1)
     else:
         await interactive_loop(context)
 
