@@ -320,3 +320,31 @@ async def test_vectorstore_differential_fuzz():
             assert len(store2) == len(store)
             store = store2
     assert len(store) == oracle.shape[0] > 0
+
+
+def test_approx_search_mode(rng):
+    """search_mode='approx' rides approx_max_k; on small stores (CPU path)
+    results match the exact oracle."""
+    dim = 32
+    store = make_store(dim, search_mode="approx", recall_target=0.99)
+    matrix = random_normalized(rng, 1200, dim)
+    store.add_embeddings(None, matrix)
+    q = matrix[321]
+    result = store.fuzzy_lookup_embedding(q, max_hits=10)
+    assert result[0].item == 321
+    assert result[0].score == pytest.approx(1.0, abs=1e-5)
+    expected = oracle_lookup(matrix, q, max_hits=10)
+    got = {r.item for r in result}
+    want = {i for i, _ in expected}
+    # recall@10 against the exact scan (CPU approx_max_k is near-exact).
+    assert len(got & want) >= 9
+    # Scores of agreeing indices are exact (same raw dot + score map).
+    score_of = dict(expected)
+    for r in result:
+        if r.item in score_of:
+            assert r.score == pytest.approx(score_of[r.item], abs=2e-5)
+
+
+def test_approx_mode_rejects_unknown():
+    with pytest.raises(AssertionError):
+        make_store(8, search_mode="fuzzy")

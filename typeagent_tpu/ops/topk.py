@@ -492,6 +492,50 @@ def cosine_topk_quantized(
 
 
 # ---------------------------------------------------------------------------
+# Approximate path: XLA's hardware-accelerated approx_max_k (TPU PartialReduce)
+# over the raw score matrix. Measured at the matmul+HBM floor on v5e (the
+# exact kernel's merge costs ~20-30% on top), with recall@k ~= recall_target.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k", "recall_target"))
+def _topk_approx_impl(
+    emb: jax.Array,
+    queries: jax.Array,
+    count: jax.Array,
+    *,
+    k: int,
+    recall_target: float,
+):
+    raw = jnp.einsum(
+        "bd,nd->bn",
+        queries.astype(emb.dtype),
+        emb,
+        preferred_element_type=jnp.float32,
+    )
+    n = emb.shape[0]
+    valid = jnp.arange(n, dtype=jnp.int32)[None, :] < count
+    raw = jnp.where(valid, raw, _RAW_NEG)
+    vals, idx = jax.lax.approx_max_k(raw, k, recall_target=recall_target)
+    return _raw_to_score(vals, idx.astype(jnp.int32))
+
+
+def cosine_topk_approx(
+    emb: jax.Array,
+    queries: jax.Array,
+    count: jax.Array | int,
+    k: int,
+    recall_target: float = 0.95,
+):
+    """Approximate batched top-k (recall ~= recall_target vs the exact scan)."""
+    k = min(k, emb.shape[0])
+    count_arr = jnp.asarray(count, dtype=jnp.int32).reshape(())
+    return _topk_approx_impl(
+        emb, queries, count_arr, k=k, recall_target=recall_target
+    )
+
+
+# ---------------------------------------------------------------------------
 # XLA path (CPU meshes / oracle)
 # ---------------------------------------------------------------------------
 

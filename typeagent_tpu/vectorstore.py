@@ -77,6 +77,8 @@ class TextEmbeddingIndexSettings:
         batch_size: int | None = None,
         dtype: str = "float32",
         mesh=None,
+        search_mode: str = "exact",
+        recall_target: float = 0.95,
     ):
         if embedding_model is None:
             from .models.adapters import create_embedding_model
@@ -92,6 +94,13 @@ class TextEmbeddingIndexSettings:
         # Optional jax.sharding.Mesh: the store's embedding matrix shards
         # over the mesh's fragment axis (multi-chip conversations).
         self.mesh = mesh
+        # "exact" (default) or "approx": approximate lookups ride XLA's
+        # hardware-accelerated approx_max_k at ~recall_target recall — the
+        # big-corpus serving mode (measured at the matmul+HBM floor; the
+        # exact kernel's running-top-k merge costs ~20-30% on top).
+        assert search_mode in ("exact", "approx"), search_mode
+        self.search_mode = search_mode
+        self.recall_target = recall_target
 
 
 def _bucket(n: int, buckets=_QUERY_BUCKETS) -> int:
@@ -349,6 +358,11 @@ class VectorStore:
         if self._quantized:
             return topk.cosine_topk_quantized(
                 self._buf, self._scales, q, self._count, k
+            )
+        if self.settings.search_mode == "approx":
+            return topk.cosine_topk_approx(
+                self._buf, q, self._count, k,
+                recall_target=self.settings.recall_target,
             )
         return topk.cosine_topk(self._buf, q, self._count, k)
 
