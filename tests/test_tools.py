@@ -301,7 +301,9 @@ def test_dump_gmail_token_refresh(tmp_path):
         )
         assert body["grant_type"] == "refresh_token"
         assert body["refresh_token"] == "rt"
-        return httpx.Response(200, json={"access_token": "fresh-tok"})
+        return httpx.Response(
+            200, json={"access_token": "fresh-tok", "expires_in": 1200}
+        )
 
     client = httpx.Client(transport=httpx.MockTransport(handler))
     token = resolve_access_token(None, str(creds_dir), client)
@@ -417,3 +419,48 @@ def test_query_batch_golden_compare(tmp_path, capsys):
                             {"question": "Q2?", "answer": "B"},
                             {"question": "Q3?", "answer": "never asked"}],
                            str(golden_file)) == 0
+
+
+def test_gmail_cached_token_respects_short_expiry(tmp_path):
+    """A short server-reported expires_in must not be outlived by the cache."""
+    import httpx
+    import time as time_mod
+
+    from typeagent_tpu.tools.mail.dump_gmail import resolve_access_token
+
+    creds_dir = tmp_path / "creds"
+    creds_dir.mkdir()
+    (creds_dir / "token.json").write_text(
+        json.dumps(
+            {"refresh_token": "rt", "client_id": "cid", "client_secret": "cs"}
+        )
+    )
+    calls = {"n": 0}
+
+    def handler(request):
+        calls["n"] += 1
+        return httpx.Response(
+            200,
+            json={"access_token": f"tok-{calls['n']}", "expires_in": 200},
+        )
+
+    client = httpx.Client(transport=httpx.MockTransport(handler))
+    token = resolve_access_token(None, str(creds_dir), client)
+    assert token == "tok-1"
+    # expires_in 200 with a 300s safety margin -> never cached as valid:
+    # the next resolve refreshes again instead of serving a stale token.
+    token2 = resolve_access_token(None, str(creds_dir), client)
+    assert token2 == "tok-2"
+    assert calls["n"] == 2
+
+
+def test_outlook_safe_name_no_collisions_on_long_ids():
+    from typeagent_tpu.tools.mail.dump_outlook import _safe_name
+
+    prefix = "AAMkAD" + "x" * 140
+    a = _safe_name(prefix + "AAA=")
+    b = _safe_name(prefix + "BBB=")
+    assert a != b
+    assert len(a) <= 120 and len(b) <= 120
+    short = _safe_name("simple-id")
+    assert short == "simple-id"

@@ -87,6 +87,10 @@ _CHUNK_BASE = 1 << 21
 # Transfer gate: per-segment dense output is 4 x [n_seg_pad, semref_cap] f32;
 # past this many entries the host VM is the better engine.
 _MAX_DENSE_ENTRIES = 4 * 1024 * 1024
+# Gather gate: the scatter program materializes ~6 intermediates of
+# [t_pad, window] (window = longest queried posting list, bucketed); past
+# this many elements per intermediate, fall back rather than risk OOM.
+_MAX_GATHER_ELEMENTS = 16 * 1024 * 1024
 
 
 def _loc_key(message_ordinal: int, chunk_ordinal: int) -> int:
@@ -387,6 +391,7 @@ class DeviceQueryExecutor:
         # consult an uncertain entry, results could diverge -> host VM.
         uncertain: set[tuple] = set()
         added_stack: list[set[tuple]] = []
+        boost_factors: list[float] = []
 
         def mark_seen(entry: tuple) -> None:
             seen.add(entry)
@@ -586,6 +591,11 @@ class DeviceQueryExecutor:
                 if not leaf.ops:
                     return _drop(leaf)
                 if factor is not None:
+                    # One fused call applies a single boost multiplier;
+                    # mixed per-leaf factors can't be expressed.
+                    if boost_factors and float(factor) != boost_factors[0]:
+                        raise _Unsupported
+                    boost_factors.append(float(factor))
                     leaf.boost_factor = float(factor)
                     texts = [st.term.text] + [
                         r.text for r in st.related_terms or ()
@@ -739,17 +749,51 @@ class DeviceQueryExecutor:
             return None
         return expr, top_n, min_hit, ktype_predicates
 
+    def _plan_cost(self, plan: "_Plan") -> tuple[int, int]:
+        """(op count, longest queried posting list) for the gather gate."""
+        n_ops = 0
+        max_size = 1
+        for leaf in plan.leaves:
+            for op in leaf.ops:
+                n_ops += 1
+                max_size = max(
+                    max_size,
+                    self._postings.posting_size(self._postings.lookup(op.key)),
+                )
+            for key in leaf.boost_keys:
+                n_ops += 1
+                max_size = max(
+                    max_size,
+                    self._postings.posting_size(self._postings.lookup(key)),
+                )
+        return n_ops, max_size
+
+    @staticmethod
+    def _gather_elements(n_ops: int, window: int) -> int:
+        from ..ops.postings import _TERM_BUCKETS, _WINDOW_BUCKETS
+
+        return _bucket(max(n_ops, 1), _TERM_BUCKETS) * _bucket(
+            window, _WINDOW_BUCKETS
+        )
+
     def _group_plans(self, plans: list["_Plan"]) -> list[list["_Plan"]]:
-        """Pack plans into device calls under the dense-output budget; plans
-        with conflicting boost factors split into separate calls."""
+        """Pack plans into device calls under the dense-output AND gather
+        budgets; plans with conflicting boost factors split into separate
+        calls; plans too large even alone are skipped (host VM)."""
         cap = self._postings._semref_cap
         groups: list[list[_Plan]] = []
         current: list[_Plan] = []
         current_segs = 0
+        current_ops = 0
+        current_window = 1
         current_factor: float | None = None
         for plan in plans:
             n_seg = len(plan.leaves)
-            if _bucket(max(n_seg, 1), _SEG_BUCKETS) * cap > _MAX_DENSE_ENTRIES:
+            n_ops, window = self._plan_cost(plan)
+            if (
+                _bucket(max(n_seg, 1), _SEG_BUCKETS) * cap > _MAX_DENSE_ENTRIES
+                or self._gather_elements(n_ops, window) > _MAX_GATHER_ELEMENTS
+            ):
                 continue  # too large even alone: host VM wins here
             factor = plan.boost_factor()
             compatible = (
@@ -760,12 +804,20 @@ class DeviceQueryExecutor:
             fits = (
                 _bucket(max(current_segs + n_seg, 1), _SEG_BUCKETS) * cap
                 <= _MAX_DENSE_ENTRIES
+            ) and (
+                self._gather_elements(
+                    current_ops + n_ops, max(current_window, window)
+                )
+                <= _MAX_GATHER_ELEMENTS
             )
             if current and not (compatible and fits):
                 groups.append(current)
-                current, current_segs, current_factor = [], 0, None
+                current, current_segs = [], 0
+                current_ops, current_window, current_factor = 0, 1, None
             current.append(plan)
             current_segs += n_seg
+            current_ops += n_ops
+            current_window = max(current_window, window)
             if factor is not None:
                 current_factor = factor
         if current:

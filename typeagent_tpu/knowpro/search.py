@@ -18,8 +18,11 @@ or/or_max groups through the fused device postings program
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Callable
 from typing import TypeGuard, cast
+
+logger = logging.getLogger(__name__)
 
 from ..storage.memory.messageindex import IMessageTextEmbeddingIndex
 from ..storage.memory.reltermsindex import resolve_related_terms
@@ -233,9 +236,15 @@ async def search_conversation_knowledge(
     )
     if options.use_device_executor:
         with span("search.knowledge", route="device"):
-            device_result = await _try_device_executor(
-                conversation, knowledge_query, options
-            )
+            try:
+                device_result = await _try_device_executor(
+                    conversation, knowledge_query, options
+                )
+            except Exception:
+                # The host VM is the always-correct fallback: never let a
+                # device-engine failure abort a search.
+                logger.exception("device executor failed; host VM fallback")
+                device_result = None
         if device_result is not None:
             return device_result
     with span("search.knowledge", route="host"):
@@ -269,10 +278,14 @@ async def search_conversation_knowledge_batch(
     results: list[dict | None] = [None] * len(selects)
     if options.use_device_executor:
         with span("search.knowledge", route="device", batch=len(selects)):
-            executor, context = await _get_device_executor(conversation)
-            if executor is not None:
-                device_results = await executor.execute_batch(compiled, context)
-                results = list(device_results)
+            try:
+                executor, context = await _get_device_executor(conversation)
+                results = list(await executor.execute_batch(compiled, context))
+            except Exception:
+                # The host VM is the always-correct fallback: never let a
+                # device-engine failure abort a search.
+                logger.exception("device executor failed; host VM fallback")
+                results = [None] * len(selects)
     for i, knowledge_query in enumerate(compiled):
         if results[i] is None:
             with span("search.knowledge", route="host"):
@@ -344,8 +357,9 @@ async def run_search_query(
 async def _get_device_executor(conversation: IConversation):
     """Cached per-conversation device executor + an eval context.
 
-    Returns (None, None) for conversation objects that forbid attribute
-    caching AND fail executor construction.
+    Always returns a live (executor, context) pair — conversations that
+    forbid attribute caching just rebuild the executor per call. Errors
+    propagate to the callers' fallback guards.
     """
     from .device_executor import DeviceQueryExecutor
 

@@ -83,7 +83,8 @@ class ConversationCorpus:
             if total <= synced:
                 continue
             base = tli._embedding_index._vector_base
-            rows = base.serialize()[synced:total]
+            # Ranged copy: O(new rows), not a full-store serialize.
+            rows = base.host_rows(synced, total)
             locations = [tli.get(pos) for pos in range(synced, total)]
             self._store.append(conv_name, np.asarray(rows, dtype=np.float32))
             self._locations[conv_name].extend(locations)

@@ -374,6 +374,28 @@ class ShardedVectorStore:
             )
         return out
 
+    def search_dispatch(self, queries: np.ndarray, k: int, min_score: float = 0.0):
+        """Dispatch a batched lookup WITHOUT materializing results (jax
+        dispatch is async); pair with :meth:`collect_search` to pipeline
+        many batches without a device round trip between them."""
+        self._flush()
+        if self.count == 0:
+            return ("empty", queries.shape[0])
+        b = queries.shape[0]
+        q = self._pad_queries(queries)
+        k_eff = min(k, self.count)
+        fn = _sharded_topk_cached(self.mesh, k_eff, self._quantized)
+        pre, post = self._device_args(q, min_score)
+        vals, idx = fn(*pre, *post)
+        return (vals, idx, b)
+
+    def collect_search(self, handle) -> list[list[tuple[int, float]]]:
+        """Materialize a search_dispatch handle."""
+        if handle[0] == "empty":
+            return [[] for _ in range(handle[1])]
+        vals, idx, b = handle
+        return self._collect(vals, idx, b)
+
     def search(
         self,
         queries: np.ndarray,
@@ -381,16 +403,7 @@ class ShardedVectorStore:
         min_score: float = 0.0,
     ) -> list[list[tuple[int, float]]]:
         """Batched distributed lookup -> per-query (ordinal, score) lists."""
-        self._flush()
-        if self.count == 0:
-            return [[] for _ in range(queries.shape[0])]
-        b = queries.shape[0]
-        q = self._pad_queries(queries)
-        k_eff = min(k, self.count)
-        fn = _sharded_topk_cached(self.mesh, k_eff, self._quantized)
-        pre, post = self._device_args(q, min_score)
-        vals, idx = fn(*pre, *post)
-        return self._collect(vals, idx, b)
+        return self.collect_search(self.search_dispatch(queries, k, min_score))
 
     def search_subset(
         self,
@@ -454,12 +467,18 @@ class ShardedVectorStore:
 
     def get_row(self, pos: int) -> np.ndarray:
         """One live row as a host f32 vector (dequantized)."""
+        return self.get_rows(pos, pos + 1)[0]
+
+    def get_rows(self, start: int, stop: int) -> np.ndarray:
+        """Live rows [start, stop) as host f32 — O(stop-start), not O(n)."""
         self._flush()
-        assert 0 <= pos < self.count
-        row = self.buf[pos, : self.dim].astype(jnp.float32)
+        stop = min(stop, self.count)
+        if stop <= start:
+            return np.empty((0, self.dim), dtype=np.float32)
+        rows = self.buf[start:stop, : self.dim].astype(jnp.float32)
         if self._quantized:
-            row = row * self._scales[pos]
-        return np.asarray(row)
+            rows = rows * self._scales[start:stop, None]
+        return np.asarray(rows)
 
     # -- persistence -----------------------------------------------------------
 

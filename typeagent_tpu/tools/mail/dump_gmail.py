@@ -71,8 +71,8 @@ class GmailClient:
 
 def refresh_access_token(
     creds: dict, client: httpx.Client | None = None
-) -> str:
-    """OAuth2 refresh-token grant against Google's token endpoint."""
+) -> tuple[str, float]:
+    """OAuth2 refresh-token grant; returns (access_token, expires_in_s)."""
     client = client or httpx.Client(timeout=30.0)
     resp = client.post(
         TOKEN_URL,
@@ -84,7 +84,8 @@ def refresh_access_token(
         },
     )
     resp.raise_for_status()
-    return resp.json()["access_token"]
+    data = resp.json()
+    return data["access_token"], float(data.get("expires_in", 3600))
 
 
 def resolve_access_token(
@@ -104,9 +105,10 @@ def resolve_access_token(
         # A still-valid cached access token short-circuits the refresh.
         if creds.get("access_token") and creds.get("expiry_ts", 0) > time.time() + 60:
             return creds["access_token"]
-        token = refresh_access_token(creds, client)
+        token, expires_in = refresh_access_token(creds, client)
         creds["access_token"] = token
-        creds["expiry_ts"] = time.time() + 3300
+        # Cache until 5 minutes before the server-reported expiry.
+        creds["expiry_ts"] = time.time() + max(0.0, expires_in - 300)
         with open(token_file, "w") as f:
             json.dump(creds, f)
         return token

@@ -120,7 +120,18 @@ class OutlookClient:
 
 
 def _safe_name(message_id: str) -> str:
-    return re.sub(r"[^A-Za-z0-9_.-]", "_", message_id)[:120]
+    """Filesystem-safe, collision-free name for a Graph message id.
+
+    Graph ids often exceed 150 chars and share a long mailbox prefix, so a
+    bare truncation would collide; a content hash suffix keeps truncated
+    names unique."""
+    import hashlib
+
+    cleaned = re.sub(r"[^A-Za-z0-9_.-]", "_", message_id)
+    if len(cleaned) <= 120:
+        return cleaned
+    digest = hashlib.sha256(message_id.encode()).hexdigest()[:12]
+    return f"{cleaned[:107]}.{digest}"
 
 
 def dump_outlook(

@@ -99,6 +99,16 @@ class TextEmbeddingIndexSettings:
         # big-corpus serving mode (measured at the matmul+HBM floor; the
         # exact kernel's running-top-k merge costs ~20-30% on top).
         assert search_mode in ("exact", "approx"), search_mode
+        if search_mode == "approx" and dtype == "int8":
+            raise ValueError(
+                "search_mode='approx' supports float32/bfloat16 stores only "
+                "(the int8 path has its own fused kernel)"
+            )
+        if search_mode == "approx" and mesh is not None:
+            raise ValueError(
+                "search_mode='approx' is not implemented for mesh-sharded "
+                "stores yet; use exact mode"
+            )
         self.search_mode = search_mode
         self.recall_target = recall_target
 
@@ -381,13 +391,13 @@ class VectorStore:
         if self._count == 0 or queries.shape[0] == 0:
             return None
         if self._mesh is not None:
-            # Sharded search dispatches asynchronously too (jax dispatch);
-            # results materialize in collect_lookup.
-            raw = self._sharded_store().search(
+            # Async dispatch on the mesh too: results materialize in
+            # collect_lookup.
+            handle = self._sharded_store().search_dispatch(
                 np.asarray(queries, dtype=np.float32),
                 k=min(max_hits, self._count),
             )
-            return ("sharded", raw)
+            return ("sharded", handle)
         q = self._pad_queries(queries)
         k = min(max_hits, self._count)
         vals, idx = self._topk(q, k)
@@ -401,10 +411,11 @@ class VectorStore:
         """Materialize a dispatch_lookup handle into scored results."""
         if handle is None:
             return []
-        if isinstance(handle[0], str):  # ("sharded", raw-results)
+        if isinstance(handle[0], str):  # ("sharded", dispatch handle)
+            raw = self._sharded_store().collect_search(handle[1])
             return [
                 [ScoredInt(i, v) for i, v in row if v >= min_score]
-                for row in handle[1]
+                for row in raw
             ]
         vals, idx, b = handle
         vals = np.asarray(vals)[:b]
@@ -508,6 +519,21 @@ class VectorStore:
         if not parts:
             return np.empty((0, self._embedding_size), dtype=np.float32)
         return np.concatenate(parts, axis=0)
+
+    def host_rows(self, start: int, stop: int) -> np.ndarray:
+        """Live rows [start, stop) as host f32 — O(stop-start), not O(n)
+        like serialize(); the incremental-sync path for mirrors (e.g.
+        ConversationCorpus.refresh)."""
+        self._flush()
+        stop = min(stop, len(self))
+        if stop <= start:
+            return np.empty((0, self._embedding_size), dtype=np.float32)
+        if self._mesh is not None:
+            return self._sharded_store().get_rows(start, stop)
+        rows = self._buf[start:stop, : self._embedding_size].astype(jnp.float32)
+        if self._quantized:
+            rows = rows * self._scales[start:stop, None]
+        return np.asarray(rows)
 
     def get_embedding_at(self, pos: int) -> np.ndarray:
         n = len(self)
