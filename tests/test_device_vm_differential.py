@@ -211,6 +211,22 @@ def random_when_filter(rng) -> WhenFilter | None:
                 TextLocation(start_msg + int(rng.integers(1, 5))),
             )
         ]
+    if rng.random() < 0.3:
+        # Message-derived scope: a term group whose matching messages bound
+        # the query (the action-scope pattern stage 2 emits). Evaluated by
+        # host selectors on BOTH routes; parity must still hold through the
+        # scope -> mask -> device pipeline.
+        filter.scope_defining_terms = SearchTermGroup(
+            boolean_op=str(rng.choice(["or", "and", "or_max"])),
+            terms=[
+                random_property_term(rng)
+                if rng.random() < 0.5
+                else random_search_term(rng)
+                for _ in range(int(rng.integers(1, 3)))
+            ],
+        )
+    if rng.random() < 0.2:
+        filter.tags = [str(rng.choice(WORDS))]
     return filter
 
 
@@ -403,3 +419,68 @@ async def test_search_conversation_knowledge_batch_api():
     for (group, when), batched in zip(selects, batch):
         single = await search_conversation_knowledge(conv, group, when, options)
         assert_results_equivalent(batched, single, group)
+
+
+async def test_device_scope_eval_matches_host_selectors():
+    """_eval_scope's device-routed message-member sets == the host
+    selector evaluation, over randomized compiled scopes."""
+    rng = np.random.default_rng(31)
+    conv = await build_fuzz_conversation(rng)
+    executor = DeviceQueryExecutor(conv)
+    await executor.sync()
+    indexes = conv.secondary_indexes
+
+    checked = 0
+    for qi in range(25):
+        group = random_group(rng)
+        when = WhenFilter()
+        when.scope_defining_terms = SearchTermGroup(
+            boolean_op=str(rng.choice(["or", "and", "or_max"])),
+            terms=[
+                random_property_term(rng)
+                if rng.random() < 0.5
+                else random_search_term(rng)
+                for _ in range(int(rng.integers(1, 4)))
+            ],
+        )
+        compiler = QueryCompiler(conv, indexes)
+        query = await compiler.compile_knowledge_query(
+            group, when, SearchOptions(exact_match=bool(rng.random() < 0.5))
+        )
+        unwrapped = executor._unwrap(query)
+        if unwrapped is None:
+            continue
+        expr = unwrapped[0]
+        if expr.get_scope_expr is None:
+            continue
+        checked += 1
+        context = QueryEvalContext(
+            conv,
+            indexes.property_to_semantic_ref_index,
+            indexes.timestamp_index,
+        )
+        device_scope = await executor._eval_scope(expr.get_scope_expr, context)
+        context2 = QueryEvalContext(
+            conv,
+            indexes.property_to_semantic_ref_index,
+            indexes.timestamp_index,
+        )
+        host_scope = await expr.get_scope_expr.eval(context2)
+
+        def ranges_of(scope):
+            return [
+                [
+                    (
+                        r.start.message_ordinal,
+                        r.start.chunk_ordinal,
+                        (r.end.message_ordinal, r.end.chunk_ordinal)
+                        if r.end
+                        else None,
+                    )
+                    for r in coll
+                ]
+                for coll in (scope.text_ranges or [])
+            ]
+
+        assert ranges_of(device_scope) == ranges_of(host_scope), (qi, when)
+    assert checked >= 15

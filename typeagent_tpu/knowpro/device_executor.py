@@ -60,6 +60,10 @@ from .query import (
     GroupByKnowledgeTypeExpr,
     GroupSearchResultsExpr,
     KnowledgeTypePredicate,
+    MatchMessagesAndExpr,
+    MatchMessagesBooleanExpr,
+    MatchMessagesOrExpr,
+    MatchMessagesOrMaxExpr,
     MatchPropertySearchTermExpr,
     MatchSearchTermExpr,
     MatchTagExpr,
@@ -70,7 +74,9 @@ from .query import (
     MatchTopicExpr,
     QueryEvalContext,
     SelectTopNKnowledgeGroupExpr,
+    TextRangesFromMessagesSelector,
     WhereSemanticRefExpr,
+    text_ranges_from_message_ordinals,
 )
 
 _KTYPE_CODES: dict[KnowledgeType, int] = {
@@ -82,7 +88,8 @@ _KTYPE_CODES: dict[KnowledgeType, int] = {
 _PROP_PREFIX = "prop!"  # namespace separating property keys from plain terms
 
 # (msg, chunk) -> sortable int64 key; chunk ordinals stay far below this.
-_CHUNK_BASE = 1 << 21
+_CHUNK_SHIFT = 21
+_CHUNK_BASE = 1 << _CHUNK_SHIFT
 
 # Transfer gate: per-segment dense output is 4 x [n_seg_pad, semref_cap] f32;
 # past this many entries the host VM is the better engine.
@@ -674,11 +681,14 @@ class DeviceQueryExecutor:
             if self._n_semrefs == 0:
                 results[i] = {}
                 continue
-            # Scope selectors run on the host (timestamp index, threads,
-            # message-derived sub-queries) exactly as begin_match would.
+            # Scope selectors evaluate exactly as begin_match would; the
+            # message-derived selectors (action scopes) additionally run
+            # their term sub-queries on the device when expressible.
             ranges_in_scope: TextRangesInScope | None = None
             if expr.get_scope_expr is not None:
-                ranges_in_scope = await expr.get_scope_expr.eval(context)
+                ranges_in_scope = await self._eval_scope(
+                    expr.get_scope_expr, context
+                )
             try:
                 root, leaves = self._compile_tree(expr)
             except _Unsupported:
@@ -698,6 +708,165 @@ class DeviceQueryExecutor:
             for index, result in self._run_plan_group(plan_group).items():
                 results[index] = result
         return results
+
+    # -- scope sub-query evaluation ---------------------------------------------
+
+    async def _eval_scope(
+        self, scope_expr: GetScopeExpr, context: QueryEvalContext
+    ) -> TextRangesInScope:
+        """GetScopeExpr.eval with message-derived selectors device-routed.
+
+        Scope needs only MEMBER SETS (TextRangesFromMessagesSelector reads
+        ``get_matched_values``, never scores), so the action-scope term
+        sub-queries reduce to set algebra over per-leaf semref members.
+        Selectors the device can't express (or_max message groups, date
+        ranges, threads, precomputed ranges) evaluate on the host as the VM
+        would; results are identical either way.
+        """
+        from .collections import TextRangeCollection
+
+        scope = TextRangesInScope()
+        for selector in scope_expr.range_selectors:
+            if isinstance(selector, TextRangesFromMessagesSelector):
+                ordinals = self._device_message_members(selector.source_expr)
+                if ordinals is not None:
+                    if ordinals.size == 0:
+                        # VM: no matches -> empty collection (rejects all).
+                        scope.add_text_ranges(TextRangeCollection(None))
+                    else:
+                        scope.add_text_ranges(
+                            TextRangeCollection(
+                                text_ranges_from_message_ordinals(
+                                    [int(o) for o in ordinals]
+                                )
+                            )
+                        )
+                    continue
+            collection = await selector.eval(context)
+            if collection is not None:
+                scope.add_text_ranges(collection)
+        return scope
+
+    def _device_message_members(self, expr) -> np.ndarray | None:
+        """Sorted matched-message ordinals of a MatchMessages* tree, or None.
+
+        The tree's leaves are the same term expressions the knowledge path
+        compiles; message-level booleans reduce to set algebra because every
+        member has hit_count >= 1 (AND's select_with_hit_count(n) always
+        passes intersection members). or_max filters BY hit count, which is
+        order-sensitive -> host fallback.
+        """
+        if not isinstance(expr, MatchMessagesBooleanExpr):
+            return None
+
+        def to_terms_tree(e):
+            # Rebuild as a MatchTerms tree so _compile_tree walks it with
+            # identical dedupe simulation; group boundaries are remembered
+            # so the combine runs at MESSAGE level per boundary.
+            if isinstance(e, MatchMessagesOrMaxExpr):
+                raise _Unsupported  # hit-count peak filter is order-sensitive
+            if isinstance(e, MatchMessagesAndExpr):
+                ctor = MatchTermsAndExpr
+            elif isinstance(e, MatchMessagesOrExpr):
+                ctor = MatchTermsOrExpr
+            else:
+                raise _Unsupported
+            children = [
+                to_terms_tree(c) if isinstance(c, MatchMessagesBooleanExpr) else c
+                for c in e.term_expressions
+            ]
+            return ctor(children, None)
+
+        try:
+            faux = to_terms_tree(expr)
+            root, leaves = self._compile_tree(faux)
+        except _Unsupported:
+            return None
+        if not leaves or self._n_semrefs == 0:
+            return np.empty(0, dtype=np.int64)
+        n_seg = len(leaves)
+        n_ops, window = self._plan_cost(
+            _Plan(0, root, leaves, None, None, [], None)
+        )
+        if (
+            _bucket(max(n_seg, 1), _SEG_BUCKETS) * self._postings._semref_cap
+            > _MAX_DENSE_ENTRIES
+            or self._gather_elements(n_ops, window) > _MAX_GATHER_ELEMENTS
+        ):
+            return None
+
+        ops = []
+        for leaf in leaves:
+            for op in leaf.ops:
+                ops.append(
+                    (
+                        self._postings.lookup(op.key),
+                        op.weight,
+                        leaf.seg,
+                        op.kind,
+                        op.position,
+                        op.ktype_gate,
+                        0,
+                    )
+                )
+            # boost ops don't affect membership: skipped entirely.
+        if ops:
+            _, exact_hits, _, rel_hits, _ = self._postings.lookup_ops(
+                ops, n_seg, self._semref_ktype, None, 1.0
+            )
+        else:
+            exact_hits = rel_hits = np.zeros((n_seg, self._n_semrefs), np.float32)
+
+        ktype = self._semref_ktype
+        start_msgs = self._sem_start_key >> _CHUNK_SHIFT
+        last_msgs = self._sem_end_key >> _CHUNK_SHIFT
+        n_messages = int(last_msgs.max()) + 1 if last_msgs.size else 0
+
+        def semrefs_to_messages(member: np.ndarray) -> np.ndarray:
+            msg_mask = np.zeros(n_messages, dtype=bool)
+            ords = np.flatnonzero(member)
+            starts = start_msgs[ords]
+            lasts = last_msgs[ords]
+            single = starts == lasts
+            msg_mask[starts[single]] = True
+            for s, e in zip(starts[~single], lasts[~single]):
+                msg_mask[s : e + 1] = True
+            return msg_mask
+
+        def eval_node(node) -> np.ndarray | None:
+            """Message membership mask; None = empty accumulator (falsy)."""
+            if isinstance(node, _Leaf):
+                if node.seg < 0:
+                    return None
+                member = (exact_hits[node.seg] > 0) | (rel_hits[node.seg] > 0)
+                for code, _w, _t in node.wildcards:
+                    member = member | (ktype == code)
+                if not member.any():
+                    return None
+                return semrefs_to_messages(member)
+            children = [eval_node(c) for c in node.children]
+            if node.op == "or":
+                present = [c for c in children if c is not None]
+                if not present:
+                    return None
+                out = present[0].copy()
+                for c in present[1:]:
+                    out |= c
+                return out
+            # AND: any empty child empties the whole conjunction; every
+            # intersection member has summed hit_count >= n, so the VM's
+            # final select_with_hit_count(n) never removes anyone.
+            if any(c is None for c in children):
+                return None
+            out = children[0].copy()
+            for c in children[1:]:
+                out &= c
+            return out if out.any() else None
+
+        mask = eval_node(root)
+        if mask is None:
+            return np.empty(0, dtype=np.int64)
+        return np.flatnonzero(mask).astype(np.int64)
 
     async def _execute_tree(
         self,
@@ -1129,7 +1298,7 @@ class DeviceQueryExecutor:
         )
         combined_scope = ranges_in_scope
         if inner.get_scope_expr is not None:
-            compiled_scope = await inner.get_scope_expr.eval(context)
+            compiled_scope = await self._eval_scope(inner.get_scope_expr, context)
             if combined_scope is None:
                 combined_scope = compiled_scope
             else:
