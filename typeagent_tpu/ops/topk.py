@@ -512,6 +512,13 @@ def _topk_approx_impl(
         queries.astype(emb.dtype),
         emb,
         preferred_element_type=jnp.float32,
+        # f32 stores keep score parity with the exact paths (default TPU
+        # precision splits f32 into bf16 passes, ~1e-3 drift).
+        precision=(
+            jax.lax.Precision.HIGHEST
+            if emb.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        ),
     )
     n = emb.shape[0]
     valid = jnp.arange(n, dtype=jnp.int32)[None, :] < count
