@@ -93,13 +93,19 @@ def bench(dtype, b, k=K):
 
 
 def main():
+    import os
+
     log("devices:", jax.devices())
-    for dtype in ("bfloat16", "int8", "float32"):
-        for b in (64, 256):
-            bench(dtype, b)
-    # batch scaling + k scaling at the headline configs
-    bench("bfloat16", 1024)
-    bench("int8", 1024)
+    # A/B the merge tier within ONE process (tunnel throughput varies ±40%
+    # between processes; only interleaved comparisons are meaningful).
+    for tier in ("extract", "chain", "extract", "chain"):
+        os.environ["TAT_TOPK_MERGE"] = tier
+        log(f"--- merge tier: {tier}")
+        bench("bfloat16", 256)
+        bench("bfloat16", 64)
+    os.environ["TAT_TOPK_MERGE"] = "chain"
+    for dtype in ("int8", "float32"):
+        bench(dtype, 256)
     bench("bfloat16", 256, k=1)
     bench("bfloat16", 256, k=16)
 

@@ -196,6 +196,44 @@ def _write_topk(vals_ref, idx_ref, out_vals, out_idx, k: int):
 _FAST_M = 2
 
 
+def _merge_tier() -> str:
+    """Merge strategy for 1 < n_above <= _FAST_M (A/B knob, read at trace
+    time): "chain" = two sequential sorted-inserts; "extract" = top-2
+    extraction + splice + 128-lane re-extraction."""
+    import os
+
+    return os.environ.get("TAT_TOPK_MERGE", "chain")
+
+
+def _sorted_insert_top1(scores, tile_base, vals_ref, idx_ref, k: int):
+    """Sort-insert each row's tile maximum into the running block.
+
+    Rows whose maximum doesn't beat their kth-best get rank k and the write
+    lands in the pad lanes (a no-op) — no predication needed. Returns the
+    argmax column so callers can knock it out and chain another insert.
+    """
+    best = jnp.max(scores, axis=1, keepdims=True)  # [b, 1]
+    pos = jnp.argmax(scores, axis=1, keepdims=True).astype(jnp.int32)
+    best_idx = pos + tile_base  # column -> global row id (affine)
+    lane = jax.lax.broadcasted_iota(jnp.int32, vals_ref.shape, 1)
+    vals = vals_ref[:]
+    idx = idx_ref[:]
+    # Rank among the k live lanes (full-width masked reduce; ties keep the
+    # running entry ahead).
+    rank = jnp.sum(
+        jnp.where((lane < k) & (vals >= best), 1, 0), axis=1, keepdims=True
+    )
+    shifted_vals = pltpu.roll(vals, 1, 1)
+    shifted_idx = pltpu.roll(idx, 1, 1)
+    vals_ref[:] = jnp.where(
+        lane < rank, vals, jnp.where(lane == rank, best, shifted_vals)
+    )
+    idx_ref[:] = jnp.where(
+        lane < rank, idx, jnp.where(lane == rank, best_idx, shifted_idx)
+    )
+    return pos
+
+
 def _fold_tile_into_topk(scores, tile_base, vals_ref, idx_ref, *, k: int):
     """Fold one tile's scores into the running top-k (vals_ref/idx_ref).
 
@@ -238,44 +276,38 @@ def _fold_tile_into_topk(scores, tile_base, vals_ref, idx_ref, *, k: int):
 
     @pl.when(n_above == 1)
     def _insert_one():
-        best = jnp.max(scores, axis=1, keepdims=True)  # [b, 1]
-        pos = jnp.argmax(scores, axis=1, keepdims=True).astype(jnp.int32)
-        best_idx = pos + tile_base  # column -> global row id (affine)
-        lane = jax.lax.broadcasted_iota(jnp.int32, vals_ref.shape, 1)
-        vals = vals_ref[:]
-        idx = idx_ref[:]
-        # Rank among the k live lanes (full-width masked reduce; ties keep
-        # the running entry ahead).
-        rank = jnp.sum(
-            jnp.where((lane < k) & (vals >= best), 1, 0),
-            axis=1,
-            keepdims=True,
-        )
-        # Rows the tile doesn't improve get rank k -> the write lands in the
-        # pad lanes (no-op), so no predication is needed.
-        shifted_vals = pltpu.roll(vals, 1, 1)
-        shifted_idx = pltpu.roll(idx, 1, 1)
-        vals_ref[:] = jnp.where(
-            lane < rank, vals, jnp.where(lane == rank, best, shifted_vals)
-        )
-        idx_ref[:] = jnp.where(
-            lane < rank, idx, jnp.where(lane == rank, best_idx, shifted_idx)
-        )
+        _sorted_insert_top1(scores, tile_base, vals_ref, idx_ref, k)
 
-    @pl.when((n_above > 1) & (n_above <= _FAST_M))
-    def _fast():
-        top_vals, top_idx = _extract_topk(scores, make_row_ids(), _FAST_M)
-        # Splice the tile's top-m into the pad lanes k..k+m-1 of the
-        # running block (running lanes stay first so ties keep
-        # preferring them).
-        lane = jax.lax.broadcasted_iota(jnp.int32, vals_ref.shape, 1)
-        cand_vals = vals_ref[:]
-        cand_idx = idx_ref[:]
-        for j in range(_FAST_M):
-            cand_vals = jnp.where(lane == k + j, top_vals[j], cand_vals)
-            cand_idx = jnp.where(lane == k + j, top_idx[j], cand_idx)
-        out_vals, out_idx = _extract_topk(cand_vals, cand_idx, k)
-        _write_topk(vals_ref, idx_ref, out_vals, out_idx, k)
+    if _merge_tier() == "chain":
+
+        @pl.when((n_above > 1) & (n_above <= _FAST_M))
+        def _chain():
+            # Two sequential sorted-inserts: take each row's best, knock it
+            # out, take the next. Rows with fewer candidates self-neutralize
+            # (the below-theta insert lands in the pad lanes). Exact for
+            # n_above <= 2 per row; cheaper than extraction + k-pass
+            # re-extraction.
+            col = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
+            pos1 = _sorted_insert_top1(scores, tile_base, vals_ref, idx_ref, k)
+            remaining = jnp.where(col == pos1, jnp.float32(-4.0), scores)
+            _sorted_insert_top1(remaining, tile_base, vals_ref, idx_ref, k)
+
+    else:
+
+        @pl.when((n_above > 1) & (n_above <= _FAST_M))
+        def _fast():
+            top_vals, top_idx = _extract_topk(scores, make_row_ids(), _FAST_M)
+            # Splice the tile's top-m into the pad lanes k..k+m-1 of the
+            # running block (running lanes stay first so ties keep
+            # preferring them).
+            lane = jax.lax.broadcasted_iota(jnp.int32, vals_ref.shape, 1)
+            cand_vals = vals_ref[:]
+            cand_idx = idx_ref[:]
+            for j in range(_FAST_M):
+                cand_vals = jnp.where(lane == k + j, top_vals[j], cand_vals)
+                cand_idx = jnp.where(lane == k + j, top_idx[j], cand_idx)
+            out_vals, out_idx = _extract_topk(cand_vals, cand_idx, k)
+            _write_topk(vals_ref, idx_ref, out_vals, out_idx, k)
 
     @pl.when(n_above > _FAST_M)
     def _full():
