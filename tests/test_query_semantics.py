@@ -166,3 +166,207 @@ async def test_search_not_searchable_conversation():
         Empty(), SearchTermGroup(boolean_op="or", terms=[])
     )
     assert result is None
+
+
+# ---------------------------------------------------------------------------
+# VM expression edges (reference test_query.py family)
+# ---------------------------------------------------------------------------
+
+
+async def make_context(conv):
+    indexes = conv.secondary_indexes
+    return QueryEvalContext(
+        conv,
+        indexes.property_to_semantic_ref_index,
+        indexes.timestamp_index,
+    )
+
+
+async def test_and_expr_requires_all_terms():
+    from typeagent_tpu.knowpro.query import MatchTermsAndExpr
+
+    conv = await build_conversation()
+    context = await make_context(conv)
+    both = MatchTermsAndExpr(
+        [
+            MatchSearchTermExpr(SearchTerm(Term("bach"))),
+            MatchSearchTermExpr(SearchTerm(Term("composer"))),
+        ]
+    )
+    result = await both.eval(context)
+    assert len(result) > 0
+    for match in result:
+        ref = await conv.semantic_refs.get_item(match.value)
+        assert ref.knowledge.knowledge_type == "entity"
+        assert ref.knowledge.name == "Bach"
+    # One impossible term empties the whole AND.
+    context2 = await make_context(conv)
+    impossible = MatchTermsAndExpr(
+        [
+            MatchSearchTermExpr(SearchTerm(Term("bach"))),
+            MatchSearchTermExpr(SearchTerm(Term("no-such-term"))),
+        ]
+    )
+    assert len(await impossible.eval(context2)) == 0
+
+
+async def test_where_semantic_ref_predicates():
+    from typeagent_tpu.knowpro.query import (
+        KnowledgeTypePredicate,
+        MatchTermsOrExpr,
+        WhereSemanticRefExpr,
+    )
+
+    conv = await build_conversation()
+    context = await make_context(conv)
+    source = MatchTermsOrExpr([MatchSearchTermExpr(SearchTerm(Term("bach")))])
+    where = WhereSemanticRefExpr(source, [KnowledgeTypePredicate("action")])
+    result = await where.eval(context)
+    for match in result:
+        ref = await conv.semantic_refs.get_item(match.value)
+        assert ref.knowledge.knowledge_type == "action"
+    # Texts survive filtering (SemanticRefAccumulator(search_term_matches)).
+    assert "bach" in result.search_term_matches
+
+
+async def test_group_by_knowledge_type_expr():
+    from typeagent_tpu.knowpro.query import (
+        GroupByKnowledgeTypeExpr,
+        MatchTermsOrExpr,
+    )
+
+    conv = await build_conversation()
+    context = await make_context(conv)
+    groups = await GroupByKnowledgeTypeExpr(
+        MatchTermsOrExpr([MatchSearchTermExpr(SearchTerm(Term("bach")))])
+    ).eval(context)
+    assert set(groups) >= {"entity", "action"}
+    for accumulator in groups.values():
+        assert accumulator.search_term_matches == {"bach"}
+
+
+async def test_tag_and_topic_wildcard_exprs():
+    from typeagent_tpu.knowpro.query import MatchTagExpr, MatchTopicExpr
+
+    conv = await build_conversation()
+    context = await make_context(conv)
+    topics = await MatchTopicExpr(SearchTerm(Term("*"))).eval(context)
+    assert topics is not None
+    for match in topics:
+        ref = await conv.semantic_refs.get_item(match.value)
+        assert ref.knowledge.knowledge_type == "topic"
+    context2 = await make_context(conv)
+    tags = await MatchTagExpr(SearchTerm(Term("*"))).eval(context2)
+    assert tags is None  # fixture has no tag semrefs -> empty -> None
+
+
+async def test_topic_expr_ktype_gate_with_scope():
+    """A topic lookup for a term that only exists as an entity name must
+    return nothing (the knowledge-type gate under the always-present
+    scope object)."""
+    from typeagent_tpu.knowpro.query import MatchTopicExpr
+
+    conv = await build_conversation()
+    context = await make_context(conv)
+    result = await MatchTopicExpr(SearchTerm(Term("bach"))).eval(context)
+    assert result is None
+
+
+async def test_date_range_selector_uses_timestamp_index():
+    from datetime import timezone
+
+    from typeagent_tpu.knowpro.interfaces import DateRange, Datetime
+    from typeagent_tpu.knowpro.query import TextRangesInDateRangeSelector
+
+    conv = await build_conversation()
+    context = await make_context(conv)
+    selector = TextRangesInDateRangeSelector(
+        DateRange(
+            start=Datetime(2024, 3, 1, tzinfo=timezone.utc),
+            end=Datetime(2024, 3, 2, tzinfo=timezone.utc),
+        )
+    )
+    ranges = await selector.eval(context)
+    ordinals = [r.start.message_ordinal for r in ranges]
+    assert ordinals == [0, 1]  # message 2 is on 2024-03-02
+
+
+async def test_scope_expr_intersects_selectors():
+    from typeagent_tpu.knowpro.collections import TextRangeCollection
+    from typeagent_tpu.knowpro.interfaces import TextLocation, TextRange
+    from typeagent_tpu.knowpro.query import GetScopeExpr, TextRangeSelector
+
+    conv = await build_conversation()
+    context = await make_context(conv)
+    scope = await GetScopeExpr(
+        [
+            TextRangeSelector([TextRange(TextLocation(0), TextLocation(2))]),
+            TextRangeSelector([TextRange(TextLocation(1), TextLocation(3))]),
+        ]
+    ).eval(context)
+    assert scope.is_range_in_scope(TextRange(TextLocation(1)))
+    assert not scope.is_range_in_scope(TextRange(TextLocation(0)))
+    assert not scope.is_range_in_scope(TextRange(TextLocation(2)))
+
+
+async def test_message_boolean_exprs():
+    from typeagent_tpu.knowpro.query import (
+        MatchMessagesAndExpr,
+        MatchMessagesOrExpr,
+    )
+
+    conv = await build_conversation()
+    context = await make_context(conv)
+    union = await MatchMessagesOrExpr(
+        [
+            MatchSearchTermExpr(SearchTerm(Term("bach"))),
+            MatchSearchTermExpr(SearchTerm(Term("glenn gould"))),
+        ]
+    ).eval(context)
+    assert sorted(union.get_matched_values()) == [1, 2]
+    context2 = await make_context(conv)
+    both = await MatchMessagesAndExpr(
+        [
+            MatchSearchTermExpr(SearchTerm(Term("bach"))),
+            MatchSearchTermExpr(SearchTerm(Term("glenn gould"))),
+        ]
+    ).eval(context2)
+    assert list(both.get_matched_values()) == []  # different messages
+
+
+async def test_select_top_n_knowledge_group_expr():
+    from typeagent_tpu.knowpro.query import (
+        GroupByKnowledgeTypeExpr,
+        MatchTermsOrExpr,
+        SelectTopNKnowledgeGroupExpr,
+    )
+
+    conv = await build_conversation()
+    context = await make_context(conv)
+    groups = await SelectTopNKnowledgeGroupExpr(
+        GroupByKnowledgeTypeExpr(
+            MatchTermsOrExpr(
+                [
+                    MatchSearchTermExpr(SearchTerm(Term("bach"))),
+                    MatchSearchTermExpr(SearchTerm(Term("goldberg variations"))),
+                ]
+            )
+        ),
+        max_matches=1,
+    ).eval(context)
+    for accumulator in groups.values():
+        assert len(accumulator) <= 1
+
+
+async def test_lookup_term_filtered_none_for_missing():
+    from typeagent_tpu.knowpro.interfaces import Term as CoreTerm
+    from typeagent_tpu.knowpro.query import lookup_term_filtered
+
+    conv = await build_conversation()
+    result = await lookup_term_filtered(
+        conv.semantic_ref_index,
+        CoreTerm("no-such-term"),
+        conv.semantic_refs,
+        lambda meta, scored: True,
+    )
+    assert result is None
