@@ -10,12 +10,12 @@ from __future__ import annotations
 
 import json
 import os
-from dataclasses import dataclass
 
 from ..knowpro import secindex
 from ..knowpro.conversation_base import ConversationBase
 from ..knowpro.convfiles import FileSerializedConversation
 from ..knowpro.interfaces import Term
+from ..knowpro.nameutils import SpeakerName, collect_speaker_aliases, split_speaker_name
 from ..knowpro.universal_message import ConversationMessage, ConversationMessageMeta
 
 PodcastMessage = ConversationMessage
@@ -64,23 +64,12 @@ class Podcast(FileSerializedConversation, ConversationBase[PodcastMessage]):
                     await aliases.add_related_term(synonym.lower(), related_term)
 
     async def _collect_participant_aliases(self) -> dict[str, set[str]]:
-        aliases: dict[str, set[str]] = {}
-
-        def collect_name(participant_name: str | None) -> None:
-            if not participant_name:
-                return
-            participant_name = participant_name.lower()
-            parsed = split_participant_name(participant_name)
-            if parsed and parsed.first_name and parsed.last_name:
-                # First name <-> full name, both directions.
-                aliases.setdefault(parsed.first_name, set()).add(participant_name)
-                aliases.setdefault(participant_name, set()).add(parsed.first_name)
-
+        # Podcasts alias every participant: speakers AND their listeners.
+        names: list[str | None] = []
         async for message in self.messages:
-            collect_name(message.metadata.speaker)
-            for recipient in message.metadata.recipients:
-                collect_name(recipient)
-        return aliases
+            names.append(message.metadata.speaker)
+            names.extend(message.metadata.recipients)
+        return collect_speaker_aliases(names)
 
     async def _build_transient_secondary_indexes(self, build_all: bool) -> None:
         if build_all:
@@ -89,29 +78,6 @@ class Podcast(FileSerializedConversation, ConversationBase[PodcastMessage]):
         await self._add_synonyms()
 
 
-@dataclass
-class ParticipantName:
-    first_name: str
-    last_name: str | None = None
-    middle_name: str | None = None
-
-
-def split_participant_name(full_name: str) -> ParticipantName | None:
-    parts = full_name.split(None, 2)
-    match len(parts):
-        case 0:
-            return None
-        case 1:
-            return ParticipantName(first_name=parts[0])
-        case 2:
-            return ParticipantName(first_name=parts[0], last_name=parts[1])
-        case _:
-            if parts[1].lower() == "van":
-                return ParticipantName(
-                    first_name=parts[0], last_name=f"{parts[1]} {parts[2]}"
-                )
-            return ParticipantName(
-                first_name=parts[0],
-                middle_name=parts[1],
-                last_name=" ".join(parts[2].split()),
-            )
+# Historical names for the shared helpers (knowpro/nameutils.py).
+ParticipantName = SpeakerName
+split_participant_name = split_speaker_name
