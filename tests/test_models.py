@@ -192,6 +192,49 @@ def test_parse_azure_endpoint(monkeypatch):
         parse_azure_endpoint("AZ_MISSING")
 
 
+AZURE_ENDPOINT_CASES = [
+    # (url, base, api_version, deployment)
+    (  # api-version as the only query parameter
+        "https://myhost.openai.azure.com/openai/deployments/gpt-4?api-version=2025-01-01-preview",
+        "https://myhost.openai.azure.com", "2025-01-01-preview", "gpt-4",
+    ),
+    (  # api-version not the first query parameter
+        "https://myhost.openai.azure.com/openai/deployments/gpt-4?foo=bar&api-version=2025-01-01-preview",
+        "https://myhost.openai.azure.com", "2025-01-01-preview", "gpt-4",
+    ),
+    (  # bare resource endpoint; query stripped from base
+        "https://myhost.openai.azure.com?api-version=2024-06-01",
+        "https://myhost.openai.azure.com", "2024-06-01", "",
+    ),
+    (  # multiple query parameters all stripped
+        "https://myhost.openai.azure.com?foo=bar&api-version=2024-06-01",
+        "https://myhost.openai.azure.com", "2024-06-01", "",
+    ),
+    (  # trailing /openai without /deployments/ stripped, no deployment
+        "https://myhost.openai.azure.com/openai?api-version=2024-06-01",
+        "https://myhost.openai.azure.com", "2024-06-01", "",
+    ),
+    (  # embeddings-style deployment URL
+        "https://myhost.openai.azure.com/openai/deployments/ada-002/embeddings?api-version=2025-01-01-preview",
+        "https://myhost.openai.azure.com", "2025-01-01-preview", "ada-002",
+    ),
+    (  # APIM gateway prefix before /openai/deployments/ preserved in base
+        "https://apim.net/openai/openai/deployments/gpt-4o/chat/completions?api-version=2025-01-01-preview",
+        "https://apim.net/openai", "2025-01-01-preview", "gpt-4o",
+    ),
+    (  # missing api-version falls back to the documented default
+        "https://myhost.openai.azure.com/openai/deployments/gpt-4",
+        "https://myhost.openai.azure.com", "2024-06-01", "gpt-4",
+    ),
+]
+
+
+@pytest.mark.parametrize("url,base,version,deployment", AZURE_ENDPOINT_CASES)
+def test_parse_azure_endpoint_matrix(monkeypatch, url, base, version, deployment):
+    monkeypatch.setenv("AZ_CASE", url)
+    assert parse_azure_endpoint("AZ_CASE") == (base, version, deployment)
+
+
 # ---------------------------------------------------------------------------
 # Metrics
 # ---------------------------------------------------------------------------

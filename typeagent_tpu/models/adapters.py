@@ -61,20 +61,36 @@ def parse_azure_endpoint(envvar: str = "AZURE_OPENAI_ENDPOINT") -> tuple[str, st
     Accepts the repo-wide format: a complete request URL such as
     ``https://res.openai.azure.com/openai/deployments/gpt-4o/chat/completions
     ?api-version=2024-06-01``. Also accepts a bare resource endpoint.
+
+    A gateway path prefix before the ``/openai/deployments/`` route is
+    preserved in the base, so APIM-proxied endpoints like
+    ``https://apim.net/openai/openai/deployments/gpt-4o/...`` yield base
+    ``https://apim.net/openai`` (parity: reference aitools/utils.py
+    parse_azure_endpoint_parts).
     """
     raw = os.environ.get(envvar, "")
     if not raw:
         raise ValueError(f"Environment variable {envvar} is not set")
     parsed = urllib.parse.urlparse(raw)
-    base = f"{parsed.scheme}://{parsed.netloc}"
     query = urllib.parse.parse_qs(parsed.query)
     api_version = query.get("api-version", ["2024-06-01"])[0]
     deployment = ""
-    parts = parsed.path.split("/")
-    if "deployments" in parts:
-        i = parts.index("deployments")
-        if i + 1 < len(parts):
-            deployment = parts[i + 1]
+    segs = [s for s in parsed.path.split("/") if s]
+    if "deployments" in segs:
+        i = segs.index("deployments")
+        if i + 1 < len(segs):
+            deployment = segs[i + 1]
+        # The Azure route is ".../openai/deployments/<name>/..."; everything
+        # before its "openai" segment is a gateway (APIM) prefix to keep.
+        route_start = i - 1 if i > 0 and segs[i - 1] == "openai" else i
+        base_segs = segs[:route_start]
+    elif segs and segs[-1] == "openai":
+        base_segs = segs[:-1]  # bare ".../openai" route, no deployment
+    else:
+        base_segs = segs  # bare resource endpoint (possibly behind a prefix)
+    base = f"{parsed.scheme}://{parsed.netloc}"
+    if base_segs:
+        base += "/" + "/".join(base_segs)
     return base, api_version, deployment
 
 
