@@ -106,6 +106,12 @@ class SqliteRelatedTermsFuzzy(interfaces.ITermToRelatedTermsFuzzy):
                 self._terms_list.append(term)
                 self._added_terms.add(term)
                 embeddings.append(deserialize_embedding(blob))
+            sizes = {len(e) for e in embeddings}
+            if len(sizes) > 1:
+                raise ValueError(
+                    f"Embedding size mismatch: RelatedTermsFuzzy holds embeddings "
+                    f"of sizes {sorted(sizes)}. The database may be corrupted."
+                )
             self._vector_base.add_embeddings(None, np.array(embeddings))
 
     def _size(self) -> int:
