@@ -109,14 +109,19 @@ class MemoryStorageProvider[TMessage: IMessage](IStorageProvider[TMessage]):
         return self._metadata
 
     async def set_conversation_metadata(self, **kwds: str | list[str] | None) -> None:
-        pass  # API compat: in-memory storage does not persist metadata
+        pass  # API compat: in-memory storage does not persist arbitrary keys
 
     async def update_conversation_timestamps(
         self,
         created_at: datetime | None = None,
         updated_at: datetime | None = None,
     ) -> None:
-        pass
+        # Tracked on the in-memory metadata object (lost with the process,
+        # like everything else here); the sqlite provider persists them.
+        if created_at is not None:
+            self._metadata.created_at = created_at
+        if updated_at is not None:
+            self._metadata.updated_at = updated_at
 
     # -- source-ingestion tracking ----------------------------------------------
 
