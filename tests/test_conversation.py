@@ -405,3 +405,21 @@ async def test_streaming_on_batch_committed_fires_per_batch_with_counts():
     assert sum(b.messages_added for b in batches) == 7
     assert all(b.messages_added >= 1 for b in batches)
     assert len(batches) >= 3
+
+
+async def test_streaming_batch_size_one_commits_each_message(tmp_path):
+    """batch_size=1: every message lands in its own commit."""
+    settings = make_settings(FakeExtractor())
+    conv = await create_conversation(None, ConversationMessage, settings=settings)
+    committed = []
+
+    async def stream():
+        for text in ["one fish", "two fish", "red fish"]:
+            yield msg(text)
+
+    result = await conv.add_messages_streaming(
+        stream(), batch_size=1, on_batch_committed=lambda r: committed.append(r)
+    )
+    assert result.messages_added == 3
+    assert [r.messages_added for r in committed] == [1, 1, 1]
+    assert await conv.messages.size() == 3

@@ -173,3 +173,29 @@ async def test_reextract_failed_chunks(tmp_path):
     )
     assert found.knowledge_matches
     await conv.storage_provider.close()
+
+
+async def test_no_source_id_messages_always_reingest(tmp_path):
+    """Messages without a source_id are never deduped: replaying them
+    appends again (only source-id tracking provides idempotency)."""
+    db = str(tmp_path / "nosrc.db")
+    conv = await create_conversation(db, ConversationMessage, settings=make_settings())
+    await conv.add_messages_with_indexing([msg("hello"), msg("world")])
+    await conv.add_messages_with_indexing([msg("hello"), msg("world")])
+    assert await conv.messages.size() == 4
+    assert await conv.storage_provider.are_sources_ingested(["hello"]) == set()
+    await conv.storage_provider.close()
+
+
+async def test_mark_sources_ingested_batch_empty_and_idempotent(tmp_path):
+    db = str(tmp_path / "mark.db")
+    conv = await create_conversation(db, ConversationMessage, settings=make_settings())
+    provider = conv.storage_provider
+    await provider.mark_sources_ingested_batch([])  # no-op, no error
+    await provider.mark_sources_ingested_batch(["a", "b"])
+    await provider.mark_sources_ingested_batch(["a", "b"])  # idempotent replace
+    assert await provider.are_sources_ingested(["a", "b", "c"]) == {"a", "b"}
+    cursor = provider.db.cursor()
+    cursor.execute("SELECT COUNT(*) FROM IngestedSources")
+    assert cursor.fetchone()[0] == 2
+    await provider.close()
