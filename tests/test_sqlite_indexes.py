@@ -335,3 +335,139 @@ async def test_fuzzy_index_persists_across_reopen(tmp_path):
     hits = await fuzzy2.lookup_term("persisted term", 1, 0.0)
     assert hits[0].text == "persisted term"
     await p2.close()
+
+
+# ---------------------------------------------------------------------------
+# Term normalization matrices (prepare_term: strip + NFC + collapse + lower)
+# ---------------------------------------------------------------------------
+
+WHITESPACE_VARIANTS = [
+    "hello world",
+    "  hello world  ",
+    "hello\tworld",
+    "hello\nworld",
+    "hello   world",
+    "hello \t world",
+]
+
+
+async def test_whitespace_variants_normalize_to_one_term():
+    p = sqlite_provider()
+    await add_refs(p, len(WHITESPACE_VARIANTS))
+    index = p.semantic_ref_index
+    for i, variant in enumerate(WHITESPACE_VARIANTS):
+        await index.add_term(variant, i)
+    for variant in WHITESPACE_VARIANTS:
+        results = await index.lookup_term(variant)
+        assert {r.semantic_ref_ordinal for r in results} == set(
+            range(len(WHITESPACE_VARIANTS))
+        )
+    await p.close()
+
+
+async def test_nfc_nfd_unicode_forms_are_one_term():
+    p = sqlite_provider()
+    await add_refs(p, 2)
+    index = p.semantic_ref_index
+    await index.add_term("café", 0)  # NFC: single é
+    await index.add_term("café", 1)  # NFD: e + combining acute
+    for form in ("café", "café"):
+        results = await index.lookup_term(form)
+        assert {r.semantic_ref_ordinal for r in results} == {0, 1}
+    await p.close()
+
+
+async def test_high_plane_unicode_round_trips():
+    p = sqlite_provider()
+    await add_refs(p, 3)
+    index = p.semantic_ref_index
+    terms = ["test\U0001F3E0house", "math\U0001D400\U0001D401", "old\U00013000"]
+    for i, term in enumerate(terms):
+        await index.add_term(term, i)
+    for i, term in enumerate(terms):
+        results = await index.lookup_term(term)
+        assert [r.semantic_ref_ordinal for r in results] == [i]
+    await p.close()
+
+
+async def test_case_variants_normalize_including_unicode_case():
+    p = sqlite_provider()
+    await add_refs(p, 13)
+    index = p.semantic_ref_index
+    for i, variant in enumerate(["Hello", "HELLO", "hello", "HeLLo"]):
+        await index.add_term(variant, i)
+    for variant in ("hello", "HELLO"):
+        results = await index.lookup_term(variant)
+        assert {r.semantic_ref_ordinal for r in results} == {0, 1, 2, 3}
+    for i, variant in enumerate(["Café", "CAFÉ", "café"]):
+        await index.add_term(variant, 10 + i)
+    results = await index.lookup_term("café")
+    assert {r.semantic_ref_ordinal for r in results} == {10, 11, 12}
+    await p.close()
+
+
+# ---------------------------------------------------------------------------
+# Removal / clear edge cases
+# ---------------------------------------------------------------------------
+
+
+async def test_term_index_remove_and_clear_cycle():
+    p = sqlite_provider()
+    await add_refs(p, 3)
+    index = p.semantic_ref_index
+    assert await index.size() == 0
+    assert await index.lookup_term("") == []  # empty lookup: no rows, no error
+    await index.add_term("gone", 1)
+    assert await index.size() == 1
+    await index.remove_term("gone", 1)
+    assert await index.lookup_term("gone") == []
+    assert await index.size() == 0
+    await index.add_term("cleared", 2)
+    await index.clear()
+    assert await index.size() == 0
+    await p.close()
+
+
+async def test_property_index_remove_all_for_semref():
+    p = sqlite_provider()
+    await add_refs(p, 4)
+    index = p.property_index
+    assert await index.lookup_property("nonexistent", "value") is None
+    await index.add_property("prop1", "val1", 2)
+    await index.add_property("prop2", "val2", 2)
+    await index.add_property("prop1", "val1", 3)  # other semref survives
+    await index.remove_all_for_semref(2)
+    assert await index.lookup_property("prop2", "val2") is None
+    survivors = await index.lookup_property("prop1", "val1")
+    assert [s.semantic_ref_ordinal for s in survivors] == [3]
+    await p.close()
+
+
+async def test_aliases_deserialize_edge_data():
+    p = sqlite_provider()
+    aliases = p.related_terms_index.aliases
+    await aliases.deserialize(None)  # tolerated, no-op
+    await aliases.deserialize({"relatedTerms": []})
+    await aliases.deserialize(
+        {
+            "relatedTerms": [
+                {"termText": "empty", "relatedTerms": []},
+                {"termText": "orphan", "relatedTerms": [{"text": "related"}]},
+            ]
+        }
+    )
+    related = await aliases.lookup_term("orphan")
+    assert related and related[0].text == "related"
+    assert await aliases.lookup_term("empty") in (None, [])
+    await p.close()
+
+
+async def test_fuzzy_lookup_terms_plural_shape():
+    p = sqlite_provider()
+    fuzzy = p.related_terms_index.fuzzy_index
+    await fuzzy.add_terms([])  # empty add: no rows
+    assert await fuzzy.size() == 0
+    results = await fuzzy.lookup_terms(["missing1", "missing2"], max_hits=5)
+    assert len(results) == 2
+    assert all(isinstance(r, list) for r in results)
+    await p.close()
