@@ -190,3 +190,97 @@ async def test_mcp_unknown_tool_and_method(tmp_path):
     finally:
         proc.stdin.close()
         await asyncio.wait_for(proc.wait(), 10)
+
+
+# ---------------------------------------------------------------------------
+# McpSamplingChatModel unit tests (no subprocess): role mapping + content
+# formats. Reference parity: tests/test_mcp_server.py role-mapping matrix.
+# ---------------------------------------------------------------------------
+
+
+class FakeMcpServer:
+    """Records create_message calls; returns a canned sampling result."""
+
+    def __init__(self, result=None, raises=None):
+        self.result = result or {"content": {"type": "text", "text": "canned"}}
+        self.raises = raises
+        self.calls = []
+
+    async def create_message(self, messages, max_tokens):
+        self.calls.append((messages, max_tokens))
+        if self.raises:
+            raise self.raises
+        return self.result
+
+
+def make_sampling_model(result=None, raises=None):
+    from typeagent_tpu.mcp.server import McpSamplingChatModel
+
+    server = FakeMcpServer(result=result, raises=raises)
+    return McpSamplingChatModel(server), server
+
+
+async def test_sampling_string_prompt_becomes_user_message():
+    model, server = make_sampling_model()
+    result = await model.complete("hello there")
+    assert result.value == "canned"
+    (messages, max_tokens), = server.calls
+    assert messages == [
+        {"role": "user", "content": {"type": "text", "text": "hello there"}}
+    ]
+    assert max_tokens == 4096
+
+
+async def test_sampling_role_mapping_preserves_user_and_assistant():
+    model, server = make_sampling_model()
+    await model.complete(
+        [
+            {"role": "user", "content": "q1"},
+            {"role": "assistant", "content": "a1"},
+            {"role": "system", "content": "sys"},  # MCP sampling has no system
+        ]
+    )
+    (messages, _), = server.calls
+    assert [m["role"] for m in messages] == ["user", "assistant", "assistant"]
+    assert [m["content"]["text"] for m in messages] == ["q1", "a1", "sys"]
+
+
+async def test_sampling_exception_returns_failure():
+    model, _ = make_sampling_model(raises=RuntimeError("boom"))
+    result = await model.complete("x")
+    from typeagent_tpu.models.result import Failure
+
+    assert isinstance(result, Failure)
+    assert "boom" in result.message
+
+
+async def test_sampling_list_content_joined():
+    model, _ = make_sampling_model(
+        result={
+            "content": [
+                {"type": "text", "text": "part1"},
+                {"type": "image", "data": "..."},
+                {"type": "text", "text": "part2"},
+            ]
+        }
+    )
+    result = await model.complete("x")
+    assert result.value == "part1\npart2"
+
+
+async def test_sampling_list_without_text_items_fails():
+    model, _ = make_sampling_model(
+        result={"content": [{"type": "image", "data": "..."}]}
+    )
+    result = await model.complete("x")
+    from typeagent_tpu.models.result import Failure
+
+    assert isinstance(result, Failure)
+
+
+async def test_sampling_unknown_content_type_fails():
+    model, _ = make_sampling_model(result={"content": 42})
+    result = await model.complete("x")
+    from typeagent_tpu.models.result import Failure
+
+    assert isinstance(result, Failure)
