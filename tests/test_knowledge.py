@@ -181,3 +181,92 @@ async def test_time_range_none_for_empty_or_untimestamped():
         [ConversationMessage(["x"], ConversationMessageMeta("A"))]
     )
     assert await get_time_range_for_conversation(conv) is None
+
+
+# ---------------------------------------------------------------------------
+# Entity-merge matrix (reference parity: tests/test_knowledge.py merge cases)
+# ---------------------------------------------------------------------------
+
+
+def ent(name, types=("thing",), facets=None):
+    return kplib.ConcreteEntity(
+        name=name,
+        type=list(types),
+        facets=[kplib.Facet(n, v) for n, v in (facets or [])] or None,
+    )
+
+
+def test_merge_distinct_entities_stay_distinct():
+    out = merge_concrete_entities([ent("apple"), ent("banana")])
+    assert [e.name for e in out] == ["apple", "banana"]
+
+
+def test_merge_same_name_different_case_unifies():
+    out = merge_concrete_entities([ent("Apple", ["fruit"]), ent("APPLE", ["company"])])
+    assert len(out) == 1
+    assert out[0].name == "apple"
+    assert out[0].type == ["company", "fruit"]  # union, sorted
+
+
+def test_merge_types_deduplicated_and_sorted():
+    out = merge_concrete_entities(
+        [ent("x", ["Zebra", "alpha"]), ent("x", ["ALPHA", "beta"])]
+    )
+    assert out[0].type == ["alpha", "beta", "zebra"]
+
+
+def test_merge_same_facet_combines_values_sorted():
+    out = merge_concrete_entities(
+        [
+            ent("bach", facets=[("era", "baroque")]),
+            ent("Bach", facets=[("era", "classical")]),
+        ]
+    )
+    facets = out[0].facets
+    assert len(facets) == 1
+    assert facets[0].name == "era"
+    assert facets[0].value == "baroque; classical"
+
+
+def test_merge_facets_deduplicated():
+    out = merge_concrete_entities(
+        [
+            ent("x", facets=[("color", "red"), ("color", "RED")]),
+            ent("x", facets=[("Color", "red")]),
+        ]
+    )
+    assert out[0].facets[0].value == "red"
+
+
+def test_merge_entity_without_facets_with_facets():
+    out = merge_concrete_entities([ent("x"), ent("x", facets=[("k", "v")])])
+    assert len(out) == 1
+    assert out[0].facets and out[0].facets[0].name == "k"
+
+
+def test_merge_identity_normalize_keeps_cases_distinct():
+    out = merge_concrete_entities(
+        [ent("Apple"), ent("apple")], normalize=lambda s: s
+    )
+    assert [e.name for e in out] == ["Apple", "apple"]
+
+
+def test_merge_custom_camelcase_normalize():
+    # A normalizer that strips camel-case humps to lowercase merges variants.
+    def decamel(s: str) -> str:
+        return s.replace(" ", "").lower()
+
+    out = merge_concrete_entities(
+        [ent("New York", ["city"]), ent("NewYork", ["place"])], normalize=decamel
+    )
+    assert len(out) == 1
+    assert out[0].name == "newyork"
+    assert out[0].type == ["city", "place"]
+
+
+def test_merge_single_entity_passthrough_shape():
+    out = merge_concrete_entities([ent("Solo", ["a", "a", "b"], [("f", "V")])])
+    assert len(out) == 1
+    assert out[0].name == "solo"
+    assert out[0].type == ["a", "b"]
+    assert out[0].facets[0].value == "v"
