@@ -176,16 +176,23 @@ def main() -> None:
         f"(recall@{K} vs exact: {recall_i8:.4f})"
     )
 
+    # Headline: the fastest production (quantized) mode that clears the
+    # in-run recall bar against the exact f32 scan.
+    candidates = [("bf16", qps, recall), ("int8", qps_i8, recall_i8)]
+    eligible = [c for c in candidates if c[2] >= 0.97] or candidates[:1]
+    mode, best_qps, best_recall = max(eligible, key=lambda c: c[1])
+    log(f"headline mode: {mode} ({best_qps:.0f} QPS, recall {best_recall:.4f})")
     print(
         json.dumps(
             {
                 "metric": (
-                    f"cosine top-{K} QPS (bf16 store, recall@{K}>=0.97 vs exact), "
+                    f"cosine top-{K} QPS ({mode} store, recall@{K}>=0.97 vs "
+                    f"exact, measured {best_recall:.3f}), "
                     f"{N_ROWS // 1000}k x {DIM} fragments, batch {BATCH}"
                 ),
-                "value": round(qps, 1),
+                "value": round(best_qps, 1),
                 "unit": "QPS",
-                "vs_baseline": round(qps / BASELINE_QPS, 1),
+                "vs_baseline": round(best_qps / BASELINE_QPS, 1),
             }
         )
     )
