@@ -1,0 +1,120 @@
+"""Orbax sharding-aware checkpoints: save from one mesh topology, restore
+into another, lookups identical. Runs on the virtual 8-device CPU mesh.
+"""
+
+import numpy as np
+import pytest
+
+from typeagent_tpu.parallel import create_mesh
+from typeagent_tpu.parallel.checkpoint import (
+    restore_corpus,
+    restore_sharded_store,
+    save_corpus,
+    save_sharded_store,
+)
+from typeagent_tpu.parallel.corpus import CorpusVectorStore
+from typeagent_tpu.parallel.sharded import ShardedVectorStore
+
+DIM = 16
+
+
+def rows(n, seed=0):
+    r = np.random.default_rng(seed).standard_normal((n, DIM)).astype(np.float32)
+    return r / np.linalg.norm(r, axis=1, keepdims=True)
+
+
+def top1_ordinals(store, queries):
+    return [hits[0][0] for hits in store.search(queries, k=1)]
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16", "int8"])
+def test_save_restore_same_topology(tmp_path, dtype):
+    mesh = create_mesh(n_shard=4, n_dp=2)
+    store = ShardedVectorStore(mesh, DIM, dtype=dtype)
+    data = rows(200, seed=1)
+    store.append(data)
+
+    save_sharded_store(store, tmp_path / "ckpt")
+    restored = restore_sharded_store(mesh, tmp_path / "ckpt")
+
+    assert restored.count == store.count
+    assert restored._dtype == store._dtype
+    queries = rows(8, seed=2)
+    assert top1_ordinals(restored, queries) == top1_ordinals(store, queries)
+    # Device state restored bit-for-bit (no dequantize/requantize round trip).
+    np.testing.assert_array_equal(
+        np.asarray(restored.buf), np.asarray(store.buf)
+    )
+
+
+def test_restore_into_different_topology(tmp_path):
+    mesh8 = create_mesh(n_shard=4, n_dp=2)
+    store = ShardedVectorStore(mesh8, DIM, dtype="bfloat16")
+    data = rows(300, seed=3)
+    store.append(data)
+    expected = top1_ordinals(store, rows(8, seed=4))
+
+    save_sharded_store(store, tmp_path / "ckpt")
+
+    # Resume on a narrower mesh: 4 shards, no dp.
+    mesh4 = create_mesh(n_shard=4, n_dp=1)
+    restored = restore_sharded_store(mesh4, tmp_path / "ckpt")
+    assert restored.count == 300
+    assert top1_ordinals(restored, rows(8, seed=4)) == expected
+
+    # And on a single-device mesh (chip-count change).
+    mesh1 = create_mesh(n_shard=1, n_dp=1)
+    restored1 = restore_sharded_store(mesh1, tmp_path / "ckpt")
+    assert top1_ordinals(restored1, rows(8, seed=4)) == expected
+
+
+def test_restore_appendable_after_load(tmp_path):
+    mesh = create_mesh(n_shard=4, n_dp=2)
+    store = ShardedVectorStore(mesh, DIM)
+    store.append(rows(50, seed=5))
+    save_sharded_store(store, tmp_path / "ckpt")
+
+    restored = restore_sharded_store(mesh, tmp_path / "ckpt")
+    more = rows(30, seed=6)
+    restored.append(more)
+    assert len(restored) == 80
+    # The appended rows are live and searchable.
+    hits = restored.search(more[:2], k=1)
+    assert [h[0][0] for h in hits] == [50, 51]
+
+
+def test_save_overwrites_previous_checkpoint(tmp_path):
+    mesh = create_mesh(n_shard=4, n_dp=2)
+    store = ShardedVectorStore(mesh, DIM)
+    store.append(rows(40, seed=7))
+    save_sharded_store(store, tmp_path / "ckpt")
+    store.append(rows(24, seed=8))
+    save_sharded_store(store, tmp_path / "ckpt")  # overwrite in place
+    restored = restore_sharded_store(mesh, tmp_path / "ckpt")
+    assert restored.count == 64
+
+
+def test_corpus_checkpoint_round_trip(tmp_path):
+    mesh8 = create_mesh(n_shard=4, n_dp=2)
+    corpus = CorpusVectorStore(DIM, mesh=mesh8, dtype="bfloat16")
+    a, b = rows(120, seed=9), rows(80, seed=10)
+    corpus.append("alpha", a)
+    corpus.append("beta", b)
+    corpus.append("alpha", rows(10, seed=11))
+
+    save_corpus(corpus, tmp_path / "corpus")
+
+    mesh4 = create_mesh(n_shard=4, n_dp=1)  # different topology
+    restored = restore_corpus(mesh4, tmp_path / "corpus")
+    assert len(restored) == 210
+    assert restored.count_for("alpha") == 130
+    assert restored.count_for("beta") == 80
+
+    # Scoped search stays exact after restore: beta's best match is found
+    # even though alpha rows dominate the matrix.
+    query = b[7:8]
+    scoped = restored.search(query, k=1, conversations=["beta"])[0]
+    assert scoped[0].conversation == "beta"
+    assert scoped[0].local_ordinal == 7
+    globally = restored.search(query, k=1)[0]
+    assert globally[0].conversation == "beta"

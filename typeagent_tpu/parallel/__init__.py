@@ -20,6 +20,15 @@ def __getattr__(name):
         from . import corpus
 
         return getattr(corpus, name)
+    if name in (
+        "save_sharded_store",
+        "restore_sharded_store",
+        "save_corpus",
+        "restore_corpus",
+    ):
+        from . import checkpoint
+
+        return getattr(checkpoint, name)
     raise AttributeError(name)
 
 
@@ -32,4 +41,8 @@ __all__ = [
     "CorpusMessageHit",
     "CorpusVectorStore",
     "CorpusHit",
+    "save_sharded_store",
+    "restore_sharded_store",
+    "save_corpus",
+    "restore_corpus",
 ]

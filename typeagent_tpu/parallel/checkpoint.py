@@ -1,0 +1,173 @@
+"""Sharding-aware checkpoints for mesh stores (orbax).
+
+`ShardedVectorStore.serialize()` gathers everything to one host f32 array —
+format-compatible with the reference's `_embeddings.bin` sidecar
+(/root/reference/src/typeagent/knowpro/serialization.py), but O(corpus) on a
+single host and lossy for quantized stores. These checkpoints instead write
+each device shard in parallel straight from HBM (native dtype preserved:
+bf16/int8 checkpoints are half/quarter the bytes) and restore into ANY mesh
+topology — orbax reshards on load, so a corpus saved from a (dp=2, shard=4)
+mesh resumes on (dp=1, shard=8) or a single chip without a host gather.
+
+Layout on disk:
+  <path>/store_meta.json   dim / dtype / count / capacity (+ corpus segments)
+  <path>/state/            orbax checkpoint: buf [cap, dim_pad] (+ scales)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import jax
+import numpy as np
+
+from .corpus import CorpusVectorStore, _Segment
+from .sharded import (
+    ShardedVectorStore,
+    _DTYPE_NAMES,
+    _replicated,
+    _row_sharding,
+    _vec_sharding,
+)
+
+_META_FILE = "store_meta.json"
+_STATE_DIR = "state"
+
+
+def _dtype_name(dtype) -> str:
+    for name, dt in _DTYPE_NAMES.items():
+        if dt == dtype:
+            return name
+    raise ValueError(f"Unknown store dtype {dtype!r}")
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer()
+
+
+def save_sharded_store(
+    store: ShardedVectorStore, path: str | os.PathLike, *, extra_meta: dict | None = None
+) -> None:
+    """Write the store's device state under ``path`` (overwrites)."""
+    store._flush()
+    path = os.fspath(path)
+    state_dir = os.path.join(path, _STATE_DIR)
+    if os.path.exists(state_dir):
+        shutil.rmtree(state_dir)
+    os.makedirs(path, exist_ok=True)
+
+    state = {"buf": store.buf}
+    if store._scales is not None:
+        state["scales"] = store._scales
+    ckpt = _checkpointer()
+    ckpt.save(os.path.abspath(state_dir), state)
+    ckpt.wait_until_finished()
+
+    meta = {
+        "dim": store.dim,
+        "dim_pad": store.dim_pad,
+        "dtype": _dtype_name(store._dtype),
+        "count": store.count,
+        "capacity": int(store.buf.shape[0]),
+    }
+    if extra_meta:
+        meta.update(extra_meta)
+    with open(os.path.join(path, _META_FILE), "w", encoding="utf-8") as f:
+        json.dump(meta, f)
+
+
+def _read_meta(path: str | os.PathLike) -> dict:
+    with open(os.path.join(os.fspath(path), _META_FILE), encoding="utf-8") as f:
+        return json.load(f)
+
+
+def restore_sharded_store(
+    mesh, path: str | os.PathLike, *, _meta: dict | None = None
+) -> ShardedVectorStore:
+    """Rebuild a store on ``mesh`` (any topology) from a checkpoint."""
+    import jax.numpy as jnp
+
+    path = os.fspath(path)
+    meta = _meta or _read_meta(path)
+    dtype = _DTYPE_NAMES[meta["dtype"]]
+    store = ShardedVectorStore(mesh, meta["dim"], dtype=dtype)
+    cap, dim_pad = meta["capacity"], meta["dim_pad"]
+    assert dim_pad == store.dim_pad, (dim_pad, store.dim_pad)
+    quantized = "int8" == meta["dtype"]
+    state_dir = os.path.abspath(os.path.join(path, _STATE_DIR))
+    ckpt = _checkpointer()
+
+    if cap % store._cap_quantum == 0:
+        # Direct device restore: orbax reshards onto this mesh's shard axis.
+        target = {
+            "buf": jax.ShapeDtypeStruct(
+                (cap, dim_pad), dtype, sharding=_row_sharding(mesh)
+            )
+        }
+        if quantized:
+            target["scales"] = jax.ShapeDtypeStruct(
+                (cap,), jnp.float32, sharding=_vec_sharding(mesh)
+            )
+        restored = ckpt.restore(state_dir, target)
+        store.buf = restored["buf"]
+        if quantized:
+            store._scales = restored["scales"]
+        store.count = meta["count"]
+        return store
+
+    # Capacity doesn't tile this mesh's shard quantum (e.g. saved from a
+    # smaller mesh): restore replicated on host and re-append the live rows.
+    target = {
+        "buf": jax.ShapeDtypeStruct((cap, dim_pad), dtype, sharding=_replicated(mesh))
+    }
+    if quantized:
+        target["scales"] = jax.ShapeDtypeStruct(
+            (cap,), jnp.float32, sharding=_replicated(mesh)
+        )
+    restored = ckpt.restore(state_dir, target)
+    count = meta["count"]
+    rows = np.asarray(restored["buf"][:count, : meta["dim"]], dtype=np.float32)
+    if quantized:
+        rows = rows * np.asarray(restored["scales"][:count])[:, None]
+    store.append(rows)
+    return store
+
+
+# ---------------------------------------------------------------------------
+# Corpus (multi-conversation) checkpoints
+# ---------------------------------------------------------------------------
+
+
+def save_corpus(corpus: CorpusVectorStore, path: str | os.PathLike) -> None:
+    """Checkpoint a corpus: the sharded matrix + its segment table."""
+    segments = [
+        {
+            "conversation": s.conversation,
+            "start": s.start,
+            "count": s.count,
+            "local_base": s.local_base,
+        }
+        for s in corpus._segments
+    ]
+    save_sharded_store(corpus._store, path, extra_meta={"segments": segments})
+
+
+def restore_corpus(mesh, path: str | os.PathLike) -> CorpusVectorStore:
+    meta = _read_meta(path)
+    store = restore_sharded_store(mesh, path, _meta=meta)
+    corpus = CorpusVectorStore(meta["dim"], mesh=mesh, dtype=store._dtype)
+    corpus._store = store
+    corpus._segments = [
+        _Segment(s["conversation"], s["start"], s["count"], s["local_base"])
+        for s in meta.get("segments", [])
+    ]
+    corpus._local_counts = {}
+    for s in corpus._segments:
+        corpus._local_counts[s.conversation] = (
+            corpus._local_counts.get(s.conversation, 0) + s.count
+        )
+    return corpus
