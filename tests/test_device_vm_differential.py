@@ -11,6 +11,8 @@ the query space the device engine covers (it must stay the default engine,
 not an opt-in corner).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -361,7 +363,11 @@ async def test_full_pipeline_message_matches_parity():
     assert checked >= 10
 
 
-@pytest.mark.parametrize("seed", [7, 42, 1234])
+# Deep sweeps: TAT_FUZZ_SEEDS=64 python -m pytest -k differential
+_FUZZ_SEEDS = int(os.environ.get("TAT_FUZZ_SEEDS", "3"))
+
+
+@pytest.mark.parametrize("seed", [7, 42, 1234, *range(2000, 1997 + _FUZZ_SEEDS)])
 async def test_device_vm_differential(seed):
     covered, total = await run_differential(seed, 40)
     # The device engine must cover the overwhelming share of compiled
