@@ -47,13 +47,18 @@ def build_store(matrix_chunks, dtype):
     return store
 
 
-def device_qps(store, many_queries):
+def device_qps(store, many_queries, approx_rt: float | None = None):
     """R distinct query batches inside ONE dispatch (lax.map): steady-state
-    throughput with host<->device round trips excluded."""
+    throughput with host<->device round trips excluded. With ``approx_rt``,
+    rides XLA's hardware approx_max_k instead of the exact Pallas kernel."""
     import jax
     import jax.numpy as jnp
 
-    from typeagent_tpu.ops.topk import topk_program, topk_program_quantized
+    from typeagent_tpu.ops.topk import (
+        cosine_topk_approx,
+        topk_program,
+        topk_program_quantized,
+    )
 
     R = many_queries.shape[0]
     many_padded = np.zeros((R, many_queries.shape[1], store._dim_pad), np.float32)
@@ -61,7 +66,20 @@ def device_qps(store, many_queries):
     many_dev = jnp.asarray(many_padded)
     count = jnp.asarray(store._count, dtype=jnp.int32)
 
-    if store._quantized:
+    if approx_rt is not None:
+        assert not store._quantized
+
+        @jax.jit
+        def scan_topk(emb, qs):
+            return jax.lax.map(
+                lambda q: cosine_topk_approx(
+                    emb, q, count, K, recall_target=approx_rt
+                ),
+                qs,
+            )
+
+        args = (store._buf, many_dev)
+    elif store._quantized:
 
         @jax.jit
         def scan_topk(emb, scales, qs):
@@ -176,9 +194,27 @@ def main() -> None:
         f"(recall@{K} vs exact: {recall_i8:.4f})"
     )
 
-    # Headline: the fastest production (quantized) mode that clears the
-    # in-run recall bar against the exact f32 scan.
+    # Approximate mode (store.search_mode="approx"): XLA's hardware
+    # approx_max_k over the bf16 store — runs at the matmul+HBM floor.
+    approx_candidates = []
+    for rt in (0.95, 0.97):
+        qps_a, ms_a, idx_a = device_qps(store, many, approx_rt=rt)
+        recall_a = np.mean(
+            [
+                len(set(a.tolist()) & set(b.tolist())) / K
+                for a, b in zip(idx_a.reshape(-1, K), idx_f32.reshape(-1, K))
+            ]
+        )
+        log(
+            f"device bf16-approx(rt={rt}): {ms_a:.2f} ms/batch-{BATCH}, "
+            f"{qps_a:.0f} QPS (recall@{K} vs exact: {recall_a:.4f})"
+        )
+        approx_candidates.append((f"bf16-approx(rt={rt})", qps_a, recall_a))
+
+    # Headline: the fastest production mode (quantized exact or approximate)
+    # that clears the in-run recall bar against the exact f32 scan.
     candidates = [("bf16", qps, recall), ("int8", qps_i8, recall_i8)]
+    candidates += approx_candidates
     eligible = [c for c in candidates if c[2] >= 0.97] or candidates[:1]
     mode, best_qps, best_recall = max(eligible, key=lambda c: c[1])
     log(f"headline mode: {mode} ({best_qps:.0f} QPS, recall {best_recall:.4f})")
