@@ -277,3 +277,77 @@ def test_sharded_differential_fuzz(mesh8):
             assert len(store2) == len(store)
             store = store2
     assert len(store) == oracle.shape[0] > 0
+
+
+# ---------------------------------------------------------------------------
+# Approximate sharded search (per-shard approx_max_k + all_gather merge)
+# ---------------------------------------------------------------------------
+
+DIM16 = 16  # small dim for the approx tests
+
+
+def test_sharded_approx_matches_exact_on_cpu_mesh():
+    """CPU approx_max_k is (near-)exact, so the approx sharded program must
+    reproduce the exact sharded results — this pins the offset/merge logic."""
+    mesh = create_mesh(n_shard=4, n_dp=2)
+    rng = np.random.default_rng(11)
+    rows = rng.standard_normal((200, DIM16)).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+
+    exact = ShardedVectorStore(mesh, DIM16, dtype="bfloat16")
+    approx = ShardedVectorStore(
+        mesh, 16, dtype="bfloat16", search_mode="approx", recall_target=0.95
+    )
+    exact.append(rows)
+    approx.append(rows)
+
+    queries = rows[17:25]
+    res_exact = exact.search(queries, k=5)
+    res_approx = approx.search(queries, k=5)
+    for e_hits, a_hits in zip(res_exact, res_approx):
+        assert [h[0] for h in a_hits] == [h[0] for h in e_hits]
+        for (ei, ev), (ai, av) in zip(e_hits, a_hits):
+            assert av == pytest.approx(ev, abs=1e-3)
+
+
+def test_sharded_approx_min_score_and_self_match():
+    mesh = create_mesh(n_shard=4, n_dp=1)
+    store = ShardedVectorStore(mesh, DIM16, search_mode="approx")
+    rng = np.random.default_rng(12)
+    rows = rng.standard_normal((96, DIM16)).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    store.append(rows)
+    hits = store.search(rows[40:41], k=3, min_score=0.99)
+    assert hits[0][0][0] == 40
+    assert all(score >= 0.99 for _, score in hits[0])
+
+
+def test_sharded_approx_rejects_int8():
+    mesh = create_mesh(n_shard=4, n_dp=1)
+    with pytest.raises(ValueError, match="float32/bfloat16"):
+        ShardedVectorStore(mesh, DIM16, dtype="int8", search_mode="approx")
+
+
+def test_vectorstore_mesh_approx_settings_route():
+    """TextEmbeddingIndexSettings(mesh=..., search_mode='approx') builds an
+    approx sharded store under the hood."""
+    from typeagent_tpu.models.adapters import create_test_embedding_model
+    from typeagent_tpu.vectorstore import TextEmbeddingIndexSettings, VectorStore
+
+    mesh = create_mesh(n_shard=4, n_dp=1)
+    settings = TextEmbeddingIndexSettings(
+        embedding_model=create_test_embedding_model(16),
+        min_score=0.0,
+        mesh=mesh,
+        search_mode="approx",
+        recall_target=0.9,
+    )
+    store = VectorStore(settings)
+    rng = np.random.default_rng(13)
+    rows = rng.standard_normal((64, DIM16)).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    store.add_embeddings(None, rows)
+    hits = store.fuzzy_lookup_embedding(rows[7], max_hits=1)
+    assert hits[0].item == 7
+    inner = store._sharded_store()
+    assert inner.search_mode == "approx" and inner.recall_target == 0.9

@@ -232,6 +232,34 @@ def _sharded_scores_cached(mesh: Mesh, quantized: bool):
     return jax.jit(_scores)
 
 
+@functools.lru_cache(maxsize=64)
+def _sharded_approx_topk_cached(mesh: Mesh, k: int, recall_target: float):
+    """Approximate distributed top-k: per-shard XLA approx_max_k (runs at the
+    matmul+HBM floor on TPU; exact fallback on CPU) + the same k-small
+    all_gather merge as the exact path. float/bf16 stores only."""
+    from ..ops.topk import cosine_topk_approx
+
+    @functools.partial(
+        _shard_map,
+        mesh=mesh,
+        in_specs=(P(AXIS_SHARD, None), P(AXIS_DP, None), P(), P()),
+        out_specs=(P(AXIS_DP, None), P(AXIS_DP, None)),
+        check_vma=False,
+    )
+    def _search(emb_local, q_local, count, min_score):
+        local_n = emb_local.shape[0]
+        shard = jax.lax.axis_index(AXIS_SHARD)
+        offset = shard * local_n
+        local_count = jnp.clip(count[0] - offset, 0, local_n)
+        vals, idx = cosine_topk_approx(
+            emb_local, q_local, local_count, k, recall_target=recall_target
+        )
+        idx = jnp.where(vals >= 0.0, idx + offset, -1)
+        return _merge_shard_winners(vals, idx, min(k, local_n), min_score)
+
+    return jax.jit(_search)
+
+
 def make_sharded_topk(mesh: Mesh, k: int, quantized: bool = False):
     """Compiled distributed top-k: (emb[, scales], queries, count[1],
     min_score[1]) -> (vals, idx)."""
@@ -256,9 +284,23 @@ class ShardedVectorStore:
     serialize/deserialize round-trips.
     """
 
-    def __init__(self, mesh: Mesh, dim: int, dtype=jnp.float32):
+    def __init__(
+        self,
+        mesh: Mesh,
+        dim: int,
+        dtype=jnp.float32,
+        search_mode: str = "exact",
+        recall_target: float = 0.95,
+    ):
         if isinstance(dtype, str):
             dtype = _DTYPE_NAMES[dtype]
+        assert search_mode in ("exact", "approx"), search_mode
+        if search_mode == "approx" and dtype == jnp.int8:
+            raise ValueError(
+                "search_mode='approx' supports float32/bfloat16 stores only"
+            )
+        self.search_mode = search_mode
+        self.recall_target = recall_target
         self.mesh = mesh
         self.dim = dim
         self.dim_pad = append_ops.round_up(dim, append_ops.LANES)
@@ -384,7 +426,10 @@ class ShardedVectorStore:
         b = queries.shape[0]
         q = self._pad_queries(queries)
         k_eff = min(k, self.count)
-        fn = _sharded_topk_cached(self.mesh, k_eff, self._quantized)
+        if self.search_mode == "approx":
+            fn = _sharded_approx_topk_cached(self.mesh, k_eff, self.recall_target)
+        else:
+            fn = _sharded_topk_cached(self.mesh, k_eff, self._quantized)
         pre, post = self._device_args(q, min_score)
         vals, idx = fn(*pre, *post)
         return (vals, idx, b)

@@ -104,11 +104,8 @@ class TextEmbeddingIndexSettings:
                 "search_mode='approx' supports float32/bfloat16 stores only "
                 "(the int8 path has its own fused kernel)"
             )
-        if search_mode == "approx" and mesh is not None:
-            raise ValueError(
-                "search_mode='approx' is not implemented for mesh-sharded "
-                "stores yet; use exact mode"
-            )
+        # Mesh-sharded approx: per-shard approx_max_k + all_gather merge
+        # (scoped/subset lookups on sharded stores stay exact).
         self.search_mode = search_mode
         self.recall_target = recall_target
 
@@ -227,7 +224,11 @@ class VectorStore:
             from .parallel.sharded import ShardedVectorStore
 
             self._sharded = ShardedVectorStore(
-                self._mesh, self._embedding_size, dtype=self.settings.dtype
+                self._mesh,
+                self._embedding_size,
+                dtype=self.settings.dtype,
+                search_mode=self.settings.search_mode,
+                recall_target=self.settings.recall_target,
             )
         return self._sharded
 
