@@ -127,3 +127,33 @@ def test_corpus_scoped_search_exact_for_buried_conversation(mesh, rng):
 
     # Scoping to an unknown conversation returns empty, not garbage.
     assert corpus.search(q, k=5, conversations=["nope"]) == [[]]
+
+
+def test_corpus_approx_global_search():
+    """search_mode='approx' corpus: global searches ride the approx program,
+    scoped searches stay exact — results match the exact corpus on CPU."""
+    import numpy as np
+
+    from typeagent_tpu.parallel import create_mesh
+    from typeagent_tpu.parallel.corpus import CorpusVectorStore
+
+    mesh = create_mesh(n_shard=4, n_dp=1)
+    rng = np.random.default_rng(21)
+    a = rng.standard_normal((60, 16)).astype(np.float32)
+    b = rng.standard_normal((40, 16)).astype(np.float32)
+
+    exact = CorpusVectorStore(16, mesh=mesh)
+    approx = CorpusVectorStore(16, mesh=mesh, search_mode="approx")
+    for corpus in (exact, approx):
+        corpus.append("a", a)
+        corpus.append("b", b)
+
+    q = a[10:12]
+    got_e = exact.search(q, k=3)
+    got_a = approx.search(q, k=3)
+    for he, ha in zip(got_e, got_a):
+        assert [(h.conversation, h.local_ordinal) for h in ha] == [
+            (h.conversation, h.local_ordinal) for h in he
+        ]
+    scoped = approx.search(q, k=3, conversations=["b"])[0]
+    assert all(h.conversation == "b" for h in scoped)

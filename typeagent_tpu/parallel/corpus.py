@@ -41,12 +41,14 @@ class _Segment:
 class CorpusVectorStore:
     """Append-only multi-tenant fragment store over a sharded device matrix."""
 
-    def __init__(self, dim: int, mesh=None, dtype=None):
+    def __init__(self, dim: int, mesh=None, dtype=None, search_mode: str = "exact"):
         import jax.numpy as jnp
 
         self.mesh = mesh or create_mesh()
+        # search_mode="approx": global searches ride per-shard approx_max_k;
+        # conversation-scoped searches stay exact (masked full scan).
         self._store = ShardedVectorStore(
-            self.mesh, dim, dtype=dtype or jnp.float32
+            self.mesh, dim, dtype=dtype or jnp.float32, search_mode=search_mode
         )
         self._segments: list[_Segment] = []  # ordered by global start
         self._local_counts: dict[str, int] = {}
