@@ -423,3 +423,27 @@ async def test_streaming_batch_size_one_commits_each_message(tmp_path):
     assert result.messages_added == 3
     assert [r.messages_added for r in committed] == [1, 1, 1]
     assert await conv.messages.size() == 3
+
+
+async def test_conversation_with_approx_search_mode():
+    """ConversationSettings(search_mode='approx'): full ingest + query path
+    with approx embedding lookups (exact on CPU's approx_max_k fallback)."""
+    settings = ConversationSettings(
+        model=create_test_embedding_model(DIM), search_mode="approx"
+    )
+    settings.semantic_ref_index_settings.auto_extract_knowledge = True
+    settings.semantic_ref_index_settings.knowledge_extractor = FakeExtractor()
+    conv = await create_conversation(None, ConversationMessage, settings=settings)
+    await conv.add_messages_with_indexing(
+        [msg("fugue counterpoint study"), msg("harpsichord tuning notes")]
+    )
+    found = await search_conversation(
+        conv,
+        SearchTermGroup(boolean_op="or", terms=[SearchTerm(Term("fugue"))]),
+        options=SearchOptions(exact_match=False),
+        raw_search_query="fugue",
+    )
+    assert found.knowledge_matches
+    index = conv.secondary_indexes.message_index
+    hits = await index.lookup_messages("counterpoint", max_matches=1)
+    assert hits and hits[0].message_ordinal == 0

@@ -60,6 +60,7 @@ class ConversationSettings:
         embed_retrier: AsyncRetrier | None = None,
         mesh=None,
         embedding_dtype: str = "float32",
+        search_mode: str = "exact",
     ):
         self.chat_retrier = chat_retrier
         self.embed_retrier = embed_retrier
@@ -76,12 +77,15 @@ class ConversationSettings:
         self.embedding_model = model
 
         def emb(min_score: float, max_matches: int | None = None):
+            # search_mode="approx": embedding lookups ride approx_max_k
+            # (the big-corpus serving mode; recall ~= recall_target).
             return TextEmbeddingIndexSettings(
                 model,
                 min_score=min_score,
                 max_matches=max_matches,
                 dtype=embedding_dtype,
                 mesh=mesh,
+                search_mode=search_mode,
             )
 
         self.related_term_index_settings = RelatedTermIndexSettings(
