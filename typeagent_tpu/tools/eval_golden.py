@@ -329,8 +329,10 @@ class WordExtractor:
         )
 
 
-async def build_fixture_conversation():
-    settings = ConversationSettings(model=create_test_embedding_model(32))
+async def build_fixture_conversation(search_mode: str = "exact"):
+    settings = ConversationSettings(
+        model=create_test_embedding_model(32), search_mode=search_mode
+    )
     settings.semantic_ref_index_settings.knowledge_extractor = WordExtractor()
     return await ingest_podcast(
         FIXTURE,
@@ -340,8 +342,10 @@ async def build_fixture_conversation():
     )
 
 
-async def run_eval(update: bool, use_device_executor: bool = True) -> int:
-    conversation = await build_fixture_conversation()
+async def run_eval(
+    update: bool, use_device_executor: bool = True, search_mode: str = "exact"
+) -> int:
+    conversation = await build_fixture_conversation(search_mode)
     results = []
     for question, pinned in PINNED_QUERIES:
         query = deserialize_object(SearchQuery, pinned)
