@@ -464,3 +464,24 @@ def test_outlook_safe_name_no_collisions_on_long_ids():
     assert len(a) <= 120 and len(b) <= 120
     short = _safe_name("simple-id")
     assert short == "simple-id"
+
+
+def test_print_timestamps_hex(tmp_path, capsys):
+    from typeagent_tpu.tools.mail.print_timestamps import hex_timestamp, main
+    import sys
+
+    ts = hex_timestamp("Mon, 06 May 2024 10:30:00 +0000")
+    assert len(ts) == 16 and int(ts, 16) == 1714991400000 << 20
+    assert hex_timestamp(None) == "????????"
+    assert hex_timestamp("not a date") == "????????"
+
+    eml = tmp_path / "m.eml"
+    eml.write_text("Date: Mon, 06 May 2024 10:30:00 +0000\n\nbody\n")
+    old_argv = sys.argv
+    sys.argv = ["pt", str(eml)]
+    try:
+        main()
+    finally:
+        sys.argv = old_argv
+    out = capsys.readouterr().out
+    assert ts in out and str(eml) in out
