@@ -8,6 +8,11 @@ virtual 8-device mesh on CPU).
     python examples/sharded_corpus_demo.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 from typeagent_tpu.parallel import create_mesh
@@ -37,8 +42,22 @@ for h in hits:
     print(f"  {h.conversation}#{h.local_ordinal}  score={h.score:.3f}")
 assert hits[0].conversation == "design-docs" and hits[0].local_ordinal == 42
 
-# Scoped search: restrict to one conversation (oversample + filter).
+# Scoped search: EXACT — the target segments become a device-side row mask
+# sharded with the matrix (same fused SPMD scan as a global search).
 [scoped] = corpus.search(query, k=3, conversations=["meeting-notes"])
 assert all(h.conversation == "meeting-notes" for h in scoped)
 print(f"scoped to meeting-notes: top score {scoped[0].score:.3f}")
+
+# Sharding-aware checkpoint: every shard writes in parallel; restores into
+# any mesh topology (save on 8 devices, resume on 1).
+import tempfile
+
+from typeagent_tpu.parallel import create_mesh, restore_corpus, save_corpus
+
+with tempfile.TemporaryDirectory() as ckpt_dir:
+    save_corpus(corpus, ckpt_dir)
+    resumed = restore_corpus(create_mesh(n_shard=1, n_dp=1), ckpt_dir)
+    [hits2] = resumed.search(query, k=1)
+    assert hits2[0].conversation == "design-docs" and hits2[0].local_ordinal == 42
+    print(f"checkpoint restored onto 1 device: {len(resumed)} fragments, self-match OK")
 print("OK")
