@@ -2,6 +2,7 @@
 into another, lookups identical. Runs on the virtual 8-device CPU mesh.
 """
 
+import jax
 import numpy as np
 import pytest
 
@@ -16,6 +17,10 @@ from typeagent_tpu.parallel.corpus import CorpusVectorStore
 from typeagent_tpu.parallel.sharded import ShardedVectorStore
 
 DIM = 16
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
 
 
 def rows(n, seed=0):

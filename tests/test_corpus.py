@@ -130,6 +130,10 @@ def test_corpus_scoped_search_exact_for_buried_conversation(mesh, rng):
 
 
 def test_corpus_approx_global_search():
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
     """search_mode='approx' corpus: global searches ride the approx program,
     scoped searches stay exact — results match the exact corpus on CPU."""
     import numpy as np
