@@ -123,3 +123,33 @@ def test_corpus_checkpoint_round_trip(tmp_path):
     assert scoped[0].local_ordinal == 7
     globally = restored.search(query, k=1)[0]
     assert globally[0].conversation == "beta"
+
+
+def test_restore_fallback_when_capacity_does_not_tile(tmp_path):
+    """A 3-shard mesh's capacity quantum (24) doesn't divide the saved 1024
+    capacity: restore takes the host re-append fallback and stays correct."""
+    mesh4 = create_mesh(n_shard=4, n_dp=1)
+    store = ShardedVectorStore(mesh4, DIM, dtype="float32")
+    store.append(rows(100, seed=20))
+    expected = top1_ordinals(store, rows(6, seed=21))
+    save_sharded_store(store, tmp_path / "ckpt")
+
+    mesh3 = create_mesh(n_shard=3, n_dp=1)
+    restored = restore_sharded_store(mesh3, tmp_path / "ckpt")
+    assert restored.count + restored._pending_rows == 100 or len(restored) == 100
+    assert top1_ordinals(restored, rows(6, seed=21)) == expected
+
+
+def test_restore_fallback_quantized(tmp_path):
+    mesh4 = create_mesh(n_shard=4, n_dp=1)
+    store = ShardedVectorStore(mesh4, DIM, dtype="int8")
+    store.append(rows(80, seed=22))
+    expected = top1_ordinals(store, rows(6, seed=23))
+    save_sharded_store(store, tmp_path / "ckpt")
+
+    mesh3 = create_mesh(n_shard=3, n_dp=1)
+    restored = restore_sharded_store(mesh3, tmp_path / "ckpt")
+    assert len(restored) == 80
+    # Re-quantization on the fallback path is per-row symmetric: top-1
+    # self-matches survive it.
+    assert top1_ordinals(restored, rows(6, seed=23)) == expected
