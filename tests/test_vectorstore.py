@@ -348,3 +348,17 @@ def test_approx_search_mode(rng):
 def test_approx_mode_rejects_unknown():
     with pytest.raises(AssertionError):
         make_store(8, search_mode="fuzzy")
+
+
+def test_lookup_k25_matches_oracle(rng):
+    """k in (16, 32] rides the Pallas kernel on TPU (the message re-rank
+    stage asks for 25); everywhere it must match the oracle exactly."""
+    matrix = random_normalized(rng, 800, 64)
+    store = make_store(64)
+    store.add_embeddings(None, matrix)
+    q = random_normalized(rng, 1, 64)[0]
+    result = store.fuzzy_lookup_embedding(q, max_hits=25)
+    expected = oracle_lookup(matrix, q, max_hits=25)
+    assert [r.item for r in result] == [i for i, _ in expected]
+    for r, (_, score) in zip(result, expected):
+        assert abs(r.score - score) < 2e-5

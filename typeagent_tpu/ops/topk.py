@@ -47,10 +47,12 @@ _TILE_N = 4096
 _K_LANES = 128
 # Largest k routed to the Pallas kernel. The extraction loop is unrolled k
 # times and Mosaic's buffer liveness grows superlinearly with it — k=50
-# overflows the ~16 MB scoped VMEM at any useful tile size. Bigger k (only
-# the related-terms expansion asks for ~50) takes the XLA top_k path, which
-# is ~15% slower but unbounded.
-_PALLAS_MAX_K = 16
+# overflows the ~16 MB scoped VMEM at any useful tile size; k=32 compiles
+# and matches the XLA route bit-exactly (measured 1M x 384 bf16 b=64:
+# Pallas 5.2 ms vs XLA-materialized top_k 9.8 ms at k=25 — the message
+# re-rank stage's k). Bigger k (only the related-terms expansion asks for
+# ~50) takes the XLA top_k path, which materializes scores but is unbounded.
+_PALLAS_MAX_K = 32
 _NEG = -1.0  # below any real score in [0, 1]; plain float (kernels must not
 # capture jnp constants)
 _RAW_NEG = -3.0  # below any real cosine in [-1, 1] (raw-space running buffer)
