@@ -153,3 +153,18 @@ def test_restore_fallback_quantized(tmp_path):
     # Re-quantization on the fallback path is per-row symmetric: top-1
     # self-matches survive it.
     assert top1_ordinals(restored, rows(6, seed=23)) == expected
+
+
+def test_nonblocking_save(tmp_path):
+    """block=False: metadata lands only at wait(); restore sees full state."""
+    import os
+
+    mesh = create_mesh(n_shard=4, n_dp=1)
+    store = ShardedVectorStore(mesh, DIM)
+    store.append(rows(64, seed=30))
+    pending = save_sharded_store(store, tmp_path / "async_ckpt", block=False)
+    pending.wait()
+    pending.wait()  # idempotent
+    assert os.path.exists(tmp_path / "async_ckpt" / "store_meta.json")
+    restored = restore_sharded_store(mesh, tmp_path / "async_ckpt")
+    assert restored.count == 64

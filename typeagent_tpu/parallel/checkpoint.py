@@ -49,10 +49,35 @@ def _checkpointer():
     return ocp.StandardCheckpointer()
 
 
+class PendingSave:
+    """Handle for a non-blocking save; ``wait()`` finalizes it."""
+
+    def __init__(self, ckpt, finalize):
+        self._ckpt = ckpt
+        self._finalize = finalize
+        self._done = False
+
+    def wait(self) -> None:
+        if self._done:
+            return
+        self._ckpt.wait_until_finished()
+        self._finalize()  # metadata written only once the state is durable
+        self._done = True
+
+
 def save_sharded_store(
-    store: ShardedVectorStore, path: str | os.PathLike, *, extra_meta: dict | None = None
-) -> None:
-    """Write the store's device state under ``path`` (overwrites)."""
+    store: ShardedVectorStore,
+    path: str | os.PathLike,
+    *,
+    extra_meta: dict | None = None,
+    block: bool = True,
+) -> PendingSave:
+    """Write the store's device state under ``path`` (overwrites).
+
+    With ``block=False`` the device arrays are staged and the disk write
+    proceeds in the background (orbax async) — keep serving and call
+    ``.wait()`` on the returned handle before relying on the checkpoint.
+    """
     store._flush()
     path = os.fspath(path)
     state_dir = os.path.join(path, _STATE_DIR)
@@ -65,7 +90,6 @@ def save_sharded_store(
         state["scales"] = store._scales
     ckpt = _checkpointer()
     ckpt.save(os.path.abspath(state_dir), state)
-    ckpt.wait_until_finished()
 
     meta = {
         "dim": store.dim,
@@ -76,8 +100,15 @@ def save_sharded_store(
     }
     if extra_meta:
         meta.update(extra_meta)
-    with open(os.path.join(path, _META_FILE), "w", encoding="utf-8") as f:
-        json.dump(meta, f)
+
+    def finalize() -> None:
+        with open(os.path.join(path, _META_FILE), "w", encoding="utf-8") as f:
+            json.dump(meta, f)
+
+    pending = PendingSave(ckpt, finalize)
+    if block:
+        pending.wait()
+    return pending
 
 
 def _read_meta(path: str | os.PathLike) -> dict:
