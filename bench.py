@@ -98,11 +98,13 @@ def device_qps(store, many_queries, approx_rt: float | None = None):
 
     out = scan_topk(*args)
     np.asarray(jax.tree.leaves(out)[0])  # compile + warm
-    t0 = time.perf_counter()
-    out = scan_topk(*args)
-    vals = np.asarray(jax.tree.leaves(out)[0])
-    idx = np.asarray(jax.tree.leaves(out)[1])
-    elapsed = time.perf_counter() - t0
+    elapsed = float("inf")
+    for _ in range(3):  # best-of-3: damp tunnel throughput jitter
+        t0 = time.perf_counter()
+        out = scan_topk(*args)
+        vals = np.asarray(jax.tree.leaves(out)[0])
+        idx = np.asarray(jax.tree.leaves(out)[1])
+        elapsed = min(elapsed, time.perf_counter() - t0)
     assert vals.shape[0] == R
     return R * many_queries.shape[1] / elapsed, elapsed / R * 1000, idx
 
