@@ -168,3 +168,13 @@ def test_nonblocking_save(tmp_path):
     assert os.path.exists(tmp_path / "async_ckpt" / "store_meta.json")
     restored = restore_sharded_store(mesh, tmp_path / "async_ckpt")
     assert restored.count == 64
+
+
+def test_corpus_checkpoint_preserves_search_mode(tmp_path):
+    mesh = create_mesh(n_shard=4, n_dp=1)
+    corpus = CorpusVectorStore(DIM, mesh=mesh, search_mode="approx")
+    corpus.append("a", rows(40, seed=31))
+    save_corpus(corpus, tmp_path / "c")
+    restored = restore_corpus(mesh, tmp_path / "c")
+    assert restored._store.search_mode == "approx"
+    assert restored.search(rows(2, seed=31), k=1)[0][0].local_ordinal == 0

@@ -184,13 +184,24 @@ def save_corpus(corpus: CorpusVectorStore, path: str | os.PathLike) -> None:
         }
         for s in corpus._segments
     ]
-    save_sharded_store(corpus._store, path, extra_meta={"segments": segments})
+    save_sharded_store(
+        corpus._store,
+        path,
+        extra_meta={
+            "segments": segments,
+            "search_mode": corpus._store.search_mode,
+        },
+    )
 
 
 def restore_corpus(mesh, path: str | os.PathLike) -> CorpusVectorStore:
     meta = _read_meta(path)
     store = restore_sharded_store(mesh, path, _meta=meta)
-    corpus = CorpusVectorStore(meta["dim"], mesh=mesh, dtype=store._dtype)
+    store.search_mode = meta.get("search_mode", "exact")
+    corpus = CorpusVectorStore(
+        meta["dim"], mesh=mesh, dtype=store._dtype,
+        search_mode=store.search_mode,
+    )
     corpus._store = store
     corpus._segments = [
         _Segment(s["conversation"], s["start"], s["count"], s["local_base"])
