@@ -178,3 +178,71 @@ def test_corpus_checkpoint_preserves_search_mode(tmp_path):
     restored = restore_corpus(mesh, tmp_path / "c")
     assert restored._store.search_mode == "approx"
     assert restored.search(rows(2, seed=31), k=1)[0][0].local_ordinal == 0
+
+
+# ---------------------------------------------------------------------------
+# Single-chip VectorStore checkpoints
+# ---------------------------------------------------------------------------
+
+
+def make_vector_store(dtype="float32", mesh=None):
+    from typeagent_tpu.models.adapters import create_test_embedding_model
+    from typeagent_tpu.vectorstore import TextEmbeddingIndexSettings, VectorStore
+
+    settings = TextEmbeddingIndexSettings(
+        embedding_model=create_test_embedding_model(DIM),
+        min_score=0.0,
+        dtype=dtype,
+        mesh=mesh,
+    )
+    return VectorStore(settings)
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16", "int8"])
+def test_vector_store_checkpoint_round_trip(tmp_path, dtype):
+    from typeagent_tpu.parallel.checkpoint import (
+        restore_vector_store,
+        save_vector_store,
+    )
+
+    store = make_vector_store(dtype)
+    data = rows(120, seed=40)
+    store.add_embeddings(None, data)
+    save_vector_store(store, tmp_path / "vs")
+
+    restored = restore_vector_store(store.settings, tmp_path / "vs")
+    assert len(restored) == 120
+    hit = restored.fuzzy_lookup_embedding(data[33], max_hits=1)[0]
+    assert hit.item == 33
+    np.testing.assert_array_equal(np.asarray(restored._buf), np.asarray(store._buf))
+
+
+def test_vector_store_checkpoint_empty(tmp_path):
+    from typeagent_tpu.parallel.checkpoint import (
+        restore_vector_store,
+        save_vector_store,
+    )
+
+    store = make_vector_store()
+    pending = save_vector_store(store, tmp_path / "empty")
+    pending.wait()
+    restored = restore_vector_store(store.settings, tmp_path / "empty")
+    assert len(restored) == 0
+
+
+def test_vector_store_checkpoint_mesh_backed(tmp_path):
+    from typeagent_tpu.parallel.checkpoint import (
+        restore_vector_store,
+        save_vector_store,
+    )
+
+    mesh = create_mesh(n_shard=4, n_dp=1)
+    store = make_vector_store("bfloat16", mesh=mesh)
+    data = rows(90, seed=41)
+    store.add_embeddings(None, data)
+    save_vector_store(store, tmp_path / "mvs")
+
+    restored = restore_vector_store(store.settings, tmp_path / "mvs")
+    assert len(restored) == 90
+    hit = restored.fuzzy_lookup_embedding(data[11], max_hits=1)[0]
+    assert hit.item == 11

@@ -25,6 +25,8 @@ def __getattr__(name):
         "restore_sharded_store",
         "save_corpus",
         "restore_corpus",
+        "save_vector_store",
+        "restore_vector_store",
     ):
         from . import checkpoint
 
@@ -45,4 +47,6 @@ __all__ = [
     "restore_sharded_store",
     "save_corpus",
     "restore_corpus",
+    "save_vector_store",
+    "restore_vector_store",
 ]

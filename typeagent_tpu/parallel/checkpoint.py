@@ -169,6 +169,93 @@ def restore_sharded_store(
 
 
 # ---------------------------------------------------------------------------
+# Single-chip VectorStore checkpoints (same format; symmetric API)
+# ---------------------------------------------------------------------------
+
+
+def save_vector_store(store, path: str | os.PathLike, *, block: bool = True):
+    """Checkpoint a (non-mesh or mesh-backed) `vectorstore.VectorStore`.
+
+    Native-dtype device snapshot — bf16/int8 checkpoints are half/quarter
+    the bytes of `serialize()`'s f32 host matrix, with no dequantize round
+    trip. Mesh-backed stores delegate to the sharded path.
+    """
+    store._flush()
+    if store._mesh is not None:
+        return save_sharded_store(store._sharded_store(), path, block=block)
+    path = os.fspath(path)
+    state_dir = os.path.join(path, _STATE_DIR)
+    if os.path.exists(state_dir):
+        shutil.rmtree(state_dir)
+    os.makedirs(path, exist_ok=True)
+
+    meta = {
+        "dim": store._embedding_size,
+        "dim_pad": store._dim_pad,
+        "dtype": _dtype_name(store._dtype),
+        "count": store._count,
+        "capacity": int(store._buf.shape[0]) if store._buf is not None else 0,
+        "single_chip": True,
+    }
+
+    def finalize() -> None:
+        with open(os.path.join(path, _META_FILE), "w", encoding="utf-8") as f:
+            json.dump(meta, f)
+
+    if store._buf is None:  # empty store: metadata only
+        finalize()
+        pending = PendingSave(None, lambda: None)
+        pending._done = True
+        return pending
+
+    state = {"buf": store._buf}
+    if store._scales is not None:
+        state["scales"] = store._scales
+    ckpt = _checkpointer()
+    ckpt.save(os.path.abspath(state_dir), state)
+    pending = PendingSave(ckpt, finalize)
+    if block:
+        pending.wait()
+    return pending
+
+
+def restore_vector_store(settings, path: str | os.PathLike):
+    """Rebuild a `vectorstore.VectorStore` with ``settings`` from a
+    checkpoint written by :func:`save_vector_store` (or the sharded saver —
+    mesh-backed settings restore through the sharded path)."""
+    import jax.numpy as jnp
+
+    from ..vectorstore import VectorStore
+
+    path = os.fspath(path)
+    meta = _read_meta(path)
+    store = VectorStore(settings)
+    if store._mesh is not None:
+        inner = restore_sharded_store(store._mesh, path)
+        if inner.dim:
+            store._set_embedding_size(inner.dim)
+        store._sharded = inner
+        store._count = len(inner)
+        return store
+    if not meta.get("count") and not meta.get("capacity"):
+        return store  # empty checkpoint
+    dtype = _DTYPE_NAMES[meta["dtype"]]
+    assert dtype == store._dtype, (meta["dtype"], store.settings.dtype)
+    cap, dim_pad = meta["capacity"], meta["dim_pad"]
+    target = {"buf": jax.ShapeDtypeStruct((cap, dim_pad), dtype)}
+    if meta["dtype"] == "int8":
+        target["scales"] = jax.ShapeDtypeStruct((cap,), jnp.float32)
+    restored = _checkpointer().restore(
+        os.path.abspath(os.path.join(path, _STATE_DIR)), target
+    )
+    store._set_embedding_size(meta["dim"])
+    store._buf = restored["buf"]
+    store._scales = restored.get("scales")
+    store._count = meta["count"]
+    return store
+
+
+# ---------------------------------------------------------------------------
 # Corpus (multi-conversation) checkpoints
 # ---------------------------------------------------------------------------
 
