@@ -231,3 +231,50 @@ async def test_conversation_corpus_end_to_end(mesh):
     assert len(keys) == len(set(keys))
     scores = [m.score for _, m in merged]
     assert scores == sorted(scores, reverse=True)
+
+
+async def test_conversation_corpus_checkpoint_resume(mesh, tmp_path):
+    """save() + load() restores the mirror; re-attached conversations do NOT
+    re-upload already-mirrored rows, and refresh resumes from the watermark."""
+    from typeagent_tpu.parallel import ConversationCorpus
+
+    conv = await build_conv(None)
+    corpus = ConversationCorpus(dim=24, mesh=mesh)
+    await corpus.add_conversation("podcast", conv)
+    n_before = len(corpus._store)
+    assert n_before > 0
+
+    corpus.save(tmp_path / "mirror")
+    resumed = ConversationCorpus.load(tmp_path / "mirror", mesh=mesh)
+    assert len(resumed._store) == n_before
+    assert resumed.conversations == []  # live objects re-attach explicitly
+
+    appended = 0
+
+    async def attach_and_count():
+        nonlocal appended
+        await resumed.add_conversation("podcast", conv)
+        appended = resumed._synced_counts["podcast"]
+
+    await attach_and_count()
+    # Watermark restored: nothing re-uploaded.
+    assert len(resumed._store) == n_before
+    hits = await resumed.search_text("message 3: notes on fugues and recordings 3", k=1)
+    assert hits[0].conversation == "podcast" and hits[0].message_ordinal == 3
+
+    # New content after resume uploads only the delta.
+    index = resumed._message_index(conv)
+    await index.add_messages_starting_at(
+        8,
+        [
+            ConversationMessage(
+                ["message 8: entirely new sonata notes"],
+                ConversationMessageMeta("Alice", ["Bob"]),
+            )
+        ],
+    )
+    added = await resumed.refresh("podcast")
+    assert added == 1
+    assert len(resumed._store) == n_before + 1
+    hits = await resumed.search_text("message 8: entirely new sonata notes", k=1)
+    assert hits[0].message_ordinal == 8

@@ -242,9 +242,10 @@ def restore_vector_store(settings, path: str | os.PathLike):
     dtype = _DTYPE_NAMES[meta["dtype"]]
     assert dtype == store._dtype, (meta["dtype"], store.settings.dtype)
     cap, dim_pad = meta["capacity"], meta["dim_pad"]
-    target = {"buf": jax.ShapeDtypeStruct((cap, dim_pad), dtype)}
+    device = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+    target = {"buf": jax.ShapeDtypeStruct((cap, dim_pad), dtype, sharding=device)}
     if meta["dtype"] == "int8":
-        target["scales"] = jax.ShapeDtypeStruct((cap,), jnp.float32)
+        target["scales"] = jax.ShapeDtypeStruct((cap,), jnp.float32, sharding=device)
     restored = _checkpointer().restore(
         os.path.abspath(os.path.join(path, _STATE_DIR)), target
     )
@@ -260,7 +261,12 @@ def restore_vector_store(settings, path: str | os.PathLike):
 # ---------------------------------------------------------------------------
 
 
-def save_corpus(corpus: CorpusVectorStore, path: str | os.PathLike) -> None:
+def save_corpus(
+    corpus: CorpusVectorStore,
+    path: str | os.PathLike,
+    *,
+    extra_meta: dict | None = None,
+) -> None:
     """Checkpoint a corpus: the sharded matrix + its segment table."""
     segments = [
         {
@@ -271,14 +277,13 @@ def save_corpus(corpus: CorpusVectorStore, path: str | os.PathLike) -> None:
         }
         for s in corpus._segments
     ]
-    save_sharded_store(
-        corpus._store,
-        path,
-        extra_meta={
-            "segments": segments,
-            "search_mode": corpus._store.search_mode,
-        },
-    )
+    meta = {
+        "segments": segments,
+        "search_mode": corpus._store.search_mode,
+    }
+    if extra_meta:
+        meta.update(extra_meta)
+    save_sharded_store(corpus._store, path, extra_meta=meta)
 
 
 def restore_corpus(mesh, path: str | os.PathLike) -> CorpusVectorStore:

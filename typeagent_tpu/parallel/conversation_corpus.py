@@ -62,11 +62,53 @@ class ConversationCorpus:
         if name in self._conversations:
             raise ValueError(f"conversation {name!r} already registered")
         self._conversations[name] = conversation
-        self._locations[name] = []
-        self._synced_counts[name] = 0
+        self._locations.setdefault(name, [])
+        self._synced_counts.setdefault(name, 0)
         if self._embedder is None:
             self._embedder = self._message_index(conversation)
         await self.refresh(name)
+
+    # -- persistence (orbax; see parallel/checkpoint.py) -----------------------
+
+    def save(self, path) -> None:
+        """Checkpoint the mirror (device matrix + location/sync tables).
+
+        After :meth:`load`, re-attach live conversations with
+        :meth:`add_conversation` — already-mirrored rows are NOT re-uploaded
+        (refresh resumes from the restored sync watermarks).
+        """
+        from .checkpoint import save_corpus
+
+        save_corpus(
+            self._store,
+            path,
+            extra_meta={
+                "mirror_locations": {
+                    name: [[l.message_ordinal, l.chunk_ordinal] for l in locs]
+                    for name, locs in self._locations.items()
+                },
+                "mirror_synced": dict(self._synced_counts),
+            },
+        )
+
+    @classmethod
+    def load(cls, path, mesh=None) -> "ConversationCorpus":
+        """Restore a mirror checkpoint onto ``mesh`` (any topology)."""
+        from .checkpoint import _read_meta, restore_corpus
+        from .mesh import create_mesh
+
+        mesh = mesh or create_mesh()
+        meta = _read_meta(path)
+        corpus = cls.__new__(cls)
+        corpus._store = restore_corpus(mesh, path)
+        corpus._conversations = {}
+        corpus._locations = {
+            name: [TextLocation(m, c) for m, c in pairs]
+            for name, pairs in meta.get("mirror_locations", {}).items()
+        }
+        corpus._synced_counts = dict(meta.get("mirror_synced", {}))
+        corpus._embedder = None
+        return corpus
 
     async def refresh(self, name: str | None = None) -> int:
         """Mirror newly indexed chunks into the shared matrix.
