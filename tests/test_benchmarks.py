@@ -68,3 +68,42 @@ def test_trace_spans_nest_and_record():
     assert current_span() is None
     stats = METRICS.stats("span.outer/inner")
     assert stats is not None and stats.count >= 1
+
+
+async def test_benchmark_embeddings_self_retrieval_sweep(tmp_path, capsys):
+    """The retrieval-quality harness: every message retrieves itself at
+    min_score 0 on a fresh conversation (hit rate 1.0, MRR 1.0)."""
+    from typeagent_tpu import create_conversation
+    from typeagent_tpu.knowpro.convsettings import ConversationSettings
+    from typeagent_tpu.knowpro.universal_message import (
+        ConversationMessage,
+        ConversationMessageMeta,
+    )
+    from typeagent_tpu.models.adapters import create_test_embedding_model
+    from typeagent_tpu.tools.benchmark_embeddings import evaluate
+
+    db = str(tmp_path / "quality.db")
+    settings = ConversationSettings(model=create_test_embedding_model(16))
+    settings.semantic_ref_index_settings.auto_extract_knowledge = False
+    conv = await create_conversation(db, ConversationMessage, settings=settings)
+    await conv.add_messages_with_indexing(
+        [
+            ConversationMessage([t], ConversationMessageMeta("A"))
+            for t in ("alpha facts", "beta figures", "gamma findings")
+        ]
+    )
+    await conv.storage_provider.close()
+
+    await evaluate(
+        db=db,
+        index_path=None,
+        min_scores=[0.0],
+        max_hits_list=[3],
+        embedding_model_spec="test:16",
+        limit=None,
+    )
+    out = capsys.readouterr().out
+    assert "Evaluating self-retrieval over 3 messages" in out
+    row = [line for line in out.splitlines() if line.strip().startswith("0.00")][0]
+    cols = row.split()
+    assert cols == ["0.00", "3", "1.000", "1.000"]
