@@ -246,3 +246,21 @@ def test_vector_store_checkpoint_mesh_backed(tmp_path):
     assert len(restored) == 90
     hit = restored.fuzzy_lookup_embedding(data[11], max_hits=1)[0]
     assert hit.item == 11
+
+
+def test_restore_missing_paths_raise_clean_errors(tmp_path):
+    import json
+
+    mesh = create_mesh(n_shard=4, n_dp=1)
+    with pytest.raises(FileNotFoundError, match="store_meta"):
+        restore_sharded_store(mesh, tmp_path / "never_saved")
+    # Metadata without state: orbax names the missing checkpoint dir.
+    broken = tmp_path / "broken"
+    broken.mkdir()
+    (broken / "store_meta.json").write_text(
+        json.dumps(
+            {"dim": 8, "dim_pad": 128, "dtype": "float32", "count": 5, "capacity": 128}
+        )
+    )
+    with pytest.raises(FileNotFoundError, match="not found"):
+        restore_sharded_store(mesh, broken)

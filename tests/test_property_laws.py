@@ -6,6 +6,7 @@ scope masks, range collections, and sorted-index code assume everywhere.
 
 import unicodedata
 
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from typeagent_tpu.knowpro import kplib
@@ -167,3 +168,108 @@ def test_semantic_ref_round_trip(entity, r, ordinal):
     assert restored.semantic_ref_ordinal == ordinal
     assert restored.range == r
     assert restored.knowledge == entity
+
+
+# ---------------------------------------------------------------------------
+# MatchAccumulator laws vs a plain-dict oracle
+# ---------------------------------------------------------------------------
+
+from typeagent_tpu.knowpro.collections import MatchAccumulator  # noqa: E402
+
+# NOTE: XLA sets flush-to-zero processor state, which breaks hypothesis's
+# subnormal-float machinery — generate scores as scaled integers instead.
+adds = st.lists(
+    st.tuples(
+        st.integers(0, 12),  # value
+        st.integers(1, 500).map(lambda i: i / 100.0),  # score in (0, 5]
+        st.booleans(),  # is_exact
+    ),
+    max_size=40,
+)
+
+
+def oracle_of(seq):
+    acc: dict[int, list[float]] = {}
+    for value, score, exact in seq:
+        entry = acc.setdefault(value, [0.0, 0, 0.0, 0])
+        if exact:
+            entry[0] += score
+            entry[1] += 1
+        else:
+            entry[2] += score
+            entry[3] += 1
+    return acc
+
+
+def accumulate(seq) -> MatchAccumulator:
+    acc = MatchAccumulator()
+    for value, score, exact in seq:
+        acc.add(value, score, exact)
+    return acc
+
+
+@settings(max_examples=150, deadline=None)
+@given(seq=adds)
+def test_accumulator_matches_oracle(seq):
+    acc = accumulate(seq)
+    oracle = oracle_of(seq)
+    assert len(acc) == len(oracle)
+    for value, (score, hits, rscore, rhits) in oracle.items():
+        m = acc.get_match(value)
+        assert m.hit_count == hits and m.related_hit_count == rhits
+        assert m.score == pytest.approx(score, rel=1e-6)
+        assert m.related_score == pytest.approx(rscore, rel=1e-6)
+
+
+@settings(max_examples=100, deadline=None)
+@given(a=adds, b=adds)
+def test_union_equals_concatenated_adds(a, b):
+    left = accumulate(a)
+    left.add_union(accumulate(b))
+    combined = accumulate(a + b)
+    assert {m.value for m in left} == {m.value for m in combined}
+    for m in combined:
+        got = left.get_match(m.value)
+        assert got.hit_count == m.hit_count
+        assert got.score == pytest.approx(m.score, rel=1e-6)
+
+
+@settings(max_examples=100, deadline=None)
+@given(a=adds, b=adds)
+def test_intersect_keeps_exactly_common_values(a, b):
+    left, right = accumulate(a), accumulate(b)
+    out = left.intersect(right, MatchAccumulator())
+    common = {m[0] for m in a} & {m[0] for m in b}
+    assert {m.value for m in out} == common
+    oracle = oracle_of(a + b)
+    for m in out:  # intersection carries the SUMMED bookkeeping
+        score, hits, *_ = oracle[m.value]
+        assert m.hit_count == hits
+        assert m.score == pytest.approx(score, rel=1e-6)
+
+
+@settings(max_examples=100, deadline=None)
+@given(seq=adds, n=st.integers(1, 8))
+def test_top_n_is_prefix_of_sorted(seq, n):
+    acc = accumulate(seq)
+    full = acc.get_sorted_by_score()
+    top = acc.get_top_n_scoring(n)
+    assert len(top) == min(n, len(full))
+    # Scores agree positionally (value ties may order differently).
+    for got, want in zip(top, full):
+        assert got.score == pytest.approx(want.score, rel=1e-6)
+
+
+@settings(max_examples=100, deadline=None)
+@given(seq=adds, min_hits=st.integers(0, 4))
+def test_hit_count_filter_matches_oracle(seq, min_hits):
+    acc = accumulate(seq)
+    oracle = oracle_of(seq)
+    kept = {m.value for m in acc.matches_with_min_hit_count(min_hits)}
+    expected = {
+        v for v, (_, hits, _, _) in oracle.items() if not min_hits or hits >= min_hits
+    }
+    assert kept == expected
+    assert acc.get_max_hit_count() == max(
+        (e[1] for e in oracle.values()), default=0
+    )
