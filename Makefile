@@ -20,6 +20,12 @@ coverage:
 eval:
 	python -m typeagent_tpu.tools.eval_golden
 
+# Replay the reference's 67-query Episode-53 corpus (real compiled trees)
+# through both query engines and diff against committed goldens (parity
+# role: reference `make eval` batch compare). Needs /root/reference.
+eval-episode53:
+	python -m typeagent_tpu.tools.eval_episode53
+
 bench:
 	python bench.py
 

@@ -1,0 +1,96 @@
+"""Batch replay of the reference's real Episode-53 query corpus vs goldens.
+
+The 67-query corpus (`Episode_53_Search_results.json` in the reference's
+testdata) carries real LLM stage-1 translations and fully compiled stage-2/3
+trees — real related-term weights, or_max entity groups, scope-defining term
+groups with required related terms, date ranges. Replaying the compiled
+trees hermetically (parity role: reference ``make eval``, `Makefile:38-42`)
+pins stage-3 + accumulator + scope semantics over production-shaped queries,
+and certifies the device executor against the host VM on every one of them.
+"""
+
+import json
+import os
+
+import pytest
+
+from typeagent_tpu.tools import eval_episode53 as ev
+
+pytestmark = pytest.mark.skipif(
+    not ev.corpus_available(), reason="reference Episode-53 corpus not available"
+)
+
+
+@pytest.fixture(scope="module")
+def conversation():
+    import asyncio
+
+    return asyncio.new_event_loop().run_until_complete(
+        ev.load_episode53_conversation()
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return ev.load_query_corpus()
+
+
+@pytest.fixture(scope="module")
+def golden():
+    with open(ev.GOLDEN_FILE) as f:
+        return json.load(f)
+
+
+async def test_corpus_shape(corpus):
+    # The corpus must keep exercising the interesting compiled shapes.
+    n_scoped = sum(
+        1
+        for e in corpus
+        for q in e["compiledQueryExpr"]
+        for se in q["selectExpressions"]
+        if (se.get("when") or {}).get("scopeDefiningTerms")
+    )
+    n_dated = sum(
+        1
+        for e in corpus
+        for q in e["compiledQueryExpr"]
+        for se in q["selectExpressions"]
+        if (se.get("when") or {}).get("dateRange")
+    )
+    assert len(corpus) == 67
+    assert n_scoped >= 25
+    assert n_dated >= 2
+
+
+async def test_host_vm_matches_golden(conversation, corpus, golden):
+    records = await ev.replay_corpus(conversation, corpus, use_device_executor=False)
+    assert len(records) == len(golden)
+    for got, expected in zip(records, golden):
+        assert got == expected, f"host VM drift on {got['searchText']!r}"
+
+
+async def test_device_executor_matches_golden(conversation, corpus, golden):
+    records = await ev.replay_corpus(conversation, corpus, use_device_executor=True)
+    assert len(records) == len(golden)
+    for got, expected in zip(records, golden):
+        assert got == expected, f"device executor drift on {got['searchText']!r}"
+
+
+async def test_loader_roundtrips_required_related_terms(corpus):
+    # relatedTermsRequired scope terms must survive the JSON -> tree load:
+    # scope semantics depend on them (reference query.py:58-75).
+    found = False
+    for e in corpus:
+        for q in e["compiledQueryExpr"]:
+            for se in q["selectExpressions"]:
+                scope = (se.get("when") or {}).get("scopeDefiningTerms")
+                if not scope:
+                    continue
+                group = ev.load_term_group(scope)
+                for term in group.terms:
+                    pv = getattr(term, "property_value", None)
+                    if pv is not None and getattr(
+                        pv, "related_terms_required", False
+                    ):
+                        found = True
+    assert found

@@ -1,0 +1,283 @@
+"""Episode-53 batch search eval: replay the reference's real query corpus.
+
+(Parity role: reference ``make eval`` / ``tools/query.py --batch
+--search-results`` — reference `Makefile:38-42`, `tools/query.py:1275-1347`.)
+
+The reference ships ``Episode_53_Search_results.json``: 67 real queries with
+their LLM stage-1 translations AND the fully compiled stage-2/3 expression
+trees, including the real embedding model's related-term weights, or_max
+entity groups, property terms, scope-defining term groups, and date ranges.
+Those compiled trees are replayed here — hermetically, no LLM — against the
+reference's own Episode-53 index snapshot, through BOTH query engines (host
+VM and device executor), and diffed per query against committed goldens.
+
+Note the reference's recorded result ordinals do NOT correspond to the
+snapshot shipped next to them (its golden was recorded against an older
+index build: e.g. its ``entityMatches`` for "List all book titles" map to
+actions/topics in today's snapshot), so this driver pins its own goldens —
+regenerate with ``--update`` — and uses the reference corpus for its query
+*inputs*, which are real LLM output and exercise every compiled-tree shape
+the production pipeline emits.
+
+Run: ``python -m typeagent_tpu.tools.eval_episode53 [--update] [--engine both]``
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import os
+import sys
+from datetime import datetime
+
+from ..knowpro.convsettings import ConversationSettings
+from ..knowpro.interfaces import (
+    DateRange,
+    PropertySearchTerm,
+    SearchSelectExpr,
+    SearchTerm,
+    SearchTermGroup,
+    Term,
+    WhenFilter,
+)
+from ..knowpro.query import to_required_search_term
+from ..knowpro.search import SearchOptions, SearchQueryExpr, run_search_query
+from ..models.adapters import create_test_embedding_model
+from ..podcasts.podcast import Podcast
+
+REFERENCE_TESTDATA = "/root/reference/tests/testdata"
+FIXTURE = os.path.join(REFERENCE_TESTDATA, "Episode_53_AdrianTchaikovsky_index")
+QUERY_CORPUS = os.path.join(REFERENCE_TESTDATA, "Episode_53_Search_results.json")
+GOLDEN_FILE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+    "tests",
+    "testdata",
+    "golden_episode53_search.json",
+)
+
+
+def corpus_available() -> bool:
+    return os.path.exists(FIXTURE + "_data.json") and os.path.exists(QUERY_CORPUS)
+
+
+# ---------------------------------------------------------------------------
+# Compiled-expression JSON -> search expression tree
+# (wire format: the reference's serialized SearchQueryExpr, camelCase)
+# ---------------------------------------------------------------------------
+
+
+def _load_term(d: dict) -> Term:
+    return Term(d["text"], d.get("weight"))
+
+
+def _load_search_term(d: dict) -> SearchTerm:
+    # Absent relatedTerms means "already resolved to nothing": pin [] so the
+    # compiler never re-resolves through the (fake) fuzzy index.
+    related = [_load_term(t) for t in d.get("relatedTerms") or []]
+    st = SearchTerm(_load_term(d["term"]), related)
+    if d.get("relatedTermsRequired"):
+        st = to_required_search_term(st)
+    return st
+
+
+def _load_group_member(d: dict):
+    if "booleanOp" in d:
+        return load_term_group(d)
+    if "propertyName" in d:
+        name = d["propertyName"]
+        if isinstance(name, dict):
+            name = _load_search_term(name)
+        return PropertySearchTerm(name, _load_search_term(d["propertyValue"]))
+    return _load_search_term(d)
+
+
+def load_term_group(d: dict) -> SearchTermGroup:
+    return SearchTermGroup(
+        d["booleanOp"], [_load_group_member(t) for t in d["terms"]]
+    )
+
+
+def _parse_dt(s: str) -> datetime:
+    return datetime.fromisoformat(s.replace("Z", "+00:00"))
+
+
+def _load_when(d: dict | None) -> WhenFilter | None:
+    if d is None:
+        return None
+    when = WhenFilter()
+    if "knowledgeType" in d:
+        when.knowledge_type = d["knowledgeType"]
+    if "dateRange" in d:
+        dr = d["dateRange"]
+        when.date_range = DateRange(
+            _parse_dt(dr["start"]), _parse_dt(dr["end"]) if dr.get("end") else None
+        )
+    if "scopeDefiningTerms" in d:
+        when.scope_defining_terms = load_term_group(d["scopeDefiningTerms"])
+    if "tags" in d:
+        when.tags = d["tags"]
+    return when
+
+
+def load_compiled_query_expr(d: dict) -> SearchQueryExpr:
+    """Deserialize one entry of ``compiledQueryExpr`` into a SearchQueryExpr."""
+    selects = [
+        SearchSelectExpr(load_term_group(se["searchTermGroup"]), _load_when(se.get("when")))
+        for se in d["selectExpressions"]
+    ]
+    return SearchQueryExpr(selects, d.get("rawQuery"))
+
+
+def load_query_corpus() -> list[dict]:
+    with open(QUERY_CORPUS) as f:
+        return json.load(f)
+
+
+# ---------------------------------------------------------------------------
+# Replay + golden compare
+# ---------------------------------------------------------------------------
+
+
+async def load_episode53_conversation() -> Podcast:
+    settings = ConversationSettings(model=create_test_embedding_model(1536))
+    return await Podcast.read_from_file(FIXTURE, settings)
+
+
+def _result_record(results) -> list[dict]:
+    out = []
+    for r in results:
+        knowledge = {}
+        for ktype, res in sorted(r.knowledge_matches.items()):
+            knowledge[ktype] = {
+                "semrefs": [
+                    [m.semantic_ref_ordinal, round(float(m.score), 4)]
+                    for m in res.semantic_ref_matches
+                ],
+                "termMatches": sorted(res.term_matches),
+            }
+        out.append(
+            {
+                "knowledge": knowledge,
+                "messages": [
+                    [m.message_ordinal, round(float(m.score), 4)]
+                    for m in r.message_matches
+                ],
+            }
+        )
+    return out
+
+
+async def replay_corpus(
+    conversation, corpus: list[dict], use_device_executor: bool
+) -> list[dict]:
+    records = []
+    for entry in corpus:
+        options = SearchOptions(exact_match=False, max_message_matches=25)
+        options.use_device_executor = use_device_executor
+        results = []
+        for compiled in entry["compiledQueryExpr"]:
+            expr = load_compiled_query_expr(compiled)
+            results.extend(
+                await run_search_query(
+                    conversation, expr, options, entry["searchText"]
+                )
+            )
+        records.append(
+            {"searchText": entry["searchText"], "results": _result_record(results)}
+        )
+    return records
+
+
+def _list_diff(label: str, expected: list, actual: list, max_items: int = 12) -> None:
+    exp_set = {tuple(e) if isinstance(e, list) else e for e in expected}
+    act_set = {tuple(a) if isinstance(a, list) else a for a in actual}
+    missing = sorted(exp_set - act_set)[:max_items]
+    extra = sorted(act_set - exp_set)[:max_items]
+    print(f"    {label}: expected {len(expected)}, actual {len(actual)}")
+    if missing:
+        print(f"      missing: {missing}")
+    if extra:
+        print(f"      extra:   {extra}")
+
+
+def diff_records(got: list[dict], golden: list[dict]) -> int:
+    """Reference-style per-query diff (tools/query.py:1275-1347 ergonomics).
+
+    Returns the number of mismatched queries.
+    """
+    failures = 0
+    for g, e in zip(got, golden):
+        if g == e:
+            continue
+        failures += 1
+        print(f"MISMATCH: {g['searchText']!r}")
+        if len(g["results"]) != len(e["results"]):
+            print(
+                f"    result-set count: expected {len(e['results'])},"
+                f" actual {len(g['results'])}"
+            )
+            continue
+        for gr, er in zip(g["results"], e["results"]):
+            for ktype in sorted(set(gr["knowledge"]) | set(er["knowledge"])):
+                gk = gr["knowledge"].get(ktype, {"semrefs": [], "termMatches": []})
+                ek = er["knowledge"].get(ktype, {"semrefs": [], "termMatches": []})
+                if gk["semrefs"] != ek["semrefs"]:
+                    _list_diff(f"{ktype} semrefs", ek["semrefs"], gk["semrefs"])
+                if gk["termMatches"] != ek["termMatches"]:
+                    _list_diff(
+                        f"{ktype} termMatches", ek["termMatches"], gk["termMatches"]
+                    )
+            if gr["messages"] != er["messages"]:
+                _list_diff("messages", er["messages"], gr["messages"])
+    if len(got) != len(golden):
+        failures += 1
+        print(f"Query count mismatch: {len(got)} != {len(golden)}")
+    return failures
+
+
+async def run_eval(update: bool, engine: str) -> int:
+    if not corpus_available():
+        print(f"Reference corpus not available under {REFERENCE_TESTDATA}")
+        return 2
+    conversation = await load_episode53_conversation()
+    corpus = load_query_corpus()
+
+    if update:
+        records = await replay_corpus(conversation, corpus, use_device_executor=False)
+        with open(GOLDEN_FILE, "w") as f:
+            json.dump(records, f, indent=1)
+        print(f"Wrote {len(records)} golden query results to {GOLDEN_FILE}")
+        return 0
+
+    with open(GOLDEN_FILE) as f:
+        golden = json.load(f)
+    total_failures = 0
+    engines = {"host": [False], "device": [True], "both": [False, True]}[engine]
+    for use_device in engines:
+        name = "device" if use_device else "host"
+        records = await replay_corpus(conversation, corpus, use_device)
+        failures = diff_records(records, golden)
+        status = "all match" if not failures else f"{failures} mismatches"
+        print(f"[{name}] {len(records)} queries: {status}")
+        total_failures += failures
+    return 1 if total_failures else 0
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(
+        description="Replay the reference's Episode-53 query corpus vs goldens"
+    )
+    parser.add_argument("--update", action="store_true", help="Rewrite goldens")
+    parser.add_argument(
+        "--engine",
+        choices=["host", "device", "both"],
+        default="both",
+        help="Which query engine(s) to run",
+    )
+    args = parser.parse_args()
+    sys.exit(asyncio.run(run_eval(args.update, args.engine)))
+
+
+if __name__ == "__main__":
+    main()
