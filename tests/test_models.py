@@ -388,3 +388,24 @@ def test_provider_registry_specs(monkeypatch):
         adapters.create_chat_model("nonsense:model-x")
     with pytest.raises(ValueError, match="register_provider"):
         adapters.create_embedding_model("nonsense:model-x")
+
+
+def test_provider_registry_breadth(monkeypatch):
+    """Registry reaches the reference's provider breadth (25+ vendors via
+    pydantic-ai there, `model_adapters.py:17-25`); every spec wires its
+    vendor-conventional key env var into the Authorization header."""
+    from typeagent_tpu.models import adapters
+
+    assert len(adapters.PROVIDERS) >= 25
+    monkeypatch.delenv("AZURE_OPENAI_API_KEY", raising=False)
+    for name, spec in adapters.PROVIDERS.items():
+        assert spec.base_url.startswith(("http://", "https://"))
+        assert not spec.base_url.endswith("/")
+        monkeypatch.delenv(f"{name.upper()}_BASE_URL", raising=False)
+        if name == "openai":
+            monkeypatch.delenv("OPENAI_BASE_URL", raising=False)
+        monkeypatch.setenv(spec.api_key_envvar, f"key-{name}")
+        model = adapters.create_chat_model(f"{name}:some-model")
+        assert model._url == spec.base_url + spec.chat_path
+        assert model._headers["Authorization"] == f"Bearer key-{name}"
+        monkeypatch.delenv(spec.api_key_envvar, raising=False)

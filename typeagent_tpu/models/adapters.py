@@ -295,6 +295,41 @@ PROVIDERS: dict[str, ProviderSpec] = {
     ),
     "ollama": ProviderSpec("http://localhost:11434/v1", "OLLAMA_API_KEY"),
     "vllm": ProviderSpec("http://localhost:8000/v1", "VLLM_API_KEY"),
+    # Vendors with OpenAI-compatible gateways (the compatibility base URL,
+    # not their native API). Matches the breadth of the reference's
+    # pydantic-ai registry (`model_adapters.py:17-25` there).
+    "gemini": ProviderSpec(
+        "https://generativelanguage.googleapis.com/v1beta/openai",
+        "GEMINI_API_KEY",
+    ),
+    "cohere": ProviderSpec(
+        "https://api.cohere.ai/compatibility/v1", "COHERE_API_KEY"
+    ),
+    "huggingface": ProviderSpec("https://router.huggingface.co/v1", "HF_TOKEN"),
+    "github": ProviderSpec("https://models.github.ai/inference", "GITHUB_TOKEN"),
+    "nebius": ProviderSpec("https://api.studio.nebius.com/v1", "NEBIUS_API_KEY"),
+    "heroku": ProviderSpec(
+        "https://us.inference.heroku.com/v1", "HEROKU_INFERENCE_KEY"
+    ),
+    "vercel": ProviderSpec(
+        "https://ai-gateway.vercel.sh/v1", "VERCEL_AI_GATEWAY_API_KEY"
+    ),
+    "dashscope": ProviderSpec(
+        "https://dashscope-intl.aliyuncs.com/compatible-mode/v1",
+        "DASHSCOPE_API_KEY",
+    ),
+    "zhipu": ProviderSpec(
+        "https://open.bigmodel.cn/api/paas/v4", "ZHIPU_API_KEY"
+    ),
+    "siliconflow": ProviderSpec(
+        "https://api.siliconflow.com/v1", "SILICONFLOW_API_KEY"
+    ),
+    "novita": ProviderSpec("https://api.novita.ai/v3/openai", "NOVITA_API_KEY"),
+    "baseten": ProviderSpec(
+        "https://inference.baseten.co/v1", "BASETEN_API_KEY"
+    ),
+    "lmstudio": ProviderSpec("http://localhost:1234/v1", "LMSTUDIO_API_KEY"),
+    "litellm": ProviderSpec("http://localhost:4000/v1", "LITELLM_API_KEY"),
 }
 
 
