@@ -31,6 +31,7 @@ import os
 import sys
 from datetime import datetime
 
+from ..knowpro.answers import AnswerContextOptions, dictify, make_context
 from ..knowpro.convsettings import ConversationSettings
 from ..knowpro.interfaces import (
     DateRange,
@@ -168,6 +169,37 @@ def _result_record(results) -> list[dict]:
     return out
 
 
+async def _context_record(conversation, results) -> list[dict]:
+    """Stage-4 deterministic half: answer-context construction digests.
+
+    Uses the reference batch driver's context options (entities/topics
+    top-50, reference tools/query.py:631-633). The LLM answer itself is not
+    replayable offline; the context merge/enrichment semantics are.
+    """
+    options = AnswerContextOptions(entities_top_k=50, topics_top_k=50)
+    out = []
+    for r in results:
+        context = await make_context(r, conversation, options)
+        # json round-trip: dictify keeps datetimes; goldens are plain JSON.
+        jsonify = lambda obj: json.loads(json.dumps(dictify(obj), default=str))
+        out.append(
+            {
+                "entities": jsonify(context.entities),
+                "topics": jsonify(context.topics),
+                "messageOrdinals": [
+                    m.message_ordinal for m in r.message_matches
+                ],
+                "messageChars": sum(
+                    len(m.message_text)
+                    if isinstance(m.message_text, str)
+                    else sum(len(c) for c in m.message_text or [])
+                    for m in context.messages
+                ),
+            }
+        )
+    return out
+
+
 async def replay_corpus(
     conversation, corpus: list[dict], use_device_executor: bool
 ) -> list[dict]:
@@ -184,7 +216,11 @@ async def replay_corpus(
                 )
             )
         records.append(
-            {"searchText": entry["searchText"], "results": _result_record(results)}
+            {
+                "searchText": entry["searchText"],
+                "results": _result_record(results),
+                "answerContext": await _context_record(conversation, results),
+            }
         )
     return records
 
@@ -230,6 +266,8 @@ def diff_records(got: list[dict], golden: list[dict]) -> int:
                     )
             if gr["messages"] != er["messages"]:
                 _list_diff("messages", er["messages"], gr["messages"])
+        if g.get("answerContext") != e.get("answerContext"):
+            print("    answerContext digests differ")
     if len(got) != len(golden):
         failures += 1
         print(f"Query count mismatch: {len(got)} != {len(golden)}")
