@@ -428,3 +428,149 @@ async def test_reassembler_mismatched_chunk_count_raises():
     with pytest.raises(RuntimeError):
         await _reassembler_task(result_queue, stop, 0, 10, commit, False)
     assert stop.stop_at_message_id == 0  # watermark lowered for the producer
+
+
+# ---------------------------------------------------------------------------
+# Edges matching the reference's deeper pipeline matrix
+# (test_add_messages_pipeline.py there: embedding exceptions, mid-message
+# stop-marker changes, stop-marker on validation errors)
+# ---------------------------------------------------------------------------
+
+
+class _BrokenEmbeddingModel:
+    """Fails exactly one of the two embedding paths."""
+
+    def __init__(self, break_chunk=False, break_related=False):
+        self.break_chunk = break_chunk
+        self.break_related = break_related
+        self._real = create_test_embedding_model(8)
+
+    async def get_embedding_nocache(self, text):
+        if self.break_chunk:
+            raise ConnectionError("chunk embedding down")
+        return await self._real.get_embedding_nocache(text)
+
+    async def get_embeddings(self, texts):
+        if self.break_related:
+            raise ConnectionError("related embedding down")
+        return await self._real.get_embeddings(texts)
+
+
+class _OneEntityExtractor:
+    async def extract(self, text):
+        return Success(
+            kplib.KnowledgeResponse(
+                entities=[kplib.ConcreteEntity("Bach", ["person"])],
+                actions=[],
+                inverse_actions=[],
+                topics=[],
+            )
+        )
+
+
+async def test_process_chunk_chunk_embedding_exception_becomes_error():
+    result = await process_chunk_with_extraction_and_embeddings(
+        chunk_id=TextLocation(0, 0),
+        chunk_text="text",
+        chunk_count=1,
+        message=msg("text"),
+        knowledge_extractor=NoOpKnowledgeExtractor(),
+        embedding_model=_BrokenEmbeddingModel(break_chunk=True),
+    )
+    assert isinstance(result.error, ConnectionError)
+    assert "chunk embedding down" in str(result.error)
+
+
+async def test_process_chunk_related_embedding_exception_becomes_error():
+    result = await process_chunk_with_extraction_and_embeddings(
+        chunk_id=TextLocation(0, 0),
+        chunk_text="text",
+        chunk_count=1,
+        message=msg("text"),
+        knowledge_extractor=_OneEntityExtractor(),
+        embedding_model=_BrokenEmbeddingModel(break_related=True),
+    )
+    assert isinstance(result.error, ConnectionError)
+    assert "related embedding down" in str(result.error)
+
+
+async def test_process_chunk_extractor_exception_becomes_error():
+    class ExplodingExtractor:
+        async def extract(self, text):
+            raise ValueError("extractor crashed")
+
+    result = await process_chunk_with_extraction_and_embeddings(
+        chunk_id=TextLocation(0, 0),
+        chunk_text="text",
+        chunk_count=1,
+        message=msg("text"),
+        knowledge_extractor=ExplodingExtractor(),
+        embedding_model=create_test_embedding_model(8),
+    )
+    assert isinstance(result.error, ValueError)
+    # A crashed chunk still identifies itself for failure bookkeeping.
+    assert result.chunk_id == TextLocation(0, 0)
+    assert result.extracted_knowledge is None
+
+
+async def test_producer_breaks_inside_chunk_loop_when_stop_marker_drops():
+    """A failure elsewhere can lower the watermark while the producer is
+    mid-message: remaining chunks of that message must not be enqueued."""
+    chunk_queue = asyncio.Queue(maxsize=1)  # forces the producer to yield
+    stop = PipelineStopState()
+    state = ProducerState(next_message_id=0)
+
+    producer = asyncio.create_task(
+        _producer_task(
+            _aiter([msg("a", "b", "c")]),
+            chunk_queue,
+            stop,
+            state,
+            asyncio.Queue(),
+            None,
+        )
+    )
+    first = await chunk_queue.get()  # chunk (0, 0); producer blocks on (0, 1)
+    assert first.chunk_id.chunk_ordinal == 0
+    stop.stop_at_message_id = 0  # failure watermark drops mid-message
+    rest = []
+    while True:
+        item = await chunk_queue.get()
+        if item is None:
+            break
+        rest.append(item)
+    await producer
+    # Exactly one more chunk may have been staged before the drop was seen.
+    assert len(rest) <= 1
+    assert state.produced_chunks <= 2
+
+
+async def test_reassembler_duplicate_chunk_sets_stop_marker():
+    result_queue = asyncio.Queue()
+    m = msg("a", "b")
+    await result_queue.put(_chunk_result(m, 3, 0, 2))
+    await result_queue.put(_chunk_result(m, 3, 0, 2))
+    await result_queue.put(None)
+
+    async def commit(ms, results):
+        pass
+
+    stop = PipelineStopState()
+    with pytest.raises(RuntimeError, match="Duplicate chunk"):
+        await _reassembler_task(result_queue, stop, 0, 10, commit, False)
+    assert stop.stop_at_message_id == 3
+
+
+async def test_reassembler_invalid_ordinal_sets_stop_marker():
+    result_queue = asyncio.Queue()
+    m = msg("a", "b")
+    await result_queue.put(_chunk_result(m, 7, 9, 2))
+    await result_queue.put(None)
+
+    async def commit(ms, results):
+        pass
+
+    stop = PipelineStopState()
+    with pytest.raises(RuntimeError, match="Invalid chunk ordinal"):
+        await _reassembler_task(result_queue, stop, 0, 10, commit, False)
+    assert stop.stop_at_message_id == 7
