@@ -370,3 +370,162 @@ async def test_lookup_term_filtered_none_for_missing():
         lambda meta, scored: True,
     )
     assert result is None
+
+
+# ---------------------------------------------------------------------------
+# Micro-unit edges from the reference's test_query.py matrix
+# ---------------------------------------------------------------------------
+
+
+async def test_score_booster_rescores_lookups():
+    """Custom boosters rescale per-lookup scores before accumulation
+    (reference query.py score_booster contract)."""
+    from typeagent_tpu.knowpro.interfaces import ScoredSemanticRefOrdinal
+
+    conv = await build_conversation()
+    ctx = QueryEvalContext(
+        conv,
+        conv.secondary_indexes.property_to_semantic_ref_index,
+        conv.secondary_indexes.timestamp_index,
+    )
+
+    def boost(search_term, semantic_ref, scored):
+        return ScoredSemanticRefOrdinal(
+            scored.semantic_ref_ordinal, scored.score * 7.0
+        )
+
+    plain = await MatchSearchTermExpr(SearchTerm(Term("bach"))).eval(ctx)
+    ctx.clear_matched_terms()
+    boosted = await MatchSearchTermExpr(
+        SearchTerm(Term("bach")), score_booster=boost
+    ).eval(ctx)
+    assert plain is not None and boosted is not None
+    plain_scores = {m.value: m.score for m in plain}
+    boosted_scores = {m.value: m.score for m in boosted}
+    assert set(plain_scores) == set(boosted_scores)
+    for value, score in plain_scores.items():
+        assert boosted_scores[value] == pytest.approx(score * 7.0)
+
+
+async def test_user_property_matches_facets():
+    """A free (non-well-known) property name matches facet name/value pairs:
+    instrument(harpsichord) hits the Goldberg Variations entity."""
+    conv = await build_conversation()
+    result = await search_conversation_knowledge(
+        conv,
+        SearchTermGroup(
+            boolean_op="or",
+            terms=[
+                PropertySearchTerm(
+                    SearchTerm(Term("instrument")),
+                    SearchTerm(Term("harpsichord"), related_terms=[]),
+                )
+            ],
+        ),
+        options=SearchOptions(exact_match=True),
+    )
+    assert "entity" in result
+    names = set()
+    for m in result["entity"].semantic_ref_matches:
+        sr = await conv.semantic_refs.get_item(m.semantic_ref_ordinal)
+        names.add(sr.knowledge.name)
+    assert "Goldberg Variations" in names
+
+
+async def test_user_property_facet_value_wildcard():
+    """instrument(*) matches on facet NAME alone (wildcard value skips the
+    facet.value half)."""
+    conv = await build_conversation()
+    result = await search_conversation_knowledge(
+        conv,
+        SearchTermGroup(
+            boolean_op="or",
+            terms=[
+                PropertySearchTerm(
+                    SearchTerm(Term("instrument")),
+                    SearchTerm(Term("*"), related_terms=[]),
+                )
+            ],
+        ),
+        options=SearchOptions(exact_match=True),
+    )
+    assert "entity" in result
+    assert result["entity"].semantic_ref_matches
+
+
+async def test_user_property_wrong_facet_value_no_match():
+    conv = await build_conversation()
+    result = await search_conversation_knowledge(
+        conv,
+        SearchTermGroup(
+            boolean_op="or",
+            terms=[
+                PropertySearchTerm(
+                    SearchTerm(Term("instrument")),
+                    SearchTerm(Term("tuba"), related_terms=[]),
+                )
+            ],
+        ),
+        options=SearchOptions(exact_match=True),
+    )
+    # facet name still matches; the wrong value must not ADD matches beyond
+    # the name hits, and hit counts stay at 1 (no value reinforcement).
+    if "entity" in result:
+        ordinals = [m.semantic_ref_ordinal for m in result["entity"].semantic_ref_matches]
+        assert len(ordinals) == len(set(ordinals))
+
+
+async def test_clear_matched_terms_resets_dedupe():
+    conv = await build_conversation()
+    ctx = QueryEvalContext(
+        conv,
+        conv.secondary_indexes.property_to_semantic_ref_index,
+        conv.secondary_indexes.timestamp_index,
+    )
+    expr = MatchSearchTermExpr(SearchTerm(Term("bach")))
+    first = await expr.eval(ctx)
+    assert first is not None and len(ctx.matched_terms) > 0
+    # Second eval in the same context is deduped away entirely.
+    second = await expr.eval(ctx)
+    assert second is None or not list(second)
+    ctx.clear_matched_terms()
+    third = await expr.eval(ctx)
+    assert third is not None
+    assert {m.value for m in third} == {m.value for m in first}
+
+
+async def test_date_range_skips_none_timestamps():
+    from datetime import datetime, timezone
+
+    from typeagent_tpu.knowpro.interfaces import DateRange
+    from typeagent_tpu.knowpro.query import get_text_range_for_date_range
+    from typeagent_tpu.knowpro.universal_message import (
+        ConversationMessage,
+        ConversationMessageMeta,
+    )
+
+    class _Conv:
+        def __init__(self, messages):
+            from typeagent_tpu.storage.memory.collections import (
+                MemoryMessageCollection,
+            )
+
+            self.messages = MemoryMessageCollection(list(messages))
+
+    def m(ts):
+        return ConversationMessage(
+            ["x"], ConversationMessageMeta("A"), timestamp=ts
+        )
+
+    rng = DateRange(
+        datetime(2024, 3, 1, tzinfo=timezone.utc),
+        datetime(2024, 3, 3, tzinfo=timezone.utc),
+    )
+    # None timestamps are skipped; dated neighbors still bound the range.
+    conv = _Conv([m(None), m("2024-03-01T10:00:00Z"), m("2024-03-02T10:00:00Z")])
+    tr = await get_text_range_for_date_range(conv, rng)
+    assert tr is not None
+    assert (tr.start.message_ordinal, tr.end.message_ordinal) == (1, 3)
+    # All-None timestamps -> no range.
+    conv = _Conv([m(None), m(None)])
+    assert await get_text_range_for_date_range(conv, rng) is None
