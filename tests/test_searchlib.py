@@ -1,5 +1,7 @@
 """searchlib term-group builders (parity: reference tests/test_searchlib.py)."""
 
+import pytest
+
 from typeagent_tpu.knowpro.interfaces import PropertySearchTerm, SearchTerm
 from typeagent_tpu.knowpro.searchlib import (
     create_and_term_group,
@@ -168,3 +170,71 @@ def test_multiple_choice_question_formatting():
     assert "None of the above" not in no_none
     bare = create_multiple_choice_question("Just a question", [])
     assert bare == "Just a question"
+
+
+# ---------------------------------------------------------------------------
+# Reference-matrix edges (tests/test_searchlib.py there: weight+exact
+# combos, all well-known names, empty/nested groups, facet-only entities)
+# ---------------------------------------------------------------------------
+
+
+def test_create_search_term_weight_and_exact_combos():
+    t = create_search_term("bach")
+    assert t.term.weight is None and t.related_terms is None
+    t = create_search_term("bach", weight=2.5)
+    assert t.term.weight == 2.5 and t.related_terms is None
+    t = create_search_term("bach", exact_match_value=True)
+    assert t.related_terms == []
+    t = create_search_term("bach", weight=0.5, exact_match_value=True)
+    assert t.term.weight == 0.5 and t.related_terms == []
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["name", "type", "verb", "subject", "object", "indirectObject", "tag", "topic"],
+)
+def test_all_well_known_property_names_stay_strings(name):
+    pst = create_property_search_term(name, "v")
+    assert pst.property_name == name  # not wrapped into a SearchTerm
+
+
+def test_empty_term_groups():
+    for builder, op in (
+        (create_and_term_group, "and"),
+        (create_or_term_group, "or"),
+        (create_or_max_term_group, "or_max"),
+    ):
+        g = builder()
+        assert g.boolean_op == op and g.terms == []
+
+
+def test_nested_term_groups_preserve_structure():
+    inner = create_or_term_group(create_search_term("a"), create_search_term("b"))
+    outer = create_and_term_group(inner, create_search_term("c"))
+    assert outer.boolean_op == "and"
+    assert outer.terms[0] is inner
+    assert outer.terms[0].terms[1].term.text == "b"
+
+
+def test_entity_group_facet_value_only():
+    g = create_entity_search_term_group(facet_value="harpsichord")
+    assert len(g.terms) == 1
+    # facet.* names are NOT well-known: they wrap into a SearchTerm.
+    assert g.terms[0].property_name.term.text == "facet.value"
+
+
+def test_entity_group_empty_returns_empty_or_max():
+    g = create_entity_search_term_group()
+    assert g.boolean_op == "or_max" and g.terms == []
+
+
+def test_multiple_choice_question_empty_choices():
+    q = create_multiple_choice_question("Pick one", [])
+    # No choices -> the bare question, no multiple-choice scaffolding.
+    assert q == "Pick one"
+
+
+def test_property_search_terms_whitespace_values_filtered():
+    terms = create_property_search_terms({"type": "book,  , movie"})
+    values = [t.property_value.term.text for t in terms]
+    assert values == ["book", "movie"]
