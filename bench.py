@@ -199,7 +199,7 @@ def main() -> None:
     # Approximate mode (store.search_mode="approx"): XLA's hardware
     # approx_max_k over the bf16 store — runs at the matmul+HBM floor.
     approx_candidates = []
-    for rt in (0.95, 0.97):
+    for rt in (0.95, 0.97, 0.995):
         qps_a, ms_a, idx_a = device_qps(store, many, approx_rt=rt)
         recall_a = np.mean(
             [

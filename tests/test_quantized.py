@@ -90,3 +90,65 @@ def test_int8_serialize_dequantizes(rng):
     assert data.dtype == np.float32
     np.testing.assert_allclose(data, matrix, atol=1e-2)
     np.testing.assert_allclose(store.get_embedding_at(5), matrix[5], atol=1e-2)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed approx kernel (TPU fusion; CPU exercises the approx fallback)
+# ---------------------------------------------------------------------------
+
+
+def test_bucket_topk_matches_exact_on_cpu(rng):
+    import jax.numpy as jnp
+
+    from typeagent_tpu.ops import topk as T
+
+    n, d, b, k = 4096, 128, 16, 10
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    emb_dev = jnp.asarray(emb)
+    count = jnp.asarray(n, dtype=jnp.int32)
+
+    ev, ei = T.cosine_topk(emb_dev, jnp.asarray(q), count.reshape(1), k)
+    bv, bi = T.cosine_topk_bucket(emb_dev, jnp.asarray(q), count, k)
+    recall = np.mean(
+        [
+            len(set(a.tolist()) & set(c.tolist())) / k
+            for a, c in zip(np.asarray(ei), np.asarray(bi))
+        ]
+    )
+    assert recall >= 0.9
+    # Scores are in the public [0, 1] space.
+    assert float(jnp.max(bv)) <= 1.0 and float(jnp.min(bv[bv > -1])) >= 0.0
+
+
+def test_bucket_topk_respects_count_watermark(rng):
+    import jax.numpy as jnp
+
+    from typeagent_tpu.ops import topk as T
+
+    n, d, k = 1024, 64, 5
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    # Make a padded-region row the global best for query 0: it must be masked.
+    count = 512
+    emb[700] = emb_probe = emb[3]
+    q = emb[3:4].copy()
+    _, idx = T.cosine_topk_bucket(
+        jnp.asarray(emb), jnp.asarray(q), jnp.asarray(count, jnp.int32), k
+    )
+    idx = np.asarray(idx)[0]
+    assert 3 in idx.tolist()
+    assert all(i < count for i in idx if i >= 0)
+
+
+def test_pick_tile_bucket_power_of_two():
+    from typeagent_tpu.ops.topk import _BUCKET_ROWS, _K_LANES, _pick_tile_bucket
+
+    for d_pad, b_pad, itemsize in [(384, 256, 2), (384, 256, 4), (1536, 64, 2)]:
+        tile = _pick_tile_bucket(1_000_000, d_pad, b_pad, itemsize)
+        # Power of two >= 512 so buckets-per-tile divides the 128-lane block.
+        assert tile & (tile - 1) == 0 and tile >= 512
+        g = tile // _BUCKET_ROWS
+        assert _K_LANES % g == 0

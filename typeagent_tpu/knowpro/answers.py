@@ -265,8 +265,10 @@ async def get_enclosing_metadata_for_messages(
             collect(sources, metadata.source)
             collect(dests, metadata.dest)
 
+    # Sorted: set iteration order varies per process (hash randomization),
+    # and these lists land in prompts and pinned golden digests.
     return MessageMetadata(
-        source=list(sources) or None, dest=list(dests) or None
+        source=sorted(sources) or None, dest=sorted(dests) or None
     )
 
 

@@ -577,6 +577,156 @@ def cosine_topk_approx(
 
 
 # ---------------------------------------------------------------------------
+# Bucketed approximate kernel: fused matmul + per-bucket argmax in VMEM.
+#
+# approx_max_k consumes a materialized [b, n] score tensor: at 1M x 384
+# b=256 that is ~1 GB written to and re-read from HBM per batch — 3-4x the
+# embedding-read traffic the matmul itself needs. This kernel instead keeps
+# each [b, tile] score block in VMEM and reduces it to per-bucket (128
+# contiguous rows) maxima + argmax, so HBM sees only the embedding read
+# plus a tiny [b, n/128] maxima table; an exact top-k over the maxima
+# finishes on XLA. A true top-k row is missed only when two of the true
+# top-k land in the SAME 128-row bucket (~0.6%/query for k=10 at 1M random
+# rows -> recall@10 ~0.999; adjacent near-duplicate rows raise collisions
+# but those are near-ties, so the kept one scores ~the lost one).
+# ---------------------------------------------------------------------------
+
+_BUCKET_ROWS = 128  # rows per bucket = one lane group of the score block
+
+
+def _pick_tile_bucket(n_pad: int, d_pad: int, b_pad: int, itemsize: int) -> int:
+    """Power-of-two row tile (so 128 % buckets-per-tile == 0) from the VMEM
+    budget: emb tile double-buffered + one [b, tile] f32 score block."""
+    budget = 14 * 1024 * 1024
+    per_row = 2 * d_pad * itemsize + b_pad * 8
+    tile = 512
+    while tile * 2 <= min(_TILE_N, n_pad) and (tile * 2) * per_row <= budget:
+        tile *= 2
+    return tile
+
+
+def _topk_bucket_kernel(count_ref, q_ref, e_ref, vals_ref, idx_ref, *, tile_n: int):
+    step = pl.program_id(0)
+    g = tile_n // _BUCKET_ROWS  # buckets per tile
+    subs = _K_LANES // g  # grid steps sharing one [b, 128] output block
+    sub = step % subs
+
+    @pl.when(sub == 0)
+    def _init():
+        vals_ref[:] = jnp.full_like(vals_ref, _RAW_NEG)
+        idx_ref[:] = jnp.full_like(idx_ref, -1)
+
+    count = count_ref[0]
+    scores = jax.lax.dot_general(
+        q_ref[:].astype(e_ref.dtype),
+        e_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=(
+            jax.lax.Precision.HIGHEST
+            if e_ref.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        ),
+    )
+    b = scores.shape[0]
+    tile_base = step * tile_n
+    row_ids = tile_base + jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
+    masked = jnp.where(row_ids < count, scores, _RAW_NEG)
+    # [b, tile] -> [b, g, 128]: groups of 128 consecutive lanes, so the
+    # reduction runs over full lane registers (layout-friendly on the VPU).
+    grouped = masked.reshape(b, g, _BUCKET_ROWS)
+    bucket_max = jnp.max(grouped, axis=2)
+    bucket_pos = jnp.argmax(grouped, axis=2).astype(jnp.int32)
+    bucket_col = jax.lax.broadcasted_iota(jnp.int32, (b, g), 1)
+    bucket_idx = tile_base + bucket_col * _BUCKET_ROWS + bucket_pos
+    if g == _K_LANES:
+        vals_ref[:] = bucket_max
+        idx_ref[:] = bucket_idx
+    else:
+        # Mosaic rejects sub-128-lane dynamic stores ("index in dimension 1
+        # is a multiple of 128"), so rotate the g bucket lanes into place
+        # and blend a full [b, 128] block instead.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (b, _K_LANES), 1)
+        in_slot = (lane >= sub * g) & (lane < (sub + 1) * g)
+        pad_v = jnp.full((b, _K_LANES - g), _RAW_NEG, jnp.float32)
+        pad_i = jnp.full((b, _K_LANES - g), -1, jnp.int32)
+        wide_v = pltpu.roll(jnp.concatenate([bucket_max, pad_v], axis=1), sub * g, 1)
+        wide_i = pltpu.roll(jnp.concatenate([bucket_idx, pad_i], axis=1), sub * g, 1)
+        vals_ref[:] = jnp.where(in_slot, wide_v, vals_ref[:])
+        idx_ref[:] = jnp.where(in_slot, wide_i, idx_ref[:])
+
+
+def _topk_bucket_pallas_impl(
+    emb: jax.Array, queries: jax.Array, count: jax.Array, *, k: int
+):
+    n_pad, d_pad = emb.shape
+    b_pad = queries.shape[0]
+    tile_n = _pick_tile_bucket(n_pad, d_pad, b_pad, emb.dtype.itemsize)
+    g = tile_n // _BUCKET_ROWS
+    subs = _K_LANES // g
+    steps = pl.cdiv(n_pad, tile_n)
+    blocks = -(-steps // subs)
+
+    kernel = functools.partial(_topk_bucket_kernel, tile_n=tile_n)
+    vals, idx = pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # count, shape (1,)
+            pl.BlockSpec((b_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (b_pad, _K_LANES),
+                lambda i, _subs=subs: (0, i // _subs),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (b_pad, _K_LANES),
+                lambda i, _subs=subs: (0, i // _subs),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, blocks * _K_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, blocks * _K_LANES), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * n_pad * d_pad,
+            bytes_accessed=n_pad * d_pad * emb.dtype.itemsize
+            + b_pad * d_pad * 4
+            + 2 * b_pad * blocks * _K_LANES * 4,
+            transcendentals=0,
+        ),
+    )(count, queries, emb)
+    # Exact top-k over the bucket maxima (tiny: [b, n/128]).
+    top_vals, pos = jax.lax.top_k(vals, k)
+    top_idx = jnp.take_along_axis(idx, pos, axis=1)
+    return _raw_to_score(top_vals, top_idx)
+
+
+_topk_bucket_pallas = jax.jit(_topk_bucket_pallas_impl, static_argnames=("k",))
+
+
+def cosine_topk_bucket(
+    emb: jax.Array,
+    queries: jax.Array,
+    count: jax.Array | int,
+    k: int,
+):
+    """Bucketed approximate top-k (recall@10 ~0.999 at 1M random rows).
+
+    TPU-only fusion; other platforms fall back to ``cosine_topk_approx``.
+    """
+    k = min(k, emb.shape[0])
+    count_arr = jnp.asarray(count, dtype=jnp.int32).reshape(())
+    if _use_pallas() and _platform_of(emb) == "tpu":
+        return _topk_bucket_pallas(emb, queries, count_arr.reshape(1), k=k)
+    return _topk_approx_impl(emb, queries, count_arr, k=k, recall_target=0.97)
+
+
+# ---------------------------------------------------------------------------
 # XLA path (CPU meshes / oracle)
 # ---------------------------------------------------------------------------
 
