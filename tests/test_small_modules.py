@@ -174,3 +174,85 @@ async def test_textlocindex_serialize_roundtrip_and_corruption():
         make_index().deserialize(
             {"textLocations": [], "embeddings": None}
         )
+
+
+# ---------------------------------------------------------------------------
+# ConversationThreads (parity role: reference tests/test_convthreads.py)
+# ---------------------------------------------------------------------------
+
+
+def make_threads(dim=16):
+    from typeagent_tpu.storage.memory.indexes import ConversationThreads
+
+    return ConversationThreads(
+        TextEmbeddingIndexSettings(
+            embedding_model=create_test_embedding_model(dim), min_score=0.0
+        )
+    )
+
+
+def make_thread(desc, start=0, end=2):
+    from typeagent_tpu.knowpro.interfaces import TextRange, Thread
+
+    return Thread(desc, [TextRange(TextLocation(start), TextLocation(end))])
+
+
+async def test_threads_add_and_lookup():
+    threads = make_threads()
+    await threads.add_thread(make_thread("the cats discussion"))
+    await threads.add_thread(make_thread("dogs and other animals", 2, 5))
+    assert len(threads.threads) == 2
+    hits = await threads.lookup_thread("the cats discussion", 1, 0.0)
+    assert hits[0].thread_ordinal == 0
+    assert hits[0].score == pytest.approx(1.0, abs=1e-5)
+    assert await threads.lookup_thread("anything", None, 0.0)
+
+
+async def test_threads_lookup_empty_index():
+    threads = make_threads()
+    assert await threads.lookup_thread("whatever", 3, 0.0) == []
+
+
+async def test_threads_clear_and_rebuild():
+    threads = make_threads()
+    await threads.add_thread(make_thread("alpha"))
+    await threads.add_thread(make_thread("beta", 3, 4))
+    threads.clear()
+    assert threads.threads == [] and len(threads.vector_base) == 0
+    # build_index rebuilds embeddings from the thread list.
+    threads.threads = [make_thread("alpha"), make_thread("beta", 3, 4)]
+    await threads.build_index()
+    hits = await threads.lookup_thread("beta", 1, 0.0)
+    assert hits[0].thread_ordinal == 1
+
+
+async def test_threads_serialize_roundtrip():
+    threads = make_threads()
+    await threads.add_thread(make_thread("first topic", 0, 3))
+    await threads.add_thread(make_thread("second topic", 3, 7))
+    data = threads.serialize()
+    assert len(data["threads"]) == 2
+    assert data["threads"][0]["embedding"] is not None
+
+    fresh = make_threads()
+    fresh.deserialize(data)
+    assert [t.description for t in fresh.threads] == ["first topic", "second topic"]
+    assert fresh.threads[1].ranges[0].start.message_ordinal == 3
+    hits = await fresh.lookup_thread("second topic", 1, 0.0)
+    assert hits[0].thread_ordinal == 1
+
+
+async def test_threads_deserialize_empty_and_missing_embeddings():
+    fresh = make_threads()
+    fresh.deserialize({"threads": None})
+    assert fresh.threads == []
+    # A thread serialized without its embedding deserializes; lookup skips it.
+    data = {
+        "threads": [
+            {"thread": make_thread("no embedding").serialize(), "embedding": None}
+        ]
+    }
+    fresh = make_threads()
+    fresh.deserialize(data)
+    assert len(fresh.threads) == 1
+    assert len(fresh.vector_base) == 0
