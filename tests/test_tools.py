@@ -485,3 +485,85 @@ def test_print_timestamps_hex(tmp_path, capsys):
         sys.argv = old_argv
     out = capsys.readouterr().out
     assert ts in out and str(eml) in out
+
+
+async def test_batch_search_results_record_and_compare(tmp_path, capsys):
+    """--search-results records stage-3 ordinals + the stage-1 SearchQuery;
+    --compare-search diffs a later run against the recording with set
+    semantics (reference driver's --search-results flow)."""
+    import json as _json
+
+    from tests.test_conversation import FakeExtractor, make_settings, msg
+    from typeagent_tpu.knowpro import answers, searchlang
+    from typeagent_tpu.knowpro.factory import create_conversation
+    from typeagent_tpu.knowpro.universal_message import ConversationMessage
+    from typeagent_tpu.models.adapters import FakeChatModel
+    from typeagent_tpu.tools.query import QueryContext, batch_loop
+
+    async def build():
+        conv = await create_conversation(
+            None, ConversationMessage, settings=make_settings(FakeExtractor())
+        )
+        await conv.add_messages_with_indexing(
+            [msg("Bach wrote the Goldberg Variations", ts="2024-01-01T10:00:00Z")]
+        )
+        search_query_json = _json.dumps(
+            {
+                "searchExpressions": [
+                    {
+                        "rewrittenQuery": "What did Bach write?",
+                        "filters": [
+                            {"searchTerms": ["Bach", "Goldberg Variations"]}
+                        ],
+                    }
+                ]
+            }
+        )
+        answer_json = _json.dumps({"type": "Answered", "answer": "The Variations."})
+        conv._query_translator = searchlang.create_search_query_translator(
+            FakeChatModel([search_query_json])
+        )
+        conv._answer_translator = answers.create_answer_translator(
+            FakeChatModel([answer_json])
+        )
+        return conv
+
+    batch = tmp_path / "q.txt"
+    batch.write_text("What did Bach write?\n")
+    recording = tmp_path / "search.json"
+
+    failures = await batch_loop(
+        QueryContext(await build()),
+        str(batch),
+        None,
+        search_results_file=str(recording),
+    )
+    assert failures == 0
+    recorded = _json.loads(recording.read_text())
+    assert recorded[0]["question"] == "What did Bach write?"
+    sets = recorded[0]["searchResults"]
+    assert sets and sets[0]["messageMatches"] == [0]
+    assert "entityMatches" in sets[0] or "topicMatches" in sets[0]
+    assert recorded[0]["searchQuery"]["searchExpressions"]
+
+    # A fresh identical run compares clean against the recording.
+    failures = await batch_loop(
+        QueryContext(await build()),
+        str(batch),
+        None,
+        compare_search_file=str(recording),
+    )
+    assert failures == 0
+    assert "all match" in capsys.readouterr().out
+
+    # Tampered golden produces a list diff and a nonzero count.
+    tampered = _json.loads(recording.read_text())
+    tampered[0]["searchResults"][0]["messageMatches"] = [41]
+    bad = tmp_path / "bad.json"
+    bad.write_text(_json.dumps(tampered))
+    failures = await batch_loop(
+        QueryContext(await build()), str(batch), None, compare_search_file=str(bad)
+    )
+    assert failures == 1
+    out = capsys.readouterr().out
+    assert "MISMATCH" in out and "-[41]" in out

@@ -467,8 +467,14 @@ class ConversationBase(
         question: str,
         search_options: searchlang.LanguageSearchOptions | None = None,
         answer_options: answers.AnswerContextOptions | None = None,
+        debug_context: searchlang.LanguageSearchDebugContext | None = None,
     ) -> str:
-        """End-to-end natural-language query -> answer string."""
+        """End-to-end natural-language query -> answer string.
+
+        ``debug_context`` captures the per-stage intermediates (stage-1
+        SearchQuery, compiled exprs, stage-3 results) for batch recorders
+        (reference tools/query.py's --search-results flow).
+        """
         self._ensure_translators()
 
         search_options = search_options or searchlang.LanguageSearchOptions(
@@ -484,7 +490,11 @@ class ConversationBase(
 
         with span("query.translate_and_search"):
             result = await searchlang.search_conversation_with_language(
-                self, self._query_translator, question, search_options
+                self,
+                self._query_translator,
+                question,
+                search_options,
+                debug_context=debug_context,
             )
         if isinstance(result, Failure):
             return f"Search failed: {result.message}"

@@ -156,6 +156,8 @@ class LanguageSearchDebugContext:
     search_query_expr: list[SearchQueryExpr] | None = None
     use_search_query: SearchQuery | None = None
     use_compiled_search_query_exprs: list[SearchQueryExpr] | None = None
+    # Stage-3 output, captured for batch recorders/diff drivers.
+    search_results: "list[ConversationSearchResult] | None" = None
 
 
 # ---------------------------------------------------------------------------
@@ -656,4 +658,6 @@ async def search_conversation_with_language(
             )
         search_results.extend(query_result)
 
+    if debug_context:
+        debug_context.search_results = search_results
     return Success(search_results)

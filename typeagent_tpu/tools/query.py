@@ -184,7 +184,11 @@ async def do_stage_debug(
                     print(f"when:  {select.when}")
 
 
-async def process_query(context: QueryContext, query_text: str) -> str:
+async def process_query(
+    context: QueryContext,
+    query_text: str,
+    debug_context: searchlang.LanguageSearchDebugContext | None = None,
+) -> str:
     history_section = context.history.to_prompt_section()
     options = searchlang.LanguageSearchOptions(
         compile_options=searchlang.LanguageQueryCompileOptions(),
@@ -193,7 +197,9 @@ async def process_query(context: QueryContext, query_text: str) -> str:
         model_instructions=[history_section] if history_section else None,
     )
     with METRICS.timer("query"):
-        answer = await context.conversation.query(query_text, options)
+        answer = await context.conversation.query(
+            query_text, options, debug_context=debug_context
+        )
     context.history.add(
         query_text, answer, had_answer=not answer.startswith("No answer")
     )
@@ -315,37 +321,131 @@ def compare_results(results: list[dict], golden_file: str) -> int:
     return mismatches
 
 
+def _search_record(debug_context) -> list[dict]:
+    """Per-result knowledge/message ordinals from a captured debug context.
+
+    (Parity role: the reference driver's RawSearchResultData records —
+    tools/query.py there, entityMatches/topicMatches/actionMatches/
+    messageMatches keyed per search result.)
+    """
+    records = []
+    for r in debug_context.search_results or []:
+        rec: dict = {
+            "messageMatches": [m.message_ordinal for m in r.message_matches]
+        }
+        for ktype, res in sorted(r.knowledge_matches.items()):
+            rec[f"{ktype}Matches"] = [
+                m.semantic_ref_ordinal for m in res.semantic_ref_matches
+            ]
+        records.append(rec)
+    return records
+
+
+def compare_search_results(results: list[dict], golden_file: str) -> int:
+    """Diff recorded search ordinals against a golden recording.
+
+    Knowledge ordinals compare as sorted sets and messages as sets — the
+    reference's comparison semantics (its compare_semantic_ref_ordinals /
+    compare_message_ordinals) — with list diffs on mismatch.
+    """
+    with open(golden_file) as f:
+        golden = json.load(f)
+    by_question = {g["question"]: g for g in golden}
+    mismatches = 0
+    for result in results:
+        question = result["question"]
+        expected = by_question.get(question)
+        if expected is None:
+            mismatches += 1
+            print(f"EXTRA (not in golden): {question!r}")
+            continue
+        got_sets = result.get("searchResults", [])
+        want_sets = expected.get("searchResults", [])
+        if len(got_sets) != len(want_sets):
+            mismatches += 1
+            print(
+                f"MISMATCH {question!r}: {len(got_sets)} result sets, "
+                f"golden has {len(want_sets)}"
+            )
+            continue
+        ok = True
+        for got, want in zip(got_sets, want_sets):
+            for key in sorted(set(got) | set(want)):
+                a = sorted(got.get(key, []))
+                b = sorted(want.get(key, []))
+                if a != b:
+                    ok = False
+                    extra = sorted(set(a) - set(b))[:12]
+                    missing = sorted(set(b) - set(a))[:12]
+                    print(
+                        f"MISMATCH {question!r} {key}: "
+                        f"+{extra} -{missing} (got {len(a)}, want {len(b)})"
+                    )
+        if ok:
+            print(f"ok: {question}")
+        else:
+            mismatches += 1
+    status = "all match" if not mismatches else f"{mismatches} mismatches"
+    print(f"search compare: {len(results)} questions vs {golden_file}: {status}")
+    return mismatches
+
+
 async def batch_loop(
     context: QueryContext,
     batch_file: str,
     out_file: str | None,
     compare_file: str | None = None,
+    search_results_file: str | None = None,
+    compare_search_file: str | None = None,
 ) -> int:
+    from ..knowpro.serialization import serialize_object
+
     with open(batch_file) as f:
         questions = [q.strip() for q in f if q.strip() and not q.startswith("#")]
     results = []
+    record_search = bool(search_results_file or compare_search_file)
     for i, question in enumerate(questions, 1):
         print(f"[{i}/{len(questions)}] {question}")
         if question.startswith("@"):
             await handle_command(context, question)
             continue
-        answer = await process_query(context, question)
-        print(answer)
-        results.append(
-            {
-                "question": question,
-                "answer": answer,
-                "hasNoAnswer": answer.startswith("No answer"),
-            }
+        debug_context = (
+            searchlang.LanguageSearchDebugContext() if record_search else None
         )
+        answer = await process_query(context, question, debug_context)
+        print(answer)
+        entry = {
+            "question": question,
+            "answer": answer,
+            "hasNoAnswer": answer.startswith("No answer"),
+        }
+        if debug_context is not None:
+            entry["searchResults"] = _search_record(debug_context)
+            if debug_context.search_query is not None:
+                entry["searchQuery"] = serialize_object(debug_context.search_query)
+        results.append(entry)
     if out_file:
         with open(out_file, "w") as f:
             json.dump(results, f, indent=2)
         print(f"Wrote {len(results)} answers to {out_file}")
+    if search_results_file:
+        with open(search_results_file, "w") as f:
+            json.dump(
+                [
+                    {k: r[k] for k in ("question", "searchResults", "searchQuery") if k in r}
+                    for r in results
+                ],
+                f,
+                indent=2,
+            )
+        print(f"Wrote search recordings to {search_results_file}")
     print(json.dumps(METRICS.report(), indent=2))
+    failures = 0
     if compare_file:
-        return compare_results(results, compare_file)
-    return 0
+        failures += compare_results(results, compare_file)
+    if compare_search_file:
+        failures += compare_search_results(results, compare_search_file)
+    return failures
 
 
 def make_arg_parser() -> argparse.ArgumentParser:
@@ -360,6 +460,16 @@ def make_arg_parser() -> argparse.ArgumentParser:
         "--compare",
         help="Golden answers JSON (an earlier --output) to diff against; "
         "exits nonzero on mismatches",
+    )
+    parser.add_argument(
+        "--search-results",
+        help="Record per-question stage-3 search ordinals (+ the stage-1 "
+        "SearchQuery) to this JSON file",
+    )
+    parser.add_argument(
+        "--compare-search",
+        help="Golden search recording (an earlier --search-results) to diff "
+        "against with set semantics; exits nonzero on mismatches",
     )
     parser.add_argument("--verbose", "-v", action="store_true")
     parser.add_argument(
@@ -388,7 +498,12 @@ async def amain() -> None:
         await do_term_search(context, args.search)
     elif args.batch:
         mismatches = await batch_loop(
-            context, args.batch, args.output, args.compare
+            context,
+            args.batch,
+            args.output,
+            args.compare,
+            args.search_results,
+            args.compare_search,
         )
         if mismatches:
             raise SystemExit(1)
