@@ -278,3 +278,82 @@ async def test_conversation_corpus_checkpoint_resume(mesh, tmp_path):
     assert len(resumed._store) == n_before + 1
     hits = await resumed.search_text("message 8: entirely new sonata notes", k=1)
     assert hits[0].message_ordinal == 8
+
+
+async def test_corpus_query_all_four_stages(mesh):
+    """Full NL query across the corpus: one stage-1 translation shared by
+    every conversation, per-conversation stages 2-4, combined answer with
+    conversation attribution."""
+    import json
+
+    from typeagent_tpu.knowpro import answers, searchlang
+    from typeagent_tpu.models.adapters import FakeChatModel
+    from typeagent_tpu.parallel import ConversationCorpus
+
+    conv_a = await build_conv(None)
+    model = create_test_embedding_model(24)
+    provider = MemoryStorageProvider(
+        message_text_settings=MessageTextIndexSettings(
+            TextEmbeddingIndexSettings(model, min_score=0.0)
+        ),
+        related_terms_settings=RelatedTermIndexSettings(
+            TextEmbeddingIndexSettings(model, min_score=0.5, max_matches=3)
+        ),
+    )
+    conv_b = FakeConversation(
+        messages=provider.messages,
+        semantic_refs=provider.semantic_refs,
+        semantic_ref_index=provider.semantic_ref_index,
+        secondary_indexes=ConversationSecondaryIndexes(provider),
+    )
+    b_messages = [
+        ConversationMessage(
+            ["the fugue budget was discussed"],
+            ConversationMessageMeta("Carol", ["Dan"]),
+            timestamp="2024-05-01T09:00:00Z",
+        )
+    ]
+    await provider.messages.extend(b_messages)
+    await add_metadata_to_index_from_list(
+        b_messages, provider.semantic_refs, provider.semantic_ref_index, 0
+    )
+    await build_property_index(conv_b)
+
+    corpus = ConversationCorpus(dim=24, mesh=mesh)
+    await corpus.add_conversation("podcast", conv_a)
+    await corpus.add_conversation("mailbox", conv_b)
+
+    stage1 = json.dumps(
+        {
+            "searchExpressions": [
+                {
+                    "rewrittenQuery": "What about fugues?",
+                    "filters": [{"searchTerms": ["fugues"]}],
+                }
+            ]
+        }
+    )
+    # ONE stage-1 response: the translation must be shared across both
+    # conversations (a second request would exhaust the fake and fail).
+    query_translator = searchlang.create_search_query_translator(
+        FakeChatModel([stage1])
+    )
+    answered = json.dumps({"type": "Answered", "answer": "Fugues were discussed."})
+    no_answer = json.dumps({"type": "NoAnswer", "whyNoAnswer": "nothing"})
+    combined_json = json.dumps(
+        {"type": "Answered", "answer": "Both conversations discuss fugues."}
+    )
+    answer_translator = answers.create_answer_translator(
+        FakeChatModel([answered, no_answer, combined_json])
+    )
+
+    per_conv, combined = await corpus.query_all(
+        "What about fugues?", query_translator, answer_translator
+    )
+    assert set(per_conv) == {"podcast", "mailbox"}
+    types = {name: a.type for name, a in per_conv.items()}
+    # One conversation answered; the other did not — the single good answer
+    # is returned directly (no combine round trip).
+    assert "Answered" in types.values()
+    assert combined.type == "Answered"
+    assert "Fugues" in combined.answer or "fugues" in combined.answer

@@ -176,6 +176,80 @@ class ConversationCorpus:
             )
         return hits
 
+    # -- full NL query across the corpus ---------------------------------------
+
+    async def query_all(
+        self,
+        question: str,
+        query_translator,
+        answer_translator,
+        search_options=None,
+        answer_options=None,
+        conversations: list[str] | None = None,
+    ):
+        """Four-stage NL query across every (or selected) conversation.
+
+        Stage 1 (LLM translation) runs ONCE and is reused for every
+        conversation via the debug context; stages 2-3 compile and execute
+        per conversation through its own engine (device executor by
+        default); stage 4 answers per conversation, then combines the good
+        answers with conversation attribution.
+
+        Returns ``(per_conversation_answers, combined_answer)`` where the
+        first is ``{name: AnswerResponse}``. (No reference equivalent — it
+        has no multi-conversation API at all.)
+        """
+        from ..knowpro import answers as answers_mod
+        from ..knowpro import searchlang
+        from ..models.result import Success
+
+        names = conversations or self.conversations
+        per_conversation: dict[str, object] = {}
+        shared_query = None
+        results_by_conv: dict[str, list] = {}
+        for name in names:
+            conv = self._conversations[name]
+            debug = searchlang.LanguageSearchDebugContext()
+            if shared_query is not None:
+                debug.use_search_query = shared_query
+            result = await searchlang.search_conversation_with_language(
+                conv, query_translator, question, search_options,
+                debug_context=debug,
+            )
+            if not isinstance(result, Success):
+                continue
+            if shared_query is None:
+                shared_query = debug.search_query
+            results_by_conv[name] = result.value
+
+        good: list[tuple[str, str]] = []
+        for name, results in results_by_conv.items():
+            conv = self._conversations[name]
+            _, combined = await answers_mod.generate_answers(
+                answer_translator, results, conv, question,
+                options=answer_options,
+            )
+            per_conversation[name] = combined
+            if combined.type == "Answered" and combined.answer:
+                good.append((name, combined.answer))
+
+        if not good:
+            combined_answer = answers_mod.AnswerResponse(
+                type="NoAnswer",
+                why_no_answer="No conversation produced an answer.",
+            )
+        elif len(good) == 1:
+            combined_answer = answers_mod.AnswerResponse(
+                type="Answered", answer=good[0][1]
+            )
+        else:
+            combined_answer = await answers_mod.combine_answers(
+                answer_translator,
+                [f"[from {name}] {answer}" for name, answer in good],
+                question,
+            )
+        return per_conversation, combined_answer
+
     @staticmethod
     def merge_by_message(
         hits: list[CorpusMessageHit],
