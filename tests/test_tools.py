@@ -567,3 +567,49 @@ async def test_batch_search_results_record_and_compare(tmp_path, capsys):
     assert failures == 1
     out = capsys.readouterr().out
     assert "MISMATCH" in out and "-[41]" in out
+
+
+async def test_doctor_healthy_and_corrupted(tmp_path):
+    """The index doctor passes a healthy store and flags dangling postings,
+    bad timestamps, and out-of-range semref ordinals in a corrupted one."""
+    import sqlite3
+
+    from tests.test_conversation import FakeExtractor, make_settings, msg
+    from typeagent_tpu.knowpro.factory import create_conversation
+    from typeagent_tpu.knowpro.universal_message import ConversationMessage
+    from typeagent_tpu.tools.doctor import check_conversation
+
+    db_path = str(tmp_path / "doc.db")
+    conv = await create_conversation(
+        db_path, ConversationMessage, settings=make_settings(FakeExtractor())
+    )
+    await conv.add_messages_with_indexing(
+        [
+            msg("Bach wrote the Goldberg Variations", ts="2024-01-01T10:00:00Z"),
+            msg("Gould recorded them twice", ts="2024-01-02T10:00:00Z"),
+        ]
+    )
+    report = await check_conversation(conv)
+    assert report.failures == 0, report.checks
+    names = [name for name, _, _ in report.checks]
+    assert "semref-index postings resolve" in names
+    assert "property-index postings resolve" in names
+    await conv.storage_provider.close()
+
+    # Corrupt: dangling posting + unparseable timestamp.
+    db = sqlite3.connect(db_path)
+    db.execute(
+        "INSERT INTO SemanticRefIndex(term, semref_id) VALUES ('phantom', 999)"
+    )
+    db.execute("UPDATE Messages SET start_timestamp='nope' WHERE msg_id=0")
+    db.commit()
+    db.close()
+
+    conv2 = await create_conversation(
+        db_path, ConversationMessage, settings=make_settings(FakeExtractor())
+    )
+    report = await check_conversation(conv2)
+    failed = {name for name, ok, _ in report.checks if not ok}
+    assert "semref-index postings resolve" in failed
+    assert "timestamps ISO-8601 & non-decreasing" in failed
+    assert report.failures >= 2
