@@ -128,3 +128,81 @@ def test_device_accumulation_large_random():
     assert got_nonzero == set(expected)
     for semref, score in expected.items():
         assert total[semref] == pytest.approx(score, rel=1e-4), semref
+
+
+def _random_ops_setup(rng, n_terms=120, n_semrefs=2000, n_postings=20000):
+    from typeagent_tpu.ops import postings as P
+
+    terms = [f"term{i}" for i in range(n_terms)]
+    raw = [
+        (
+            terms[rng.integers(n_terms)],
+            int(rng.integers(n_semrefs)),
+            float(rng.uniform(0.5, 1.0)),
+        )
+        for _ in range(n_postings)
+    ]
+    index = DevicePostingsIndex()
+    for term, semref, score in raw:
+        index.add_term(term, semref, score)
+    index.build()
+    ktype = rng.integers(0, 4, size=n_semrefs).astype(np.int8)
+    ops = []
+    for i in range(24):
+        tid = index._interner.lookup(terms[rng.integers(n_terms)])
+        ops.append(
+            (
+                tid,
+                float(rng.uniform(0.5, 10.0)),
+                int(rng.integers(4)),  # seg
+                int(rng.integers(2)),  # kind: exact/related
+                i,  # position
+                -1,  # ktype gate
+                0,  # scope id
+            )
+        )
+    return index, ops, ktype
+
+
+def test_lookup_ops_compact_path_matches_dense(monkeypatch):
+    """The device-side sparse compaction (large conversations) returns the
+    same dense arrays as the direct transfer."""
+    from typeagent_tpu.ops import postings as P
+
+    rng = np.random.default_rng(7)
+    index, ops, ktype = _random_ops_setup(rng)
+
+    # semref_cap (~2000) > 2*cap forces the compact path.
+    monkeypatch.setattr(P, "_COMPACT_CAP", 256)
+    compact = index.lookup_ops(ops, 4, ktype)
+    monkeypatch.setattr(P, "_COMPACT_CAP", 10**9)  # force dense
+    dense = index.lookup_ops(ops, 4, ktype)
+    for a, b in zip(compact, dense):
+        np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
+def test_lookup_ops_compact_overflow_falls_back(monkeypatch):
+    """A segment matching more semrefs than the cap falls back to the dense
+    transfer losslessly."""
+    from typeagent_tpu.ops import postings as P
+
+    rng = np.random.default_rng(8)
+    # One hot term with a huge posting list -> one segment overflows cap=64.
+    index = DevicePostingsIndex()
+    for semref in range(1000):
+        index.add_term("hot", semref, 0.9)
+    index.add_term("cold", 3, 0.7)
+    index.build()
+    ktype = np.zeros(1000, np.int8)
+    tid_hot = index._interner.lookup("hot")
+    tid_cold = index._interner.lookup("cold")
+    ops = [
+        (tid_hot, 1.0, 0, 0, 0, -1, 0),
+        (tid_cold, 2.0, 1, 0, 1, -1, 0),
+    ]
+    monkeypatch.setattr(P, "_COMPACT_CAP", 64)
+    escore, ehits, _, _, op_hit = index.lookup_ops(ops, 2, ktype)
+    # Segment 0 has all 1000 matches despite cap=64 (dense fallback).
+    assert (ehits[0] > 0).sum() == 1000
+    assert escore[1, 3] == pytest.approx(1.4, rel=1e-5)
+    assert list(op_hit) == [True, True]

@@ -19,6 +19,27 @@ if _os.environ.get("TAT_JAX_PLATFORM"):
     except Exception:
         pass
 
+if _os.environ.get("TAT_COMPILE_CACHE", "1") not in ("0", "off"):
+    # Persistent XLA compilation cache: TPU compiles of the fused kernels
+    # take seconds-to-minutes (remote compile services more so); caching
+    # them on disk makes every CLI/benchmark after the first start warm.
+    # Opt out with TAT_COMPILE_CACHE=0; JAX_COMPILATION_CACHE_DIR overrides
+    # the location.
+    import jax as _jax
+
+    try:
+        if not _jax.config.jax_compilation_cache_dir:
+            _jax.config.update(
+                "jax_compilation_cache_dir",
+                _os.environ.get(
+                    "JAX_COMPILATION_CACHE_DIR",
+                    _os.path.expanduser("~/.cache/typeagent_tpu/xla"),
+                ),
+            )
+            _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 
 def create_conversation(*args, **kwargs):
     """Create a conversation (lazy import; see knowpro.factory)."""

@@ -37,6 +37,12 @@ __all__ = [
 _WINDOW_BUCKETS = (64, 256, 1024, 4096, 16384)
 _TERM_BUCKETS = (8, 32, 128, 512)
 _SEG_BUCKETS = (4, 16, 64, 256)
+# Max active semrefs per segment on the compact transfer path
+# (conversations with semref_cap > 2x this use it; overflow falls back to
+# the dense transfer). The actual fetch is sliced to the observed max
+# count, bucketed by _COMPACT_FETCH_BUCKETS.
+_COMPACT_CAP = 8192
+_COMPACT_FETCH_BUCKETS = (256, 1024, 4096, 8192)
 
 # Op kinds for the segmented accumulator.
 OP_EXACT = 0
@@ -127,7 +133,52 @@ def accumulate_postings(
 @functools.partial(
     jax.jit, static_argnames=("window", "semref_cap", "n_seg", "dedup_related")
 )
-def accumulate_postings_segmented(
+def accumulate_postings_segmented(*args, **kwargs):
+    return _accumulate_segmented_impl(*args, **kwargs)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("window", "semref_cap", "n_seg", "dedup_related", "cap"),
+)
+def accumulate_postings_segmented_compact(*args, cap: int, **kwargs):
+    """Segmented accumulation + on-device sparse compaction.
+
+    The dense [n_seg, semref_cap] result arrays are huge but mostly zero
+    (a query touches a few hundred semrefs of potentially 100k+); through
+    a network-tunneled device the dense device->host transfer dominates
+    the whole query. Compact on device instead: per segment, gather the
+    (at most ``cap``) active columns — active-first stable argsort keeps
+    ascending ordinal order — and return [n_seg, cap] blocks + their
+    column indices + true counts. The host scatters back to dense (cheap,
+    local); counts > cap signal an overflow and the caller falls back to
+    the dense variant (lossless guard).
+    """
+    exact_score, exact_hits, related_score, related_hits, op_hit = (
+        _accumulate_segmented_impl(*args, **kwargs)
+    )
+    active = (exact_hits > 0) | (related_hits > 0)
+    counts = active.sum(axis=1).astype(jnp.int32)
+    order = jnp.argsort(~active, axis=1, stable=True)[:, :cap].astype(jnp.int32)
+
+    def gather(a):
+        return jnp.take_along_axis(a, order, axis=1)
+
+    # One stacked block -> one device->host transfer (each fetched leaf
+    # pays a full round trip on tunneled devices).
+    packed = jnp.stack(
+        [
+            gather(exact_score),
+            gather(exact_hits),
+            gather(related_score),
+            gather(related_hits),
+        ],
+        axis=0,
+    )
+    return packed, op_hit, order, counts
+
+
+def _accumulate_segmented_impl(
     offsets: jax.Array,  # [terms_cap+1] i64 CSR offsets
     post_semrefs: jax.Array,  # [post_cap] i32
     post_scores: jax.Array,  # [post_cap] f32
@@ -413,34 +464,67 @@ class DevicePostingsIndex:
         ktype_padded = np.full(self._semref_cap, -1, dtype=np.int8)
         ktype_padded[: len(semref_ktype)] = semref_ktype
 
-        exact_score, exact_hits, related_score, related_hits, op_hit = (
-            accumulate_postings_segmented(
-                self._offsets,
-                self._semrefs,
-                self._scores,
-                jnp.asarray(tids),
-                jnp.asarray(weights),
-                jnp.asarray(segs),
-                jnp.asarray(kinds),
-                jnp.asarray(positions),
-                jnp.asarray(gates),
-                jnp.asarray(scope_ids),
-                jnp.asarray(masks),
-                jnp.asarray(ktype_padded),
-                jnp.float32(boost_factor),
-                window=window,
-                semref_cap=self._semref_cap,
-                n_seg=seg_pad,
-                dedup_related=dedup_related,
-            )
+        operands = (
+            self._offsets,
+            self._semrefs,
+            self._scores,
+            jnp.asarray(tids),
+            jnp.asarray(weights),
+            jnp.asarray(segs),
+            jnp.asarray(kinds),
+            jnp.asarray(positions),
+            jnp.asarray(gates),
+            jnp.asarray(scope_ids),
+            jnp.asarray(masks),
+            jnp.asarray(ktype_padded),
+            jnp.float32(boost_factor),
+        )
+        statics = dict(
+            window=window,
+            semref_cap=self._semref_cap,
+            n_seg=seg_pad,
+            dedup_related=dedup_related,
         )
         n = self._n_semrefs
+
+        cap = _COMPACT_CAP
+        if self._semref_cap > 2 * cap:
+            # Large conversation: compact on device, expand on host — the
+            # dense [n_seg, semref_cap] download dominates otherwise. Fetch
+            # the tiny counts first, then only a max-count-sized slice of
+            # the packed block (transfers are bandwidth-bound on tunneled
+            # devices); device_get fetches the slices concurrently.
+            packed, op_hit_dev, order, counts_dev = (
+                accumulate_postings_segmented_compact(
+                    *operands, cap=min(cap, self._semref_cap), **statics
+                )
+            )
+            counts = np.asarray(counts_dev)
+            max_count = int(counts.max(initial=0))
+            if max_count <= cap:
+                m = _bucket(max(max_count, 1), _COMPACT_FETCH_BUCKETS)
+                packed_np, order_np, op_hit = jax.device_get(
+                    (packed[:, :, :m], order[:, :m], op_hit_dev)
+                )
+                rows = np.arange(seg_pad)[:, None]
+                out = []
+                for block in packed_np:
+                    dense = np.zeros((seg_pad, self._semref_cap), np.float32)
+                    dense[rows, order_np] = block
+                    out.append(dense[:n_seg, :n])
+                return (*out, op_hit[: len(ops)])
+            # Overflow (a segment matched more than cap semrefs): lossless
+            # fallback to the dense transfer.
+
+        exact_score, exact_hits, related_score, related_hits, op_hit = (
+            jax.device_get(accumulate_postings_segmented(*operands, **statics))
+        )
         return (
-            np.asarray(exact_score)[:n_seg, :n],
-            np.asarray(exact_hits)[:n_seg, :n],
-            np.asarray(related_score)[:n_seg, :n],
-            np.asarray(related_hits)[:n_seg, :n],
-            np.asarray(op_hit)[: len(ops)],
+            exact_score[:n_seg, :n],
+            exact_hits[:n_seg, :n],
+            related_score[:n_seg, :n],
+            related_hits[:n_seg, :n],
+            op_hit[: len(ops)],
         )
 
     def lookup_terms(
