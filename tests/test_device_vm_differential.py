@@ -490,3 +490,45 @@ async def test_device_scope_eval_matches_host_selectors():
 
         assert ranges_of(device_scope) == ranges_of(host_scope), (qi, when)
     assert checked >= 15
+
+
+async def test_differential_through_compact_transfer(monkeypatch):
+    """The sparse-compaction transfer path (large conversations) must be
+    invisible to correctness: re-run the randomized differential with the
+    cap forced low enough that every fused call takes the compact route
+    (including overflow->dense fallbacks when a query matches more)."""
+    from typeagent_tpu.ops import postings as P
+
+    calls = []
+    real = P.accumulate_postings_segmented_compact
+
+    def counting(*args, **kwargs):
+        calls.append(1)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(P, "_COMPACT_CAP", 8)
+    monkeypatch.setattr(P, "_COMPACT_FETCH_BUCKETS", (4, 8))
+    monkeypatch.setattr(P, "accumulate_postings_segmented_compact", counting)
+    covered, total = await run_differential(31337, 25)
+    assert covered >= int(0.85 * total), (covered, total)
+    assert calls  # the compact route actually ran
+
+
+async def test_differential_compact_no_overflow(monkeypatch):
+    """Same with a cap big enough that no segment overflows: the sliced
+    fetch + host re-expansion path end-to-end."""
+    from typeagent_tpu.ops import postings as P
+
+    calls = []
+    real = P.accumulate_postings_segmented_compact
+
+    def counting(*args, **kwargs):
+        calls.append(1)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(P, "_COMPACT_CAP", 24)
+    monkeypatch.setattr(P, "_COMPACT_FETCH_BUCKETS", (8, 24))
+    monkeypatch.setattr(P, "accumulate_postings_segmented_compact", counting)
+    covered, total = await run_differential(777, 25)
+    assert covered >= int(0.85 * total), (covered, total)
+    assert calls  # the compact route actually ran
