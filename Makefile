@@ -29,6 +29,11 @@ eval-episode53:
 bench:
 	python bench.py
 
+# Stage-3 engine benchmark: fused device executor vs the host query VM at
+# a chosen knowledge scale (hermetic data; runs on whatever backend is up).
+bench-engine:
+	python -m typeagent_tpu.tools.benchmark_engine
+
 # cProfile the no-LLM search path over the golden fixture (parity role:
 # reference `make profile`). Writes prof.out; inspect with pstats/snakeviz.
 profile:
