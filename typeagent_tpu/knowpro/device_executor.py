@@ -1235,22 +1235,29 @@ class DeviceQueryExecutor:
                 ordinals = [
                     o for o in ordinals if result.hits[o] >= min_hit
                 ]
+            if not ordinals:
+                continue
             if top_n and top_n > 0:
+                # TopNCollection exactly replicates the VM's heap tie order.
                 top = TopNCollection(top_n)
                 for o in ordinals:
                     top.push(o, float(result.score[o]))
                 ranked = top.values_by_rank()
+                ranked_scores = [float(result.score[o]) for o in ranked]
             else:
-                ranked = sorted(
-                    ordinals, key=lambda o: -float(result.score[o])
-                )
-            if not ranked:
-                continue
+                # Vectorized descending-stable rank (a python sort key costs
+                # more than the device call at thousands of matches); stable
+                # ties keep insertion order, matching the VM's sorted().
+                arr = np.asarray(ordinals, dtype=np.int64)
+                arr_scores = result.score[arr]
+                order = np.argsort(-arr_scores, kind="stable")
+                ranked = arr[order].tolist()
+                ranked_scores = arr_scores[order].tolist()
             out[knowledge_type] = SemanticRefSearchResult(
                 term_matches=set(result.texts),
                 semantic_ref_matches=[
-                    ScoredSemanticRefOrdinal(int(o), float(result.score[o]))
-                    for o in ranked
+                    ScoredSemanticRefOrdinal(o, s)
+                    for o, s in zip(ranked, ranked_scores)
                 ],
             )
         return out
