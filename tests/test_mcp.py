@@ -284,3 +284,87 @@ async def test_sampling_unknown_content_type_fails():
     from typeagent_tpu.models.result import Failure
 
     assert isinstance(result, Failure)
+
+
+# ---------------------------------------------------------------------------
+# Corpus mode: query_corpus tool over several conversation databases
+# ---------------------------------------------------------------------------
+
+
+class _CannedSamplingServer:
+    """Stub McpServer: create_message pops canned client-LLM responses."""
+
+    def __init__(self, responses):
+        self.responses = list(responses)
+
+    async def create_message(self, messages, max_tokens=0):
+        return {"content": {"type": "text", "text": self.responses.pop(0)}}
+
+
+async def test_mcp_query_corpus_tool(tmp_path):
+    import argparse
+    import json as _json
+
+    from typeagent_tpu.knowpro.convsettings import ConversationSettings
+    from typeagent_tpu.mcp import server as mcp_server
+    from typeagent_tpu.models.adapters import create_test_embedding_model
+    from typeagent_tpu.podcasts.podcast import Podcast, PodcastMessage
+    from typeagent_tpu.knowpro.universal_message import ConversationMessageMeta
+    from typeagent_tpu.storage.utils import create_storage_provider
+
+    # Two SQLite conversations with distinct content.
+    for name, text in (("alpha", "Bach wrote fugues"), ("beta", "budget meeting")):
+        settings = ConversationSettings(model=create_test_embedding_model(8))
+        settings.semantic_ref_index_settings.auto_extract_knowledge = False
+        settings.storage_provider = await create_storage_provider(
+            settings.message_text_index_settings,
+            settings.related_term_index_settings,
+            str(tmp_path / f"{name}.db"),
+            PodcastMessage,
+        )
+        pod = await Podcast.create(settings, name=name)
+        await pod.add_messages_with_indexing(
+            [
+                PodcastMessage(
+                    [text],
+                    ConversationMessageMeta("Speaker"),
+                    timestamp="2024-01-01T10:00:00Z",
+                )
+            ]
+        )
+        await settings.storage_provider.close()
+
+    args = argparse.Namespace(
+        database=None,
+        index_path=None,
+        embedding_model="test:8",
+        corpus=[
+            f"alpha={tmp_path / 'alpha.db'}",
+            str(tmp_path / "beta.db"),  # bare path -> stem name
+        ],
+    )
+    server = mcp_server.build_server(args)
+    assert "query_corpus" in server.tools
+
+    stage1 = _json.dumps(
+        {
+            "searchExpressions": [
+                {
+                    "rewrittenQuery": "What about fugues?",
+                    "filters": [{"searchTerms": ["fugues"]}],
+                }
+            ]
+        }
+    )
+    answered = _json.dumps({"type": "Answered", "answer": "Fugues by Bach."})
+    no_answer = _json.dumps({"type": "NoAnswer", "whyNoAnswer": "nothing"})
+    # One stage-1 translation (shared) + one answer per conversation; a
+    # single good answer needs no combine round.
+    stub = _CannedSamplingServer([stage1, answered, no_answer])
+
+    result = await server.tools["query_corpus"].handler(
+        stub, question="What about fugues?"
+    )
+    assert "Fugues by Bach." in result
+    assert "[alpha]" in result and "[beta]" in result
+    assert "(no answer)" in result

@@ -116,6 +116,71 @@ async def make_context(
     )
 
 
+@dataclass
+class CorpusContext:
+    corpus: object  # ConversationCorpus
+    lang_search_options: searchlang.LanguageSearchOptions
+    answer_context_options: answers.AnswerContextOptions
+    query_translator: TypedTranslator[SearchQuery]
+    answer_translator: TypedTranslator[AnswerResponse]
+
+
+async def make_corpus_context(
+    server: McpServer,
+    corpus_specs: list[str],
+    embedding_model_spec: str | None = None,
+) -> CorpusContext:
+    """Load NAME=PATH conversation databases into one ConversationCorpus."""
+    import os
+
+    from ..parallel import ConversationCorpus
+
+    def new_settings() -> ConversationSettings:
+        if embedding_model_spec:
+            from ..models.adapters import create_embedding_model
+
+            return ConversationSettings(
+                model=create_embedding_model(embedding_model_spec)
+            )
+        return ConversationSettings()
+
+    conversations: dict[str, Podcast] = {}
+    for spec in corpus_specs:
+        name, sep, path = spec.partition("=")
+        if not sep:
+            path = spec
+            name = os.path.splitext(os.path.basename(spec))[0]
+        settings = new_settings()
+        settings.storage_provider = await create_storage_provider(
+            settings.message_text_index_settings,
+            settings.related_term_index_settings,
+            path,
+            PodcastMessage,
+        )
+        conversations[name] = await Podcast.create(settings, name=name)
+
+    first = next(iter(conversations.values()))
+    probe = await first.secondary_indexes.message_index.generate_embedding("dim")
+    corpus = ConversationCorpus(dim=len(probe))
+    for name, conversation in conversations.items():
+        await corpus.add_conversation(name, conversation)
+
+    chat_model = McpSamplingChatModel(server)
+    return CorpusContext(
+        corpus=corpus,
+        lang_search_options=searchlang.LanguageSearchOptions(
+            compile_options=searchlang.LanguageQueryCompileOptions(),
+            exact_match=False,
+            max_message_matches=25,
+        ),
+        answer_context_options=answers.AnswerContextOptions(
+            entities_top_k=50, topics_top_k=50
+        ),
+        query_translator=searchlang.create_search_query_translator(chat_model),
+        answer_translator=answers.create_answer_translator(chat_model),
+    )
+
+
 def build_server(args) -> McpServer:
     server = McpServer(
         name="typeagent-tpu",
@@ -124,6 +189,57 @@ def build_server(args) -> McpServer:
         ),
     )
     context_holder: dict = {}
+
+    if getattr(args, "corpus", None):
+
+        @server.tool(
+            "Answer a natural-language question across ALL loaded "
+            "conversations (or a named subset); answers carry conversation "
+            "attribution.",
+            input_schema={
+                "type": "object",
+                "properties": {
+                    "question": {"type": "string"},
+                    "conversations": {
+                        "type": "array",
+                        "items": {"type": "string"},
+                        "description": "Restrict to these conversation names",
+                    },
+                },
+                "required": ["question"],
+            },
+        )
+        async def query_corpus(
+            srv: McpServer, question: str, conversations: list | None = None
+        ) -> str:
+            if "corpus" not in context_holder:
+                context_holder["corpus"] = await make_corpus_context(
+                    srv, args.corpus, args.embedding_model
+                )
+            ctx: CorpusContext = context_holder["corpus"]
+            per_conv, combined = await ctx.corpus.query_all(
+                question,
+                ctx.query_translator,
+                ctx.answer_translator,
+                ctx.lang_search_options,
+                ctx.answer_context_options,
+                conversations,
+            )
+            lines = []
+            if combined.type == "Answered" and combined.answer:
+                lines.append(combined.answer)
+            else:
+                lines.append(
+                    f"No answer found: {combined.why_no_answer or 'unknown'}"
+                )
+            for name, answer in sorted(per_conv.items()):
+                status = (
+                    answer.answer
+                    if answer.type == "Answered" and answer.answer
+                    else "(no answer)"
+                )
+                lines.append(f"[{name}] {status}")
+            return "\n".join(lines)
 
     @server.tool(
         "Answer a natural-language question about the loaded conversation.",
@@ -249,6 +365,13 @@ def main() -> None:
     parser.add_argument(
         "--embedding-model",
         help="provider:model embedding spec (use 'test' for offline fake)",
+    )
+    parser.add_argument(
+        "--corpus",
+        action="append",
+        metavar="NAME=PATH",
+        help="Serve MANY conversations as one corpus (repeatable); adds the "
+        "query_corpus tool. PATH alone uses the file stem as the name.",
     )
     args = parser.parse_args()
     server = build_server(args)

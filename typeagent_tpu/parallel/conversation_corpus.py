@@ -119,15 +119,29 @@ class ConversationCorpus:
         appended = 0
         for conv_name in names:
             conversation = self._conversations[conv_name]
-            tli = self._message_index(conversation).text_location_index
-            total = await tli.size()
-            synced = self._synced_counts[conv_name]
-            if total <= synced:
-                continue
-            base = tli._embedding_index._vector_base
-            # Ranged copy: O(new rows), not a full-store serialize.
-            rows = base.host_rows(synced, total)
-            locations = [tli.get(pos) for pos in range(synced, total)]
+            index = self._message_index(conversation)
+            if hasattr(index, "text_location_index"):
+                # Memory backend: TextToTextLocationIndex over a VectorStore.
+                tli = index.text_location_index
+                total = await tli.size()
+                synced = self._synced_counts[conv_name]
+                if total <= synced:
+                    continue
+                base = tli._embedding_index._vector_base
+                # Ranged copy: O(new rows), not a full-store serialize.
+                rows = base.host_rows(synced, total)
+                locations = [tli.get(pos) for pos in range(synced, total)]
+            else:
+                # SQLite backend: VectorStore + parallel (msg, chunk) list.
+                total = await index.size()
+                synced = self._synced_counts[conv_name]
+                if total <= synced:
+                    continue
+                rows = index._vectorbase.host_rows(synced, total)
+                locations = [
+                    TextLocation(msg, chunk)
+                    for msg, chunk in index._locations[synced:total]
+                ]
             self._store.append(conv_name, np.asarray(rows, dtype=np.float32))
             self._locations[conv_name].extend(locations)
             self._synced_counts[conv_name] = total
