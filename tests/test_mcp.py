@@ -368,3 +368,95 @@ async def test_mcp_query_corpus_tool(tmp_path):
     assert "Fugues by Bach." in result
     assert "[alpha]" in result and "[beta]" in result
     assert "(no answer)" in result
+
+
+async def test_mcp_server_corpus_end_to_end(tmp_path):
+    """Subprocess server in --corpus mode: tools/list advertises
+    query_corpus, and a call runs the full 4-stage corpus query with the
+    client's LLM via sampling."""
+    env = dict(os.environ, TAT_JAX_PLATFORM="cpu")
+    dbs = {}
+    for name, text in (("alpha", "Bach wrote fugues"), ("beta", "budget notes")):
+        db = str(tmp_path / f"{name}.db")
+        dbs[name] = db
+        build = await asyncio.create_subprocess_exec(
+            sys.executable,
+            "-c",
+            (
+                "import jax\n"
+                "jax.config.update('jax_platforms','cpu')\n"
+                "import asyncio\n"
+                "from typeagent_tpu.knowpro.convsettings import ConversationSettings\n"
+                "from typeagent_tpu.models.adapters import create_test_embedding_model\n"
+                "from typeagent_tpu.podcasts.podcast import Podcast, PodcastMessage\n"
+                "from typeagent_tpu.knowpro.universal_message import ConversationMessageMeta\n"
+                "from typeagent_tpu.storage.utils import create_storage_provider\n"
+                "async def go():\n"
+                " s = ConversationSettings(model=create_test_embedding_model(8))\n"
+                " s.semantic_ref_index_settings.auto_extract_knowledge = False\n"
+                " s.storage_provider = await create_storage_provider("
+                "s.message_text_index_settings, s.related_term_index_settings, "
+                f"{db!r}, PodcastMessage)\n"
+                f" p = await Podcast.create(s, name={name!r})\n"
+                " await p.add_messages_with_indexing([PodcastMessage("
+                f"[{text!r}], ConversationMessageMeta('S'), "
+                "timestamp='2024-01-01T10:00:00Z')])\n"
+                " await s.storage_provider.close()\n"
+                "asyncio.run(go())"
+            ),
+            env=env,
+        )
+        assert await build.wait() == 0
+
+    stage1 = json.dumps(
+        {
+            "searchExpressions": [
+                {
+                    "rewrittenQuery": "What about fugues?",
+                    "filters": [{"searchTerms": ["fugues"]}],
+                }
+            ]
+        }
+    )
+    answered = json.dumps({"type": "Answered", "answer": "Fugues by Bach."})
+    no_answer = json.dumps({"type": "NoAnswer", "whyNoAnswer": "n/a"})
+
+    proc = await asyncio.create_subprocess_exec(
+        sys.executable,
+        "-m",
+        "typeagent_tpu.mcp.server",
+        "--corpus",
+        f"alpha={dbs['alpha']}",
+        "--corpus",
+        f"beta={dbs['beta']}",
+        "--embedding-model",
+        "test:8",
+        stdin=asyncio.subprocess.PIPE,
+        stdout=asyncio.subprocess.PIPE,
+        env=env,
+    )
+    try:
+        client = McpClient(proc, [stage1, answered, no_answer])
+        await client.request(
+            "initialize",
+            {"protocolVersion": "2024-11-05", "capabilities": {}, "clientInfo": {}},
+        )
+        tools = await client.request("tools/list")
+        names = [t["name"] for t in tools["result"]["tools"]]
+        assert "query_corpus" in names
+
+        result = await client.request(
+            "tools/call",
+            {
+                "name": "query_corpus",
+                "arguments": {"question": "What about fugues?"},
+            },
+            timeout=180,
+        )
+        content = result["result"]["content"][0]["text"]
+        assert result["result"]["isError"] is False, content
+        assert "Fugues by Bach." in content
+        assert "[alpha]" in content and "[beta]" in content
+    finally:
+        proc.stdin.close()
+        await asyncio.wait_for(proc.wait(), 10)
