@@ -94,3 +94,97 @@ async def test_loader_roundtrips_required_related_terms(corpus):
                     ):
                         found = True
     assert found
+
+
+# ---------------------------------------------------------------------------
+# Loader wire-format edges (guard the corpus asset's deserializer)
+# ---------------------------------------------------------------------------
+
+
+def test_loader_missing_related_terms_pins_empty():
+    """Absent relatedTerms must deserialize to [] (resolution blocked), not
+    None (which would re-resolve through the fake fuzzy index)."""
+    group = ev.load_term_group(
+        {"booleanOp": "or", "terms": [{"term": {"text": "spider"}}]}
+    )
+    assert group.terms[0].related_terms == []
+
+
+def test_loader_free_property_name_becomes_search_term():
+    from typeagent_tpu.knowpro.interfaces import SearchTerm
+
+    group = ev.load_term_group(
+        {
+            "booleanOp": "or",
+            "terms": [
+                {
+                    "propertyName": {"term": {"text": "instrument"}},
+                    "propertyValue": {"term": {"text": "harpsichord"}},
+                }
+            ],
+        }
+    )
+    prop = group.terms[0]
+    assert isinstance(prop.property_name, SearchTerm)
+    assert prop.property_name.term.text == "instrument"
+    assert prop.property_value.term.text == "harpsichord"
+
+
+def test_loader_when_clause_parsing():
+    expr = ev.load_compiled_query_expr(
+        {
+            "selectExpressions": [
+                {
+                    "searchTermGroup": {"booleanOp": "or", "terms": []},
+                    "when": {
+                        "dateRange": {
+                            "start": "2023-05-01T07:00:00.000Z",
+                            "end": None,
+                        },
+                        "knowledgeType": "entity",
+                        "scopeDefiningTerms": {
+                            "booleanOp": "and",
+                            "terms": [
+                                {
+                                    "term": {"text": "kevin", "weight": 10},
+                                    "relatedTermsRequired": True,
+                                }
+                            ],
+                        },
+                    },
+                }
+            ],
+            "rawQuery": "q",
+        }
+    )
+    when = expr.select_expressions[0].when
+    assert when.date_range.start.year == 2023 and when.date_range.end is None
+    assert when.knowledge_type == "entity"
+    scope_term = when.scope_defining_terms.terms[0]
+    assert scope_term.related_terms_required is True
+    assert expr.raw_query == "q"
+
+
+def test_loader_nested_groups_and_weights():
+    group = ev.load_term_group(
+        {
+            "booleanOp": "or",
+            "terms": [
+                {
+                    "booleanOp": "or_max",
+                    "terms": [
+                        {
+                            "term": {"text": "book", "weight": 100},
+                            "relatedTerms": [{"text": "novel", "weight": 0.87}],
+                        }
+                    ],
+                }
+            ],
+        }
+    )
+    inner = group.terms[0]
+    assert inner.boolean_op == "or_max"
+    st = inner.terms[0]
+    assert st.term.weight == 100
+    assert st.related_terms[0].text == "novel"
+    assert st.related_terms[0].weight == 0.87
