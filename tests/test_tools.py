@@ -613,3 +613,26 @@ async def test_doctor_healthy_and_corrupted(tmp_path):
     assert "semref-index postings resolve" in failed
     assert "timestamps ISO-8601 & non-decreasing" in failed
     assert report.failures >= 2
+
+
+async def test_doctor_json_snapshot_mode(tmp_path):
+    """The doctor also checks JSON+bin snapshots (the -i load path)."""
+    from typeagent_tpu.knowpro.convsettings import ConversationSettings
+    from typeagent_tpu.models.adapters import create_test_embedding_model
+    from typeagent_tpu.podcasts.podcast import Podcast
+    from typeagent_tpu.podcasts.podcast_ingest import ingest_podcast
+    from typeagent_tpu.tools.doctor import check_conversation
+
+    fixture = os.path.join(
+        os.path.dirname(__file__), "testdata", "mini_podcast.txt"
+    )
+    settings = ConversationSettings(model=create_test_embedding_model(16))
+    settings.semantic_ref_index_settings.auto_extract_knowledge = False
+    pod = await ingest_podcast(fixture, settings)
+    prefix = str(tmp_path / "snap")
+    await pod.write_to_file(prefix)
+
+    settings2 = ConversationSettings(model=create_test_embedding_model(16))
+    reloaded = await Podcast.read_from_file(prefix, settings2)
+    report = await check_conversation(reloaded)
+    assert report.failures == 0, report.checks
