@@ -252,3 +252,115 @@ def test_term_collectors():
         object_entity_name="music",
     )
     assert collect_action_terms(action) == ["compose play", "Bach", "music"]
+
+
+# ---------------------------------------------------------------------------
+# secindex full rebuilds (parity role: reference tests/test_secindex.py)
+# ---------------------------------------------------------------------------
+
+
+async def test_build_secondary_indexes_full_rebuild():
+    """build_secondary_indexes populates property/timestamp/related-terms/
+    message indexes from raw messages + semrefs (the snapshot-restore path)."""
+    from typeagent_tpu.knowpro import kplib
+    from typeagent_tpu.knowpro.convsettings import ConversationSettings
+    from typeagent_tpu.knowpro.secindex import (
+        build_secondary_indexes,
+        build_transient_secondary_indexes,
+    )
+    from typeagent_tpu.knowpro.semrefindex import (
+        add_knowledge_batch_to_semantic_ref_index,
+    )
+    from typeagent_tpu.knowpro.universal_message import (
+        ConversationMessage,
+        ConversationMessageMeta,
+    )
+    from typeagent_tpu.knowpro.secindex import ConversationSecondaryIndexes
+    from typeagent_tpu.models.adapters import create_test_embedding_model
+    from tests.test_query_pipeline import FakeConversation
+
+    settings = ConversationSettings(model=create_test_embedding_model(16))
+    provider = await settings.get_storage_provider()
+    conv = FakeConversation(
+        messages=provider.messages,
+        semantic_refs=provider.semantic_refs,
+        semantic_ref_index=provider.semantic_ref_index,
+        secondary_indexes=ConversationSecondaryIndexes(provider),
+    )
+    await provider.messages.extend(
+        [
+            ConversationMessage(
+                ["Bach composed fugues"],
+                ConversationMessageMeta("Alice"),
+                timestamp="2024-03-01T10:00:00Z",
+            ),
+            ConversationMessage(
+                ["Gould played piano"],
+                ConversationMessageMeta("Bob"),
+                timestamp="2024-03-02T10:00:00Z",
+            ),
+        ]
+    )
+    await add_knowledge_batch_to_semantic_ref_index(
+        conv,
+        [
+            (
+                0,
+                0,
+                kplib.KnowledgeResponse(
+                    entities=[kplib.ConcreteEntity("Bach", ["person"])],
+                    actions=[],
+                    inverse_actions=[],
+                    topics=["fugues"],
+                ),
+            )
+        ],
+    )
+
+    await build_secondary_indexes(conv, settings)
+    sec = conv.secondary_indexes
+    assert sec is not None
+    # Property index: entity name + type postings materialized.
+    hits = await sec.property_to_semantic_ref_index.lookup_property("name", "bach")
+    assert hits
+    # Timestamp index: range query spans the two messages.
+    from datetime import datetime, timezone
+
+    from typeagent_tpu.knowpro.interfaces import DateRange
+
+    rng = await sec.timestamp_index.lookup_range(
+        DateRange(
+            datetime(2024, 3, 1, tzinfo=timezone.utc),
+            datetime(2024, 3, 3, tzinfo=timezone.utc),
+        )
+    )
+    assert len(rng) == 2
+    # Message index: both messages' chunks embedded.
+    assert await sec.message_index.size() == 2
+    # Related-terms fuzzy: semref terms embedded for expansion.
+    assert await sec.term_to_related_terms_index.fuzzy_index.size() > 0
+
+    # Transient-only build also works standalone on a fresh provider.
+    settings2 = ConversationSettings(model=create_test_embedding_model(16))
+    provider2 = await settings2.get_storage_provider()
+    conv2 = FakeConversation(
+        messages=provider2.messages,
+        semantic_refs=provider2.semantic_refs,
+        semantic_ref_index=provider2.semantic_ref_index,
+        secondary_indexes=None,  # _ensure_wired attaches them
+    )
+    await provider2.messages.extend(
+        [
+            ConversationMessage(
+                ["solo message"],
+                ConversationMessageMeta("Eve"),
+                timestamp="2024-04-01T10:00:00Z",
+            )
+        ]
+    )
+    await build_transient_secondary_indexes(conv2, settings2)
+    assert conv2.secondary_indexes is not None
+    # Memory collections auto-feed the message index on extend, so it is
+    # populated regardless of the transient-only build.
+    assert await conv2.secondary_indexes.message_index.size() == 1
+    assert await conv2.secondary_indexes.term_to_related_terms_index.fuzzy_index.size() == 0
