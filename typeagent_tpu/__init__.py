@@ -5,7 +5,7 @@ JAX/XLA/Pallas: device-resident embedding indexes with fused top-k kernels,
 mesh-sharded search, and a compiled query data plane. See ARCHITECTURE.md.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 import os as _os
 
