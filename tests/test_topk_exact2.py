@@ -1,0 +1,343 @@
+"""Two-phase exact search (bucket-select + rescore, ops/topk.py exact2).
+
+Pins: exact2 == the one-phase exact oracle on random data, on adversarial
+same-bucket clusters, across watermarks and store dtypes; certificates hold;
+the VectorStore "exact2" search mode routes through it and falls back to the
+one-phase kernel when a certificate fails.
+
+(Reference semantics being preserved: ``aitools/vectorbase.py:163-201`` —
+score map, threshold, descending top-k.)
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from typeagent_tpu.ops import topk
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+def _normed(rng, n, d):
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    return m
+
+
+def _pad(m, n_pad, d_pad):
+    out = np.zeros((n_pad, d_pad), np.float32)
+    out[: m.shape[0], : m.shape[1]] = m
+    return out
+
+
+def _run_both(emb, queries, count, k, slack=2):
+    vals_e, idx_e = topk.cosine_topk(emb, queries, count, k)
+    vals_2, idx_2, cert = topk.cosine_topk_exact2(
+        emb, queries, count, k, slack=slack
+    )
+    return (
+        np.asarray(vals_e),
+        np.asarray(idx_e),
+        np.asarray(vals_2),
+        np.asarray(idx_2),
+        np.asarray(cert),
+    )
+
+
+@pytest.mark.parametrize("n,count", [(2048, 2048), (4096, 3000), (1024, 130)])
+@pytest.mark.parametrize("k", [1, 10])
+def test_exact2_matches_oracle_random(rng, n, count, k):
+    d = 64
+    m = _normed(rng, count, d)
+    emb = jnp.asarray(_pad(m, n, 128))
+    q = jnp.asarray(_pad(_normed(rng, 16, d), 16, 128))
+    vals_e, idx_e, vals_2, idx_2, cert = _run_both(emb, q, count, k)
+    assert cert.all()
+    np.testing.assert_allclose(vals_2, vals_e, atol=1e-6)
+    # Index sets must match row-wise (order can differ only under exact
+    # score ties, which random data does not produce).
+    assert (idx_2 == idx_e).all()
+
+
+def test_exact2_adversarial_same_bucket_cluster(rng):
+    """All true top-k rows packed into ONE 128-row bucket (the case a
+    maxima-only bucket search would miss k-1 of)."""
+    d = 64
+    count, k = 2048, 10
+    m = _normed(rng, count, d)
+    target = _normed(rng, 1, d)[0]
+    # Rows 256..287 (inside bucket 2) become near-copies of the query.
+    for j in range(32):
+        v = target + 0.01 * rng.standard_normal(d).astype(np.float32)
+        m[256 + j] = v / np.linalg.norm(v)
+    emb = jnp.asarray(_pad(m, 2048, 128))
+    q = jnp.asarray(_pad(target.reshape(1, -1), 8, 128))
+    vals_e, idx_e, vals_2, idx_2, cert = _run_both(emb, q, count, k)
+    assert cert.all()
+    assert set(idx_2[0].tolist()) == set(idx_e[0].tolist())
+    assert all(256 <= i < 288 for i in idx_2[0])
+
+
+def test_exact2_tied_scores_across_buckets(rng):
+    """More exactly-tied rows than k, spread over many buckets: the returned
+    set is some k of the tied rows with identical scores in both engines."""
+    d = 64
+    count, k = 2048, 10
+    m = _normed(rng, count, d)
+    target = _normed(rng, 1, d)[0]
+    dupes = list(range(0, 2048, 128))  # one per bucket, 16 ties
+    for i in dupes:
+        m[i] = target
+    emb = jnp.asarray(_pad(m, 2048, 128))
+    q = jnp.asarray(_pad(target.reshape(1, -1), 8, 128))
+    vals_e, idx_e, vals_2, idx_2, cert = _run_both(emb, q, count, k, slack=8)
+    assert cert.all()
+    np.testing.assert_allclose(vals_2, vals_e, atol=1e-6)
+    assert set(idx_2[0].tolist()) <= set(dupes)
+
+
+def test_exact2_small_store_fewer_buckets_than_B(rng):
+    d = 32
+    count, k = 100, 10  # single bucketful
+    m = _normed(rng, count, d)
+    emb = jnp.asarray(_pad(m, 1024, 128))
+    q = jnp.asarray(_pad(_normed(rng, 4, d), 8, 128))
+    vals_e, idx_e, vals_2, idx_2, cert = _run_both(emb, q, count, k)
+    assert cert.all()
+    np.testing.assert_allclose(vals_2, vals_e, atol=1e-6)
+    assert (idx_2 == idx_e).all()
+
+
+def test_exact2_bf16_matches_bf16_oracle(rng):
+    d = 64
+    count, k = 4096, 10
+    m = _normed(rng, count, d)
+    emb = jnp.asarray(_pad(m, 4096, 128)).astype(jnp.bfloat16)
+    q = jnp.asarray(_pad(_normed(rng, 8, d), 8, 128))
+    vals_e, idx_e, vals_2, idx_2, cert = _run_both(emb, q, count, k)
+    assert cert.all()
+    assert (idx_2 == idx_e).all()
+    np.testing.assert_allclose(vals_2, vals_e, atol=1e-6)
+
+
+def test_exact2_hybrid_matches_f32_oracle(rng):
+    d = 64
+    count, k = 4096, 10
+    m = _normed(rng, count, d)
+    emb = jnp.asarray(_pad(m, 4096, 128))
+    shadow = emb.astype(jnp.bfloat16)
+    q = jnp.asarray(_pad(_normed(rng, 8, d), 8, 128))
+    vals_e, idx_e = topk.cosine_topk(emb, q, count, k)
+    vals_h, idx_h, cert = topk.cosine_topk_exact2_hybrid(emb, shadow, q, count, k)
+    assert np.asarray(cert).all()
+    assert (np.asarray(idx_h) == np.asarray(idx_e)).all()
+    np.testing.assert_allclose(np.asarray(vals_h), np.asarray(vals_e), atol=1e-6)
+
+
+def test_exact2_hybrid_adversarial_cluster(rng):
+    d = 64
+    count, k = 4096, 10
+    m = _normed(rng, count, d)
+    target = _normed(rng, 1, d)[0]
+    for j in range(24):
+        v = target + 0.01 * rng.standard_normal(d).astype(np.float32)
+        m[512 + j] = v / np.linalg.norm(v)
+    emb = jnp.asarray(_pad(m, 4096, 128))
+    q = jnp.asarray(_pad(target.reshape(1, -1), 8, 128))
+    vals_e, idx_e = topk.cosine_topk(emb, q, count, k)
+    vals_h, idx_h, cert = topk.cosine_topk_exact2_hybrid(
+        emb, emb.astype(jnp.bfloat16), q, count, k
+    )
+    assert np.asarray(cert).all()
+    assert set(np.asarray(idx_h)[0].tolist()) == set(np.asarray(idx_e)[0].tolist())
+
+
+def test_vectorstore_f32_exact2_uses_hybrid_and_matches(rng):
+    from typeagent_tpu.models.adapters import create_test_embedding_model
+    from typeagent_tpu.vectorstore import TextEmbeddingIndexSettings, VectorStore
+
+    d = 48
+    m = _normed(rng, 3000, d)
+    q = _normed(rng, 5, d)
+    res = {}
+    for mode in ("exact1", "exact2"):
+        s = VectorStore(
+            TextEmbeddingIndexSettings(
+                embedding_model=create_test_embedding_model(d),
+                min_score=0.0,
+                search_mode=mode,
+                dtype="float32",
+            )
+        )
+        s.add_embeddings(None, m)
+        res[mode] = s.fuzzy_lookup_embeddings_batch(q, max_hits=10)
+        if mode == "exact2":
+            assert s._shadow_buf is not None  # hybrid shadow was built
+            # appending must invalidate the shadow cache key
+            old_key = s._shadow_key
+            s.add_embeddings(None, _normed(rng, 10, d))
+            s.fuzzy_lookup_embeddings_batch(q, max_hits=3)
+            assert s._shadow_key != old_key
+    for r1, r2 in zip(res["exact1"], res["exact2"]):
+        assert [x.item for x in r1] == [x.item for x in r2]
+        np.testing.assert_allclose(
+            [x.score for x in r1], [x.score for x in r2], atol=1e-6
+        )
+
+
+def test_vectorstore_exact2_mode_matches_exact(rng):
+    from typeagent_tpu.models.adapters import create_test_embedding_model
+    from typeagent_tpu.vectorstore import TextEmbeddingIndexSettings, VectorStore
+
+    d = 48
+    m = _normed(rng, 3000, d)
+    queries = _normed(rng, 7, d)
+    stores = {}
+    for mode in ("exact1", "exact2"):
+        s = VectorStore(
+            TextEmbeddingIndexSettings(
+                embedding_model=create_test_embedding_model(d),
+                min_score=0.0,
+                search_mode=mode,
+            )
+        )
+        s.add_embeddings(None, m)
+        stores[mode] = s.fuzzy_lookup_embeddings_batch(queries, max_hits=10)
+    for r1, r2 in zip(stores["exact1"], stores["exact2"]):
+        assert [s.item for s in r1] == [s.item for s in r2]
+        np.testing.assert_allclose(
+            [s.score for s in r1], [s.score for s in r2], atol=1e-6
+        )
+
+
+def test_vectorstore_exact2_cert_fallback(rng, monkeypatch):
+    """A failed certificate must transparently re-run the one-phase kernel."""
+    from typeagent_tpu.models.adapters import create_test_embedding_model
+    from typeagent_tpu import vectorstore as vs_mod
+    from typeagent_tpu.vectorstore import TextEmbeddingIndexSettings, VectorStore
+
+    d = 48
+    m = _normed(rng, 2000, d)
+    store = VectorStore(
+        TextEmbeddingIndexSettings(
+            embedding_model=create_test_embedding_model(d),
+            min_score=0.0,
+            search_mode="exact2",
+            dtype="bfloat16",  # pin the non-hybrid exact2 route
+        )
+    )
+    store.add_embeddings(None, m)
+    q = _normed(rng, 3, d)
+    expected = store.fuzzy_lookup_embeddings_batch(q, max_hits=5)
+
+    real = topk.cosine_topk_exact2
+    calls = {"n": 0}
+
+    def broken_cert(*args, **kwargs):
+        calls["n"] += 1
+        vals, idx, _ = real(*args, **kwargs)
+        return jnp.zeros_like(vals), jnp.full_like(idx, -1), jnp.zeros((vals.shape[0],), bool)
+
+    monkeypatch.setattr(vs_mod.topk, "cosine_topk_exact2", broken_cert)
+    got = store.fuzzy_lookup_embeddings_batch(q, max_hits=5)
+    assert calls["n"] == 1
+    for r1, r2 in zip(expected, got):
+        assert [s.item for s in r1] == [s.item for s in r2]
+
+
+def test_exact2_auto_routing_threshold():
+    from typeagent_tpu.models.adapters import create_test_embedding_model
+    from typeagent_tpu import vectorstore as vs_mod
+    from typeagent_tpu.vectorstore import TextEmbeddingIndexSettings, VectorStore
+
+    store = VectorStore(
+        TextEmbeddingIndexSettings(
+            embedding_model=create_test_embedding_model(8), min_score=0.0
+        )
+    )
+    store._count = vs_mod.EXACT2_MIN_ROWS - 1
+    assert not store._use_exact2(10)
+    store._count = vs_mod.EXACT2_MIN_ROWS
+    assert store._use_exact2(10)
+    assert not store._use_exact2(50)  # beyond the fused-kernel k ceiling
+    store.settings.search_mode = "exact1"
+    assert not store._use_exact2(10)
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16", "int8"])
+def test_load_device_rows_matches_host_ingest(rng, dtype):
+    from typeagent_tpu.models.adapters import create_test_embedding_model
+    from typeagent_tpu.vectorstore import TextEmbeddingIndexSettings, VectorStore
+
+    d = 48
+    m = _normed(rng, 500, d)
+    extra = _normed(rng, 300, d)
+    q = _normed(rng, 4, d)
+
+    def settings():
+        return TextEmbeddingIndexSettings(
+            embedding_model=create_test_embedding_model(d),
+            min_score=0.0,
+            dtype=dtype,
+        )
+
+    host = VectorStore(settings())
+    host.add_embeddings(None, m)
+    host.add_embeddings(None, extra)
+
+    dev = VectorStore(settings())
+    dev.load_device_rows(jnp.asarray(m))
+    assert len(dev) == 500
+    dev.load_device_rows(jnp.asarray(extra))  # growth path
+    assert len(dev) == 800
+
+    r_host = host.fuzzy_lookup_embeddings_batch(q, max_hits=10)
+    r_dev = dev.fuzzy_lookup_embeddings_batch(q, max_hits=10)
+    for a, b in zip(r_host, r_dev):
+        assert [s.item for s in a] == [s.item for s in b]
+        np.testing.assert_allclose(
+            [s.score for s in a], [s.score for s in b], atol=1e-5
+        )
+
+
+def test_load_device_rows_size_mismatch():
+    from typeagent_tpu.models.adapters import create_test_embedding_model
+    from typeagent_tpu.vectorstore import TextEmbeddingIndexSettings, VectorStore
+
+    store = VectorStore(
+        TextEmbeddingIndexSettings(
+            embedding_model=create_test_embedding_model(8), min_score=0.0
+        )
+    )
+    store.load_device_rows(jnp.ones((2, 8)) / np.sqrt(8.0))
+    with pytest.raises(ValueError, match="size mismatch"):
+        store.load_device_rows(jnp.ones((2, 16)) / 4.0)
+
+
+def test_exact2_program_traceable_in_scan(rng):
+    """topk_program_exact2 must be usable inside jit/lax.map bodies."""
+    import jax
+
+    d = 64
+    count, k = 2048, 5
+    m = _normed(rng, count, d)
+    emb = jnp.asarray(_pad(m, 2048, 128))
+    qs = jnp.asarray(
+        np.stack([_pad(_normed(rng, 8, d), 8, 128) for _ in range(3)])
+    )
+    count_arr = jnp.asarray(count, dtype=jnp.int32)
+
+    @jax.jit
+    def scan(emb, qs):
+        return jax.lax.map(
+            lambda q: topk.topk_program_exact2(emb, q, count_arr, k), qs
+        )
+
+    vals, idx, cert = scan(emb, qs)
+    assert np.asarray(cert).all()
+    vals_e, idx_e = topk.cosine_topk(emb, qs[1], count, k)
+    assert (np.asarray(idx[1]) == np.asarray(idx_e)).all()

@@ -41,6 +41,11 @@ MODEL_DEFAULT_MIN_SCORES: dict[str, float] = {
 
 _QUERY_BUCKETS = (8, 16, 32, 64, 128, 256, 512)
 _SUBSET_MIN_BUCKET = 64
+# Row count above which "exact" lookups auto-route to the two-phase exact2
+# engine (bucket-select + certified rescore): below this the one-phase
+# kernel's single dispatch wins; above it the phase-2 rescore cost is
+# amortized by running phase 1 at the matmul floor.
+EXACT2_MIN_ROWS = 131_072
 
 
 def get_default_min_score(model_name: str) -> float:
@@ -94,11 +99,13 @@ class TextEmbeddingIndexSettings:
         # Optional jax.sharding.Mesh: the store's embedding matrix shards
         # over the mesh's fragment axis (multi-chip conversations).
         self.mesh = mesh
-        # "exact" (default) or "approx": approximate lookups ride XLA's
-        # hardware-accelerated approx_max_k at ~recall_target recall — the
-        # big-corpus serving mode (measured at the matmul+HBM floor; the
-        # exact kernel's running-top-k merge costs ~20-30% on top).
-        assert search_mode in ("exact", "approx"), search_mode
+        # "exact" (default): fused exact top-k; large stores auto-route to
+        # the two-phase exact2 engine (bucket-select at the matmul floor +
+        # certified rescore — same results, ~1.5-2x faster at >=128k rows).
+        # "exact1"/"exact2" force the one-/two-phase engine; "approx" rides
+        # XLA's hardware approx_max_k at ~recall_target recall (the
+        # lossy-but-fastest serving mode).
+        assert search_mode in ("exact", "exact1", "exact2", "approx"), search_mode
         if search_mode == "approx" and dtype == "int8":
             raise ValueError(
                 "search_mode='approx' supports float32/bfloat16 stores only "
@@ -133,6 +140,8 @@ class VectorStore:
         else:
             self._dtype = jnp.float32
         self._scales: jax.Array | None = None  # per-row scales (int8 mode)
+        self._shadow_buf: jax.Array | None = None  # bf16 selection shadow
+        self._shadow_key = None
         self._embedding_size = 0
         self._dim_pad = 0
         self._buf: jax.Array | None = None
@@ -218,6 +227,51 @@ class VectorStore:
         embeddings = await self.get_embeddings(keys, cache=cache)
         self.add_embeddings(keys if cache else None, embeddings)
         return embeddings
+
+    def load_device_rows(self, rows: jax.Array) -> None:
+        """Bulk-adopt embedding rows already resident on the device.
+
+        The zero-host-round-trip ingest path: when embeddings are produced on
+        the TPU (an on-device encoder, a generator, a checkpoint restore),
+        this pads/casts/quantizes and writes them into the store buffer
+        entirely on device — no 1.5 GB/1M-row host detour. Rows must be
+        L2-normalized ``[n, embedding_size]`` f32/bf16.
+        """
+        if self._mesh is not None:
+            raise ValueError("load_device_rows: use the sharded append path")
+        n, size = rows.shape
+        if self._embedding_size == 0:
+            self._set_embedding_size(size)
+        if size != self._embedding_size:
+            raise ValueError(
+                f"Embedding size mismatch: expected {self._embedding_size}, "
+                f"got {size}"
+            )
+        self._flush()
+        if n == 0:
+            return
+        padded = jnp.pad(
+            rows.astype(jnp.float32), ((0, 0), (0, self._dim_pad - size))
+        )
+        if self._buf is None:
+            cap = max(append.MIN_CAPACITY, 1 << (n - 1).bit_length())
+            self._buf = append.make_buffer(cap, self._dim_pad, self._dtype)
+            if self._quantized:
+                self._scales = jnp.ones((cap,), dtype=jnp.float32)
+        elif self._count + n > self._buf.shape[0]:
+            self._buf = append.grow_buffer(self._buf, self._count + n)
+            if self._quantized:
+                pad_n = self._buf.shape[0] - self._scales.shape[0]
+                self._scales = jnp.pad(self._scales, (0, pad_n), constant_values=1.0)
+        if self._quantized:
+            q_rows, row_scales = topk.quantize_rows_device(padded)
+            self._buf = append.append_rows(self._buf, q_rows, self._count)
+            self._scales = jax.lax.dynamic_update_slice(
+                self._scales, row_scales, (self._count,)
+            )
+        else:
+            self._buf = append.append_rows(self._buf, padded, self._count)
+        self._count += n
 
     def _sharded_store(self):
         if self._sharded is None:
@@ -375,7 +429,42 @@ class VectorStore:
                 self._buf, q, self._count, k,
                 recall_target=self.settings.recall_target,
             )
+        if self._use_exact2(k):
+            if self._dtype == jnp.float32:
+                # Hybrid: bf16-shadow bucket selection (half the HBM read,
+                # one MXU pass) + exact f32 VPU rescore — ~2.4x the
+                # one-phase f32 kernel with identical results.
+                vals, idx, cert = topk.cosine_topk_exact2_hybrid(
+                    self._buf, self._shadow(), q, self._count, k
+                )
+            else:
+                vals, idx, cert = topk.cosine_topk_exact2(
+                    self._buf, q, self._count, k
+                )
+            if bool(np.asarray(cert).all()):
+                return vals, idx
+            # Certificate miss (eps-tie phase skew): re-run through the
+            # one-phase kernel for unconditional exactness.
         return topk.cosine_topk(self._buf, q, self._count, k)
+
+    def _shadow(self) -> jax.Array:
+        """Cached bf16 cast of the f32 buffer (the exact2 selection shadow);
+        rebuilt on device after appends (one ~free cast per ingest batch)."""
+        key = (id(self._buf), self._count)
+        if self._shadow_buf is None or self._shadow_key != key:
+            self._shadow_buf = self._buf.astype(jnp.bfloat16)
+            self._shadow_key = key
+        return self._shadow_buf
+
+    def _use_exact2(self, k: int) -> bool:
+        mode = self.settings.search_mode
+        if mode == "exact2":
+            return True
+        return (
+            mode == "exact"
+            and self._count >= EXACT2_MIN_ROWS
+            and k <= topk._PALLAS_MAX_K
+        )
 
     def dispatch_lookup(
         self,
@@ -497,6 +586,8 @@ class VectorStore:
     def clear(self) -> None:
         self._buf = None
         self._scales = None
+        self._shadow_buf = None
+        self._shadow_key = None
         self._sharded = None
         self._count = 0
         self._pending.clear()
