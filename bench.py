@@ -2,13 +2,24 @@
 
 Baseline (BASELINE.md, measured on this machine): the reference's
 fuzzy_lookup_embedding kernel (serial numpy, 1 thread) at 1M x 384 runs at
-178 ms/query ~= 5.6 QPS. This benchmark runs the TPU-native fused
-matmul+top-k kernel, batched, on the device and reports steady-state QPS.
+178 ms/query ~= 5.6 QPS. This benchmark builds the store ON DEVICE (the 1.5 GB
+matrix never crosses the host<->device tunnel) and reports steady-state QPS
+for every search engine the store ships:
 
-The headline is the bf16 store (the recommended production mode: half the
-HBM traffic, recall@10 vs the exact f32 scan ~0.994 at 1M rows, verified
-here with an in-run recall probe); f32 (exact-parity) and int8 rates are
-reported to stderr alongside.
+  * exact1        — one-phase fused Pallas matmul+top-k (strict parity mode)
+  * exact2        — two-phase: bucket-select at the matmul floor + certified
+                    exact rescore (the default engine at this scale)
+  * exact2h (f32) — bf16-shadow selection + exact f32 rescore: recall 1.0
+                    against the f32 oracle (the exact-parity number)
+  * bucket-approx — fused per-bucket argmax (recall ~0.999)
+  * approx        — XLA hardware approx_max_k (recall ~recall_target)
+  * int8          — quantized store, fused kernel
+
+Headline: the fastest mode with in-run recall@10 >= 0.99 against the exact
+f32 oracle; the exact-parity (recall 1.0) QPS is stated alongside in the
+metric. Warmup is itemized (data-gen / trace+lower / compile / first-run)
+because the remote compile service behind the tunnel intermittently stalls
+for minutes — the itemization shows where the time went.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Extra detail goes to stderr.
@@ -26,206 +37,207 @@ N_ROWS = 1_000_000
 DIM = 384
 BATCH = 256
 K = 10
+R = 20  # query batches per device-resident dispatch
 BASELINE_QPS = 1000.0 / 178.0  # 178 ms/query single-thread numpy (BASELINE.md)
+RECALL_BAR = 0.99
 
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def build_store(matrix_chunks, dtype):
-    from typeagent_tpu.models.adapters import create_test_embedding_model
-    from typeagent_tpu.vectorstore import TextEmbeddingIndexSettings, VectorStore
-
-    settings = TextEmbeddingIndexSettings(
-        embedding_model=create_test_embedding_model(DIM), min_score=0.0,
-        dtype=dtype,
-    )
-    store = VectorStore(settings)
-    for chunk in matrix_chunks:
-        store.add_embeddings(None, chunk)
-    return store
-
-
-def device_qps(store, many_queries, approx_rt: float | None = None):
-    """R distinct query batches inside ONE dispatch (lax.map): steady-state
-    throughput with host<->device round trips excluded. With ``approx_rt``,
-    rides XLA's hardware approx_max_k instead of the exact Pallas kernel."""
+def main() -> None:
+    t_start = time.perf_counter()
     import jax
     import jax.numpy as jnp
 
-    from typeagent_tpu.ops.topk import (
-        cosine_topk_approx,
-        topk_program,
-        topk_program_quantized,
-    )
-
-    R = many_queries.shape[0]
-    many_padded = np.zeros((R, many_queries.shape[1], store._dim_pad), np.float32)
-    many_padded[:, :, :DIM] = many_queries
-    many_dev = jnp.asarray(many_padded)
-    count = jnp.asarray(store._count, dtype=jnp.int32)
-
-    if approx_rt is not None:
-        assert not store._quantized
-
-        @jax.jit
-        def scan_topk(emb, qs):
-            return jax.lax.map(
-                lambda q: cosine_topk_approx(
-                    emb, q, count, K, recall_target=approx_rt
-                ),
-                qs,
-            )
-
-        args = (store._buf, many_dev)
-    elif store._quantized:
-
-        @jax.jit
-        def scan_topk(emb, scales, qs):
-            return jax.lax.map(
-                lambda q: topk_program_quantized(emb, scales, q, count, K), qs
-            )
-
-        args = (store._buf, store._scales, many_dev)
-    else:
-
-        @jax.jit
-        def scan_topk(emb, qs):
-            return jax.lax.map(lambda q: topk_program(emb, q, count, K), qs)
-
-        args = (store._buf, many_dev)
-
-    out = scan_topk(*args)
-    np.asarray(jax.tree.leaves(out)[0])  # compile + warm
-    elapsed = float("inf")
-    for _ in range(3):  # best-of-3: damp tunnel throughput jitter
-        t0 = time.perf_counter()
-        out = scan_topk(*args)
-        vals = np.asarray(jax.tree.leaves(out)[0])
-        idx = np.asarray(jax.tree.leaves(out)[1])
-        elapsed = min(elapsed, time.perf_counter() - t0)
-    assert vals.shape[0] == R
-    return R * many_queries.shape[1] / elapsed, elapsed / R * 1000, idx
-
-
-def main() -> None:
-    import jax
+    from typeagent_tpu.models.adapters import create_test_embedding_model
+    from typeagent_tpu.ops import topk as T
+    from typeagent_tpu.vectorstore import TextEmbeddingIndexSettings, VectorStore
 
     log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
+    log(f"imports+backend init: {time.perf_counter() - t_start:.1f}s")
 
-    rng = np.random.default_rng(7)
-    log(f"building {N_ROWS} x {DIM} matrix...")
-    chunks = []
-    for start in range(0, N_ROWS, 125_000):
-        m = rng.standard_normal((125_000, DIM)).astype(np.float32)
-        m /= np.linalg.norm(m, axis=1, keepdims=True)
-        chunks.append(m)
-    queries = rng.standard_normal((BATCH, DIM)).astype(np.float32)
-    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
-
-    store = build_store(chunks, "bfloat16")  # headline: production mode
+    # -- on-device data generation (no host detour) -------------------------
     t0 = time.perf_counter()
-    store.fuzzy_lookup_embeddings_batch(queries, max_hits=K)
-    log(f"warmup (incl. flush + compile): {time.perf_counter() - t0:.1f}s")
-    probe = store.get_embedding_at(12345)
-    hit = store.fuzzy_lookup_embedding(probe, max_hits=1)[0]
-    assert hit.item == 12345 and hit.score > 0.999, hit
-    log(f"self-match probe OK: {hit}")
 
-    # Sync (one blocking round trip per batch) — the latency-bound number.
+    @jax.jit
+    def gen_data(key):
+        ke, kq, km = jax.random.split(key, 3)
+        emb = jax.random.normal(ke, (N_ROWS, DIM), dtype=jnp.float32)
+        emb /= jnp.linalg.norm(emb, axis=1, keepdims=True)
+        qs = jax.random.normal(kq, (R, BATCH, DIM), dtype=jnp.float32)
+        qs /= jnp.linalg.norm(qs, axis=2, keepdims=True)
+        return emb, qs
+
+    rows_f32, many = gen_data(jax.random.PRNGKey(7))
+    rows_f32.block_until_ready()
+    log(f"on-device data gen: {time.perf_counter() - t0:.1f}s")
+
+    def build_store(dtype):
+        settings = TextEmbeddingIndexSettings(
+            embedding_model=create_test_embedding_model(DIM),
+            min_score=0.0,
+            dtype=dtype,
+        )
+        store = VectorStore(settings)
+        store.load_device_rows(rows_f32)
+        return store
+
+    t0 = time.perf_counter()
+    stores = {d: build_store(d) for d in ("bfloat16", "float32", "int8")}
+    jax.block_until_ready(stores["int8"]._buf)
+    log(f"store builds (cast/quantize, on device): {time.perf_counter() - t0:.1f}s")
+
+    count = jnp.asarray(N_ROWS, dtype=jnp.int32)
+    bf16 = stores["bfloat16"]._buf
+    f32 = stores["float32"]._buf
+    i8, i8_scales = stores["int8"]._buf, stores["int8"]._scales
+
+    # -- engine programs (R batches per dispatch; steady-state throughput) --
+    def make_prog(fn):
+        @jax.jit
+        def prog(qs):
+            return jax.lax.map(fn, qs)
+
+        return prog
+
+    progs = {
+        "exact1-bf16": make_prog(lambda q: T.topk_program(bf16, q, count, K)),
+        "exact2-bf16": make_prog(
+            lambda q: T.topk_program_exact2(bf16, q, count, K, slack=6)
+        ),
+        "bucket-approx-bf16": make_prog(
+            lambda q: T.cosine_topk_bucket(bf16, q, count, K)
+        ),
+        "approx-rt995-bf16": make_prog(
+            lambda q: T.cosine_topk_approx(bf16, q, count, K, recall_target=0.995)
+        ),
+        "exact1-f32": make_prog(lambda q: T.topk_program(f32, q, count, K)),
+        "exact2h-f32": make_prog(
+            lambda q: T.topk_program_exact2_hybrid(f32, bf16, q, count, K)
+        ),
+        "int8": make_prog(
+            lambda q: T.topk_program_quantized(i8, i8_scales, q, count, K)
+        ),
+    }
+
+    # -- warmup (itemized): lower/compile/first-run per engine --------------
+    for name, prog in progs.items():
+        t0 = time.perf_counter()
+        lowered = prog.lower(many)
+        t_lower = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        compiled = lowered.compile()
+        t_compile = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = compiled(many)
+        np.asarray(jax.tree.leaves(out)[0])
+        t_first = time.perf_counter() - t0
+        progs[name] = compiled
+        log(
+            f"warmup {name}: lower {t_lower:.1f}s, compile {t_compile:.1f}s "
+            f"(persistent-cache {'hit' if t_compile < 15 else 'MISS'}), "
+            f"first run {t_first:.1f}s"
+        )
+    log(f"total warmup+build: {time.perf_counter() - t_start:.1f}s")
+
+    # -- timed runs, interleaved (tunnel throughput varies within a session) --
+    timings = {name: float("inf") for name in progs}
+    outputs = {}
+    for _ in range(3):
+        for name, compiled in progs.items():
+            t0 = time.perf_counter()
+            out = compiled(many)
+            np.asarray(jax.tree.leaves(out)[0])
+            timings[name] = min(timings[name], time.perf_counter() - t0)
+            outputs[name] = out
+
+    oracle_idx = np.asarray(jax.tree.leaves(outputs["exact1-f32"])[1]).reshape(-1, K)
+
+    def recall_vs_oracle(name):
+        idx = np.asarray(jax.tree.leaves(outputs[name])[1]).reshape(-1, K)
+        return float(
+            np.mean(
+                [
+                    len(set(a.tolist()) & set(b.tolist())) / K
+                    for a, b in zip(idx, oracle_idx)
+                ]
+            )
+        )
+
+    rates = {}
+    for name, elapsed in timings.items():
+        qps = R * BATCH / elapsed
+        rec = recall_vs_oracle(name)
+        leaves = jax.tree.leaves(outputs[name])
+        cert = np.asarray(leaves[2]).all() if len(leaves) > 2 else None
+        rates[name] = (qps, rec)
+        cert_s = "" if cert is None else f", cert_all={bool(cert)}"
+        log(
+            f"{name}: {elapsed / R * 1000:.2f} ms/batch-{BATCH}, {qps:.0f} QPS, "
+            f"recall@{K} vs f32 oracle: {rec:.4f}{cert_s}"
+        )
+
+    exact_parity_qps, exact_parity_recall = rates["exact2h-f32"]
+    assert exact_parity_recall == 1.0, (
+        "exact2h must reproduce the f32 oracle exactly",
+        exact_parity_recall,
+    )
+
+    # -- serving-path measurements (host round trips through the tunnel) ----
+    store = stores["bfloat16"]
+    queries_host = np.asarray(many[0])
+
+    @jax.jit
+    def rtt_probe(x):
+        return x + 1
+
+    np.asarray(rtt_probe(jnp.zeros((8, 8))))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        np.asarray(rtt_probe(jnp.zeros((8, 8))))
+    rtt_ms = (time.perf_counter() - t0) / 5 * 1000
+    log(f"tunnel round-trip (tiny dispatch + fetch): {rtt_ms:.1f} ms")
+
     iters = 10
+    store.fuzzy_lookup_embeddings_batch(queries_host, max_hits=K)
     t0 = time.perf_counter()
     for _ in range(iters):
-        store.fuzzy_lookup_embeddings_batch(queries, max_hits=K)
+        store.fuzzy_lookup_embeddings_batch(queries_host, max_hits=K)
     sync_ms = (time.perf_counter() - t0) / iters * 1000
     log(
-        f"sync: {sync_ms:.2f} ms/batch-{BATCH} ({BATCH / sync_ms * 1000:.0f} QPS); "
-        f"p50 per-batch latency {sync_ms:.2f} ms"
+        f"served sync: {sync_ms:.2f} ms/batch-{BATCH} "
+        f"({BATCH / sync_ms * 1000:.0f} QPS; includes tunnel RTT)"
     )
 
-    # Pipelined (async dispatch, sync at the end).
-    iters = 30
+    # Coalesced serving: R waiting batches in one dispatch (what the
+    # serve.BatchingQueue does under load).
+    many_host = np.asarray(many)
     t0 = time.perf_counter()
-    handles = [store.dispatch_lookup(queries, max_hits=K) for _ in range(iters)]
-    results = [store.collect_lookup(h) for h in handles]
-    elapsed = time.perf_counter() - t0
-    assert all(r for r in results)
+    res = store.fuzzy_lookup_embeddings_many(many_host, max_hits=K)
+    coal_elapsed = time.perf_counter() - t0
+    assert len(res) == R and len(res[0]) == BATCH
+    coal_qps = R * BATCH / coal_elapsed
     log(
-        f"pipelined: {elapsed / iters * 1000:.2f} ms/batch-{BATCH} "
-        f"({iters * BATCH / elapsed:.0f} QPS)"
+        f"served coalesced-x{R}: {coal_elapsed / R * 1000:.2f} ms/batch-{BATCH} "
+        f"({coal_qps:.0f} QPS, {coal_qps / (BATCH / sync_ms * 1000):.1f}x sync)"
     )
 
-    R = 20
-    many = rng.standard_normal((R, BATCH, DIM)).astype(np.float32)
-    many /= np.linalg.norm(many, axis=2, keepdims=True)
-
-    qps, ms_per_batch, idx_bf16 = device_qps(store, many)
+    # -- headline ------------------------------------------------------------
+    eligible = {n: (q, r) for n, (q, r) in rates.items() if r >= RECALL_BAR}
+    mode, (best_qps, best_recall) = max(eligible.items(), key=lambda kv: kv[1][0])
     log(
-        f"device bf16 (single dispatch, {R} batches): {ms_per_batch:.2f} "
-        f"ms/batch-{BATCH}, {qps:.0f} QPS "
-        f"(baseline {BASELINE_QPS:.1f} QPS single-core numpy)"
+        f"headline mode: {mode} ({best_qps:.0f} QPS, recall {best_recall:.4f}); "
+        f"exact-parity (recall 1.0): exact2h-f32 {exact_parity_qps:.0f} QPS"
     )
-
-    # Exact f32 store: parity mode rate + the recall oracle for bf16.
-    store_f32 = build_store(chunks, "float32")
-    store_f32.fuzzy_lookup_embeddings_batch(queries, max_hits=K)  # flush
-    qps_f32, ms_f32, idx_f32 = device_qps(store_f32, many)
-    log(f"device f32 (exact parity): {ms_f32:.2f} ms/batch-{BATCH}, {qps_f32:.0f} QPS")
-    recall = np.mean(
-        [
-            len(set(a.tolist()) & set(b.tolist())) / K
-            for a, b in zip(idx_bf16.reshape(-1, K), idx_f32.reshape(-1, K))
-        ]
-    )
-    log(f"bf16 recall@{K} vs exact f32: {recall:.4f}")
-    assert recall >= 0.97, recall
-    del store_f32
-
-    store_i8 = build_store(chunks, "int8")
-    store_i8.fuzzy_lookup_embeddings_batch(queries, max_hits=K)  # flush
-    qps_i8, ms_i8, idx_i8 = device_qps(store_i8, many)
-    recall_i8 = np.mean(
-        [
-            len(set(a.tolist()) & set(b.tolist())) / K
-            for a, b in zip(idx_i8.reshape(-1, K), idx_f32.reshape(-1, K))
-        ]
-    )
-    log(
-        f"device int8: {ms_i8:.2f} ms/batch-{BATCH}, {qps_i8:.0f} QPS "
-        f"(recall@{K} vs exact: {recall_i8:.4f})"
-    )
-
-    # Approximate mode (store.search_mode="approx"): XLA's hardware
-    # approx_max_k over the bf16 store — runs at the matmul+HBM floor.
-    approx_candidates = []
-    for rt in (0.95, 0.97, 0.995):
-        qps_a, ms_a, idx_a = device_qps(store, many, approx_rt=rt)
-        recall_a = np.mean(
-            [
-                len(set(a.tolist()) & set(b.tolist())) / K
-                for a, b in zip(idx_a.reshape(-1, K), idx_f32.reshape(-1, K))
-            ]
-        )
-        log(
-            f"device bf16-approx(rt={rt}): {ms_a:.2f} ms/batch-{BATCH}, "
-            f"{qps_a:.0f} QPS (recall@{K} vs exact: {recall_a:.4f})"
-        )
-        approx_candidates.append((f"bf16-approx(rt={rt})", qps_a, recall_a))
-
-    # Headline: the fastest production mode (quantized exact or approximate)
-    # that clears the in-run recall bar against the exact f32 scan.
-    candidates = [("bf16", qps, recall), ("int8", qps_i8, recall_i8)]
-    candidates += approx_candidates
-    eligible = [c for c in candidates if c[2] >= 0.97] or candidates[:1]
-    mode, best_qps, best_recall = max(eligible, key=lambda c: c[1])
-    log(f"headline mode: {mode} ({best_qps:.0f} QPS, recall {best_recall:.4f})")
     print(
         json.dumps(
             {
                 "metric": (
-                    f"cosine top-{K} QPS ({mode} store, recall@{K}>=0.97 vs "
-                    f"exact, measured {best_recall:.3f}), "
+                    f"cosine top-{K} QPS ({mode}, recall@{K}>={RECALL_BAR} vs "
+                    f"exact f32 oracle, measured {best_recall:.3f}; "
+                    f"exact-parity recall-1.0 mode: {exact_parity_qps:.0f} QPS), "
                     f"{N_ROWS // 1000}k x {DIM} fragments, batch {BATCH}"
                 ),
                 "value": round(best_qps, 1),

@@ -1,0 +1,124 @@
+"""LookupBatcher: coalesced serving correctness + observability.
+
+Pins: coalesced results == per-batch results (per-request min_score /
+max_hits honored across a shared dispatch), ragged batch sizes pad/slice
+correctly, concurrent callers actually share dispatches, close() drains.
+"""
+
+import asyncio
+
+import numpy as np
+import pytest
+
+from typeagent_tpu.models.adapters import create_test_embedding_model
+from typeagent_tpu.serve import LookupBatcher
+from typeagent_tpu.vectorstore import TextEmbeddingIndexSettings, VectorStore
+
+
+@pytest.fixture
+def store():
+    rng = np.random.default_rng(3)
+    m = rng.standard_normal((600, 32)).astype(np.float32)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    s = VectorStore(
+        TextEmbeddingIndexSettings(
+            embedding_model=create_test_embedding_model(32), min_score=0.0
+        )
+    )
+    s.add_embeddings(None, m)
+    return s
+
+
+def _queries(rng, b, d=32):
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    return q / np.linalg.norm(q, axis=1, keepdims=True)
+
+
+def test_single_request_passthrough(store):
+    rng = np.random.default_rng(5)
+    q = _queries(rng, 4)
+
+    async def run():
+        batcher = LookupBatcher(store, max_delay_ms=0.0)
+        res = await batcher.lookup(q, max_hits=5, min_score=0.2)
+        await batcher.close()
+        return res, batcher
+
+    res, batcher = asyncio.run(run())
+    expected = store.fuzzy_lookup_embeddings_batch(q, max_hits=5, min_score=0.2)
+    assert [[s.item for s in row] for row in res] == [
+        [s.item for s in row] for row in expected
+    ]
+    assert batcher.dispatches == 1 and batcher.served == 1
+
+
+def test_concurrent_requests_coalesce_and_match(store):
+    rng = np.random.default_rng(6)
+    batches = [_queries(rng, 4) for _ in range(8)]
+
+    async def run():
+        batcher = LookupBatcher(store, max_delay_ms=5.0, max_coalesce=8)
+        results = await asyncio.gather(
+            *(batcher.lookup(q, max_hits=6, min_score=0.1) for q in batches)
+        )
+        await batcher.close()
+        return results, batcher
+
+    results, batcher = asyncio.run(run())
+    assert batcher.served == 8
+    assert batcher.dispatches < 8  # real coalescing happened
+    for q, res in zip(batches, results):
+        expected = store.fuzzy_lookup_embeddings_batch(q, max_hits=6, min_score=0.1)
+        for a, b in zip(res, expected):
+            assert [s.item for s in a] == [s.item for s in b]
+            np.testing.assert_allclose(
+                [s.score for s in a], [s.score for s in b], atol=1e-5
+            )
+
+
+def test_ragged_sizes_and_per_request_params(store):
+    rng = np.random.default_rng(7)
+    q_small = _queries(rng, 2)
+    q_big = _queries(rng, 7)
+
+    async def run():
+        batcher = LookupBatcher(store, max_delay_ms=5.0)
+        r_small, r_big = await asyncio.gather(
+            batcher.lookup(q_small, max_hits=3, min_score=0.5),
+            batcher.lookup(q_big, max_hits=8, min_score=0.0),
+        )
+        await batcher.close()
+        return r_small, r_big
+
+    r_small, r_big = asyncio.run(run())
+    exp_small = store.fuzzy_lookup_embeddings_batch(q_small, max_hits=3, min_score=0.5)
+    exp_big = store.fuzzy_lookup_embeddings_batch(q_big, max_hits=8, min_score=0.0)
+    assert len(r_small) == 2 and len(r_big) == 7
+    for got, exp in ((r_small, exp_small), (r_big, exp_big)):
+        for a, b in zip(got, exp):
+            assert [s.item for s in a] == [s.item for s in b]
+
+
+def test_mixed_dims_rejected(store):
+    rng = np.random.default_rng(8)
+
+    async def run():
+        batcher = LookupBatcher(store, max_delay_ms=5.0)
+        with pytest.raises(ValueError, match="Mixed embedding dims"):
+            await asyncio.gather(
+                batcher.lookup(_queries(rng, 2, 32)),
+                batcher.lookup(rng.standard_normal((2, 16)).astype(np.float32)),
+            )
+        await batcher.close()
+
+    asyncio.run(run())
+
+
+def test_closed_batcher_rejects(store):
+    async def run():
+        batcher = LookupBatcher(store)
+        await batcher.close()
+        with pytest.raises(RuntimeError, match="closed"):
+            await batcher.lookup(np.zeros((1, 32), np.float32))
+
+    asyncio.run(run())

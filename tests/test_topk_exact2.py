@@ -318,6 +318,54 @@ def test_load_device_rows_size_mismatch():
         store.load_device_rows(jnp.ones((2, 16)) / 4.0)
 
 
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16", "int8"])
+def test_lookup_many_matches_per_batch(rng, dtype):
+    from typeagent_tpu.models.adapters import create_test_embedding_model
+    from typeagent_tpu.vectorstore import TextEmbeddingIndexSettings, VectorStore
+
+    d = 48
+    m = _normed(rng, 800, d)
+    store = VectorStore(
+        TextEmbeddingIndexSettings(
+            embedding_model=create_test_embedding_model(d),
+            min_score=0.0,
+            dtype=dtype,
+        )
+    )
+    store.add_embeddings(None, m)
+    batches = np.stack([_normed(rng, 6, d) for _ in range(4)])  # [4, 6, d]
+    many = store.fuzzy_lookup_embeddings_many(batches, max_hits=5, min_score=0.3)
+    assert len(many) == 4 and all(len(rows) == 6 for rows in many)
+    for i in range(4):
+        single = store.fuzzy_lookup_embeddings_batch(
+            batches[i], max_hits=5, min_score=0.3
+        )
+        for a, b in zip(many[i], single):
+            assert [s.item for s in a] == [s.item for s in b]
+            np.testing.assert_allclose(
+                [s.score for s in a], [s.score for s in b], atol=1e-5
+            )
+
+
+def test_lookup_many_empty_and_shape_checks(rng):
+    from typeagent_tpu.models.adapters import create_test_embedding_model
+    from typeagent_tpu.vectorstore import TextEmbeddingIndexSettings, VectorStore
+
+    d = 16
+    store = VectorStore(
+        TextEmbeddingIndexSettings(
+            embedding_model=create_test_embedding_model(d), min_score=0.0
+        )
+    )
+    assert store.fuzzy_lookup_embeddings_many(np.zeros((2, 3, d))) == [
+        [[], [], []],
+        [[], [], []],
+    ]
+    store.add_embeddings(None, _normed(rng, 10, d))
+    with pytest.raises(ValueError, match=r"\[R, b, d\]"):
+        store.fuzzy_lookup_embeddings_many(np.zeros((3, d)))
+
+
 def test_exact2_program_traceable_in_scan(rng):
     """topk_program_exact2 must be usable inside jit/lax.map bodies."""
     import jax

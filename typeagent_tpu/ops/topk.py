@@ -1076,6 +1076,59 @@ def cosine_topk_bucket(
 
 
 # ---------------------------------------------------------------------------
+# Multi-batch single-dispatch program: R query batches through one jit call
+# (lax.map). The coalesced serving path — a loaded server pays one tunnel
+# round trip for R batches instead of R.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "mode", "use_pallas", "recall_target", "slack"),
+)
+def topk_many(
+    emb: jax.Array,
+    aux: jax.Array | None,  # scales (int8) / bf16 shadow (hybrid) / None
+    qs: jax.Array,  # [R, b_pad, d_pad]
+    count: jax.Array,
+    *,
+    k: int,
+    mode: str,
+    use_pallas: bool,
+    recall_target: float = 0.95,
+    slack: int | None = None,
+):
+    """R batched lookups in one dispatch; returns stacked engine outputs
+    ([R, b, k] vals/idx, plus [R, b] certs for the exact2 modes)."""
+
+    def one(q):
+        if mode == "exact1":
+            return topk_program(emb, q, count, k, use_pallas=use_pallas)
+        if mode == "exact2":
+            return topk_program_exact2(
+                emb, q, count, k, slack=2 if slack is None else slack,
+                use_pallas=use_pallas,
+            )
+        if mode == "exact2h":
+            return topk_program_exact2_hybrid(
+                emb, aux, q, count, k,
+                slack=_HYBRID_SLACK if slack is None else slack,
+                use_pallas=use_pallas,
+            )
+        if mode == "quantized":
+            return topk_program_quantized(
+                emb, aux, q, count, k, use_pallas=use_pallas
+            )
+        if mode == "approx":
+            return _topk_approx_impl(
+                emb, q, count.reshape(()), k=k, recall_target=recall_target
+            )
+        raise ValueError(f"unknown mode: {mode}")
+
+    return jax.lax.map(one, qs)
+
+
+# ---------------------------------------------------------------------------
 # XLA path (CPU meshes / oracle)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,159 @@
+"""Adaptive micro-batching for served lookups.
+
+The tunnel/host round trip dominates single-batch serving latency (one
+dispatch + fetch costs a full RTT regardless of batch size), so a loaded
+server must coalesce: N callers' query batches ride ONE device dispatch
+(``VectorStore.fuzzy_lookup_embeddings_many``), paying one RTT for all of
+them. Under light load requests go straight through (no added latency);
+under heavy load throughput approaches the device-resident rate.
+
+This is the TPU-shaped replacement for the reference's per-request asyncio
+fan-out (reference: the MCP server dispatches each search independently,
+``mcp/server.py`` there); here the data plane batches across requests the
+way production LLM servers batch tokens.
+
+Usage::
+
+    q = LookupBatcher(store, max_delay_ms=2.0, max_coalesce=16)
+    results = await q.lookup(queries)        # [b, d] -> list[list[ScoredInt]]
+    ...
+    await q.close()
+"""
+
+from __future__ import annotations
+
+import asyncio
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .vectorstore import ScoredInt, VectorStore
+
+__all__ = ["LookupBatcher"]
+
+
+@dataclass
+class _Pending:
+    queries: np.ndarray  # [b, d]
+    max_hits: int
+    min_score: float
+    future: asyncio.Future = field(default_factory=lambda: None)
+
+
+class LookupBatcher:
+    """Coalesces concurrent fuzzy-lookup calls into single device dispatches.
+
+    Requests arriving while a dispatch is in flight accumulate; the next
+    dispatch takes up to ``max_coalesce`` of them at once. An idle request
+    waits at most ``max_delay_ms`` for company before dispatching alone.
+    Batches with identical (b, max_hits, min_score) shapes ride the
+    multi-batch program; ragged ones are padded to the largest b in the
+    group (results are sliced back).
+    """
+
+    def __init__(
+        self,
+        store: VectorStore,
+        *,
+        max_delay_ms: float = 2.0,
+        max_coalesce: int = 16,
+    ):
+        self._store = store
+        self._max_delay = max_delay_ms / 1000.0
+        self._max_coalesce = max(1, max_coalesce)
+        self._queue: list[_Pending] = []
+        self._wakeup: asyncio.Event | None = None
+        self._task: asyncio.Task | None = None
+        self._closed = False
+        self.dispatches = 0  # observability: device dispatches issued
+        self.served = 0  # batches served
+
+    async def lookup(
+        self,
+        queries: np.ndarray,
+        max_hits: int = 10,
+        min_score: float = 0.0,
+    ) -> list[list[ScoredInt]]:
+        """Lookup one query batch; may be coalesced with concurrent callers."""
+        if self._closed:
+            raise RuntimeError("LookupBatcher is closed")
+        self._ensure_worker()
+        item = _Pending(
+            np.asarray(queries, dtype=np.float32), max_hits, float(min_score)
+        )
+        item.future = asyncio.get_running_loop().create_future()
+        self._queue.append(item)
+        self._wakeup.set()
+        return await item.future
+
+    async def close(self) -> None:
+        self._closed = True
+        if self._task is not None:
+            self._wakeup.set()
+            await self._task
+            self._task = None
+
+    def _ensure_worker(self) -> None:
+        if self._task is None or self._task.done():
+            self._wakeup = asyncio.Event()
+            self._task = asyncio.get_running_loop().create_task(self._worker())
+
+    async def _worker(self) -> None:
+        while True:
+            if not self._queue:
+                if self._closed:
+                    return
+                self._wakeup.clear()
+                try:
+                    await asyncio.wait_for(self._wakeup.wait(), timeout=0.5)
+                except TimeoutError:
+                    pass
+                if self._closed and not self._queue:
+                    return
+                continue  # re-check the queue under the non-empty branch
+            # Linger briefly so concurrent callers can pile on.
+            if len(self._queue) < self._max_coalesce and self._max_delay > 0:
+                await asyncio.sleep(self._max_delay)
+            group = self._queue[: self._max_coalesce]
+            del self._queue[: len(group)]
+            try:
+                self._dispatch_group(group)
+            except Exception as exc:  # propagate to all waiters
+                for item in group:
+                    if not item.future.done():
+                        item.future.set_exception(exc)
+
+    def _dispatch_group(self, group: list[_Pending]) -> None:
+        self.dispatches += 1
+        self.served += len(group)
+        if len(group) == 1:
+            item = group[0]
+            item.future.set_result(
+                self._store.fuzzy_lookup_embeddings_batch(
+                    item.queries, max_hits=item.max_hits, min_score=item.min_score
+                )
+            )
+            return
+        b_max = max(item.queries.shape[0] for item in group)
+        d = group[0].queries.shape[1]
+        k_max = max(item.max_hits for item in group)
+        stacked = np.zeros((len(group), b_max, d), dtype=np.float32)
+        for i, item in enumerate(group):
+            if item.queries.shape[1] != d:
+                raise ValueError(
+                    f"Mixed embedding dims in one batcher: {item.queries.shape[1]} vs {d}"
+                )
+            stacked[i, : item.queries.shape[0]] = item.queries
+        # One dispatch; per-request min_score/max_hits applied on the slice.
+        many = self._store.fuzzy_lookup_embeddings_many(
+            stacked, max_hits=k_max, min_score=0.0
+        )
+        for i, item in enumerate(group):
+            rows = many[i][: item.queries.shape[0]]
+            out = [
+                [s for s in row if s.score >= item.min_score][: item.max_hits]
+                for row in rows
+            ]
+            item.future.set_result(out)
+
+

@@ -466,6 +466,96 @@ class VectorStore:
             and k <= topk._PALLAS_MAX_K
         )
 
+    def fuzzy_lookup_embeddings_many(
+        self,
+        query_batches: np.ndarray,
+        max_hits: int | None = None,
+        min_score: float | None = None,
+    ) -> list[list[list[ScoredInt]]]:
+        """R query batches through ONE device dispatch (the coalesced serving
+        path): a loaded server pays one tunnel round trip for R batches
+        instead of R. ``query_batches``: [R, b, embedding_size].
+        """
+        if max_hits is None:
+            max_hits = 10
+        if min_score is None:
+            min_score = 0.0
+        qb = np.asarray(query_batches, dtype=np.float32)
+        if qb.ndim != 3:
+            raise ValueError(f"Expected [R, b, d] query batches, got {qb.shape}")
+        r_n, b = qb.shape[0], qb.shape[1]
+        self._flush()
+        if self._count == 0 or r_n == 0 or b == 0:
+            return [[[] for _ in range(b)] for _ in range(r_n)]
+        if self._mesh is not None:
+            # Sharded stores pipeline per-batch dispatches instead (the mesh
+            # program already amortizes across shards).
+            handles = [
+                self.dispatch_lookup(qb[i], max_hits=max_hits) for i in range(r_n)
+            ]
+            return [self.collect_lookup(h, min_score=min_score) for h in handles]
+        b_pad = _bucket(b)
+        padded = np.zeros((r_n, b_pad, self._dim_pad), dtype=np.float32)
+        padded[:, :b, : self._embedding_size] = qb
+        q_dev = jnp.asarray(padded)
+        k = min(max_hits, self._count)
+        mode, aux = self._engine_mode(k)
+        out = topk.topk_many(
+            self._buf,
+            aux,
+            q_dev,
+            jnp.asarray(self._count, dtype=jnp.int32),
+            k=k,
+            mode=mode,
+            use_pallas=topk._platform_of(self._buf) == "tpu"
+            and k <= topk._PALLAS_MAX_K,
+            recall_target=self.settings.recall_target,
+        )
+        leaves = jax.tree.leaves(out)
+        vals = np.asarray(leaves[0])[:, :b]
+        idx = np.asarray(leaves[1])[:, :b]
+        if len(leaves) > 2 and not bool(np.asarray(leaves[2]).all()):
+            # Certificate miss in some batch: redo through the one-phase
+            # exact engine for unconditional exactness.
+            out = topk.topk_many(
+                self._buf,
+                aux if mode == "quantized" else None,
+                q_dev,
+                jnp.asarray(self._count, dtype=jnp.int32),
+                k=k,
+                mode="quantized" if mode == "quantized" else "exact1",
+                use_pallas=topk._platform_of(self._buf) == "tpu"
+                and k <= topk._PALLAS_MAX_K,
+            )
+            leaves = jax.tree.leaves(out)
+            vals = np.asarray(leaves[0])[:, :b]
+            idx = np.asarray(leaves[1])[:, :b]
+        results = []
+        for i in range(r_n):
+            rows = []
+            for r in range(b):
+                keep = (vals[i, r] >= min_score) & (idx[i, r] >= 0)
+                rows.append(
+                    [
+                        ScoredInt(int(j), float(v))
+                        for v, j in zip(vals[i, r][keep], idx[i, r][keep])
+                    ]
+                )
+            results.append(rows)
+        return results
+
+    def _engine_mode(self, k: int) -> tuple[str, jax.Array | None]:
+        """Resolve the engine mode + auxiliary operand for program builders."""
+        if self._quantized:
+            return "quantized", self._scales
+        if self.settings.search_mode == "approx":
+            return "approx", None
+        if self._use_exact2(k):
+            if self._dtype == jnp.float32:
+                return "exact2h", self._shadow()
+            return "exact2", None
+        return "exact1", None
+
     def dispatch_lookup(
         self,
         queries: np.ndarray,
