@@ -161,3 +161,61 @@ def test_corpus_approx_global_search():
         ]
     scoped = approx.search(q, k=3, conversations=["b"])[0]
     assert all(h.conversation == "b" for h in scoped)
+
+
+def test_scoped_search_uses_device_intervals_not_host_mask(mesh, rng, monkeypatch):
+    """Scoped corpus search must do O(segments) host work: the interval
+    route, never a full-length host bool mask (search_masked)."""
+    from typeagent_tpu.parallel.sharded import ShardedVectorStore
+
+    dim = 16
+    corpus = CorpusVectorStore(dim, mesh=mesh)
+    a, b, c = (normalized(rng, n, dim) for n in (120, 90, 60))
+    corpus.append("a", a)
+    corpus.append("b", b)
+    corpus.append("a", c)  # second segment for "a" (non-adjacent)
+
+    def forbidden(*args, **kwargs):
+        raise AssertionError("scoped search built a full-length host mask")
+
+    monkeypatch.setattr(ShardedVectorStore, "search_masked", forbidden)
+    intervals = corpus._segment_intervals({"a"})
+    assert intervals.shape == (2, 2)  # O(segments), not O(rows)
+    assert intervals.tolist() == [[0, 120], [210, 270]]
+
+    q = a[7:8]
+    hits = corpus.search(q, k=3, conversations=["a"])[0]
+    assert hits[0].conversation == "a"
+    assert hits[0].local_ordinal == 7
+    assert all(h.conversation == "a" for h in hits)
+
+
+def test_scoped_intervals_match_bruteforce(mesh, rng):
+    dim = 24
+    corpus = CorpusVectorStore(dim, mesh=mesh)
+    mats = {}
+    for name, n in (("x", 70), ("y", 150), ("z", 40)):
+        mats[name] = normalized(rng, n, dim)
+        corpus.append(name, mats[name])
+    queries = normalized(rng, 5, dim)
+    for wanted in (["y"], ["x", "z"]):
+        res = corpus.search(queries, k=4, conversations=wanted)
+        ref_rows = np.concatenate([mats[w] for w in wanted])
+        names = sum(([w] * len(mats[w]) for w in wanted), [])
+        locals_ = sum(([i for i in range(len(mats[w]))] for w in wanted), [])
+        for qi in range(queries.shape[0]):
+            scores = (ref_rows @ queries[qi] + 1.0) / 2.0
+            best = np.argsort(-scores, kind="stable")[:4]
+            got = [(h.conversation, h.local_ordinal) for h in res[qi]]
+            exp = [(names[j], locals_[j]) for j in best]
+            assert set(got) == set(exp), (wanted, qi)
+
+
+def test_segment_intervals_merges_adjacent(mesh, rng):
+    dim = 8
+    corpus = CorpusVectorStore(dim, mesh=mesh)
+    corpus.append("a", normalized(rng, 50, dim))
+    corpus.append("a", normalized(rng, 30, dim))  # adjacent -> merged
+    corpus.append("b", normalized(rng, 20, dim))
+    assert corpus._segment_intervals({"a"}).tolist() == [[0, 80]]
+    assert corpus._segment_intervals({"a", "b"}).tolist() == [[0, 100]]

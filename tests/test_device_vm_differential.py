@@ -532,3 +532,26 @@ async def test_differential_compact_no_overflow(monkeypatch):
     covered, total = await run_differential(777, 25)
     assert covered >= int(0.85 * total), (covered, total)
     assert calls  # the compact route actually ran
+
+
+async def test_differential_through_sparse_union_combine(monkeypatch):
+    """The union-compressed combine (large conversations) must be invisible
+    to correctness: force the sparse route (low cap) and verify it is the
+    one actually taken by asserting lookup_ops_sparse returns non-None."""
+    from typeagent_tpu.ops import postings as P
+    from typeagent_tpu.ops.postings import DevicePostingsIndex
+
+    sparse_hits = []
+    real = DevicePostingsIndex.lookup_ops_sparse
+
+    def counting(self, *args, **kwargs):
+        out = real(self, *args, **kwargs)
+        sparse_hits.append(out is not None)
+        return out
+
+    monkeypatch.setattr(P, "_COMPACT_CAP", 16)
+    monkeypatch.setattr(P, "_COMPACT_FETCH_BUCKETS", (8, 16))
+    monkeypatch.setattr(DevicePostingsIndex, "lookup_ops_sparse", counting)
+    covered, total = await run_differential(2024, 25)
+    assert covered >= int(0.85 * total), (covered, total)
+    assert any(sparse_hits)  # the union combine actually ran

@@ -437,7 +437,7 @@ class SemanticRefAccumulator(MatchAccumulator[SemanticRefOrdinal]):
 
     def to_scored_semantic_refs(self) -> list[ScoredSemanticRefOrdinal]:
         return [
-            ScoredSemanticRefOrdinal(semantic_ref_ordinal=m.value, score=m.score)
+            ScoredSemanticRefOrdinal.fast(m.value, m.score)
             for m in self.get_sorted_by_score()
         ]
 

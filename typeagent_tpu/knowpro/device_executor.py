@@ -94,6 +94,10 @@ _CHUNK_BASE = 1 << _CHUNK_SHIFT
 # Transfer gate: per-segment dense output is 4 x [n_seg_pad, semref_cap] f32;
 # past this many entries the host VM is the better engine.
 _MAX_DENSE_ENTRIES = 4 * 1024 * 1024
+# The sparse (union-combine) route never transfers nor host-materializes the
+# dense arrays, so many more queries pack into one device call — each call
+# is a network round trip on tunneled devices. Bounds device HBM use only.
+_MAX_SPARSE_ENTRIES = 32 * 1024 * 1024
 # Gather gate: the scatter program materializes ~6 intermediates of
 # [t_pad, window] (window = longest queried posting list, bucketed); past
 # this many elements per intermediate, fall back rather than risk OOM.
@@ -945,10 +949,30 @@ class DeviceQueryExecutor:
             window, _WINDOW_BUCKETS
         )
 
+    def _sparse_capable(self, plan: "_Plan") -> bool:
+        from ..ops import postings as _P
+
+        return self._postings._semref_cap > 2 * _P._COMPACT_CAP and not any(
+            leaf.wildcards for leaf in plan.leaves
+        )
+
     def _group_plans(self, plans: list["_Plan"]) -> list[list["_Plan"]]:
-        """Pack plans into device calls under the dense-output AND gather
-        budgets; plans with conflicting boost factors split into separate
-        calls; plans too large even alone are skipped (host VM)."""
+        """Pack plans into device calls. Sparse-capable plans (union combine,
+        no dense transfer) pack under the larger HBM-only budget — fewer
+        device calls means fewer round trips; the rest use the dense-output
+        budget. Order within each pool is preserved."""
+        sparse_pool = [p for p in plans if self._sparse_capable(p)]
+        dense_pool = [p for p in plans if not self._sparse_capable(p)]
+        return self._pack_plans(sparse_pool, _MAX_SPARSE_ENTRIES) + (
+            self._pack_plans(dense_pool, _MAX_DENSE_ENTRIES)
+        )
+
+    def _pack_plans(
+        self, plans: list["_Plan"], entry_budget: int
+    ) -> list[list["_Plan"]]:
+        """Pack plans into device calls under the given per-call entry and
+        gather budgets; plans with conflicting boost factors split into
+        separate calls; plans too large even alone are skipped (host VM)."""
         cap = self._postings._semref_cap
         groups: list[list[_Plan]] = []
         current: list[_Plan] = []
@@ -960,7 +984,7 @@ class DeviceQueryExecutor:
             n_seg = len(plan.leaves)
             n_ops, window = self._plan_cost(plan)
             if (
-                _bucket(max(n_seg, 1), _SEG_BUCKETS) * cap > _MAX_DENSE_ENTRIES
+                _bucket(max(n_seg, 1), _SEG_BUCKETS) * cap > entry_budget
                 or self._gather_elements(n_ops, window) > _MAX_GATHER_ELEMENTS
             ):
                 continue  # too large even alone: host VM wins here
@@ -972,7 +996,7 @@ class DeviceQueryExecutor:
             )
             fits = (
                 _bucket(max(current_segs + n_seg, 1), _SEG_BUCKETS) * cap
-                <= _MAX_DENSE_ENTRIES
+                <= entry_budget
             ) and (
                 self._gather_elements(
                     current_ops + n_ops, max(current_window, window)
@@ -993,7 +1017,9 @@ class DeviceQueryExecutor:
             groups.append(current)
         return groups
 
-    def _run_plan_group(self, plans: list["_Plan"]) -> dict[int, dict]:
+    def _run_plan_group(
+        self, plans: list["_Plan"], force_dense: bool = False
+    ) -> dict[int, dict]:
         """One fused device call for a group of plans, host combine each."""
         n = self._n_semrefs
         ops: list[tuple[int, float, int, int, int, int, int]] = []
@@ -1038,6 +1064,42 @@ class DeviceQueryExecutor:
             plan.op_stop = len(ops)
             base += len(plan.leaves)
 
+        # Sparse route: large conversations combine over each plan's
+        # active-column union instead of dense [n_seg, n] arrays (the dense
+        # f64 combine at 100k semrefs costs more than the device call).
+        # Wildcard leaves address every semref of a knowledge type, which the
+        # active-column set doesn't cover -> dense for those groups.
+        has_wildcards = any(
+            leaf.wildcards for plan in plans for leaf in plan.leaves
+        )
+        if ops and not has_wildcards and not force_dense:
+            sparse = self._postings.lookup_ops_sparse(
+                ops, base, self._semref_ktype, scopes, boost_factor
+            )
+            if sparse is not None:
+                cols, packed, counts, op_hit = sparse
+                out: dict[int, dict] = {}
+                for plan in plans:
+                    lo, hi = plan.seg_base, plan.seg_base + len(plan.leaves)
+                    union, blocks = self._plan_union(
+                        cols[lo:hi], packed[:, lo:hi], counts[lo:hi]
+                    )
+                    out[plan.index] = self._combine_plan(
+                        plan, *blocks, op_hit, ops, space=union
+                    )
+                return out
+            # Sparse overflow (a segment matched more active semrefs than
+            # the compact cap): the group was packed under the larger
+            # sparse budget, so re-pack under the dense budget and run
+            # dense. Plans too large even for a lone dense call are left
+            # unanswered -> host VM fallback.
+            cap = self._postings._semref_cap
+            if _bucket(max(base, 1), _SEG_BUCKETS) * cap > _MAX_DENSE_ENTRIES:
+                out = {}
+                for sub in self._pack_plans(plans, _MAX_DENSE_ENTRIES):
+                    out.update(self._run_plan_group(sub, force_dense=True))
+                return out
+
         if ops:
             exact_score, exact_hits, rel_score, rel_hits, op_hit = (
                 self._postings.lookup_ops(
@@ -1050,7 +1112,7 @@ class DeviceQueryExecutor:
             )
             op_hit = np.zeros(0, dtype=bool)
 
-        out: dict[int, dict] = {}
+        out = {}
         for plan in plans:
             lo, hi = plan.seg_base, plan.seg_base + len(plan.leaves)
             out[plan.index] = self._combine_plan(
@@ -1064,6 +1126,33 @@ class DeviceQueryExecutor:
             )
         return out
 
+    @staticmethod
+    def _plan_union(cols, packed, counts):
+        """Union-compressed [n_leaves, m_u] blocks for one plan's segments.
+
+        ``cols[s, :counts[s]]`` are the segment's active semref ordinals in
+        ascending order; the union keeps ascending order so column index
+        comparisons preserve ordinal comparisons.
+        """
+        n_leaves = cols.shape[0]
+        parts = [cols[s, : counts[s]] for s in range(n_leaves)]
+        union = (
+            np.unique(np.concatenate(parts))
+            if parts and sum(p.size for p in parts)
+            else np.empty(0, dtype=np.int64)
+        )
+        union = union.astype(np.int64)
+        m_u = union.size
+        blocks = [np.zeros((n_leaves, m_u), np.float32) for _ in range(4)]
+        for s in range(n_leaves):
+            c = counts[s]
+            if not c:
+                continue
+            pos = np.searchsorted(union, cols[s, :c])
+            for a, block in enumerate(blocks):
+                block[s, pos] = packed[a, s, :c]
+        return union, blocks
+
     def _combine_plan(
         self,
         plan: "_Plan",
@@ -1073,11 +1162,32 @@ class DeviceQueryExecutor:
         rel_hits: np.ndarray,
         op_hit: np.ndarray,
         ops: list,
+        space: np.ndarray | None = None,
     ) -> dict[KnowledgeType, SemanticRefSearchResult]:
-        n = self._n_semrefs
+        """Host combine in f64 (bit-parity with the VM's Python floats).
+
+        ``space=None``: columns are semref ordinals (dense). Otherwise
+        ``space`` is the plan's ascending active-ordinal union and columns
+        index into it — all membership/score algebra is identical, only the
+        ordinal<->column translation at the edges differs. Wildcard leaves
+        require dense mode (they address whole knowledge types).
+        """
+        n = exact_score.shape[1]  # combine width (n_semrefs or union size)
         root, leaves = plan.root, plan.leaves
         top_n, min_hit = plan.top_n, plan.min_hit
         ktype_predicates = plan.ktype_predicates
+        if space is not None:
+            assert not any(leaf.wildcards for leaf in leaves)
+
+        def to_cols(ordinals: np.ndarray) -> np.ndarray:
+            """Ordinal array -> column positions (drops non-union entries)."""
+            if space is None:
+                return ordinals
+            if space.size == 0 or ordinals.size == 0:
+                return np.empty(0, dtype=np.int64)
+            pos = np.searchsorted(space, ordinals)
+            pos = np.clip(pos, 0, space.size - 1)
+            return pos[space[pos] == ordinals]
 
         # Per-op term_matches bookkeeping (see _Op.text_needs_scope_hit).
         op_text: dict[int, set[str]] = {}
@@ -1098,28 +1208,35 @@ class DeviceQueryExecutor:
                 texts.add(text)
             op_text[leaf.seg] = texts
 
-        ktype = self._semref_ktype
-        scope_arr = plan.scope if plan.scope is not None else np.ones(n, dtype=bool)
+        ktype_full = self._semref_ktype
+        ktype = ktype_full[space] if space is not None else ktype_full
+        n_ordinals = self._n_semrefs
+        scope_arr = (
+            plan.scope
+            if plan.scope is not None
+            else np.ones(n_ordinals, dtype=bool)
+        )
 
         def leaf_insertion_order(leaf: _Leaf, member: np.ndarray) -> np.ndarray:
-            """First-add order over the leaf's lookups in VM order: each
-            op's postings in index order, scope/ktype-gated."""
+            """First-add order (in COLUMN space) over the leaf's lookups in
+            VM order: each op's postings in index order, scope/ktype-gated."""
             parts: list[np.ndarray] = []
             for code, _w, _t in leaf.wildcards:
                 # Wildcard: all semrefs of the ktype, ordinal order (no scope,
-                # matching lookup_knowledge_type).
-                parts.append(np.flatnonzero(ktype == code).astype(np.int32))
+                # matching lookup_knowledge_type). Dense mode only.
+                parts.append(np.flatnonzero(ktype_full == code).astype(np.int32))
             for op in sorted(leaf.ops, key=lambda o: o.position):
                 tid = self._postings.lookup(op.key)
                 ids = self._postings.posting_semrefs(tid)
-                ids = ids[ids < n]
+                ids = ids[ids < n_ordinals]
                 keep = scope_arr[ids]
                 if op.ktype_gate >= 0:
-                    keep = keep & (ktype[ids] == op.ktype_gate)
+                    keep = keep & (ktype_full[ids] == op.ktype_gate)
                 parts.append(ids[keep])
             if not parts:
                 return np.empty(0, dtype=np.int64)
             order = _first_occurrence(np.concatenate(parts)).astype(np.int64)
+            order = to_cols(order)
             return order[member[order]]
 
         def eval_leaf(leaf: _Leaf) -> _NodeResult | None:
@@ -1253,10 +1370,12 @@ class DeviceQueryExecutor:
                 order = np.argsort(-arr_scores, kind="stable")
                 ranked = arr[order].tolist()
                 ranked_scores = arr_scores[order].tolist()
+            if space is not None:
+                ranked = [int(space[o]) for o in ranked]
             out[knowledge_type] = SemanticRefSearchResult(
                 term_matches=set(result.texts),
                 semantic_ref_matches=[
-                    ScoredSemanticRefOrdinal(o, s)
+                    ScoredSemanticRefOrdinal.fast(o, s)
                     for o, s in zip(ranked, ranked_scores)
                 ],
             )

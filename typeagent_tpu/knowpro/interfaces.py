@@ -125,6 +125,19 @@ class ScoredSemanticRefOrdinal:
     def __repr__(self) -> str:
         return f"{self.__class__.__name__}({self.semantic_ref_ordinal}, {self.score})"
 
+    @classmethod
+    def fast(cls, ordinal: int, score: float) -> "ScoredSemanticRefOrdinal":
+        """Validation-free construction for bulk result materialization.
+
+        Pydantic-dataclass ``__init__`` validation measures ~3 us/object;
+        query results can carry 10k+ of these, making construction a top
+        cost of BOTH query engines. Callers guarantee types.
+        """
+        obj = object.__new__(cls)
+        obj.semantic_ref_ordinal = ordinal
+        obj.score = score
+        return obj
+
     def serialize(self) -> ScoredSemanticRefOrdinalData:
         return serialize_object(self, exclude_none=False)
 

@@ -196,7 +196,7 @@ async def lookup_knowledge_type(
     semantic_refs: ISemanticRefCollection, knowledge_type: KnowledgeType
 ) -> list[ScoredSemanticRefOrdinal]:
     return [
-        ScoredSemanticRefOrdinal(sr.semantic_ref_ordinal, 1.0)
+        ScoredSemanticRefOrdinal.fast(sr.semantic_ref_ordinal, 1.0)
         async for sr in semantic_refs
         if sr.knowledge.knowledge_type == knowledge_type
     ]

@@ -147,22 +147,40 @@ def accumulate_postings_segmented_compact(*args, cap: int, **kwargs):
     The dense [n_seg, semref_cap] result arrays are huge but mostly zero
     (a query touches a few hundred semrefs of potentially 100k+); through
     a network-tunneled device the dense device->host transfer dominates
-    the whole query. Compact on device instead: per segment, gather the
-    (at most ``cap``) active columns — active-first stable argsort keeps
-    ascending ordinal order — and return [n_seg, cap] blocks + their
-    column indices + true counts. The host scatters back to dense (cheap,
-    local); counts > cap signal an overflow and the caller falls back to
-    the dense variant (lossless guard).
+    the whole query. Compact on device instead: per segment, scatter each
+    active column to its cumsum rank (ascending ordinal order preserved)
+    and return [n_seg, cap] blocks + their column indices + true counts.
+    The host scatters back to dense (cheap, local); counts > cap signal an
+    overflow and the caller falls back to the dense variant (lossless
+    guard).
     """
     exact_score, exact_hits, related_score, related_hits, op_hit = (
         _accumulate_segmented_impl(*args, **kwargs)
     )
     active = (exact_hits > 0) | (related_hits > 0)
     counts = active.sum(axis=1).astype(jnp.int32)
-    order = jnp.argsort(~active, axis=1, stable=True)[:, :cap].astype(jnp.int32)
+    # Compact via exclusive-cumsum positions + scatter (O(n); a stable
+    # argsort over [n_seg, semref_cap] measured as the dominant device cost
+    # at 100k semrefs). Ascending ordinal order is preserved by cumsum.
+    n_seg_rows, width = active.shape
+    pos = jnp.cumsum(active, axis=1).astype(jnp.int32) - 1
+    dest = jnp.where(active & (pos < cap), pos, cap)
+    rows = jnp.broadcast_to(
+        jnp.arange(n_seg_rows, dtype=jnp.int32)[:, None], active.shape
+    )
+    cols = jnp.broadcast_to(
+        jnp.arange(width, dtype=jnp.int32)[None, :], active.shape
+    )
+    order = (
+        jnp.zeros((n_seg_rows, cap), jnp.int32)
+        .at[rows, dest]
+        .add(cols, mode="drop")
+    )
 
     def gather(a):
-        return jnp.take_along_axis(a, order, axis=1)
+        return (
+            jnp.zeros((n_seg_rows, cap), a.dtype).at[rows, dest].add(a, mode="drop")
+        )
 
     # One stacked block -> one device->host transfer (each fetched leaf
     # pays a full round trip on tunneled devices).
@@ -323,6 +341,15 @@ class DevicePostingsIndex:
         self._offsets_host: np.ndarray | None = None
         self._semrefs_host: np.ndarray | None = None
         self._term_has_dups: np.ndarray = np.zeros(0, dtype=bool)
+        # Device-side caches: the semref-ktype vector and the all-True scope
+        # mask are identical across calls — re-uploading them costs a
+        # transfer per query on tunneled devices.
+        self._ktype_cache: tuple[np.ndarray, jax.Array] | None = None
+        self._true_mask_cache: dict[int, jax.Array] = {}
+        # Adaptive compact-fetch size: start small, remember the largest
+        # active-column count seen so the common case needs ONE device->host
+        # fetch (counts + packed block together) instead of two round trips.
+        self._fetch_hint = _COMPACT_FETCH_BUCKETS[0]
 
     def add_term(self, term: str, semref_id: int, score: float = 1.0) -> None:
         tid = self._interner.intern(term)
@@ -379,6 +406,8 @@ class DevicePostingsIndex:
                     np.int64
                 )
                 self._term_has_dups[dup_terms] = True
+        self._ktype_cache = None  # semref_cap may have changed
+        self._true_mask_cache.clear()
         self._built = True
 
     def lookup(self, term: str) -> int:
@@ -428,6 +457,110 @@ class DevicePostingsIndex:
         """
         if not self._built:
             self.build()
+        operands, statics, seg_pad = self._prepare_operands(
+            ops, n_seg, semref_ktype, scopes, boost_factor
+        )
+        n = self._n_semrefs
+
+        cap = _COMPACT_CAP
+        if self._semref_cap > 2 * cap:
+            # Large conversation: compact on device, expand on host — the
+            # dense [n_seg, semref_cap] download dominates otherwise. ONE
+            # device->host fetch brings counts + a packed slice sized by the
+            # adaptive hint (the largest active count seen so far); only a
+            # hint overflow pays a second fetch. On tunneled devices every
+            # fetch is a full round trip, so the steady state is 1 RTT.
+            packed, op_hit_dev, order, counts_dev = (
+                accumulate_postings_segmented_compact(
+                    *operands, cap=min(cap, self._semref_cap), **statics
+                )
+            )
+            m = min(self._fetch_hint, cap, self._semref_cap)
+            counts, packed_np, order_np, op_hit = jax.device_get(
+                (counts_dev, packed[:, :, :m], order[:, :m], op_hit_dev)
+            )
+            max_count = int(counts.max(initial=0))
+            if max_count <= cap:
+                if max_count > m:
+                    m = _bucket(max_count, _COMPACT_FETCH_BUCKETS)
+                    self._fetch_hint = max(self._fetch_hint, m)
+                    packed_np, order_np = jax.device_get(
+                        (packed[:, :, :m], order[:, :m])
+                    )
+                rows = np.arange(seg_pad)[:, None]
+                out = []
+                for block in packed_np:
+                    dense = np.zeros((seg_pad, self._semref_cap), np.float32)
+                    dense[rows, order_np] = block
+                    out.append(dense[:n_seg, :n])
+                return (*out, op_hit[: len(ops)])
+            # Overflow (a segment matched more than cap semrefs): lossless
+            # fallback to the dense transfer.
+
+        exact_score, exact_hits, related_score, related_hits, op_hit = (
+            jax.device_get(accumulate_postings_segmented(*operands, **statics))
+        )
+        return (
+            exact_score[:n_seg, :n],
+            exact_hits[:n_seg, :n],
+            related_score[:n_seg, :n],
+            related_hits[:n_seg, :n],
+            op_hit[: len(ops)],
+        )
+
+    def lookup_ops_sparse(
+        self,
+        ops: list[tuple[int, float, int, int, int, int, int]],
+        n_seg: int,
+        semref_ktype: np.ndarray,
+        scopes: list[np.ndarray | None] | None = None,
+        boost_factor: float = 1.0,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray] | None:
+        """Compact-form segmented accumulation for large conversations.
+
+        Returns ``(cols [n_seg, m] i32 ascending-ordinal active columns,
+        packed [4, n_seg, m] f32 (exact_score/exact_hits/related_score/
+        related_hits), counts [n_seg] i32, op_hit [len(ops)] bool)`` — or
+        None when the conversation is small (dense is cheaper) or a segment
+        overflowed the compact cap (caller falls back to :meth:`lookup_ops`).
+        The combine then runs over each query's active-column union instead
+        of dense [n_seg, n_semrefs] arrays.
+        """
+        cap = _COMPACT_CAP
+        if self._semref_cap <= 2 * cap:
+            return None
+        if not self._built:
+            self.build()
+        operands, statics, seg_pad = self._prepare_operands(
+            ops, n_seg, semref_ktype, scopes, boost_factor
+        )
+        packed, op_hit_dev, order, counts_dev = (
+            accumulate_postings_segmented_compact(
+                *operands, cap=min(cap, self._semref_cap), **statics
+            )
+        )
+        m = min(self._fetch_hint, cap, self._semref_cap)
+        counts, packed_np, order_np, op_hit = jax.device_get(
+            (counts_dev, packed[:, :, :m], order[:, :m], op_hit_dev)
+        )
+        max_count = int(counts.max(initial=0))
+        if max_count > cap:
+            return None  # overflow: dense fallback
+        if max_count > m:
+            m = _bucket(max_count, _COMPACT_FETCH_BUCKETS)
+            self._fetch_hint = max(self._fetch_hint, m)
+            packed_np, order_np = jax.device_get((packed[:, :, :m], order[:, :m]))
+        return (
+            order_np[:n_seg],
+            packed_np[:, :n_seg],
+            counts[:n_seg],
+            op_hit[: len(ops)],
+        )
+
+    def _prepare_operands(
+        self, ops, n_seg, semref_ktype, scopes, boost_factor
+    ):
+        """Shared operand packing for the segmented accumulation calls."""
         t_pad = _bucket(len(ops), _TERM_BUCKETS)
         seg_pad = _bucket(n_seg, _SEG_BUCKETS)
         tids = np.full(t_pad, -1, dtype=np.int32)
@@ -455,14 +588,24 @@ class DevicePostingsIndex:
 
         scopes = scopes or [None]
         n_scopes = _bucket(len(scopes), (1, 2, 4, 8, 16))
-        masks = np.zeros((n_scopes, self._semref_cap), dtype=bool)
-        for row, scope in enumerate(scopes):
-            if scope is None:
-                masks[row, :] = True
-            else:
-                masks[row, : len(scope)] = scope
-        ktype_padded = np.full(self._semref_cap, -1, dtype=np.int8)
-        ktype_padded[: len(semref_ktype)] = semref_ktype
+        if all(s is None for s in scopes):
+            masks_dev = self._true_mask_cache.get(n_scopes)
+            if masks_dev is None or masks_dev.shape[1] != self._semref_cap:
+                masks_dev = jnp.ones((n_scopes, self._semref_cap), dtype=bool)
+                self._true_mask_cache[n_scopes] = masks_dev
+        else:
+            masks = np.zeros((n_scopes, self._semref_cap), dtype=bool)
+            for row, scope in enumerate(scopes):
+                if scope is None:
+                    masks[row, :] = True
+                else:
+                    masks[row, : len(scope)] = scope
+            masks_dev = jnp.asarray(masks)
+        if self._ktype_cache is None or self._ktype_cache[0] is not semref_ktype:
+            ktype_padded = np.full(self._semref_cap, -1, dtype=np.int8)
+            ktype_padded[: len(semref_ktype)] = semref_ktype
+            self._ktype_cache = (semref_ktype, jnp.asarray(ktype_padded))
+        ktype_dev = self._ktype_cache[1]
 
         operands = (
             self._offsets,
@@ -475,8 +618,8 @@ class DevicePostingsIndex:
             jnp.asarray(positions),
             jnp.asarray(gates),
             jnp.asarray(scope_ids),
-            jnp.asarray(masks),
-            jnp.asarray(ktype_padded),
+            masks_dev,
+            ktype_dev,
             jnp.float32(boost_factor),
         )
         statics = dict(
@@ -485,47 +628,7 @@ class DevicePostingsIndex:
             n_seg=seg_pad,
             dedup_related=dedup_related,
         )
-        n = self._n_semrefs
-
-        cap = _COMPACT_CAP
-        if self._semref_cap > 2 * cap:
-            # Large conversation: compact on device, expand on host — the
-            # dense [n_seg, semref_cap] download dominates otherwise. Fetch
-            # the tiny counts first, then only a max-count-sized slice of
-            # the packed block (transfers are bandwidth-bound on tunneled
-            # devices); device_get fetches the slices concurrently.
-            packed, op_hit_dev, order, counts_dev = (
-                accumulate_postings_segmented_compact(
-                    *operands, cap=min(cap, self._semref_cap), **statics
-                )
-            )
-            counts = np.asarray(counts_dev)
-            max_count = int(counts.max(initial=0))
-            if max_count <= cap:
-                m = _bucket(max(max_count, 1), _COMPACT_FETCH_BUCKETS)
-                packed_np, order_np, op_hit = jax.device_get(
-                    (packed[:, :, :m], order[:, :m], op_hit_dev)
-                )
-                rows = np.arange(seg_pad)[:, None]
-                out = []
-                for block in packed_np:
-                    dense = np.zeros((seg_pad, self._semref_cap), np.float32)
-                    dense[rows, order_np] = block
-                    out.append(dense[:n_seg, :n])
-                return (*out, op_hit[: len(ops)])
-            # Overflow (a segment matched more than cap semrefs): lossless
-            # fallback to the dense transfer.
-
-        exact_score, exact_hits, related_score, related_hits, op_hit = (
-            jax.device_get(accumulate_postings_segmented(*operands, **statics))
-        )
-        return (
-            exact_score[:n_seg, :n],
-            exact_hits[:n_seg, :n],
-            related_score[:n_seg, :n],
-            related_hits[:n_seg, :n],
-            op_hit[: len(ops)],
-        )
+        return operands, statics, seg_pad
 
     def lookup_terms(
         self,

@@ -92,13 +92,20 @@ class CorpusVectorStore:
             segment.local_base + (global_ordinal - segment.start),
         )
 
-    def _segment_mask(self, wanted: set[str]) -> np.ndarray:
-        """Bool row mask selecting every segment owned by a wanted conversation."""
-        mask = np.zeros((len(self._store),), dtype=bool)
+    def _segment_intervals(self, wanted: set[str]) -> np.ndarray:
+        """[S, 2] (start, stop) table of the wanted conversations' segments —
+        O(segments) host work; the row mask derives from it on device
+        (a host-built bool mask would be O(n_rows) build + transfer per
+        query batch: ~10 MB at the documented 10M-fragment scale)."""
+        spans: list[tuple[int, int]] = []
         for seg in self._segments:
             if seg.conversation in wanted:
-                mask[seg.start : seg.start + seg.count] = True
-        return mask
+                start, stop = seg.start, seg.start + seg.count
+                if spans and spans[-1][1] == start:  # merge adjacent
+                    spans[-1] = (spans[-1][0], stop)
+                else:
+                    spans.append((start, stop))
+        return np.asarray(spans, dtype=np.int32).reshape(-1, 2)
 
     def search(
         self,
@@ -123,10 +130,10 @@ class CorpusVectorStore:
         if conversations is None:
             raw = self._store.search(queries, k, min_score)
         else:
-            mask = self._segment_mask(set(conversations))
-            if not mask.any():
+            intervals = self._segment_intervals(set(conversations))
+            if intervals.size == 0:
                 return [[] for _ in range(queries.shape[0])]
-            raw = self._store.search_masked(queries, mask, k, min_score)
+            raw = self._store.search_intervals(queries, intervals, k, min_score)
         results: list[list[CorpusHit]] = []
         for per_query in raw:
             hits: list[CorpusHit] = []

@@ -196,6 +196,68 @@ def _sharded_subset_topk_cached(mesh: Mesh, k: int, quantized: bool):
 
 
 @functools.lru_cache(maxsize=64)
+def _sharded_interval_topk_cached(mesh: Mesh, k: int, quantized: bool):
+    """Interval-scoped full-scan top-k: the row mask is computed ON DEVICE
+    from a tiny [s_pad, 2] (start, stop) segment table, so a scoped search
+    uploads O(segments) bytes instead of a host-built O(n_rows) bool mask
+    (at 10M rows that mask is ~10 MB built + transferred per query batch).
+    Padding rows are (0, 0) — empty intervals select nothing."""
+    emb_spec = (P(AXIS_SHARD, None), P(AXIS_SHARD)) if quantized else (P(AXIS_SHARD, None),)
+
+    @functools.partial(
+        _shard_map,
+        mesh=mesh,
+        in_specs=emb_spec + (P(None, None), P(AXIS_DP, None), P(), P()),
+        out_specs=(P(AXIS_DP, None), P(AXIS_DP, None)),
+        check_vma=False,
+    )
+    def _search(*args):
+        if quantized:
+            emb_local, scales_local, intervals, q_local, count, min_score = args
+        else:
+            (emb_local, intervals, q_local, count, min_score) = args
+        local_n = emb_local.shape[0]
+        shard = jax.lax.axis_index(AXIS_SHARD)
+        offset = shard * local_n
+        local_count = jnp.clip(count[0] - offset, 0, local_n)
+        gid = offset + jnp.arange(local_n, dtype=jnp.int32)
+        in_seg = (gid[:, None] >= intervals[None, :, 0]) & (
+            gid[:, None] < intervals[None, :, 1]
+        )
+        mask_local = in_seg.any(axis=1)
+        raw = jnp.einsum(
+            "bd,nd->bn",
+            q_local.astype(jnp.float32),
+            emb_local.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        if quantized:
+            raw = raw * scales_local[None, :]
+        scores = jnp.clip((raw + 1.0) * 0.5, 0.0, 1.0)
+        row_ok = mask_local & (
+            jnp.arange(local_n, dtype=jnp.int32) < local_count
+        )
+        scores = jnp.where(row_ok[None, :], scores, _NEG)
+        kk = min(k, local_n)
+        vals, pos = jax.lax.top_k(scores, kk)
+        idx = jnp.where(vals >= 0.0, pos + offset, -1)
+        return _merge_shard_winners(vals, idx, kk, min_score)
+
+    return jax.jit(_search)
+
+
+_INTERVAL_BUCKETS = (8, 32, 128, 512)
+
+
+def _bucket_size(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return ((n + buckets[-1] - 1) // buckets[-1]) * buckets[-1]
+
+
+@functools.lru_cache(maxsize=64)
 def _sharded_scores_cached(mesh: Mesh, quantized: bool):
     """Full masked score matrix [b, capacity] (host-predicate paths)."""
     emb_spec = (P(AXIS_SHARD, None), P(AXIS_SHARD)) if quantized else (P(AXIS_SHARD, None),)
@@ -490,6 +552,35 @@ class ShardedVectorStore:
         pre, post = self._device_args(q, min_score)
         mask_dev = jax.device_put(full, _vec_sharding(self.mesh))
         vals, idx = fn(*pre, mask_dev, *post)
+        return self._collect(vals, idx, b)
+
+    def search_intervals(
+        self,
+        queries: np.ndarray,
+        intervals: np.ndarray,
+        k: int,
+        min_score: float = 0.0,
+    ) -> list[list[tuple[int, float]]]:
+        """Exact top-k over rows inside any [start, stop) interval.
+
+        The scoped-corpus fast path: ``intervals`` is a small [S, 2] table
+        (one row per owned segment), the mask derives from it ON DEVICE —
+        host work and upload are O(S), not O(n_rows).
+        """
+        self._flush()
+        b = queries.shape[0]
+        if self.count == 0 or len(intervals) == 0:
+            return [[] for _ in range(b)]
+        intervals = np.asarray(intervals, dtype=np.int32).reshape(-1, 2)
+        s_pad = _bucket_size(intervals.shape[0], _INTERVAL_BUCKETS)
+        table = np.zeros((s_pad, 2), dtype=np.int32)
+        table[: intervals.shape[0]] = intervals
+        q = self._pad_queries(queries)
+        k_eff = min(k, self.count)
+        fn = _sharded_interval_topk_cached(self.mesh, k_eff, self._quantized)
+        pre, post = self._device_args(q, min_score)
+        table_dev = jax.device_put(jnp.asarray(table), self._rep)
+        vals, idx = fn(*pre, table_dev, *post)
         return self._collect(vals, idx, b)
 
     def scores(self, queries: np.ndarray) -> np.ndarray:

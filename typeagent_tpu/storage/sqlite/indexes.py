@@ -101,7 +101,7 @@ class SqliteTermToSemanticRefIndex(interfaces.ITermToSemanticRefIndex):
             "SELECT semref_id FROM SemanticRefIndex WHERE term = ?",
             (prepare_term(term),),
         )
-        return [ScoredSemanticRefOrdinal(row[0], 1.0) for row in cursor.fetchall()]
+        return [ScoredSemanticRefOrdinal.fast(row[0], 1.0) for row in cursor.fetchall()]
 
     async def clear(self) -> None:
         self.db.cursor().execute("DELETE FROM SemanticRefIndex")
@@ -220,7 +220,7 @@ class SqlitePropertyIndex(interfaces.IPropertyToSemanticRefIndex):
             (name, val),
         )
         results = [
-            ScoredSemanticRefOrdinal(semref_id, score)
+            ScoredSemanticRefOrdinal.fast(semref_id, score)
             for semref_id, score in cursor.fetchall()
         ]
         return results or None
