@@ -197,7 +197,7 @@ async def test_related_terms_aliases_and_fuzzy():
     assert batch[1][0].text == "cherry"
 
     data = await rti.serialize()
-    rti2 = type(rti)(provider._related_terms_index.settings)
+    rti2 = type(rti)(provider._rel_terms.settings)
     await rti2.deserialize(data)
     assert (await rti2.aliases.lookup_term("car")) is not None
     hits = await rti2.fuzzy_index.lookup_term("cherry", max_hits=1, min_score=0.0)
@@ -214,7 +214,7 @@ async def test_conversation_threads():
     hits = await threads.lookup_thread("discussion about cats", 1, 0.0)
     assert hits[0].thread_ordinal == 0
     data = threads.serialize()
-    threads2 = type(threads)(provider._conversation_threads.vector_base.settings)
+    threads2 = type(threads)(provider._threads.vector_base.settings)
     threads2.deserialize(data)
     assert len(threads2.threads) == 2
     hits = await threads2.lookup_thread("cooking recipes", 1, 0.0)

@@ -10,15 +10,15 @@ import pytest
 
 from typeagent_tpu.knowpro import kplib
 from typeagent_tpu.knowpro.add_messages import (
-    ChunkProcessingResult,
-    ChunkWorkItem,
+    ChunkOutcome,
+    ChunkTask,
     NoOpKnowledgeExtractor,
-    PipelineStopState,
-    ProducerState,
-    _dispatcher_task,
-    _producer_task,
-    _reassembler_task,
-    process_chunk_with_extraction_and_embeddings,
+    StopWatermark,
+    FeedState,
+    _fanout_stage,
+    _feed_stage,
+    _commit_stage,
+    process_chunk,
 )
 from typeagent_tpu.knowpro.interfaces import TextLocation
 from typeagent_tpu.knowpro.universal_message import (
@@ -34,7 +34,7 @@ def msg(*chunks):
 
 
 def _chunk_result(message, msg_id, chunk_ord, chunk_count, error=None):
-    return ChunkProcessingResult(
+    return ChunkOutcome(
         chunk_id=TextLocation(msg_id, chunk_ord),
         chunk_count=chunk_count,
         message=message,
@@ -53,15 +53,15 @@ async def _aiter(items):
 
 
 async def test_producer_enqueues_chunks_and_sentinel():
-    chunk_queue = asyncio.Queue()
-    result_queue = asyncio.Queue()
-    stop = PipelineStopState()
-    state = ProducerState(next_message_id=5)
+    task_queue = asyncio.Queue()
+    outcome_queue = asyncio.Queue()
+    stop = StopWatermark()
+    state = FeedState(next_message_id=5)
     messages = [msg("a", "b"), msg("c")]
-    await _producer_task(_aiter(messages), chunk_queue, stop, state, result_queue, None)
+    await _feed_stage(_aiter(messages), task_queue, stop, state, outcome_queue, None)
     items = []
-    while not chunk_queue.empty():
-        items.append(chunk_queue.get_nowait())
+    while not task_queue.empty():
+        items.append(task_queue.get_nowait())
     assert items[-1] is None
     work = items[:-1]
     assert [(w.chunk_id.message_ordinal, w.chunk_id.chunk_ordinal) for w in work] == [
@@ -71,29 +71,29 @@ async def test_producer_enqueues_chunks_and_sentinel():
 
 
 async def test_producer_zero_chunk_message_bypasses_dispatcher():
-    chunk_queue = asyncio.Queue()
-    result_queue = asyncio.Queue()
-    state = ProducerState(next_message_id=0)
-    await _producer_task(
+    task_queue = asyncio.Queue()
+    outcome_queue = asyncio.Queue()
+    state = FeedState(next_message_id=0)
+    await _feed_stage(
         _aiter([ConversationMessage([], ConversationMessageMeta("A"))]),
-        chunk_queue, PipelineStopState(), state, result_queue, None,
+        task_queue, StopWatermark(), state, outcome_queue, None,
     )
-    result = result_queue.get_nowait()
+    result = outcome_queue.get_nowait()
     assert result.chunk_count == 0
-    assert chunk_queue.get_nowait() is None  # only sentinel
+    assert task_queue.get_nowait() is None  # only sentinel
 
 
 async def test_producer_respects_stop_watermark():
-    chunk_queue = asyncio.Queue()
-    stop = PipelineStopState(stop_at_message_id=1)
-    state = ProducerState(next_message_id=0)
-    await _producer_task(
+    task_queue = asyncio.Queue()
+    stop = StopWatermark(halt_before=1)
+    state = FeedState(next_message_id=0)
+    await _feed_stage(
         _aiter([msg("a"), msg("b"), msg("c")]),
-        chunk_queue, stop, state, asyncio.Queue(), None,
+        task_queue, stop, state, asyncio.Queue(), None,
     )
     work = []
-    while not chunk_queue.empty():
-        item = chunk_queue.get_nowait()
+    while not task_queue.empty():
+        item = task_queue.get_nowait()
         if item is not None:
             work.append(item)
     assert [w.chunk_id.message_ordinal for w in work] == [0]
@@ -104,16 +104,16 @@ async def test_producer_iterator_exception_recorded():
         yield msg("ok")
         raise RuntimeError("stream broke")
 
-    chunk_queue = asyncio.Queue()
-    state = ProducerState(next_message_id=0)
-    await _producer_task(
-        broken(), chunk_queue, PipelineStopState(), state, asyncio.Queue(), None
+    task_queue = asyncio.Queue()
+    state = FeedState(next_message_id=0)
+    await _feed_stage(
+        broken(), task_queue, StopWatermark(), state, asyncio.Queue(), None
     )
     assert isinstance(state.exception, RuntimeError)
     # Sentinel still sent so the dispatcher shuts down.
     items = []
-    while not chunk_queue.empty():
-        items.append(chunk_queue.get_nowait())
+    while not task_queue.empty():
+        items.append(task_queue.get_nowait())
     assert items[-1] is None
 
 
@@ -124,7 +124,7 @@ async def test_producer_iterator_exception_recorded():
 
 async def test_process_chunk_success():
     model = create_test_embedding_model(8)
-    result = await process_chunk_with_extraction_and_embeddings(
+    result = await process_chunk(
         chunk_id=TextLocation(0, 0),
         chunk_text="some text",
         chunk_count=1,
@@ -143,7 +143,7 @@ async def test_process_chunk_extraction_failure_captured():
         async def extract(self, text):
             return Failure("nope")
 
-    result = await process_chunk_with_extraction_and_embeddings(
+    result = await process_chunk(
         chunk_id=TextLocation(0, 0),
         chunk_text="text",
         chunk_count=1,
@@ -167,7 +167,7 @@ async def test_process_chunk_collects_related_terms():
                 )
             )
 
-    result = await process_chunk_with_extraction_and_embeddings(
+    result = await process_chunk(
         chunk_id=TextLocation(0, 0),
         chunk_text="text",
         chunk_count=1,
@@ -186,20 +186,20 @@ async def test_process_chunk_collects_related_terms():
 
 
 async def test_reassembler_waits_for_complete_messages():
-    result_queue = asyncio.Queue()
+    outcome_queue = asyncio.Queue()
     m0, m1 = msg("a", "b"), msg("c")
     # m1 completes before m0 — nothing commits until m0's chunks all arrive.
-    await result_queue.put(_chunk_result(m1, 1, 0, 1))
-    await result_queue.put(_chunk_result(m0, 0, 1, 2))
-    await result_queue.put(_chunk_result(m0, 0, 0, 2))
-    await result_queue.put(None)
+    await outcome_queue.put(_chunk_result(m1, 1, 0, 1))
+    await outcome_queue.put(_chunk_result(m0, 0, 1, 2))
+    await outcome_queue.put(_chunk_result(m0, 0, 0, 2))
+    await outcome_queue.put(None)
     commits = []
 
     async def commit(messages, results):
         commits.append(([id(m) for m in messages], len(results)))
 
-    state = await _reassembler_task(
-        result_queue, PipelineStopState(), 0, 100, commit, False
+    state = await _commit_stage(
+        outcome_queue, StopWatermark(), 0, 100, commit, False
     )
     assert len(commits) == 1
     assert commits[0] == ([id(m0), id(m1)], 3)
@@ -207,18 +207,18 @@ async def test_reassembler_waits_for_complete_messages():
 
 
 async def test_reassembler_batch_pre_flush():
-    result_queue = asyncio.Queue()
+    outcome_queue = asyncio.Queue()
     messages = [msg("x") for _ in range(5)]
     for i, m in enumerate(messages):
-        await result_queue.put(_chunk_result(m, i, 0, 1))
-    await result_queue.put(None)
+        await outcome_queue.put(_chunk_result(m, i, 0, 1))
+    await outcome_queue.put(None)
     commits = []
 
     async def commit(ms, results):
         commits.append(len(ms))
 
-    state = await _reassembler_task(
-        result_queue, PipelineStopState(), 0, 2, commit, False
+    state = await _commit_stage(
+        outcome_queue, StopWatermark(), 0, 2, commit, False
     )
     assert sum(commits) == 5
     assert all(c <= 2 for c in commits)
@@ -226,46 +226,46 @@ async def test_reassembler_batch_pre_flush():
 
 async def test_reassembler_validation_errors():
     # Duplicate chunk
-    result_queue = asyncio.Queue()
+    outcome_queue = asyncio.Queue()
     m = msg("a", "b")
-    await result_queue.put(_chunk_result(m, 0, 0, 2))
-    await result_queue.put(_chunk_result(m, 0, 0, 2))
-    await result_queue.put(None)
+    await outcome_queue.put(_chunk_result(m, 0, 0, 2))
+    await outcome_queue.put(_chunk_result(m, 0, 0, 2))
+    await outcome_queue.put(None)
 
     async def commit(ms, results):
         pass
 
     with pytest.raises(RuntimeError, match="Duplicate chunk"):
-        await _reassembler_task(
-            result_queue, PipelineStopState(), 0, 10, commit, False
+        await _commit_stage(
+            outcome_queue, StopWatermark(), 0, 10, commit, False
         )
 
     # Bad chunk ordinal
-    result_queue = asyncio.Queue()
-    await result_queue.put(_chunk_result(m, 0, 7, 2))
-    await result_queue.put(None)
+    outcome_queue = asyncio.Queue()
+    await outcome_queue.put(_chunk_result(m, 0, 7, 2))
+    await outcome_queue.put(None)
     with pytest.raises(RuntimeError, match="Invalid chunk ordinal"):
-        await _reassembler_task(
-            result_queue, PipelineStopState(), 0, 10, commit, False
+        await _commit_stage(
+            outcome_queue, StopWatermark(), 0, 10, commit, False
         )
 
 
 async def test_reassembler_halts_behind_failed_message():
-    result_queue = asyncio.Queue()
+    outcome_queue = asyncio.Queue()
     m0, m1 = msg("a"), msg("b")
-    await result_queue.put(_chunk_result(m0, 0, 0, 1, error=RuntimeError("boom")))
-    await result_queue.put(_chunk_result(m1, 1, 0, 1))
-    await result_queue.put(None)
+    await outcome_queue.put(_chunk_result(m0, 0, 0, 1, error=RuntimeError("boom")))
+    await outcome_queue.put(_chunk_result(m1, 1, 0, 1))
+    await outcome_queue.put(None)
     commits = []
 
     async def commit(ms, results):
         commits.append(len(ms))
 
-    stop = PipelineStopState()
-    state = await _reassembler_task(result_queue, stop, 0, 10, commit, False)
+    stop = StopWatermark()
+    state = await _commit_stage(outcome_queue, stop, 0, 10, commit, False)
     assert commits == []  # nothing after the failed message commits
     assert state.chunk_failures == 1
-    assert stop.stop_at_message_id == 0
+    assert stop.halt_before == 0
     assert state.buffered_messages == 2  # both held back
 
 
@@ -291,7 +291,7 @@ class _FailOn:
 
 
 def _work(message, msg_id, chunk_ord, chunk_count, text):
-    return ChunkWorkItem(
+    return ChunkTask(
         chunk_id=TextLocation(msg_id, chunk_ord),
         chunk_text=text,
         chunk_count=chunk_count,
@@ -300,14 +300,14 @@ def _work(message, msg_id, chunk_ord, chunk_count, text):
 
 
 async def _run_dispatcher(items, stop, skip_failed=False, concurrency=2):
-    chunk_queue = asyncio.Queue()
-    result_queue = asyncio.Queue()
+    task_queue = asyncio.Queue()
+    outcome_queue = asyncio.Queue()
     for item in items:
-        await chunk_queue.put(item)
-    await chunk_queue.put(None)
-    await _dispatcher_task(
-        chunk_queue,
-        result_queue,
+        await task_queue.put(item)
+    await task_queue.put(None)
+    await _fanout_stage(
+        task_queue,
+        outcome_queue,
         stop,
         _FailOn("BAD"),
         create_test_embedding_model(8),
@@ -315,8 +315,8 @@ async def _run_dispatcher(items, stop, skip_failed=False, concurrency=2):
         skip_failed,
     )
     results = []
-    while not result_queue.empty():
-        results.append(result_queue.get_nowait())
+    while not outcome_queue.empty():
+        results.append(outcome_queue.get_nowait())
     assert results[-1] is None  # sentinel emitted after workers drain
     return results[:-1]
 
@@ -324,7 +324,7 @@ async def _run_dispatcher(items, stop, skip_failed=False, concurrency=2):
 async def test_dispatcher_processes_and_emits_sentinel():
     m = msg("a", "b")
     results = await _run_dispatcher(
-        [_work(m, 0, 0, 2, "a"), _work(m, 0, 1, 2, "b")], PipelineStopState()
+        [_work(m, 0, 0, 2, "a"), _work(m, 0, 1, 2, "b")], StopWatermark()
     )
     assert len(results) == 2
     assert all(r.error is None for r in results)
@@ -332,24 +332,24 @@ async def test_dispatcher_processes_and_emits_sentinel():
 
 async def test_dispatcher_failure_lowers_stop_watermark():
     m0, m1 = msg("BAD"), msg("fine")
-    stop = PipelineStopState()
+    stop = StopWatermark()
     results = await _run_dispatcher(
         [_work(m0, 3, 0, 1, "BAD"), _work(m1, 4, 0, 1, "fine")],
         stop,
         concurrency=1,
     )
-    assert stop.stop_at_message_id == 3
+    assert stop.halt_before == 3
     assert stop.exception is not None
     by_id = {r.chunk_id.message_ordinal: r for r in results}
     assert by_id[3].error is not None
     # The later chunk became a deterministic skip (>= watermark).
     assert by_id[4].error is not None
-    assert "stop_at_message_id" in str(by_id[4].error)
+    assert "halt_before" in str(by_id[4].error)
 
 
 async def test_dispatcher_skip_failed_keeps_processing():
     m0, m1 = msg("BAD"), msg("fine")
-    stop = PipelineStopState()
+    stop = StopWatermark()
     results = await _run_dispatcher(
         [_work(m0, 0, 0, 1, "BAD"), _work(m1, 1, 0, 1, "fine")],
         stop,
@@ -368,22 +368,22 @@ async def test_dispatcher_skip_failed_keeps_processing():
 
 
 async def test_reassembler_commits_out_of_order_after_gap_fills():
-    result_queue = asyncio.Queue()
+    outcome_queue = asyncio.Queue()
     m0, m1, m2 = msg("a"), msg("b", "b2"), msg("c")
     # m2 and m1's tail arrive before m1's head; commits happen once the
     # consecutive prefix is complete.
-    await result_queue.put(_chunk_result(m2, 2, 0, 1))
-    await result_queue.put(_chunk_result(m1, 1, 1, 2))
-    await result_queue.put(_chunk_result(m0, 0, 0, 1))
-    await result_queue.put(_chunk_result(m1, 1, 0, 2))
-    await result_queue.put(None)
+    await outcome_queue.put(_chunk_result(m2, 2, 0, 1))
+    await outcome_queue.put(_chunk_result(m1, 1, 1, 2))
+    await outcome_queue.put(_chunk_result(m0, 0, 0, 1))
+    await outcome_queue.put(_chunk_result(m1, 1, 0, 2))
+    await outcome_queue.put(None)
     commits = []
 
     async def commit(ms, results):
         commits.append([id(m) for m in ms])
 
-    state = await _reassembler_task(
-        result_queue, PipelineStopState(), 0, 100, commit, False
+    state = await _commit_stage(
+        outcome_queue, StopWatermark(), 0, 100, commit, False
     )
     assert state.messages_committed == 3
     flat = [m for batch in commits for m in batch]
@@ -391,23 +391,23 @@ async def test_reassembler_commits_out_of_order_after_gap_fills():
 
 
 async def test_reassembler_skip_failed_commits_later_messages():
-    result_queue = asyncio.Queue()
+    outcome_queue = asyncio.Queue()
     m0, m1, m2 = msg("a"), msg("b"), msg("c")
-    await result_queue.put(_chunk_result(m0, 0, 0, 1))
-    await result_queue.put(_chunk_result(m1, 1, 0, 1, error=RuntimeError("x")))
-    await result_queue.put(_chunk_result(m2, 2, 0, 1))
-    await result_queue.put(None)
+    await outcome_queue.put(_chunk_result(m0, 0, 0, 1))
+    await outcome_queue.put(_chunk_result(m1, 1, 0, 1, error=RuntimeError("x")))
+    await outcome_queue.put(_chunk_result(m2, 2, 0, 1))
+    await outcome_queue.put(None)
     commits = []
     skipped = []
 
     async def commit(ms, results):
         commits.extend(id(m) for m in ms)
 
-    async def on_skip(assembly):
-        skipped.append(assembly.message_id)
+    async def on_skip(entry):
+        skipped.append(entry.message_id)
 
-    state = await _reassembler_task(
-        result_queue, PipelineStopState(), 0, 100, commit, True, on_skip
+    state = await _commit_stage(
+        outcome_queue, StopWatermark(), 0, 100, commit, True, on_skip
     )
     assert commits == [id(m0), id(m2)]
     assert state.messages_skipped == 1
@@ -415,19 +415,19 @@ async def test_reassembler_skip_failed_commits_later_messages():
 
 
 async def test_reassembler_mismatched_chunk_count_raises():
-    result_queue = asyncio.Queue()
+    outcome_queue = asyncio.Queue()
     m = msg("a", "b")
-    await result_queue.put(_chunk_result(m, 0, 0, 2))
-    await result_queue.put(_chunk_result(m, 0, 1, 3))  # disagreeing count
-    await result_queue.put(None)
+    await outcome_queue.put(_chunk_result(m, 0, 0, 2))
+    await outcome_queue.put(_chunk_result(m, 0, 1, 3))  # disagreeing count
+    await outcome_queue.put(None)
 
     async def commit(ms, results):
         pass
 
-    stop = PipelineStopState()
+    stop = StopWatermark()
     with pytest.raises(RuntimeError):
-        await _reassembler_task(result_queue, stop, 0, 10, commit, False)
-    assert stop.stop_at_message_id == 0  # watermark lowered for the producer
+        await _commit_stage(outcome_queue, stop, 0, 10, commit, False)
+    assert stop.halt_before == 0  # watermark lowered for the producer
 
 
 # ---------------------------------------------------------------------------
@@ -469,7 +469,7 @@ class _OneEntityExtractor:
 
 
 async def test_process_chunk_chunk_embedding_exception_becomes_error():
-    result = await process_chunk_with_extraction_and_embeddings(
+    result = await process_chunk(
         chunk_id=TextLocation(0, 0),
         chunk_text="text",
         chunk_count=1,
@@ -482,7 +482,7 @@ async def test_process_chunk_chunk_embedding_exception_becomes_error():
 
 
 async def test_process_chunk_related_embedding_exception_becomes_error():
-    result = await process_chunk_with_extraction_and_embeddings(
+    result = await process_chunk(
         chunk_id=TextLocation(0, 0),
         chunk_text="text",
         chunk_count=1,
@@ -499,7 +499,7 @@ async def test_process_chunk_extractor_exception_becomes_error():
         async def extract(self, text):
             raise ValueError("extractor crashed")
 
-    result = await process_chunk_with_extraction_and_embeddings(
+    result = await process_chunk(
         chunk_id=TextLocation(0, 0),
         chunk_text="text",
         chunk_count=1,
@@ -516,26 +516,26 @@ async def test_process_chunk_extractor_exception_becomes_error():
 async def test_producer_breaks_inside_chunk_loop_when_stop_marker_drops():
     """A failure elsewhere can lower the watermark while the producer is
     mid-message: remaining chunks of that message must not be enqueued."""
-    chunk_queue = asyncio.Queue(maxsize=1)  # forces the producer to yield
-    stop = PipelineStopState()
-    state = ProducerState(next_message_id=0)
+    task_queue = asyncio.Queue(maxsize=1)  # forces the producer to yield
+    stop = StopWatermark()
+    state = FeedState(next_message_id=0)
 
     producer = asyncio.create_task(
-        _producer_task(
+        _feed_stage(
             _aiter([msg("a", "b", "c")]),
-            chunk_queue,
+            task_queue,
             stop,
             state,
             asyncio.Queue(),
             None,
         )
     )
-    first = await chunk_queue.get()  # chunk (0, 0); producer blocks on (0, 1)
+    first = await task_queue.get()  # chunk (0, 0); producer blocks on (0, 1)
     assert first.chunk_id.chunk_ordinal == 0
-    stop.stop_at_message_id = 0  # failure watermark drops mid-message
+    stop.halt_before = 0  # failure watermark drops mid-message
     rest = []
     while True:
-        item = await chunk_queue.get()
+        item = await task_queue.get()
         if item is None:
             break
         rest.append(item)
@@ -546,31 +546,31 @@ async def test_producer_breaks_inside_chunk_loop_when_stop_marker_drops():
 
 
 async def test_reassembler_duplicate_chunk_sets_stop_marker():
-    result_queue = asyncio.Queue()
+    outcome_queue = asyncio.Queue()
     m = msg("a", "b")
-    await result_queue.put(_chunk_result(m, 3, 0, 2))
-    await result_queue.put(_chunk_result(m, 3, 0, 2))
-    await result_queue.put(None)
+    await outcome_queue.put(_chunk_result(m, 3, 0, 2))
+    await outcome_queue.put(_chunk_result(m, 3, 0, 2))
+    await outcome_queue.put(None)
 
     async def commit(ms, results):
         pass
 
-    stop = PipelineStopState()
+    stop = StopWatermark()
     with pytest.raises(RuntimeError, match="Duplicate chunk"):
-        await _reassembler_task(result_queue, stop, 0, 10, commit, False)
-    assert stop.stop_at_message_id == 3
+        await _commit_stage(outcome_queue, stop, 0, 10, commit, False)
+    assert stop.halt_before == 3
 
 
 async def test_reassembler_invalid_ordinal_sets_stop_marker():
-    result_queue = asyncio.Queue()
+    outcome_queue = asyncio.Queue()
     m = msg("a", "b")
-    await result_queue.put(_chunk_result(m, 7, 9, 2))
-    await result_queue.put(None)
+    await outcome_queue.put(_chunk_result(m, 7, 9, 2))
+    await outcome_queue.put(None)
 
     async def commit(ms, results):
         pass
 
-    stop = PipelineStopState()
+    stop = StopWatermark()
     with pytest.raises(RuntimeError, match="Invalid chunk ordinal"):
-        await _reassembler_task(result_queue, stop, 0, 10, commit, False)
-    assert stop.stop_at_message_id == 7
+        await _commit_stage(outcome_queue, stop, 0, 10, commit, False)
+    assert stop.halt_before == 7

@@ -206,3 +206,64 @@ def test_lookup_ops_compact_overflow_falls_back(monkeypatch):
     assert (ehits[0] > 0).sum() == 1000
     assert escore[1, 3] == pytest.approx(1.4, rel=1e-5)
     assert list(op_hit) == [True, True]
+
+
+def test_coo_sparse_matches_dense_randomized(monkeypatch):
+    """The sort+scan COO kernel (lookup_ops_sparse) must reproduce the
+    dense scatter kernel exactly across random ops: exact/related mix,
+    first-adder masking, boost membership, ktype gates, scope rows."""
+    from typeagent_tpu.ops import postings as P
+
+    rng = np.random.default_rng(11)
+    index, ops, ktype = _random_ops_setup(rng)
+    n_semrefs = len(ktype)
+    # Add property-like boost ops and gated/scoped ops.
+    tid0 = ops[0][0]
+    ops.append((tid0, 1.0, 1, P.OP_BOOST, 0, -1, 0))
+    ops.append((ops[3][0], 2.0, 2, P.OP_EXACT, 30, 2, 0))  # ktype-gated
+    scope = np.zeros(n_semrefs, dtype=bool)
+    scope[: n_semrefs // 2] = True
+    ops.append((ops[5][0], 1.5, 3, P.OP_RELATED, 31, -1, 1))  # scoped
+    scopes = [None, scope]
+
+    monkeypatch.setattr(P, "_COMPACT_CAP", 64)  # force the sparse gate open
+    sparse = index.lookup_ops_sparse(ops, 4, ktype, scopes, boost_factor=10.0)
+    assert sparse is not None
+    cols, packed, counts, op_hit_s = sparse
+
+    dense = index.lookup_ops(ops, 4, ktype, scopes, boost_factor=10.0)
+    es, eh, rs, rh, op_hit_d = dense
+    np.testing.assert_array_equal(op_hit_s, op_hit_d)
+    for s in range(4):
+        c = counts[s]
+        active_cols = cols[s, :c]
+        assert (np.diff(active_cols) > 0).all()  # ascending, unique
+        dense_active = np.flatnonzero((eh[s] > 0) | (rh[s] > 0))
+        np.testing.assert_array_equal(active_cols, dense_active)
+        for a, block in enumerate((es, eh, rs, rh)):
+            np.testing.assert_allclose(
+                packed[a, s, :c], block[s, active_cols], rtol=1e-5, atol=1e-6
+            )
+
+
+def test_coo_sparse_overflow_grows_buckets(monkeypatch):
+    """More active runs than the initial COO bucket: the retry loop must
+    grow the bucket and return complete results."""
+    from typeagent_tpu.ops import postings as P
+
+    index = DevicePostingsIndex()
+    for semref in range(300):
+        index.add_term("hot", semref, 0.9)
+    index.build()
+    ktype = np.zeros(300, np.int8)
+    tid = index._interner.lookup("hot")
+    ops = [(tid, 1.0, 0, P.OP_EXACT, 0, -1, 0)]
+
+    monkeypatch.setattr(P, "_COMPACT_CAP", 16)
+    monkeypatch.setattr(P, "_COO_BUCKETS", (64, 512))
+    index._coo_hint = 64  # start below the 300 active runs -> retry path
+    sparse = index.lookup_ops_sparse(ops, 1, ktype)
+    assert sparse is not None
+    cols, packed, counts, _ = sparse
+    assert counts[0] == 300
+    np.testing.assert_array_equal(cols[0, :300], np.arange(300))

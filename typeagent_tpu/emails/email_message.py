@@ -2,7 +2,8 @@
 
 (Parity: reference emails/email_message.py — sender/recipient entities with
 email_address facets, sent/received actions in both display-name and address
-forms, subject as topic.)
+forms, subject as topic. The emitted entity/action/topic SHAPES are an
+extraction contract; construction below is organized around address forms.)
 """
 
 from __future__ import annotations
@@ -14,6 +15,23 @@ from pydantic import Field
 from ..knowpro import kplib
 from ..knowpro.fields import dataclass, deserialize_object
 from ..knowpro.interfaces import IKnowledgeSource, IMessage, IMessageMetadata
+
+
+def _forms(address: str) -> list[str]:
+    """Name forms of one address header: display name and/or bare address."""
+    display, bare = parseaddr(address)
+    return [form for form in (display, bare) if form]
+
+
+def _directed(verb: str, actor: str, other: str) -> kplib.Action:
+    """A '<actor> <verb> email (to <other>)' action in past tense."""
+    return kplib.Action(
+        verbs=[verb],
+        verb_tense="past",
+        subject_entity_name=actor,
+        object_entity_name="email",
+        indirect_object_entity_name=other,
+    )
 
 
 @dataclass
@@ -44,79 +62,55 @@ class EmailMessageMeta(IKnowledgeSource, IMessageMetadata):
         )
 
     def to_entities(self) -> list[kplib.ConcreteEntity]:
-        participants = [self.sender] if self.sender else []
-        for group in (self.recipients, self.cc, self.bcc):
-            participants.extend(group or ())
-        entities = [
-            entity
-            for address in participants
-            for entity in self._email_address_to_entities(address)
-        ]
-        entities.append(kplib.ConcreteEntity(name="email", type=["message"]))
-        return entities
+        everyone: list[str] = []
+        if self.sender:
+            everyone.append(self.sender)
+        for header in (self.recipients, self.cc, self.bcc):
+            everyone.extend(header or ())
+        found: list[kplib.ConcreteEntity] = []
+        for raw in everyone:
+            found.extend(self._entities_for(raw))
+        # The message itself is an entity other knowledge can attach to.
+        found.append(kplib.ConcreteEntity(name="email", type=["message"]))
+        return found
 
     def to_topics(self) -> list[str]:
         return [self.subject] if self.subject else []
 
     def to_actions(self) -> list[kplib.Action]:
-        if not (self.sender and self.recipients):
+        if not self.sender or not self.recipients:
             return []
-        actions: list[kplib.Action] = []
+        out: list[kplib.Action] = []
+        sender_forms = _forms(self.sender)
         for recipient in self.recipients:
-            actions += self._create_actions("sent", self.sender, recipient)
-            actions += self._create_actions("received", recipient, self.sender)
-        return actions
-
-    def _email_address_to_entities(
-        self, email_address: str
-    ) -> list[kplib.ConcreteEntity]:
-        entities: list[kplib.ConcreteEntity] = []
-        display_name, address = parseaddr(email_address)
-        if display_name:
-            entity = kplib.ConcreteEntity(name=display_name, type=["person"])
-            if address:
-                entity.facets = [kplib.Facet(name="email_address", value=address)]
-            entities.append(entity)
-        if address:
-            entities.append(
-                kplib.ConcreteEntity(name=address, type=["email_address", "alias"])
+            recipient_forms = _forms(recipient)
+            # Cross product of name forms, sent and received directions.
+            out.extend(
+                _directed("sent", s, r)
+                for s in sender_forms
+                for r in recipient_forms
             )
-        return entities
+            out.extend(
+                _directed("received", r, s)
+                for r in recipient_forms
+                for s in sender_forms
+            )
+        return out
 
     @staticmethod
-    def _name_forms(address: str) -> list[str]:
-        """Both the display name and the bare address, where present."""
-        display, bare = parseaddr(address)
-        return [form for form in (display, bare) if form]
-
-    def _create_actions(
-        self, verb: str, sender: str, recipient: str
-    ) -> list[kplib.Action]:
-        # Cross product: every sender name form x every recipient name form.
-        return [
-            self._create_action(verb, s, r)
-            for s in self._name_forms(sender)
-            for r in self._name_forms(recipient)
-        ]
-
-    def _create_action(
-        self, verb: str, sender: str, recipient: str, use_indirect: bool = True
-    ) -> kplib.Action:
-        if use_indirect:
-            return kplib.Action(
-                verbs=[verb],
-                verb_tense="past",
-                subject_entity_name=sender,
-                object_entity_name="email",
-                indirect_object_entity_name=recipient,
+    def _entities_for(email_address: str) -> list[kplib.ConcreteEntity]:
+        display_name, address = parseaddr(email_address)
+        out: list[kplib.ConcreteEntity] = []
+        if display_name:
+            person = kplib.ConcreteEntity(name=display_name, type=["person"])
+            if address:
+                person.facets = [kplib.Facet(name="email_address", value=address)]
+            out.append(person)
+        if address:
+            out.append(
+                kplib.ConcreteEntity(name=address, type=["email_address", "alias"])
             )
-        return kplib.Action(
-            verbs=[verb],
-            verb_tense="past",
-            subject_entity_name=sender,
-            object_entity_name=recipient,
-            indirect_object_entity_name="email",
-        )
+        return out
 
 
 @dataclass
@@ -128,20 +122,22 @@ class EmailMessage(IMessage):
     src_url: str | None = None  # source file or uri
     source_id: str | None = None
 
-    def get_knowledge(self) -> kplib.KnowledgeResponse:
-        return self.metadata.get_knowledge()
-
     def add_timestamp(self, timestamp: str) -> None:
         self.timestamp = timestamp
 
     def add_content(self, content: str) -> None:
-        if self.text_chunks:
-            self.text_chunks[0] += content
-        else:
+        if not self.text_chunks:
             self.text_chunks = [content]
+        else:
+            self.text_chunks[0] += content
+
+    def get_knowledge(self) -> kplib.KnowledgeResponse:
+        return self.metadata.get_knowledge()
 
     def serialize(self) -> dict:
-        return self.__pydantic_serializer__.to_python(self, by_alias=True)  # type: ignore[attr-defined]
+        from ..knowpro.serialization import serialize_object
+
+        return serialize_object(self)
 
     @staticmethod
     def deserialize(message_data: dict) -> "EmailMessage":

@@ -9,12 +9,12 @@
     — message N incomplete/failed means N+1.. stay buffered. Target chunks
     per commit = ``batch_size``, with pre-flush when a message would
     overshoot.
-  * Failure policy: halt-on-first-failure via a shared ``stop_at_message_id``
+  * Failure policy: halt-on-first-failure via a shared ``halt_before``
     watermark (partial work after the failure is dropped / rolled back with
     the storage transaction), or ``skip_failed_messages=True`` to skip and
     continue.
   * Graceful shutdown via ``shutdown_event``; zero-chunk messages flow
-    straight to the reassembler as immediately-complete assemblies.)
+    straight to the reassembler as immediately-complete pending.)
 """
 
 from __future__ import annotations
@@ -61,19 +61,19 @@ class NoOpKnowledgeExtractor:
 
 
 @dataclass
-class PipelineStopState:
-    """Shared stop watermark: ordinals >= stop_at_message_id are out of scope.
+class StopWatermark:
+    """Shared stop watermark: ordinals >= halt_before are out of scope.
 
     ``exception`` holds the error from the lowest-ordinal failing message so
     the orchestrator can re-raise after the pipeline drains.
     """
 
-    stop_at_message_id: int = _NO_STOP
+    halt_before: int = _NO_STOP
     exception: Exception | None = None
 
 
 @dataclass
-class ProducerState:
+class FeedState:
     next_message_id: MessageOrdinal
     produced_messages: int = 0
     produced_chunks: int = 0
@@ -81,7 +81,7 @@ class ProducerState:
 
 
 @dataclass
-class ChunkWorkItem[TMessage: IMessage]:
+class ChunkTask[TMessage: IMessage]:
     chunk_id: TextLocation
     chunk_count: int
     chunk_text: str
@@ -89,7 +89,7 @@ class ChunkWorkItem[TMessage: IMessage]:
 
 
 @dataclass
-class ChunkProcessingResult[TMessage: IMessage]:
+class ChunkOutcome[TMessage: IMessage]:
     """One chunk's extraction + embedding outcome."""
 
     chunk_id: TextLocation
@@ -102,7 +102,7 @@ class ChunkProcessingResult[TMessage: IMessage]:
     error: Exception | None = None
 
 
-def _collect_related_terms_for_fuzzy_index(
+def _fuzzy_terms_of(
     knowledge: kplib.KnowledgeResponse,
 ) -> list[str]:
     """Lowercased, order-preserving dedupe of all knowledge-derived terms."""
@@ -127,17 +127,17 @@ def _collect_related_terms_for_fuzzy_index(
 
 
 # "Public": imported by tests.
-async def process_chunk_with_extraction_and_embeddings[TMessage: IMessage](
+async def process_chunk[TMessage: IMessage](
     chunk_id: TextLocation,
     chunk_text: str,
     chunk_count: int,
     message: TMessage,
     knowledge_extractor: IKnowledgeExtractor,
     embedding_model,
-) -> ChunkProcessingResult[TMessage]:
+) -> ChunkOutcome[TMessage]:
     """Extraction + related-term embeddings and chunk embedding run
     concurrently; the first failure is captured on the result."""
-    result = ChunkProcessingResult(
+    result = ChunkOutcome(
         chunk_id=chunk_id, chunk_count=chunk_count, message=message
     )
     sem = asyncio.Semaphore(1)  # serialize embedding requests per chunk
@@ -149,7 +149,7 @@ async def process_chunk_with_extraction_and_embeddings[TMessage: IMessage](
                 f"Knowledge extraction failed: {knowledge_result.message}"
             )
         result.extracted_knowledge = knowledge_result.value
-        result.related_terms = _collect_related_terms_for_fuzzy_index(
+        result.related_terms = _fuzzy_terms_of(
             result.extracted_knowledge
         )
         if result.related_terms:
@@ -177,19 +177,19 @@ async def process_chunk_with_extraction_and_embeddings[TMessage: IMessage](
     return result
 
 
-async def _producer_task[TMessage: IMessage](
+async def _feed_stage[TMessage: IMessage](
     messages: AsyncIterable[TMessage],
-    chunk_queue: asyncio.Queue,
-    stop_state: PipelineStopState,
-    producer_state: ProducerState,
-    result_queue: asyncio.Queue,
+    task_queue: asyncio.Queue,
+    watermark: StopWatermark,
+    feed_state: FeedState,
+    outcome_queue: asyncio.Queue,
     shutdown_event: asyncio.Event | None,
 ) -> None:
     """Enqueue chunk work items; always sends the dispatcher sentinel."""
     try:
         async for message in messages:
-            message_id = producer_state.next_message_id
-            if message_id >= stop_state.stop_at_message_id:
+            message_id = feed_state.next_message_id
+            if message_id >= watermark.halt_before:
                 break
             if shutdown_event is not None and shutdown_event.is_set():
                 break
@@ -197,37 +197,37 @@ async def _producer_task[TMessage: IMessage](
             chunk_count = len(message.text_chunks)
             if chunk_count == 0:
                 # Nothing to process: emit a zero-chunk result directly.
-                zero = ChunkProcessingResult[TMessage](
+                zero = ChunkOutcome[TMessage](
                     chunk_id=TextLocation(message_id, 0),
                     chunk_count=0,
                     message=message,
                 )
-                await result_queue.put(zero)
+                await outcome_queue.put(zero)
             else:
                 for chunk_ordinal, chunk_text in enumerate(message.text_chunks):
-                    if message_id >= stop_state.stop_at_message_id:
+                    if message_id >= watermark.halt_before:
                         break
-                    work = ChunkWorkItem[TMessage](
+                    work = ChunkTask[TMessage](
                         chunk_id=TextLocation(message_id, chunk_ordinal),
                         chunk_count=chunk_count,
                         chunk_text=chunk_text,
                         message=message,
                     )
-                    await chunk_queue.put(work)
-                    producer_state.produced_chunks += 1
+                    await task_queue.put(work)
+                    feed_state.produced_chunks += 1
 
-            producer_state.produced_messages += 1
-            producer_state.next_message_id += 1
+            feed_state.produced_messages += 1
+            feed_state.next_message_id += 1
     except Exception as exc:
-        producer_state.exception = exc
+        feed_state.exception = exc
     finally:
-        await chunk_queue.put(None)
+        await task_queue.put(None)
 
 
-async def _dispatcher_task[TMessage: IMessage](
-    chunk_queue: asyncio.Queue,
-    result_queue: asyncio.Queue,
-    stop_state: PipelineStopState,
+async def _fanout_stage[TMessage: IMessage](
+    task_queue: asyncio.Queue,
+    outcome_queue: asyncio.Queue,
+    watermark: StopWatermark,
     knowledge_extractor: IKnowledgeExtractor,
     embedding_model,
     concurrency: int,
@@ -241,60 +241,60 @@ async def _dispatcher_task[TMessage: IMessage](
     """
     sem = asyncio.Semaphore(concurrency)
 
-    async def _process_one(work_item: ChunkWorkItem[TMessage]) -> None:
+    async def _process_one(task: ChunkTask[TMessage]) -> None:
         try:
-            stop_at = stop_state.stop_at_message_id
-            if work_item.chunk_id.message_ordinal >= stop_at:
-                result: ChunkProcessingResult[TMessage] = ChunkProcessingResult(
-                    chunk_id=work_item.chunk_id,
-                    chunk_count=work_item.chunk_count,
-                    message=work_item.message,
+            stop_at = watermark.halt_before
+            if task.chunk_id.message_ordinal >= stop_at:
+                result: ChunkOutcome[TMessage] = ChunkOutcome(
+                    chunk_id=task.chunk_id,
+                    chunk_count=task.chunk_count,
+                    message=task.message,
                     error=RuntimeError(
-                        "Chunk skipped because stop_at_message_id is "
+                        "Chunk skipped because halt_before is "
                         f"{stop_at} and message_id is "
-                        f"{work_item.chunk_id.message_ordinal}"
+                        f"{task.chunk_id.message_ordinal}"
                     ),
                 )
             else:
-                result = await process_chunk_with_extraction_and_embeddings(
-                    chunk_id=work_item.chunk_id,
-                    chunk_text=work_item.chunk_text,
-                    chunk_count=work_item.chunk_count,
-                    message=work_item.message,
+                result = await process_chunk(
+                    chunk_id=task.chunk_id,
+                    chunk_text=task.chunk_text,
+                    chunk_count=task.chunk_count,
+                    message=task.message,
                     knowledge_extractor=knowledge_extractor,
                     embedding_model=embedding_model,
                 )
                 if result.error is not None and not skip_failed_messages:
                     # Halt-on-first-failure: lower the watermark to this
                     # message so later chunks turn into deterministic skips.
-                    failed_at = work_item.chunk_id.message_ordinal
-                    if failed_at < stop_state.stop_at_message_id:
-                        stop_state.stop_at_message_id = failed_at
-                    if stop_state.exception is None:
-                        stop_state.exception = result.error
+                    failed_at = task.chunk_id.message_ordinal
+                    if failed_at < watermark.halt_before:
+                        watermark.halt_before = failed_at
+                    if watermark.exception is None:
+                        watermark.exception = result.error
         finally:
             sem.release()
-        await result_queue.put(result)
+        await outcome_queue.put(result)
 
     async with asyncio.TaskGroup() as tg:
         while True:
-            item = await chunk_queue.get()
+            item = await task_queue.get()
             if item is None:
                 break
             await sem.acquire()
             tg.create_task(_process_one(item))
 
-    await result_queue.put(None)
+    await outcome_queue.put(None)
 
 
 @dataclass
-class MessageAssembly[TMessage: IMessage]:
+class PendingMessage[TMessage: IMessage]:
     """Chunk accumulation for one message awaiting completeness."""
 
     message_id: MessageOrdinal
     chunk_count: int
     message: TMessage
-    chunks: dict[ChunkOrdinal, ChunkProcessingResult[TMessage]] = field(
+    chunks: dict[ChunkOrdinal, ChunkOutcome[TMessage]] = field(
         default_factory=dict
     )
     has_error: bool = False
@@ -304,8 +304,8 @@ class MessageAssembly[TMessage: IMessage]:
 
 
 @dataclass
-class ReassemblerResult:
-    first_uncommitted_ordinal: MessageOrdinal
+class CommitStats:
+    next_commit_ordinal: MessageOrdinal
     messages_committed: int = 0
     chunks_committed: int = 0
     chunk_failures: int = 0
@@ -313,157 +313,157 @@ class ReassemblerResult:
     buffered_messages: int = 0
 
 
-async def _reassembler_task[TMessage: IMessage](
-    result_queue: asyncio.Queue,
-    stop_state: PipelineStopState,
-    first_uncommitted_ordinal: MessageOrdinal,
-    target_commit_chunk_count: int,
+async def _commit_stage[TMessage: IMessage](
+    outcome_queue: asyncio.Queue,
+    watermark: StopWatermark,
+    next_commit_ordinal: MessageOrdinal,
+    chunk_commit_target: int,
     commit_batch: Callable[
-        [list[TMessage], list[ChunkProcessingResult[TMessage]]], Awaitable[None]
+        [list[TMessage], list[ChunkOutcome[TMessage]]], Awaitable[None]
     ],
     skip_failed_messages: bool,
-    on_message_skipped: Callable[["MessageAssembly[TMessage]"], Awaitable[None]]
+    on_message_skipped: Callable[["PendingMessage[TMessage]"], Awaitable[None]]
     | None = None,
-) -> ReassemblerResult:
+) -> CommitStats:
     """Commit order invariant: only consecutive complete non-failed messages
     commit. Validation errors (bad ordinals, duplicates, mismatched counts)
     lower the watermark and raise."""
-    state = ReassemblerResult(first_uncommitted_ordinal=first_uncommitted_ordinal)
-    assemblies: dict[MessageOrdinal, MessageAssembly[TMessage]] = {}
+    state = CommitStats(next_commit_ordinal=next_commit_ordinal)
+    pending: dict[MessageOrdinal, PendingMessage[TMessage]] = {}
 
-    staged_messages: list[TMessage] = []
-    staged_results: list[ChunkProcessingResult[TMessage]] = []
-    staged_chunks = 0
+    queued_msgs: list[TMessage] = []
+    queued_outcomes: list[ChunkOutcome[TMessage]] = []
+    queued_chunk_n = 0
 
-    async def _commit_if_needed(force: bool = False) -> None:
-        nonlocal staged_chunks, staged_messages, staged_results
-        if not staged_messages:
+    async def _maybe_flush(force: bool = False) -> None:
+        nonlocal queued_chunk_n, queued_msgs, queued_outcomes
+        if not queued_msgs:
             return
-        if not force and staged_chunks < target_commit_chunk_count:
+        if not force and queued_chunk_n < chunk_commit_target:
             return
-        pending_messages = staged_messages
-        pending_results = staged_results
+        pending_messages = queued_msgs
+        pending_results = queued_outcomes
         msg_count = len(pending_messages)
-        chunk_count = staged_chunks
+        chunk_count = queued_chunk_n
         # Clear before awaiting so a post-commit exception can't double-commit
         # during the final drain.
-        staged_messages = []
-        staged_results = []
-        staged_chunks = 0
+        queued_msgs = []
+        queued_outcomes = []
+        queued_chunk_n = 0
         await commit_batch(pending_messages, pending_results)
         state.messages_committed += msg_count
         state.chunks_committed += chunk_count
 
-    async def _drain_consecutive_complete(force: bool = False) -> None:
-        nonlocal staged_chunks
+    async def _advance_commit_frontier(force: bool = False) -> None:
+        nonlocal queued_chunk_n
         while True:
-            assembly = assemblies.get(state.first_uncommitted_ordinal)
-            if assembly is None or not assembly.is_complete():
-                await _commit_if_needed(force)
+            entry = pending.get(state.next_commit_ordinal)
+            if entry is None or not entry.is_complete():
+                await _maybe_flush(force)
                 return
-            if assembly.has_error:
+            if entry.has_error:
                 if skip_failed_messages:
                     error_msg = next(
                         (
                             str(c.error)
-                            for c in assembly.chunks.values()
+                            for c in entry.chunks.values()
                             if c.error is not None
                         ),
                         "Unknown error",
                     )
                     print(
-                        f"Skipping message {state.first_uncommitted_ordinal} "
+                        f"Skipping message {state.next_commit_ordinal} "
                         f"due to chunk processing error: {error_msg}"
                     )
                     if on_message_skipped is not None:
-                        await on_message_skipped(assembly)
-                    del assemblies[state.first_uncommitted_ordinal]
-                    state.first_uncommitted_ordinal += 1
+                        await on_message_skipped(entry)
+                    del pending[state.next_commit_ordinal]
+                    state.next_commit_ordinal += 1
                     state.messages_skipped += 1
                     continue
-                await _commit_if_needed(force)
+                await _maybe_flush(force)
                 return
 
             # Pre-flush so one message doesn't overshoot the chunk target.
             if (
-                staged_messages
-                and staged_chunks + assembly.chunk_count > target_commit_chunk_count
+                queued_msgs
+                and queued_chunk_n + entry.chunk_count > chunk_commit_target
             ):
-                await _commit_if_needed(force=True)
+                await _maybe_flush(force=True)
 
-            ordered = [assembly.chunks[i] for i in sorted(assembly.chunks)]
-            staged_messages.append(assembly.message)
-            staged_results.extend(ordered)
-            staged_chunks += len(ordered)
+            ordered = [entry.chunks[i] for i in sorted(entry.chunks)]
+            queued_msgs.append(entry.message)
+            queued_outcomes.extend(ordered)
+            queued_chunk_n += len(ordered)
 
-            del assemblies[state.first_uncommitted_ordinal]
-            state.first_uncommitted_ordinal += 1
-            await _commit_if_needed(force)
+            del pending[state.next_commit_ordinal]
+            state.next_commit_ordinal += 1
+            await _maybe_flush(force)
 
     try:
         while True:
-            item = await result_queue.get()
+            item = await outcome_queue.get()
             if item is None:
                 break
 
             chunk_ordinal = item.chunk_id.chunk_ordinal
             message_id = item.chunk_id.message_ordinal
 
-            validation_error: str | None = None
-            assembly = assemblies.get(message_id)
+            shape_error: str | None = None
+            entry = pending.get(message_id)
             if item.chunk_count == 0:
-                if assembly is None:
-                    assembly = MessageAssembly[TMessage](
+                if entry is None:
+                    entry = PendingMessage[TMessage](
                         message_id=message_id, chunk_count=0, message=item.message
                     )
-                    assemblies[message_id] = assembly
+                    pending[message_id] = entry
             elif chunk_ordinal < 0 or chunk_ordinal >= item.chunk_count:
-                validation_error = (
+                shape_error = (
                     f"Invalid chunk ordinal: message_id={message_id}, "
                     f"chunk_ordinal={chunk_ordinal}, chunk_count={item.chunk_count}"
                 )
-            elif assembly is None:
-                assembly = MessageAssembly[TMessage](
+            elif entry is None:
+                entry = PendingMessage[TMessage](
                     message_id=message_id,
                     chunk_count=item.chunk_count,
                     message=item.message,
                 )
-                assemblies[message_id] = assembly
-            elif assembly.chunk_count != item.chunk_count:
-                validation_error = (
+                pending[message_id] = entry
+            elif entry.chunk_count != item.chunk_count:
+                shape_error = (
                     f"Mismatched chunk count for message: message_id={message_id}, "
-                    f"expected={assembly.chunk_count}, got={item.chunk_count}"
+                    f"expected={entry.chunk_count}, got={item.chunk_count}"
                 )
-            elif chunk_ordinal in assembly.chunks:
-                validation_error = (
+            elif chunk_ordinal in entry.chunks:
+                shape_error = (
                     f"Duplicate chunk: message_id={message_id}, "
                     f"chunk_ordinal={chunk_ordinal}, chunk_count={item.chunk_count}"
                 )
 
-            if validation_error is not None:
-                stop_state.stop_at_message_id = min(
-                    stop_state.stop_at_message_id, message_id
+            if shape_error is not None:
+                watermark.halt_before = min(
+                    watermark.halt_before, message_id
                 )
-                raise RuntimeError(validation_error)
+                raise RuntimeError(shape_error)
 
-            assert assembly is not None
+            assert entry is not None
             if item.chunk_count > 0:
-                assembly.chunks[chunk_ordinal] = item
+                entry.chunks[chunk_ordinal] = item
 
             if item.error is not None:
-                assembly.has_error = True
+                entry.has_error = True
                 state.chunk_failures += 1
                 if not skip_failed_messages:
-                    stop_state.stop_at_message_id = min(
-                        stop_state.stop_at_message_id, message_id
+                    watermark.halt_before = min(
+                        watermark.halt_before, message_id
                     )
 
-            await _drain_consecutive_complete()
+            await _advance_commit_frontier()
     finally:
         # Commit whatever consecutive complete prefix exists before raising.
-        await _drain_consecutive_complete(force=True)
+        await _advance_commit_frontier(force=True)
 
-    state.buffered_messages = len(assemblies)
+    state.buffered_messages = len(pending)
     return state
 
 
@@ -502,25 +502,25 @@ async def add_messages_streaming[TMessage: IMessage](
 
     async def _commit_batch(
         messages_batch: list[TMessage],
-        chunk_results: list[ChunkProcessingResult[TMessage]],
+        chunk_results: list[ChunkOutcome[TMessage]],
     ) -> None:
-        result = await conv._commit_batch_from_chunk_results(
+        result = await conv._commit_chunk_batch(
             storage, messages_batch, chunk_results
         )
         _accumulate(result)
 
-    async def _record_skipped_failures(assembly) -> None:
+    async def _record_skipped_failures(entry) -> None:
         """Persist failed chunks to the ChunkFailures table so a re-extract
         tool can retry them (keyed by pipeline ordinal; the skipped message
         itself is not stored — its source id is embedded in the record)."""
-        source_id = getattr(assembly.message, "source_id", None)
+        source_id = getattr(entry.message, "source_id", None)
         prefix = f"[source_id={source_id}] " if source_id else ""
         try:
             async with storage:
-                for chunk_ord, chunk in assembly.chunks.items():
+                for chunk_ord, chunk in entry.chunks.items():
                     if chunk.error is not None:
                         await storage.record_chunk_failure(
-                            assembly.message_id,
+                            entry.message_id,
                             chunk_ord,
                             type(chunk.error).__name__,
                             (prefix + str(chunk.error))[:500],
@@ -528,73 +528,73 @@ async def add_messages_streaming[TMessage: IMessage](
         except Exception:
             pass  # failure bookkeeping must never break the ingest
 
-    chunk_queue: asyncio.Queue = asyncio.Queue(
+    task_queue: asyncio.Queue = asyncio.Queue(
         maxsize=sem_ref_settings.concurrency * 2
     )
-    result_queue: asyncio.Queue = asyncio.Queue(
+    outcome_queue: asyncio.Queue = asyncio.Queue(
         maxsize=sem_ref_settings.concurrency * 2
     )
-    stop_state = PipelineStopState()
-    producer_state = ProducerState(next_message_id=initial_message_id)
+    watermark = StopWatermark()
+    feed_state = FeedState(next_message_id=initial_message_id)
 
-    task_exceptions: list[Exception] = []
-    reassembler_task: asyncio.Task[ReassemblerResult] | None = None
+    errors_seen: list[Exception] = []
+    commit_stage_task: asyncio.Task[CommitStats] | None = None
     try:
         async with asyncio.TaskGroup() as tg:
             tg.create_task(
-                _producer_task(
+                _feed_stage(
                     messages,
-                    chunk_queue,
-                    stop_state,
-                    producer_state,
-                    result_queue,
+                    task_queue,
+                    watermark,
+                    feed_state,
+                    outcome_queue,
                     shutdown_event=shutdown_event,
                 )
             )
             tg.create_task(
-                _dispatcher_task(
-                    chunk_queue,
-                    result_queue,
-                    stop_state,
+                _fanout_stage(
+                    task_queue,
+                    outcome_queue,
+                    watermark,
                     knowledge_extractor,
                     embedding_model,
                     concurrency=sem_ref_settings.concurrency,
                     skip_failed_messages=skip_failed_messages,
                 )
             )
-            reassembler_task = tg.create_task(
-                _reassembler_task(
-                    result_queue,
-                    stop_state,
-                    first_uncommitted_ordinal=initial_message_id,
-                    target_commit_chunk_count=batch_size,
+            commit_stage_task = tg.create_task(
+                _commit_stage(
+                    outcome_queue,
+                    watermark,
+                    next_commit_ordinal=initial_message_id,
+                    chunk_commit_target=batch_size,
                     commit_batch=_commit_batch,
                     skip_failed_messages=skip_failed_messages,
                     on_message_skipped=_record_skipped_failures,
                 )
             )
     except ExceptionGroup as eg:
-        task_exceptions.extend(eg.exceptions)
+        errors_seen.extend(eg.exceptions)
     except Exception as exc:
-        task_exceptions.append(exc)
+        errors_seen.append(exc)
 
-    if producer_state.exception is not None:
-        task_exceptions.append(producer_state.exception)
-    if stop_state.exception is not None and not skip_failed_messages:
-        task_exceptions.append(stop_state.exception)
+    if feed_state.exception is not None:
+        errors_seen.append(feed_state.exception)
+    if watermark.exception is not None and not skip_failed_messages:
+        errors_seen.append(watermark.exception)
 
-    if task_exceptions:
+    if errors_seen:
         distinct: list[Exception] = []
-        for exc in task_exceptions:
+        for exc in errors_seen:
             if exc not in distinct:
                 distinct.append(exc)
         if len(distinct) == 1:
             raise distinct[0]
         raise ExceptionGroup("add_messages_streaming failed", distinct)
 
-    if skip_failed_messages and reassembler_task is not None:
+    if skip_failed_messages and commit_stage_task is not None:
         try:
-            total.messages_skipped = reassembler_task.result().messages_skipped
+            total.messages_skipped = commit_stage_task.result().messages_skipped
         except Exception:
             pass
 

@@ -43,7 +43,7 @@ from .search_query_schema import SearchQuery
 TMessage = TypeVar("TMessage", bound=IMessage)
 
 
-class _ChunkCommitResult(Protocol):
+class _CommittableChunk(Protocol):
     """Chunk commit payload produced by the streaming pipeline."""
 
     chunk_id: TextLocation
@@ -135,11 +135,11 @@ class ConversationBase(
             )
 
         with span("ingest.batch", messages=len(messages)):
-            return await self._add_messages_with_indexing_traced(
+            return await self._indexed_ingest(
                 storage, messages, source_ids
             )
 
-    async def _add_messages_with_indexing_traced(
+    async def _indexed_ingest(
         self,
         storage: IStorageProvider[TMessage],
         messages: list[TMessage],
@@ -153,21 +153,21 @@ class ConversationBase(
             if sids:
                 await storage.mark_sources_ingested_batch(sids)
 
-            start_points = await self._start_points()
+            start_points = await self._index_watermarks()
 
             await self.messages.extend(messages)
-            await self._add_metadata_knowledge_incremental(start_points.message_count)
+            await self._fold_in_metadata_knowledge(start_points.message_count)
 
             if self.settings.semantic_ref_index_settings.auto_extract_knowledge:
-                await self._add_llm_knowledge_incremental(
+                await self._fold_in_llm_knowledge(
                     messages, start_points.message_count
                 )
 
-            await self._update_secondary_indexes_incremental(start_points)
+            await self._advance_secondary_indexes(start_points)
             await storage.update_conversation_timestamps(
                 updated_at=datetime.now(timezone.utc)
             )
-            return await self._result_since(start_points, messages)
+            return await self._delta_result(start_points, messages)
 
     async def add_messages_streaming(
         self,
@@ -190,11 +190,11 @@ class ConversationBase(
                 shutdown_event=shutdown_event,
             )
 
-    async def _commit_batch_from_chunk_results(
+    async def _commit_chunk_batch(
         self,
         storage: IStorageProvider[TMessage],
         messages_batch: list[TMessage],
-        chunk_results: Sequence[_ChunkCommitResult],
+        chunk_results: Sequence[_CommittableChunk],
     ) -> AddMessagesResult:
         """Commit one pipeline batch with precomputed extraction + embeddings."""
         if not messages_batch:
@@ -208,7 +208,7 @@ class ConversationBase(
         # after a skip.)
         pos_by_msg = {id(m): i for i, m in enumerate(messages_batch)}
 
-        def _batch_pos(result: _ChunkCommitResult) -> int:
+        def _ordinal_in_batch(result: _CommittableChunk) -> int:
             pos = pos_by_msg.get(id(result.message))
             if pos is None:
                 raise ValueError(
@@ -235,7 +235,7 @@ class ConversationBase(
                 raise ValueError(f"Chunk result missing extracted knowledge for {where}")
             knowledge_items.append(
                 (
-                    _batch_pos(result),
+                    _ordinal_in_batch(result),
                     result.chunk_id.chunk_ordinal,
                     result.extracted_knowledge,
                 )
@@ -253,11 +253,11 @@ class ConversationBase(
             fuzzy_terms.extend(result.related_terms)
             fuzzy_term_embeddings.extend(result.related_term_embeddings)
             chunk_embedding_map[
-                (_batch_pos(result), result.chunk_id.chunk_ordinal)
+                (_ordinal_in_batch(result), result.chunk_id.chunk_ordinal)
             ] = result.chunk_embedding
 
         async with storage:
-            start_points = await self._start_points()
+            start_points = await self._index_watermarks()
 
             chunk_embeddings: list[np.ndarray] = []
             for batch_pos, message in enumerate(messages_batch):
@@ -275,7 +275,7 @@ class ConversationBase(
             if source_ids:
                 await storage.mark_sources_ingested_batch(source_ids)
 
-            await self._add_metadata_knowledge_incremental(start_points.message_count)
+            await self._fold_in_metadata_knowledge(start_points.message_count)
             await semrefindex.add_knowledge_batch_to_semantic_ref_index(
                 self,
                 [
@@ -283,15 +283,15 @@ class ConversationBase(
                     for pos, chunk_ord, kr in knowledge_items
                 ],
             )
-            await self._update_secondary_indexes_incremental_with_embeddings(
+            await self._advance_indexes_with_embeddings(
                 start_points, messages_batch, fuzzy_terms, fuzzy_term_embeddings
             )
             await storage.update_conversation_timestamps(
                 updated_at=datetime.now(timezone.utc)
             )
-            return await self._result_since(start_points, messages_batch)
+            return await self._delta_result(start_points, messages_batch)
 
-    async def _result_since(
+    async def _delta_result(
         self, start_points: IndexingStartPoints, batch: list[TMessage]
     ) -> AddMessagesResult:
         """Tally what an ingest actually landed relative to its start points."""
@@ -304,7 +304,7 @@ class ConversationBase(
             ),
         )
 
-    async def _start_points(self) -> IndexingStartPoints:
+    async def _index_watermarks(self) -> IndexingStartPoints:
         return IndexingStartPoints(
             message_count=await self.messages.size(),
             semref_count=await self.semantic_refs.size(),
@@ -312,7 +312,7 @@ class ConversationBase(
 
     # -- incremental index helpers ----------------------------------------------
 
-    async def _update_secondary_indexes_incremental_with_embeddings(
+    async def _advance_indexes_with_embeddings(
         self,
         start_points: IndexingStartPoints,
         new_messages: list[TMessage],
@@ -322,7 +322,7 @@ class ConversationBase(
         if self.secondary_indexes is None:
             return
         await add_to_property_index(self, start_points.semref_count)
-        await self._add_timestamps_for_messages(
+        await self._index_message_timestamps(
             new_messages, start_points.message_count
         )
         term_to_related = self.secondary_indexes.term_to_related_terms_index
@@ -333,7 +333,7 @@ class ConversationBase(
                     related_terms, related_term_embeddings
                 )
 
-    async def _add_metadata_knowledge_incremental(
+    async def _fold_in_metadata_knowledge(
         self, start_from_message_ordinal: int
     ) -> None:
         messages_slice = await self.messages.get_slice(
@@ -346,7 +346,7 @@ class ConversationBase(
             start_from_message_ordinal,
         )
 
-    async def _add_llm_knowledge_incremental(
+    async def _fold_in_llm_knowledge(
         self,
         messages: list[TMessage],
         start_from_message_ordinal: int,
@@ -368,7 +368,7 @@ class ConversationBase(
             concurrency=settings.concurrency,
         )
 
-    async def _update_secondary_indexes_incremental(
+    async def _advance_secondary_indexes(
         self, start_points: IndexingStartPoints
     ) -> None:
         if self.secondary_indexes is None:
@@ -377,15 +377,15 @@ class ConversationBase(
         new_messages = await self.messages.get_slice(
             start_points.message_count, 999_999_999
         )
-        await self._add_timestamps_for_messages(
+        await self._index_message_timestamps(
             new_messages, start_points.message_count
         )
-        await self._update_related_terms_incremental(start_points.semref_count)
-        await self._update_message_index_incremental(
+        await self._advance_related_terms(start_points.semref_count)
+        await self._advance_message_index(
             new_messages, start_points.message_count
         )
 
-    async def _add_timestamps_for_messages(
+    async def _index_message_timestamps(
         self,
         messages: list[TMessage],
         start_ordinal: MessageOrdinal,
@@ -403,7 +403,7 @@ class ConversationBase(
         if timestamp_data:
             await self.secondary_indexes.timestamp_index.add_timestamps(timestamp_data)
 
-    async def _update_related_terms_incremental(
+    async def _advance_related_terms(
         self, start_from_semref_ordinal: int
     ) -> None:
         if (
@@ -433,7 +433,7 @@ class ConversationBase(
         if new_terms:
             await fuzzy_index.add_terms(list(new_terms))
 
-    async def _update_message_index_incremental(
+    async def _advance_message_index(
         self,
         new_messages: list[TMessage],
         start_ordinal: MessageOrdinal,
@@ -447,7 +447,7 @@ class ConversationBase(
 
     # -- the 4-stage query path ----------------------------------------------
 
-    def _ensure_translators(self) -> None:
+    def _lazy_translators(self) -> None:
         """Lazy stage-1/stage-4 translators over the configured chat model."""
         if self._query_translator is not None and self._answer_translator is not None:
             return
@@ -475,7 +475,7 @@ class ConversationBase(
         SearchQuery, compiled exprs, stage-3 results) for batch recorders
         (reference tools/query.py's --search-results flow).
         """
-        self._ensure_translators()
+        self._lazy_translators()
 
         search_options = search_options or searchlang.LanguageSearchOptions(
             compile_options=searchlang.LanguageQueryCompileOptions(

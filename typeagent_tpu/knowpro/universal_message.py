@@ -14,6 +14,7 @@ from pydantic import AliasChoices, Field
 
 from . import kplib
 from .fields import dataclass, deserialize_object
+
 from .interfaces import IKnowledgeSource, IMessage, IMessageMetadata
 
 # Unix epoch sentinel for unknown dates.
@@ -24,15 +25,26 @@ def format_timestamp_utc(dt: datetime) -> str:
     """ISO 8601 with explicit Z suffix; requires a timezone-aware datetime."""
     if dt.tzinfo is None:
         raise ValueError(
-            f"Datetime must be timezone-aware, got naive datetime: {dt}. "
-            f"Use dt.replace(tzinfo=timezone.utc) or parse with 'Z' suffix."
+            f"format_timestamp_utc needs an aware datetime, not {dt!r}; "
+            "attach tzinfo (e.g. timezone.utc) before formatting"
         )
-    if dt.tzinfo != timezone.utc:
-        dt = dt.astimezone(timezone.utc)
-    iso_str = dt.isoformat()
-    if iso_str.endswith("+00:00"):
-        return iso_str[:-6] + "Z"
-    return iso_str
+    as_utc = dt if dt.tzinfo == timezone.utc else dt.astimezone(timezone.utc)
+    text = as_utc.isoformat()
+    return text.removesuffix("+00:00") + "Z" if text.endswith("+00:00") else text
+
+
+def _person(name: str) -> kplib.ConcreteEntity:
+    return kplib.ConcreteEntity(name=name, type=["person"])
+
+
+def _say_action(speaker: str, target: str, verbs: list[str]) -> kplib.Action:
+    return kplib.Action(
+        verbs=verbs,
+        verb_tense="past",
+        subject_entity_name=speaker,
+        object_entity_name=target,
+        indirect_object_entity_name="none",
+    )
 
 
 @dataclass
@@ -52,41 +64,28 @@ class ConversationMessageMeta(IKnowledgeSource, IMessageMetadata):
 
     @property
     def dest(self) -> list[str] | None:  # type: ignore[override]
-        return self.recipients if self.recipients else None
+        return self.recipients or None
 
     def get_knowledge(self) -> kplib.KnowledgeResponse:
-        """Person entities for speaker/recipients + say/speak actions."""
+        """Person entities for speaker/recipients + say/speak actions.
+
+        The entity/action shapes here are a serialization + extraction
+        contract: "say" toward each recipient when there are any, a single
+        "say"+"speak" broadcast action otherwise.
+        """
         if not self.speaker:
             return kplib.KnowledgeResponse(
                 entities=[], actions=[], inverse_actions=[], topics=[]
             )
-        entities = [kplib.ConcreteEntity(name=self.speaker, type=["person"])]
-        entities.extend(
-            kplib.ConcreteEntity(name=r, type=["person"]) for r in self.recipients
-        )
+        people = [_person(self.speaker)] + [_person(r) for r in self.recipients]
         if self.recipients:
-            actions = [
-                kplib.Action(
-                    verbs=["say"],
-                    verb_tense="past",
-                    subject_entity_name=self.speaker,
-                    object_entity_name=recipient,
-                    indirect_object_entity_name="none",
-                )
-                for recipient in self.recipients
+            spoken = [
+                _say_action(self.speaker, r, ["say"]) for r in self.recipients
             ]
         else:
-            actions = [
-                kplib.Action(
-                    verbs=["say", "speak"],
-                    verb_tense="past",
-                    subject_entity_name=self.speaker,
-                    object_entity_name="none",
-                    indirect_object_entity_name="none",
-                )
-            ]
+            spoken = [_say_action(self.speaker, "none", ["say", "speak"])]
         return kplib.KnowledgeResponse(
-            entities=entities, actions=actions, inverse_actions=[], topics=[]
+            entities=people, actions=spoken, inverse_actions=[], topics=[]
         )
 
 
@@ -113,17 +112,19 @@ class ConversationMessage(IMessage):
     timestamp: str | None = None
     source_id: str | None = None
 
-    def get_knowledge(self) -> kplib.KnowledgeResponse:
-        return self.metadata.get_knowledge()
-
     def add_timestamp(self, timestamp: str) -> None:
         self.timestamp = timestamp
 
     def add_content(self, content: str) -> None:
         self.text_chunks[0] += content
 
+    def get_knowledge(self) -> kplib.KnowledgeResponse:
+        return self.metadata.get_knowledge()
+
     def serialize(self) -> ConversationMessageData:
-        return self.__pydantic_serializer__.to_python(self, by_alias=True)  # type: ignore[attr-defined]
+        from .serialization import serialize_object
+
+        return serialize_object(self)
 
     @staticmethod
     def deserialize(message_data: ConversationMessageData) -> "ConversationMessage":

@@ -43,6 +43,9 @@ _SEG_BUCKETS = (4, 16, 64, 256)
 # count, bucketed by _COMPACT_FETCH_BUCKETS.
 _COMPACT_CAP = 8192
 _COMPACT_FETCH_BUCKETS = (256, 1024, 4096, 8192)
+# COO result-size buckets for the sort+scan sparse kernel (total active
+# (segment, semref) runs per device call).
+_COO_BUCKETS = (4096, 16384, 65536, 262144)
 
 # Op kinds for the segmented accumulator.
 OP_EXACT = 0
@@ -194,6 +197,179 @@ def accumulate_postings_segmented_compact(*args, cap: int, **kwargs):
         axis=0,
     )
     return packed, op_hit, order, counts
+
+
+def _segmented_scan_sum(values, first):
+    """Per-run prefix sums over sorted runs (first marks run starts).
+
+    Associative segmented-sum: runs are short, so f32 partials stay exact-ish
+    (a GLOBAL cumsum would accumulate ~1e6 and destroy per-run precision).
+    """
+    def combine(a, b):
+        v1, f1 = a
+        v2, f2 = b
+        return jnp.where(f2, v2, v1 + v2), f1 | f2
+
+    out, _ = jax.lax.associative_scan(combine, (values, first))
+    return out
+
+
+def _segmented_fill_first(values, first):
+    """Broadcast each run's FIRST value over the run (sorted runs)."""
+    def combine(a, b):
+        v1, f1 = a
+        v2, f2 = b
+        return jnp.where(f2, v2, v1), f1 | f2
+
+    out, _ = jax.lax.associative_scan(combine, (values, first))
+    return out
+
+
+# Composite sort granularity: key * _POS_P + position. Positions are op
+# indices (< t_pad <= 512 after bucketing); boost entries carry _POS_P - 1 so
+# they sort after every scoring entry of their run.
+_POS_P = 8192
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("window", "semref_cap", "n_seg", "dedup_related", "r_max"),
+)
+def accumulate_postings_segmented_coo(
+    offsets: jax.Array,
+    post_semrefs: jax.Array,
+    post_scores: jax.Array,
+    tids: jax.Array,
+    weights: jax.Array,
+    segs: jax.Array,
+    kinds: jax.Array,
+    positions: jax.Array,
+    ktype_gate: jax.Array,
+    scope_ids: jax.Array,
+    scope_masks: jax.Array,
+    semref_ktype: jax.Array,
+    boost_factor: jax.Array,
+    *,
+    window: int,
+    semref_cap: int,
+    n_seg: int,
+    dedup_related: bool = False,
+    r_max: int = 4096,
+):
+    """Scatter-free segmented accumulation: sort + segmented scans.
+
+    XLA lowers data-dependent scatter-adds to a serial loop on TPU — the
+    dense kernel measured ~1 s/call at 100k semrefs. This formulation is
+    TPU-shaped: flatten the (op, posting) grid to COO entries, ONE sort by
+    (segment, semref, op-position), then per-run segmented scans implement
+    every MatchAccumulator rule:
+
+      * run = all entries of one (leaf segment, semref);
+      * first-adder: the run's min op position is its first sorted entry;
+        a related op contributes iff its position IS that minimum
+        (``add_term_matches_if_new``);
+      * dedup_related: duplicate (op, semref) posting entries sort adjacent
+        — only the first counts;
+      * boost membership: boost entries sort to the run tail; a reversed
+        segmented scan broadcasts "run has boost" back over the run, and
+        scoring contributions multiply by ``boost_factor``;
+      * a second sort compacts run totals (emitted at run ends) to the
+        front in ascending (segment, semref) order.
+
+    Returns (keys [r_max] i32 = seg * (semref_cap+1) + semref (ascending;
+    padding = 2^30), sums [4, r_max] f32, n_runs scalar i32, op_hit [t_pad]).
+    """
+    safe_tids = jnp.clip(tids, 0, offsets.shape[0] - 2)
+    starts = offsets[safe_tids]
+    sizes = offsets[safe_tids + 1] - starts
+    term_valid = tids >= 0
+
+    lane = jnp.arange(window, dtype=jnp.int32)[None, :]
+    pos_idx = jnp.clip(starts[:, None] + lane, 0, post_semrefs.shape[0] - 1)
+    valid = (lane < sizes[:, None]) & term_valid[:, None]
+
+    ids = post_semrefs[pos_idx]  # [t_pad, window]
+    base_scores = post_scores[pos_idx] * weights[:, None]
+
+    gate = ktype_gate.astype(jnp.int8)
+    gate_ok = (gate[:, None] < 0) | (semref_ktype[ids] == gate[:, None])
+    scoring = kinds[:, None] <= OP_RELATED
+    scope_ok = scope_masks[scope_ids[:, None], ids]
+    valid_scoring = valid & scoring & gate_ok & scope_ok
+    valid_boost = valid & (kinds[:, None] == OP_BOOST)
+    op_hit = valid_scoring.any(axis=1)
+
+    live = valid_scoring | valid_boost
+    seg2d = jnp.broadcast_to(segs[:, None], ids.shape)
+    # Two-key sort (segment-major key, op position): stays in int32 — the
+    # sparse packing budget keeps n_seg * (semref_cap + 1) < 2^30, and x64
+    # is off on TPU so a composite 64-bit key would silently overflow.
+    key = seg2d.astype(jnp.int32) * jnp.int32(semref_cap + 1) + ids
+    dead_key = jnp.int32(2**30)
+    key_flat = jnp.where(live, key, dead_key).reshape(-1)
+    pos2d = jnp.where(
+        valid_scoring,
+        jnp.minimum(positions[:, None], _POS_P - 2),
+        _POS_P - 1,  # boost entries: after all scoring entries of the run
+    )
+    pos_flat = pos2d.astype(jnp.int32).reshape(-1)
+
+    score_flat = jnp.where(valid_scoring, base_scores, 0.0).reshape(-1)
+    is_exact = (valid_scoring & (kinds[:, None] == OP_EXACT)).reshape(-1)
+    is_rel = (valid_scoring & (kinds[:, None] == OP_RELATED)).reshape(-1)
+    is_boost = valid_boost.reshape(-1)
+
+    key_s, pos_s, score_s, exact_s, rel_s, boost_s = jax.lax.sort(
+        (key_flat, pos_flat, score_flat, is_exact, is_rel, is_boost),
+        num_keys=2,
+    )
+
+    e = key_s.shape[0]
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), key_s[1:] != key_s[:-1]]
+    )
+    last = jnp.concatenate([key_s[1:] != key_s[:-1], jnp.ones((1,), bool)])
+
+    # First-adder: the run's first sorted entry has the min op position.
+    run_min_pos = _segmented_fill_first(pos_s, first)
+    winner = rel_s & (pos_s == run_min_pos)
+    if dedup_related:
+        dup_first = first | jnp.concatenate(
+            [jnp.ones((1,), bool), pos_s[1:] != pos_s[:-1]]
+        )
+        winner = winner & dup_first
+
+    # Boost membership: reversed segmented scan broadcasts the run's boost
+    # count (runs reversed: `last` becomes the start flag).
+    boost_cum_rev = _segmented_scan_sum(
+        boost_s[::-1].astype(jnp.float32), last[::-1]
+    )[::-1]
+    mult = jnp.where(boost_cum_rev > 0, boost_factor, 1.0)
+    score_eff = score_s * mult
+
+    sums = [
+        _segmented_scan_sum(jnp.where(exact_s, score_eff, 0.0), first),
+        _segmented_scan_sum(exact_s.astype(jnp.float32), first),
+        _segmented_scan_sum(jnp.where(winner, score_eff, 0.0), first),
+        _segmented_scan_sum(winner.astype(jnp.float32), first),
+    ]
+    scoring_count = _segmented_scan_sum(
+        (exact_s | rel_s).astype(jnp.float32), first
+    )
+    live_s = key_s < dead_key
+    valid_end = last & live_s & (scoring_count > 0)
+
+    # Compaction sort: valid run totals to the front, ascending (seg, id).
+    key2 = jnp.where(valid_end, key_s, dead_key)
+    key2_s, k_out, es_out, eh_out, rs_out, rh_out = jax.lax.sort(
+        (key2, key_s, *sums), num_keys=1
+    )
+    n_runs = valid_end.sum().astype(jnp.int32)
+    r = min(r_max, e)
+    sums_out = jnp.stack(
+        [es_out[:r], eh_out[:r], rs_out[:r], rh_out[:r]], axis=0
+    )
+    return k_out[:r], sums_out, n_runs, op_hit
 
 
 def _accumulate_segmented_impl(
@@ -350,6 +526,8 @@ class DevicePostingsIndex:
         # active-column count seen so the common case needs ONE device->host
         # fetch (counts + packed block together) instead of two round trips.
         self._fetch_hint = _COMPACT_FETCH_BUCKETS[0]
+        # Adaptive COO result size for the sort+scan sparse kernel.
+        self._coo_hint = _COO_BUCKETS[0]
 
     def add_term(self, term: str, semref_id: int, score: float = 1.0) -> None:
         tid = self._interner.intern(term)
@@ -524,38 +702,50 @@ class DevicePostingsIndex:
         None when the conversation is small (dense is cheaper) or a segment
         overflowed the compact cap (caller falls back to :meth:`lookup_ops`).
         The combine then runs over each query's active-column union instead
-        of dense [n_seg, n_semrefs] arrays.
+        of dense [n_seg, n_semrefs] arrays. Device side is the scatter-free
+        sort+scan COO kernel (:func:`accumulate_postings_segmented_coo`).
         """
-        cap = _COMPACT_CAP
-        if self._semref_cap <= 2 * cap:
+        if self._semref_cap <= 2 * _COMPACT_CAP:
             return None
         if not self._built:
             self.build()
         operands, statics, seg_pad = self._prepare_operands(
             ops, n_seg, semref_ktype, scopes, boost_factor
         )
-        packed, op_hit_dev, order, counts_dev = (
-            accumulate_postings_segmented_compact(
-                *operands, cap=min(cap, self._semref_cap), **statics
+        r = self._coo_hint
+        while True:
+            keys_dev, sums_dev, n_runs_dev, op_hit_dev = (
+                accumulate_postings_segmented_coo(*operands, r_max=r, **statics)
             )
-        )
-        m = min(self._fetch_hint, cap, self._semref_cap)
-        counts, packed_np, order_np, op_hit = jax.device_get(
-            (counts_dev, packed[:, :, :m], order[:, :m], op_hit_dev)
-        )
-        max_count = int(counts.max(initial=0))
-        if max_count > cap:
-            return None  # overflow: dense fallback
-        if max_count > m:
-            m = _bucket(max_count, _COMPACT_FETCH_BUCKETS)
-            self._fetch_hint = max(self._fetch_hint, m)
-            packed_np, order_np = jax.device_get((packed[:, :, :m], order[:, :m]))
-        return (
-            order_np[:n_seg],
-            packed_np[:, :n_seg],
-            counts[:n_seg],
-            op_hit[: len(ops)],
-        )
+            n_runs, keys_np, sums_np, op_hit = jax.device_get(
+                (n_runs_dev, keys_dev, sums_dev, op_hit_dev)
+            )
+            n_runs = int(n_runs)
+            if n_runs <= keys_np.shape[0]:
+                break
+            if r >= _COO_BUCKETS[-1]:
+                return None  # enormous result set: dense path wins
+            r = _bucket(n_runs, _COO_BUCKETS)
+            self._coo_hint = max(self._coo_hint, r)
+
+        keys_np = keys_np[:n_runs].astype(np.int64)
+        sums_np = sums_np[:, :n_runs]
+        width = self._semref_cap + 1
+        seg_of = keys_np // width
+        col_of = (keys_np % width).astype(np.int32)
+        counts = np.bincount(seg_of, minlength=seg_pad).astype(np.int32)
+        m = int(counts.max(initial=0))
+        cols = np.zeros((n_seg, max(m, 1)), dtype=np.int32)
+        packed = np.zeros((4, n_seg, max(m, 1)), dtype=np.float32)
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        for s in range(n_seg):
+            c = counts[s]
+            if not c:
+                continue
+            sl = slice(starts[s], starts[s] + c)
+            cols[s, :c] = col_of[sl]
+            packed[:, s, :c] = sums_np[:, sl]
+        return cols, packed, counts[:n_seg], op_hit[: len(ops)]
 
     def _prepare_operands(
         self, ops, n_seg, semref_ktype, scopes, boost_factor

@@ -43,20 +43,20 @@ class MemoryStorageProvider[TMessage: IMessage](IStorageProvider[TMessage]):
         metadata: ConversationMetadata | None = None,
     ) -> None:
         self._metadata = metadata or ConversationMetadata()
-        self._message_text_index = MessageTextIndex(message_text_settings)
-        self._message_collection = MemoryMessageCollection[TMessage](
-            message_text_index=self._message_text_index
+        self._msg_text = MessageTextIndex(message_text_settings)
+        self._msgs = MemoryMessageCollection[TMessage](
+            message_text_index=self._msg_text
         )
-        self._semantic_ref_collection = MemorySemanticRefCollection()
-        self._semref_index = TermToSemanticRefIndex()
-        self._property_index = PropertyIndex()
-        self._timestamp_index = TimestampToTextRangeIndex()
-        self._related_terms_index = RelatedTermsIndex(related_terms_settings)
-        self._conversation_threads = ConversationThreads(
+        self._semrefs = MemorySemanticRefCollection()
+        self._term_index = TermToSemanticRefIndex()
+        self._props = PropertyIndex()
+        self._times = TimestampToTextRangeIndex()
+        self._rel_terms = RelatedTermsIndex(related_terms_settings)
+        self._threads = ConversationThreads(
             message_text_settings.embedding_index_settings
         )
-        self._ingested_sources: set[str] = set()
-        self._chunk_failures: dict[tuple[int, int], ChunkFailure] = {}
+        self._seen_sources: set[str] = set()
+        self._failures: dict[tuple[int, int], ChunkFailure] = {}
 
     # -- transactions (no-ops in memory) -------------------------------------
 
@@ -73,35 +73,35 @@ class MemoryStorageProvider[TMessage: IMessage](IStorageProvider[TMessage]):
 
     @property
     def messages(self) -> MemoryMessageCollection[TMessage]:
-        return self._message_collection
+        return self._msgs
 
     @property
     def semantic_refs(self) -> MemorySemanticRefCollection:
-        return self._semantic_ref_collection
+        return self._semrefs
 
     @property
     def semantic_ref_index(self) -> ITermToSemanticRefIndex:
-        return self._semref_index
+        return self._term_index
 
     @property
     def property_index(self) -> IPropertyToSemanticRefIndex:
-        return self._property_index
+        return self._props
 
     @property
     def timestamp_index(self) -> ITimestampToTextRangeIndex:
-        return self._timestamp_index
+        return self._times
 
     @property
     def message_text_index(self) -> IMessageTextIndex[TMessage]:
-        return self._message_text_index
+        return self._msg_text
 
     @property
     def related_terms_index(self) -> ITermToRelatedTermsIndex:
-        return self._related_terms_index
+        return self._rel_terms
 
     @property
     def conversation_threads(self) -> IConversationThreads:
-        return self._conversation_threads
+        return self._threads
 
     # -- metadata --------------------------------------------------------------
 
@@ -126,23 +126,23 @@ class MemoryStorageProvider[TMessage: IMessage](IStorageProvider[TMessage]):
     # -- source-ingestion tracking ----------------------------------------------
 
     async def is_source_ingested(self, source_id: str) -> bool:
-        return source_id in self._ingested_sources
+        return source_id in self._seen_sources
 
     async def are_sources_ingested(self, source_ids: list[str]) -> set[str]:
-        return self._ingested_sources & set(source_ids)
+        return self._seen_sources & set(source_ids)
 
     async def get_source_status(self, source_id: str) -> str | None:
-        return STATUS_INGESTED if source_id in self._ingested_sources else None
+        return STATUS_INGESTED if source_id in self._seen_sources else None
 
     async def mark_source_ingested(
         self, source_id: str, status: str = STATUS_INGESTED
     ) -> None:
-        self._ingested_sources.add(source_id)
+        self._seen_sources.add(source_id)
 
     async def mark_sources_ingested_batch(
         self, source_ids: list[str], status: str = STATUS_INGESTED
     ) -> None:
-        self._ingested_sources.update(source_ids)
+        self._seen_sources.update(source_ids)
 
     # -- chunk-failure tracking ---------------------------------------------------
 
@@ -153,7 +153,7 @@ class MemoryStorageProvider[TMessage: IMessage](IStorageProvider[TMessage]):
         error_class: str,
         error_message: str,
     ) -> None:
-        self._chunk_failures[(message_ordinal, chunk_ordinal)] = ChunkFailure(
+        self._failures[(message_ordinal, chunk_ordinal)] = ChunkFailure(
             message_ordinal=message_ordinal,
             chunk_ordinal=chunk_ordinal,
             error_class=error_class,
@@ -164,7 +164,7 @@ class MemoryStorageProvider[TMessage: IMessage](IStorageProvider[TMessage]):
     async def clear_chunk_failure(
         self, message_ordinal: int, chunk_ordinal: int
     ) -> None:
-        self._chunk_failures.pop((message_ordinal, chunk_ordinal), None)
+        self._failures.pop((message_ordinal, chunk_ordinal), None)
 
     async def get_chunk_failures(self) -> list[ChunkFailure]:
-        return [self._chunk_failures[k] for k in sorted(self._chunk_failures)]
+        return [self._failures[k] for k in sorted(self._failures)]

@@ -75,21 +75,21 @@ class SqliteStorageProvider[TMessage: interfaces.IMessage](
         )
         self._check_embedding_consistency()
 
-        self._message_collection = SqliteMessageCollection(self.db, self.message_type)
-        self._semantic_ref_collection = SqliteSemanticRefCollection(self.db)
-        self._semref_index = SqliteTermToSemanticRefIndex(self.db)
-        self._property_index = SqlitePropertyIndex(self.db)
-        self._timestamp_index = SqliteTimestampToTextRangeIndex(self.db)
-        self._message_text_index = SqliteMessageTextIndex(
-            self.db, self.message_text_index_settings, self._message_collection
+        self._msgs = SqliteMessageCollection(self.db, self.message_type)
+        self._semrefs = SqliteSemanticRefCollection(self.db)
+        self._term_index = SqliteTermToSemanticRefIndex(self.db)
+        self._props = SqlitePropertyIndex(self.db)
+        self._times = SqliteTimestampToTextRangeIndex(self.db)
+        self._msg_text = SqliteMessageTextIndex(
+            self.db, self.message_text_index_settings, self._msgs
         )
-        self._related_terms_index = SqliteRelatedTermsIndex(
+        self._rel_terms = SqliteRelatedTermsIndex(
             self.db, self.related_term_index_settings.embedding_index_settings
         )
-        self._conversation_threads = ConversationThreads(
+        self._threads = ConversationThreads(
             self.message_text_index_settings.embedding_index_settings
         )
-        self._message_collection.set_message_text_index(self._message_text_index)
+        self._msgs.set_message_text_index(self._msg_text)
 
     # -- settings/consistency checks -----------------------------------------
 
@@ -106,18 +106,18 @@ class SqliteStorageProvider[TMessage: interfaces.IMessage](
 
     def _resolve_embedding_settings(
         self,
-        provided_message_settings: MessageTextIndexSettings | None,
-        provided_related_settings: RelatedTermIndexSettings | None,
+        given_msg_settings: MessageTextIndexSettings | None,
+        given_rel_settings: RelatedTermIndexSettings | None,
     ) -> tuple[MessageTextIndexSettings, RelatedTermIndexSettings]:
         """The stored embedding_name metadata must match the configured model."""
-        metadata_exists = self._metadata_exists()
-        stored_name = self._metadata_value("embedding_name")
+        have_metadata = self._metadata_exists()
+        persisted_model = self._metadata_value("embedding_name")
 
-        if provided_message_settings is None:
-            if stored_name is not None:
+        if given_msg_settings is None:
+            if persisted_model is not None:
                 from ...models.adapters import create_embedding_model
 
-                spec = stored_name
+                spec = persisted_model
                 if spec and ":" not in spec:
                     spec = f"openai:{spec}"
                 base = TextEmbeddingIndexSettings(
@@ -125,23 +125,23 @@ class SqliteStorageProvider[TMessage: interfaces.IMessage](
                 )
             else:
                 base = TextEmbeddingIndexSettings()
-            message_settings = MessageTextIndexSettings(base)
+            msg_settings = MessageTextIndexSettings(base)
         else:
-            message_settings = provided_message_settings
-            base = message_settings.embedding_index_settings
-            provided_name = base.embedding_model.model_name
-            if stored_name is not None and stored_name != provided_name:
+            msg_settings = given_msg_settings
+            base = msg_settings.embedding_index_settings
+            configured_model = base.embedding_model.model_name
+            if persisted_model is not None and persisted_model != configured_model:
                 raise ValueError(
-                    f"Conversation metadata embedding_model ({stored_name}) does "
-                    f"not match provided embedding model ({provided_name})."
+                    f"Conversation metadata embedding_model ({persisted_model}) does "
+                    f"not match provided embedding model ({configured_model})."
                 )
 
-        if provided_related_settings is None:
-            related_settings = RelatedTermIndexSettings(base)
+        if given_rel_settings is None:
+            rel_settings = RelatedTermIndexSettings(base)
         else:
-            related_settings = provided_related_settings
+            rel_settings = given_rel_settings
             related_name = (
-                related_settings.embedding_index_settings.embedding_model.model_name
+                rel_settings.embedding_index_settings.embedding_model.model_name
             )
             if related_name != base.embedding_model.model_name:
                 raise ValueError(
@@ -149,42 +149,42 @@ class SqliteStorageProvider[TMessage: interfaces.IMessage](
                     "text index embedding_model"
                 )
 
-        actual_name = base.embedding_model.model_name
+        live_model_name = base.embedding_model.model_name
         if self._metadata is not None:
             if self._metadata.embedding_model is None:
-                self._metadata.embedding_model = actual_name
-            elif self._metadata.embedding_model != actual_name:
+                self._metadata.embedding_model = live_model_name
+            elif self._metadata.embedding_model != live_model_name:
                 raise ValueError(
                     "Conversation metadata embedding_model does not match provider settings"
                 )
 
-        if metadata_exists and stored_name is None:
-            set_conversation_metadata(self.db, embedding_name=actual_name)
+        if have_metadata and persisted_model is None:
+            set_conversation_metadata(self.db, embedding_name=live_model_name)
 
-        return message_settings, related_settings
+        return msg_settings, rel_settings
 
     def _check_embedding_consistency(self) -> None:
         """Stored embedding sizes must agree across tables."""
         cursor = self.db.cursor()
-        message_size: int | None = None
+        msg_dim: int | None = None
         cursor.execute("SELECT embedding FROM MessageTextIndex LIMIT 1")
         row = cursor.fetchone()
         if row and row[0]:
-            message_size = len(deserialize_embedding(row[0]))
-        related_size: int | None = None
+            msg_dim = len(deserialize_embedding(row[0]))
+        rel_dim: int | None = None
         cursor.execute("SELECT term_embedding FROM RelatedTermsFuzzy LIMIT 1")
         row = cursor.fetchone()
         if row and row[0]:
-            related_size = len(deserialize_embedding(row[0]))
+            rel_dim = len(deserialize_embedding(row[0]))
         if (
-            message_size is not None
-            and related_size is not None
-            and message_size != related_size
+            msg_dim is not None
+            and rel_dim is not None
+            and msg_dim != rel_dim
         ):
             raise ValueError(
                 f"Embedding size mismatch: message text index has size "
-                f"{message_size}, but related terms index has size "
-                f"{related_size}. The database may be corrupted."
+                f"{msg_dim}, but related terms index has size "
+                f"{rel_dim}. The database may be corrupted."
             )
 
     def _init_conversation_metadata_if_needed(self) -> None:
@@ -193,7 +193,7 @@ class SqliteStorageProvider[TMessage: interfaces.IMessage](
         cursor.execute("SELECT 1 FROM ConversationMetadata LIMIT 1")
         if cursor.fetchone() is not None:
             return
-        current_time = datetime.now(timezone.utc)
+        now = datetime.now(timezone.utc)
         if self._metadata:
             name_tag = self._metadata.name_tag or "conversation"
             tags = self._metadata.tags
@@ -202,13 +202,13 @@ class SqliteStorageProvider[TMessage: interfaces.IMessage](
             name_tag = "conversation"
             tags = None
             extras = {}
-        actual_name = (
+        live_model_name = (
             self.message_text_index_settings.embedding_index_settings.embedding_model.model_name
         )
         embedding_name = (
             self._metadata.embedding_model
             if self._metadata and self._metadata.embedding_model is not None
-            else actual_name
+            else live_model_name
         )
         extras = {
             k: v
@@ -219,8 +219,8 @@ class SqliteStorageProvider[TMessage: interfaces.IMessage](
             self.db,
             name_tag=name_tag,
             schema_version=str(get_db_schema_version(self.db)),
-            created_at=format_timestamp_utc(current_time),
-            updated_at=format_timestamp_utc(current_time),
+            created_at=format_timestamp_utc(now),
+            updated_at=format_timestamp_utc(now),
             tag=tags,
             embedding_name=embedding_name,
             **extras,
@@ -263,35 +263,35 @@ class SqliteStorageProvider[TMessage: interfaces.IMessage](
 
     @property
     def messages(self) -> SqliteMessageCollection[TMessage]:
-        return self._message_collection
+        return self._msgs
 
     @property
     def semantic_refs(self) -> SqliteSemanticRefCollection:
-        return self._semantic_ref_collection
+        return self._semrefs
 
     @property
     def semantic_ref_index(self) -> SqliteTermToSemanticRefIndex:
-        return self._semref_index
+        return self._term_index
 
     @property
     def property_index(self) -> SqlitePropertyIndex:
-        return self._property_index
+        return self._props
 
     @property
     def timestamp_index(self) -> SqliteTimestampToTextRangeIndex:
-        return self._timestamp_index
+        return self._times
 
     @property
     def message_text_index(self) -> SqliteMessageTextIndex:
-        return self._message_text_index
+        return self._msg_text
 
     @property
     def related_terms_index(self) -> SqliteRelatedTermsIndex:
-        return self._related_terms_index
+        return self._rel_terms
 
     @property
     def conversation_threads(self) -> ConversationThreads:
-        return self._conversation_threads
+        return self._threads
 
     # -- metadata --------------------------------------------------------------------
 
@@ -301,12 +301,12 @@ class SqliteStorageProvider[TMessage: interfaces.IMessage](
         rows = cursor.fetchall()
         if not rows:
             return ConversationMetadata()
-        metadata_dict: dict[str, list[str]] = {}
+        kv: dict[str, list[str]] = {}
         for key, value in rows:
-            metadata_dict.setdefault(key, []).append(value)
+            kv.setdefault(key, []).append(value)
 
-        def get_single(key: str) -> str | None:
-            values = metadata_dict.get(key)
+        def one_of(key: str) -> str | None:
+            values = kv.get(key)
             if values is None:
                 return None
             if len(values) > 1:
@@ -315,7 +315,7 @@ class SqliteStorageProvider[TMessage: interfaces.IMessage](
                 )
             return values[0]
 
-        def parse_datetime(value_str: str) -> datetime:
+        def as_datetime(value_str: str) -> datetime:
             if value_str.endswith("Z"):
                 value_str = value_str[:-1] + "+00:00"
             try:
@@ -323,25 +323,25 @@ class SqliteStorageProvider[TMessage: interfaces.IMessage](
             except ValueError:
                 return datetime.now(timezone.utc)
 
-        schema_version_str = get_single("schema_version")
-        created_at_str = get_single("created_at")
-        updated_at_str = get_single("updated_at")
-        standard_keys = {
+        raw_version = one_of("schema_version")
+        raw_created = one_of("created_at")
+        raw_updated = one_of("updated_at")
+        reserved_keys = {
             "name_tag", "schema_version", "created_at", "updated_at",
             "tag", "embedding_size", "embedding_name",
         }
         extra = {
             key: ", ".join(values)
-            for key, values in metadata_dict.items()
-            if key not in standard_keys
+            for key, values in kv.items()
+            if key not in reserved_keys
         }
         return ConversationMetadata(
-            name_tag=get_single("name_tag"),
-            schema_version=int(schema_version_str) if schema_version_str else None,
-            created_at=parse_datetime(created_at_str) if created_at_str else None,
-            updated_at=parse_datetime(updated_at_str) if updated_at_str else None,
-            embedding_model=get_single("embedding_name"),
-            tags=metadata_dict.get("tag"),
+            name_tag=one_of("name_tag"),
+            schema_version=int(raw_version) if raw_version else None,
+            created_at=as_datetime(raw_created) if raw_created else None,
+            updated_at=as_datetime(raw_updated) if raw_updated else None,
+            embedding_model=one_of("embedding_name"),
+            tags=kv.get("tag"),
             extra=extra if extra else None,
         )
 
@@ -357,22 +357,22 @@ class SqliteStorageProvider[TMessage: interfaces.IMessage](
         cursor.execute("SELECT 1 FROM ConversationMetadata LIMIT 1")
         if not cursor.fetchone():
             name_tag = self._metadata.name_tag if self._metadata else "conversation"
-            actual_name = (
+            live_model_name = (
                 self.message_text_index_settings.embedding_index_settings.embedding_model.model_name
             )
-            metadata_kwds: dict[str, str | None] = {
+            updates: dict[str, str | None] = {
                 "name_tag": name_tag or "conversation",
                 "schema_version": str(CONVERSATION_SCHEMA_VERSION),
-                "embedding_name": actual_name,
+                "embedding_name": live_model_name,
             }
         else:
-            metadata_kwds = {}
+            updates = {}
         if created_at is not None:
-            metadata_kwds["created_at"] = format_timestamp_utc(created_at)
+            updates["created_at"] = format_timestamp_utc(created_at)
         if updated_at is not None:
-            metadata_kwds["updated_at"] = format_timestamp_utc(updated_at)
-        if metadata_kwds:
-            set_conversation_metadata(self.db, **metadata_kwds)
+            updates["updated_at"] = format_timestamp_utc(updated_at)
+        if updates:
+            set_conversation_metadata(self.db, **updates)
 
     def get_db_version(self) -> int:
         return get_db_schema_version(self.db)
@@ -392,9 +392,9 @@ class SqliteStorageProvider[TMessage: interfaces.IMessage](
             return set()
         cursor = self.db.cursor()
         result: set[str] = set()
-        chunk_size = 500  # stay under SQLITE_MAX_VARIABLE_NUMBER
-        for i in range(0, len(source_ids), chunk_size):
-            chunk = source_ids[i : i + chunk_size]
+        sql_var_batch = 500  # stay under SQLITE_MAX_VARIABLE_NUMBER
+        for i in range(0, len(source_ids), sql_var_batch):
+            chunk = source_ids[i : i + sql_var_batch]
             placeholders = ",".join("?" for _ in chunk)
             cursor.execute(
                 f"SELECT source_id FROM IngestedSources "
