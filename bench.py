@@ -94,47 +94,59 @@ def main() -> None:
     f32 = stores["float32"]._buf
     i8, i8_scales = stores["int8"]._buf, stores["int8"]._scales
 
-    # -- engine programs (R batches per dispatch; steady-state throughput) --
-    def make_prog(fn):
+    # -- engine programs (R batches per dispatch; steady-state throughput).
+    # Buffers are ARGUMENTS, never closures: a captured device array embeds
+    # as an HLO constant and the 1.5 GB matrix overflows the remote compile
+    # service's request limit.
+    def make_prog(fn, *bufs):
         @jax.jit
-        def prog(qs):
-            return jax.lax.map(fn, qs)
+        def prog(qs, *arrs):
+            return jax.lax.map(lambda q: fn(q, *arrs), qs)
 
-        return prog
+        return prog, bufs
 
     progs = {
-        "exact1-bf16": make_prog(lambda q: T.topk_program(bf16, q, count, K)),
+        "exact1-bf16": make_prog(
+            lambda q, e: T.topk_program(e, q, count, K), bf16
+        ),
         "exact2-bf16": make_prog(
-            lambda q: T.topk_program_exact2(bf16, q, count, K, slack=6)
+            lambda q, e: T.topk_program_exact2(e, q, count, K, slack=6), bf16
         ),
         "bucket-approx-bf16": make_prog(
-            lambda q: T.cosine_topk_bucket(bf16, q, count, K)
+            lambda q, e: T.cosine_topk_bucket(e, q, count, K), bf16
         ),
         "approx-rt995-bf16": make_prog(
-            lambda q: T.cosine_topk_approx(bf16, q, count, K, recall_target=0.995)
+            lambda q, e: T.cosine_topk_approx(e, q, count, K, recall_target=0.995),
+            bf16,
         ),
-        "exact1-f32": make_prog(lambda q: T.topk_program(f32, q, count, K)),
+        "exact1-f32": make_prog(
+            lambda q, e: T.topk_program(e, q, count, K), f32
+        ),
         "exact2h-f32": make_prog(
-            lambda q: T.topk_program_exact2_hybrid(f32, bf16, q, count, K)
+            lambda q, e, s: T.topk_program_exact2_hybrid(e, s, q, count, K),
+            f32,
+            bf16,
         ),
         "int8": make_prog(
-            lambda q: T.topk_program_quantized(i8, i8_scales, q, count, K)
+            lambda q, e, s: T.topk_program_quantized(e, s, q, count, K),
+            i8,
+            i8_scales,
         ),
     }
 
     # -- warmup (itemized): lower/compile/first-run per engine --------------
-    for name, prog in progs.items():
+    for name, (prog, bufs) in progs.items():
         t0 = time.perf_counter()
-        lowered = prog.lower(many)
+        lowered = prog.lower(many, *bufs)
         t_lower = time.perf_counter() - t0
         t0 = time.perf_counter()
         compiled = lowered.compile()
         t_compile = time.perf_counter() - t0
         t0 = time.perf_counter()
-        out = compiled(many)
+        out = compiled(many, *bufs)
         np.asarray(jax.tree.leaves(out)[0])
         t_first = time.perf_counter() - t0
-        progs[name] = compiled
+        progs[name] = (compiled, bufs)
         log(
             f"warmup {name}: lower {t_lower:.1f}s, compile {t_compile:.1f}s "
             f"(persistent-cache {'hit' if t_compile < 15 else 'MISS'}), "
@@ -146,9 +158,9 @@ def main() -> None:
     timings = {name: float("inf") for name in progs}
     outputs = {}
     for _ in range(3):
-        for name, compiled in progs.items():
+        for name, (compiled, bufs) in progs.items():
             t0 = time.perf_counter()
-            out = compiled(many)
+            out = compiled(many, *bufs)
             np.asarray(jax.tree.leaves(out)[0])
             timings[name] = min(timings[name], time.perf_counter() - t0)
             outputs[name] = out
