@@ -367,6 +367,148 @@ _topk_pallas = jax.jit(_topk_pallas_impl, static_argnames=("k",))
 
 
 # ---------------------------------------------------------------------------
+# Interval-scoped exact variant: rows outside a small [s_pad, 2] (start,
+# stop) table are masked inside the fused kernel — scoped search over huge
+# stores without materializing [b, n] scores (the einsum+top_k route needs
+# ~10 GB at 10M rows, b=256). The table lives in SMEM; s_pad is small and
+# static, so the mask is s_pad unrolled compares per tile.
+# ---------------------------------------------------------------------------
+
+_PALLAS_MAX_INTERVALS = 8
+
+
+def _topk_kernel_iv(
+    count_ref, iv_ref, q_ref, e_ref, vals_ref, idx_ref, *, k: int, tile_n: int,
+    s_pad: int,
+):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        vals_ref[:] = jnp.full_like(vals_ref, _RAW_NEG)
+        idx_ref[:] = jnp.full_like(idx_ref, -1)
+
+    count = count_ref[0]
+    scores = jax.lax.dot_general(
+        q_ref[:].astype(e_ref.dtype),
+        e_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=(
+            jax.lax.Precision.HIGHEST
+            if e_ref.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        ),
+    )
+    b = scores.shape[0]
+    tile_base = step * tile_n
+    row_ids = tile_base + jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
+    in_scope = jnp.zeros((b, tile_n), dtype=bool)
+    for j in range(s_pad):  # static unroll over the interval table
+        in_scope = in_scope | (
+            (row_ids >= iv_ref[j, 0]) & (row_ids < iv_ref[j, 1])
+        )
+    masked = jnp.where((row_ids < count) & in_scope, scores, _RAW_NEG)
+    _fold_tile_into_topk(masked, tile_base, vals_ref, idx_ref, k=k)
+
+
+def _topk_pallas_iv_impl(
+    emb: jax.Array,
+    queries: jax.Array,
+    count: jax.Array,
+    intervals: jax.Array,  # [s_pad, 2] i32; padding rows are (0, 0)
+    *,
+    k: int,
+):
+    n_pad, d_pad = emb.shape
+    b_pad = queries.shape[0]
+    s_pad = intervals.shape[0]
+    tile_n = _pick_tile(n_pad, d_pad, b_pad, emb.dtype.itemsize, k)
+    grid = (pl.cdiv(n_pad, tile_n),)
+    kernel = functools.partial(
+        _topk_kernel_iv, k=k, tile_n=tile_n, s_pad=s_pad
+    )
+    vals, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # count (1,)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # intervals [s_pad, 2]
+            pl.BlockSpec((b_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b_pad, _K_LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, _K_LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, _K_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, _K_LANES), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * n_pad * d_pad,
+            bytes_accessed=n_pad * d_pad * emb.dtype.itemsize
+            + b_pad * d_pad * 4
+            + 2 * b_pad * _K_LANES * 4,
+            transcendentals=0,
+        ),
+    )(count, intervals, queries, emb)
+    return _raw_to_score(vals[:, :k], idx[:, :k])
+
+
+def _topk_xla_iv_impl(emb, queries, count, intervals, *, k: int):
+    raw = jnp.einsum(
+        "bd,nd->bn",
+        queries.astype(emb.dtype),
+        emb,
+        preferred_element_type=jnp.float32,
+        precision=(
+            jax.lax.Precision.HIGHEST
+            if emb.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        ),
+    )
+    n = emb.shape[0]
+    rows = jnp.arange(n, dtype=jnp.int32)
+    in_scope = (
+        (rows[:, None] >= intervals[None, :, 0])
+        & (rows[:, None] < intervals[None, :, 1])
+    ).any(axis=1)
+    ok = in_scope & (rows < count)
+    scores = jnp.clip((raw + 1.0) * 0.5, 0.0, 1.0)
+    return jax.lax.top_k(jnp.where(ok[None, :], scores, _NEG), k)
+
+
+def topk_program_intervals(
+    emb: jax.Array,
+    queries: jax.Array,
+    count: jax.Array,
+    intervals: jax.Array,
+    k: int,
+    use_pallas: bool | None = None,
+):
+    """Traceable interval-scoped exact top-k (usable inside shard_map).
+
+    ``intervals``: [s_pad, 2] i32 half-open (start, stop) global row spans
+    (padding rows (0, 0)). The Pallas route requires s_pad <=
+    ``_PALLAS_MAX_INTERVALS``; larger tables take the XLA route (which
+    materializes [b, n] scores — fine at small n, not at 10M).
+    """
+    k = min(k, emb.shape[0])
+    if use_pallas is None:
+        use_pallas = _use_pallas()
+    if (
+        use_pallas
+        and k <= _PALLAS_MAX_K
+        and intervals.shape[0] <= _PALLAS_MAX_INTERVALS
+    ):
+        return _topk_pallas_iv_impl(
+            emb, queries, count.reshape(1), intervals, k=k
+        )
+    return _topk_xla_iv_impl(emb, queries, count.reshape(()), intervals, k=k)
+
+
+# ---------------------------------------------------------------------------
 # Quantized (int8) variant: rows stored as int8 with per-row scales. The
 # matmul runs on the raw int8 values (upcast on the MXU) and the per-row
 # scale is applied to the [b, tile] score block afterwards — exact for
@@ -1021,7 +1163,7 @@ def topk_program_exact2(
     queries: jax.Array,
     count: jax.Array,
     k: int,
-    slack: int = 2,
+    slack: int = 6,
     use_pallas: bool | None = None,
 ):
     """Traceable two-phase exact top-k (usable inside jit/lax.map bodies).
@@ -1045,7 +1187,7 @@ def cosine_topk_exact2(
     count: jax.Array | int,
     k: int,
     *,
-    slack: int = 2,
+    slack: int = 6,
 ):
     """Batched exact top-k via bucket-select + rescore (the large-store fast
     exact path: phase 1 runs at the fused matmul floor; phase 2 touches only
@@ -1106,7 +1248,7 @@ def topk_many(
             return topk_program(emb, q, count, k, use_pallas=use_pallas)
         if mode == "exact2":
             return topk_program_exact2(
-                emb, q, count, k, slack=2 if slack is None else slack,
+                emb, q, count, k, slack=6 if slack is None else slack,
                 use_pallas=use_pallas,
             )
         if mode == "exact2h":

@@ -34,7 +34,12 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _shard_map
 
 from ..ops import append as append_ops
-from ..ops.topk import _NEG, topk_program, topk_program_quantized
+from ..ops.topk import (
+    _NEG,
+    topk_program,
+    topk_program_intervals,
+    topk_program_quantized,
+)
 from .mesh import AXIS_DP, AXIS_SHARD
 
 __all__ = ["make_sharded_topk", "ShardedVectorStore"]
@@ -203,6 +208,7 @@ def _sharded_interval_topk_cached(mesh: Mesh, k: int, quantized: bool):
     (at 10M rows that mask is ~10 MB built + transferred per query batch).
     Padding rows are (0, 0) — empty intervals select nothing."""
     emb_spec = (P(AXIS_SHARD, None), P(AXIS_SHARD)) if quantized else (P(AXIS_SHARD, None),)
+    use_pallas = mesh.devices.flat[0].platform == "tpu"
 
     @functools.partial(
         _shard_map,
@@ -220,6 +226,17 @@ def _sharded_interval_topk_cached(mesh: Mesh, k: int, quantized: bool):
         shard = jax.lax.axis_index(AXIS_SHARD)
         offset = shard * local_n
         local_count = jnp.clip(count[0] - offset, 0, local_n)
+        kk = min(k, local_n)
+        # Shift the global interval table into shard-local coordinates so
+        # the fused kernel's row-id compares stay local.
+        local_iv = jnp.clip(intervals - offset, 0, local_n)
+        if not quantized:
+            vals, idx = topk_program_intervals(
+                emb_local, q_local, local_count, local_iv, kk, use_pallas
+            )
+            idx = jnp.where(vals >= 0.0, idx + offset, -1)
+            return _merge_shard_winners(vals, idx, kk, min_score)
+        # Quantized stores keep the einsum route (scores need per-row scales).
         gid = offset + jnp.arange(local_n, dtype=jnp.int32)
         in_seg = (gid[:, None] >= intervals[None, :, 0]) & (
             gid[:, None] < intervals[None, :, 1]
@@ -232,14 +249,12 @@ def _sharded_interval_topk_cached(mesh: Mesh, k: int, quantized: bool):
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        if quantized:
-            raw = raw * scales_local[None, :]
+        raw = raw * scales_local[None, :]
         scores = jnp.clip((raw + 1.0) * 0.5, 0.0, 1.0)
         row_ok = mask_local & (
             jnp.arange(local_n, dtype=jnp.int32) < local_count
         )
         scores = jnp.where(row_ok[None, :], scores, _NEG)
-        kk = min(k, local_n)
         vals, pos = jax.lax.top_k(scores, kk)
         idx = jnp.where(vals >= 0.0, pos + offset, -1)
         return _merge_shard_winners(vals, idx, kk, min_score)
