@@ -389,3 +389,90 @@ def test_exact2_program_traceable_in_scan(rng):
     assert np.asarray(cert).all()
     vals_e, idx_e = topk.cosine_topk(emb, qs[1], count, k)
     assert (np.asarray(idx[1]) == np.asarray(idx_e)).all()
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_topk_program_intervals_matches_masked_oracle(rng, dtype):
+    """Interval-scoped exact top-k == mask-then-top-k oracle (XLA route on
+    CPU; the Pallas route shares semantics and is covered by the corpus
+    tests on TPU)."""
+    import jax
+
+    d, count, k = 64, 3000, 7
+    m = _normed(rng, count, d)
+    emb = jnp.asarray(_pad(m, 3072, 128))
+    if dtype == "bfloat16":
+        emb = emb.astype(jnp.bfloat16)
+    q = jnp.asarray(_pad(_normed(rng, 6, d), 8, 128))
+    intervals = jnp.asarray([[100, 400], [1500, 1600], [0, 0]], dtype=jnp.int32)
+    vals, idx = topk.topk_program_intervals(
+        emb, q, jnp.asarray(count, jnp.int32), intervals, k
+    )
+    idx = np.asarray(idx)
+    vals = np.asarray(vals)
+    in_scope = np.zeros(count, bool)
+    in_scope[100:400] = True
+    in_scope[1500:1600] = True
+    scores = np.clip(
+        (np.asarray(q) @ np.asarray(emb.astype(jnp.float32)).T + 1) / 2, 0, 1
+    )
+    for r in range(6):
+        row = scores[r, :count].copy()
+        row[~in_scope] = -1
+        best = set(np.argsort(-row, kind="stable")[:k].tolist())
+        got = set(int(i) for i in idx[r] if i >= 0)
+        assert got == best, r
+        assert all(in_scope[i] for i in got)
+
+
+def test_topk_program_intervals_empty_table(rng):
+    d, count = 32, 500
+    emb = jnp.asarray(_pad(_normed(rng, count, d), 1024, 128))
+    q = jnp.asarray(_pad(_normed(rng, 2, d), 8, 128))
+    intervals = jnp.zeros((4, 2), dtype=jnp.int32)  # all-empty spans
+    vals, idx = topk.topk_program_intervals(
+        emb, q, jnp.asarray(count, jnp.int32), intervals, 5
+    )
+    assert (np.asarray(idx) == -1).all() or (np.asarray(vals) < 0).all()
+
+
+def test_sharded_append_device_matches_host_append(rng):
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from typeagent_tpu.parallel import ShardedVectorStore, create_mesh
+
+    mesh = create_mesh(n_shard=4, n_dp=2)
+    dim = 48
+    m = _normed(rng, 600, dim)
+    host_store = ShardedVectorStore(mesh, dim)
+    host_store.append(m)
+    dev_store = ShardedVectorStore(mesh, dim)
+    dev_store.append_device(jnp.asarray(m[:400]))
+    dev_store.append_device(jnp.asarray(m[400:]))  # growth path
+    assert len(dev_store) == 600
+    q = m[37:39]
+    a = host_store.search(q, k=5)
+    b = dev_store.search(q, k=5)
+    assert [[i for i, _ in row] for row in a] == [[i for i, _ in row] for row in b]
+
+
+def test_corpus_append_device_scoped(rng):
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from typeagent_tpu.parallel import create_mesh
+    from typeagent_tpu.parallel.corpus import CorpusVectorStore
+
+    mesh = create_mesh(n_shard=4, n_dp=2)
+    dim = 32
+    corpus = CorpusVectorStore(dim, mesh=mesh)
+    a = _normed(rng, 300, dim)
+    b = _normed(rng, 200, dim)
+    corpus.append_device("left", jnp.asarray(a * 3.0))  # device normalization
+    corpus.append_device("right", jnp.asarray(b))
+    hits = corpus.search(a[42:43], k=3, conversations=["left"])[0]
+    assert hits[0].conversation == "left" and hits[0].local_ordinal == 42
+    assert hits[0].score == pytest.approx(1.0, abs=1e-4)

@@ -83,6 +83,27 @@ class CorpusVectorStore:
         )
         self._local_counts[conversation] = local_base + rows.shape[0]
 
+    def reserve(self, n_rows: int) -> None:
+        """Pre-size the sharded buffer for a known corpus size."""
+        self._store.reserve(n_rows)
+
+    def append_device(self, conversation: str, rows) -> None:
+        """Bulk-adopt device-resident rows for a conversation (normalized on
+        device; no host round trip — the 10M-fragment ingest path)."""
+        import jax.numpy as jnp
+
+        if rows.ndim != 2 or rows.shape[0] == 0:
+            return
+        norms = jnp.linalg.norm(rows.astype(jnp.float32), axis=1, keepdims=True)
+        unit = rows / jnp.where(norms > 0, norms, 1.0)
+        start = len(self._store)
+        local_base = self._local_counts.get(conversation, 0)
+        self._store.append_device(unit)
+        self._segments.append(
+            _Segment(conversation, start, rows.shape[0], local_base)
+        )
+        self._local_counts[conversation] = local_base + rows.shape[0]
+
     def _resolve(self, global_ordinal: int) -> tuple[str, int]:
         starts = [s.start for s in self._segments]
         idx = bisect.bisect_right(starts, global_ordinal) - 1

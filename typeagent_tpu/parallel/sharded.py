@@ -422,6 +422,46 @@ class ShardedVectorStore:
         self._pending.append(rows)
         self._pending_rows += rows.shape[0]
 
+    def reserve(self, n_rows: int) -> None:
+        """Pre-size the buffer for a known ingest (capacity doubling would
+        otherwise overshoot by up to 2x — at 10M x 384 bf16 that is an extra
+        ~5 GB of HBM)."""
+        needed = append_ops.round_up(max(n_rows, 1), 1024)
+        if needed > self.buf.shape[0]:
+            self.buf = _grow_rows_cached(self.mesh)(self.buf, new_capacity=needed)
+            if self._quantized:
+                self._scales = _grow_scales_cached(self.mesh)(
+                    self._scales, new_capacity=needed
+                )
+
+    def append_device(self, rows: jax.Array) -> None:
+        """Bulk-adopt device-resident rows (zero host round trip).
+
+        The sharded twin of ``VectorStore.load_device_rows``: rows produced
+        on device (an on-device encoder, a generator, a restore) reshard to
+        the mesh's row sharding and write in place — no 15 GB host detour
+        for a 10M-row ingest. Rows must be L2-normalized ``[n, dim]``.
+        """
+        n, size = rows.shape
+        assert size == self.dim, (size, self.dim)
+        if n == 0:
+            return
+        self._flush()
+        padded = jnp.pad(rows.astype(jnp.float32), ((0, 0), (0, self.dim_pad - size)))
+        self._grow(self.count + n)
+        count = jnp.int32(self.count)
+        if self._quantized:
+            from ..ops.topk import quantize_rows_device
+
+            q_rows, row_scales = quantize_rows_device(padded)
+            self.buf = _append_rows_cached(self.mesh)(self.buf, q_rows, count)
+            self._scales = _append_scales_cached(self.mesh)(
+                self._scales, row_scales, count
+            )
+        else:
+            self.buf = _append_rows_cached(self.mesh)(self.buf, padded, count)
+        self.count += n
+
     def _grow(self, needed: int) -> None:
         cap = self.buf.shape[0]
         while cap < needed:
