@@ -476,3 +476,20 @@ def test_corpus_append_device_scoped(rng):
     hits = corpus.search(a[42:43], k=3, conversations=["left"])[0]
     assert hits[0].conversation == "left" and hits[0].local_ordinal == 42
     assert hits[0].score == pytest.approx(1.0, abs=1e-4)
+
+
+def test_exact2_hybrid_i8_matches_f32_oracle(rng):
+    d = 64
+    count, k = 4096, 10
+    m = _normed(rng, count, d)
+    emb = jnp.asarray(_pad(m, 4096, 128))
+    q_rows, scales = topk.quantize_rows(np.asarray(emb))
+    q = jnp.asarray(_pad(_normed(rng, 8, d), 8, 128))
+    vals_e, idx_e = topk.cosine_topk(emb, q, count, k)
+    vals_h, idx_h, cert = topk.topk_program_exact2_hybrid_i8(
+        emb, jnp.asarray(q_rows), jnp.asarray(scales), q,
+        jnp.asarray(count, jnp.int32), k,
+    )
+    assert np.asarray(cert).all()
+    assert (np.asarray(idx_h) == np.asarray(idx_e)).all()
+    np.testing.assert_allclose(np.asarray(vals_h), np.asarray(vals_e), atol=1e-6)

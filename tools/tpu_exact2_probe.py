@@ -150,5 +150,81 @@ def main():
         log(f"{name} vs exact1-bf16: recall@{K}={match:.5f}")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--hybrid" not in sys.argv:
     main()
+
+
+def probe_hybrid_variants():
+    """Follow-up probe: hybrid slack sweep + int8 selection shadow."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from typeagent_tpu.ops import topk as T
+
+    log("backend:", jax.default_backend())
+
+    @jax.jit
+    def gen_data(key):
+        ke, kq = jax.random.split(key)
+        emb = jax.random.normal(ke, (N_PAD, D), dtype=jnp.float32)
+        emb /= jnp.linalg.norm(emb, axis=1, keepdims=True)
+        qs = jax.random.normal(kq, (R, B, D), dtype=jnp.float32)
+        qs /= jnp.linalg.norm(qs, axis=2, keepdims=True)
+        return emb, qs
+
+    emb_f32, many_dev = gen_data(jax.random.PRNGKey(7))
+    emb_f32.block_until_ready()
+    emb_bf16 = jnp.asarray(emb_f32, dtype=jnp.bfloat16)
+    emb_i8, i8_scales = T.quantize_rows_device(emb_f32)
+    count = jnp.asarray(N, dtype=jnp.int32)
+    results = {}
+
+    def bench(name, fn, *bufs):
+        # Buffers as ARGUMENTS (a closure-captured device array embeds as
+        # an HLO constant -> remote compile request overflows).
+        @jax.jit
+        def prog(qs, *arrs):
+            return jax.lax.map(lambda q: fn(q, *arrs), qs)
+
+        t0 = time.perf_counter()
+        out = prog(many_dev, *bufs)
+        leaves = jax.tree.leaves(out)
+        np.asarray(leaves[0])
+        log(f"{name}: compile+run {time.perf_counter() - t0:.1f}s")
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = prog(many_dev, *bufs)
+            np.asarray(jax.tree.leaves(out)[0])
+            best = min(best, time.perf_counter() - t0)
+        cert = jax.tree.leaves(out)
+        cert_all = bool(np.asarray(cert[2]).all()) if len(cert) > 2 else None
+        log(f"{name}: {best / R * 1000:.2f} ms/batch-{B} "
+            f"({R * B / best:.0f} QPS) cert_all={cert_all}")
+        results[name] = (np.asarray(cert[1]), cert_all)
+
+    bench("exact1-f32", lambda q, e: T.topk_program(e, q, count, K), emb_f32)
+    bench("hybrid-bf16-s14", lambda q, e, s: T.topk_program_exact2_hybrid(
+        e, s, q, count, K), emb_f32, emb_bf16)
+    bench("hybrid-bf16-s8", lambda q, e, s: T.topk_program_exact2_hybrid(
+        e, s, q, count, K, slack=8), emb_f32, emb_bf16)
+    bench("hybrid-i8-s22", lambda q, e, s, sc: T.topk_program_exact2_hybrid_i8(
+        e, s, sc, q, count, K), emb_f32, emb_i8, i8_scales)
+    bench("hybrid-i8-s14", lambda q, e, s, sc: T.topk_program_exact2_hybrid_i8(
+        e, s, sc, q, count, K, slack=14), emb_f32, emb_i8, i8_scales)
+
+    oracle = results["exact1-f32"][0].reshape(-1, K)
+    for name, (idx, cert_all) in results.items():
+        if name == "exact1-f32":
+            continue
+        match = np.mean([
+            len(set(a.tolist()) & set(b.tolist())) / K
+            for a, b in zip(idx.reshape(-1, K), oracle)
+        ])
+        log(f"{name}: recall@{K} vs f32 oracle = {match:.5f} cert_all={cert_all}")
+
+
+if __name__ == "__main__" and "--hybrid" in sys.argv:
+    probe_hybrid_variants()
+    sys.exit(0)

@@ -892,6 +892,85 @@ def _topk_bucket_pallas_impl(
 _topk_bucket_pallas = jax.jit(_topk_bucket_pallas_impl, static_argnames=("k",))
 
 
+def _bucket_maxima_kernel_q(
+    count_ref, q_ref, e_ref, s_ref, vals_ref, *, tile_n: int
+):
+    """Quantized bucket maxima: int8 rows x bf16 queries, per-row scales
+    applied to the [b, tile] block (exact for per-row symmetric
+    quantization). Maxima-only (the exact2 selection phase)."""
+    step = pl.program_id(0)
+    g = tile_n // _BUCKET_ROWS
+    subs = _K_LANES // g
+    sub = step % subs
+
+    @pl.when(sub == 0)
+    def _init():
+        vals_ref[:] = jnp.full_like(vals_ref, _RAW_NEG)
+
+    count = count_ref[0]
+    raw = jax.lax.dot_general(
+        q_ref[:],
+        e_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scores = raw * s_ref[:].reshape(1, tile_n)
+    b = scores.shape[0]
+    tile_base = step * tile_n
+    row_ids = tile_base + jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
+    masked = jnp.where(row_ids < count, scores, _RAW_NEG)
+    grouped = masked.reshape(b, g, _BUCKET_ROWS)
+    bucket_max = jnp.max(grouped, axis=2)
+    if g == _K_LANES:
+        vals_ref[:] = bucket_max
+    else:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (b, _K_LANES), 1)
+        in_slot = (lane >= sub * g) & (lane < (sub + 1) * g)
+        pad_v = jnp.full((b, _K_LANES - g), _RAW_NEG, jnp.float32)
+        wide_v = pltpu.roll(jnp.concatenate([bucket_max, pad_v], axis=1), sub * g, 1)
+        vals_ref[:] = jnp.where(in_slot, wide_v, vals_ref[:])
+
+
+def _bucket_maxima_pallas_q(
+    emb_q: jax.Array, scales: jax.Array, queries: jax.Array, count: jax.Array
+):
+    """Per-bucket maxima over an int8 store (selection shadow for exact2)."""
+    n_pad, d_pad = emb_q.shape
+    b_pad = queries.shape[0]
+    tile_n = _pick_tile_bucket(n_pad, d_pad, b_pad, emb_q.dtype.itemsize)
+    # The 1-D scales operand carries (1024,) tiling (see _topk_pallas_q_impl).
+    if tile_n < n_pad:
+        tile_n = max((tile_n // 1024) * 1024, 1024)
+    g = tile_n // _BUCKET_ROWS
+    subs = max(_K_LANES // g, 1)
+    steps = pl.cdiv(n_pad, tile_n)
+    blocks = -(-steps // subs)
+    kernel = functools.partial(_bucket_maxima_kernel_q, tile_n=tile_n)
+    out_spec = pl.BlockSpec(
+        (b_pad, _K_LANES),
+        lambda i, _subs=subs: (0, i // _subs),
+        memory_space=pltpu.VMEM,
+    )
+    vals = pl.pallas_call(
+        kernel,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((b_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n,), lambda i: (i,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[out_spec],
+        out_shape=[jax.ShapeDtypeStruct((b_pad, blocks * _K_LANES), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * n_pad * d_pad,
+            bytes_accessed=n_pad * d_pad + n_pad * 4 + b_pad * d_pad * 2,
+            transcendentals=0,
+        ),
+    )(count, queries, emb_q, scales)[0]
+    return vals
+
+
 def _bucket_maxima_xla(emb: jax.Array, queries: jax.Array, count: jax.Array):
     """XLA bucket maxima (CPU meshes / oracle): materializes [b, n] scores."""
     raw = jnp.einsum(
@@ -1116,6 +1195,83 @@ def _topk_exact2_hybrid_impl(
 _topk_exact2_hybrid = jax.jit(
     _topk_exact2_hybrid_impl, static_argnames=("k", "slack", "use_pallas")
 )
+
+
+# int8-selection certificate slack: |dequant_int8_cos - f32_cos| <= ~1e-2
+# (7-bit mantissa per element, scale quantization). Selection needs more
+# slack than the bf16 shadow; the cert still bounds any miss to an
+# eps-score tie.
+_CERT_EPS_HYBRID_I8 = 2e-2
+_HYBRID_I8_SLACK = 22
+
+
+def _topk_exact2_hybrid_i8_impl(
+    emb: jax.Array,  # [n_pad, d_pad] f32 — rescore (truth) buffer
+    shadow_q: jax.Array,  # [n_pad, d_pad] int8 selection shadow
+    shadow_scales: jax.Array,  # [n_pad] f32
+    queries: jax.Array,
+    count: jax.Array,
+    *,
+    k: int,
+    slack: int,
+    use_pallas: bool,
+):
+    nb = emb.shape[0] // _BUCKET_ROWS
+    B = min(k + slack, nb)
+    if use_pallas:
+        bvals = _bucket_maxima_pallas_q(
+            shadow_q,
+            shadow_scales,
+            queries.astype(jnp.bfloat16),
+            count.reshape(1),
+        )
+    else:
+        raw = jnp.einsum(
+            "bd,nd->bn",
+            queries.astype(jnp.float32),
+            shadow_q.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ) * shadow_scales[None, :]
+        n_pad = shadow_q.shape[0]
+        row_ids = jax.lax.broadcasted_iota(
+            jnp.int32, (queries.shape[0], n_pad), 1
+        )
+        raw = jnp.where(row_ids < count.reshape(()), raw, _RAW_NEG)
+        bvals = jnp.max(
+            raw.reshape(queries.shape[0], n_pad // _BUCKET_ROWS, _BUCKET_ROWS),
+            axis=2,
+        )
+    return _exact2_phase2_rescore(
+        emb, queries, count.reshape(()), bvals, k=k, B=B,
+        use_pallas=use_pallas, eps=_CERT_EPS_HYBRID_I8,
+    )
+
+
+_topk_exact2_hybrid_i8 = jax.jit(
+    _topk_exact2_hybrid_i8_impl, static_argnames=("k", "slack", "use_pallas")
+)
+
+
+def topk_program_exact2_hybrid_i8(
+    emb: jax.Array,
+    shadow_q: jax.Array,
+    shadow_scales: jax.Array,
+    queries: jax.Array,
+    count: jax.Array,
+    k: int,
+    slack: int = _HYBRID_I8_SLACK,
+    use_pallas: bool | None = None,
+):
+    """Traceable int8-selection hybrid exact top-k: quarter-bandwidth bucket
+    selection over an int8 shadow + exact f32 VPU rescore of the selected
+    buckets. Wider slack + certificate absorb the quantization skew."""
+    k = min(k, emb.shape[0])
+    if use_pallas is None:
+        use_pallas = _use_pallas()
+    return _topk_exact2_hybrid_i8_impl(
+        emb, shadow_q, shadow_scales, queries, count,
+        k=k, slack=slack, use_pallas=use_pallas,
+    )
 
 
 def topk_program_exact2_hybrid(
