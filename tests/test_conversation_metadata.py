@@ -225,3 +225,90 @@ async def test_memory_provider_tracks_timestamps_in_ram(tmp_path):
     await conv.add_messages_with_indexing([msg("hello")])
     meta = await conv.storage_provider.get_conversation_metadata()
     assert meta.updated_at is not None
+
+
+async def test_embedding_model_mismatch_raises(tmp_path):
+    """Opening a DB with a different embedding model than stored must fail
+    loudly (silent dimension mismatch corrupts scoring)."""
+    import pytest
+
+    from typeagent_tpu.knowpro.convsettings import (
+        MessageTextIndexSettings,
+        RelatedTermIndexSettings,
+    )
+    from typeagent_tpu.models.adapters import create_embedding_model
+    from typeagent_tpu.storage.sqlite.provider import SqliteStorageProvider
+    from typeagent_tpu.knowpro.universal_message import ConversationMessage
+    from typeagent_tpu.vectorstore import TextEmbeddingIndexSettings
+
+    db = str(tmp_path / "mm.db")
+
+    class _RenamedModel:
+        """Proxy that overrides model_name (FakeEmbedder's is read-only)."""
+
+        def __init__(self, inner, name):
+            self._inner = inner
+            self.model_name = name
+
+        def __getattr__(self, attr):
+            return getattr(self._inner, attr)
+
+    def settings_for(spec, name):
+        base = TextEmbeddingIndexSettings(
+            embedding_model=create_embedding_model(spec), min_score=0.0
+        )
+        base.embedding_model = _RenamedModel(base.embedding_model, name)
+        return (
+            MessageTextIndexSettings(base),
+            RelatedTermIndexSettings(base),
+        )
+
+    mt, rt = settings_for("test:16", "model-alpha")
+    provider = SqliteStorageProvider(
+        db, ConversationMessage, None,
+        message_text_index_settings=mt,
+        related_term_index_settings=rt,
+    )
+    async with provider:
+        pass  # seeds metadata (embedding_name = model-alpha)
+    await provider.close()
+
+    mt2, rt2 = settings_for("test:16", "model-beta")
+    with pytest.raises(ValueError, match="does not match"):
+        SqliteStorageProvider(
+            db, ConversationMessage, None,
+            message_text_index_settings=mt2,
+            related_term_index_settings=rt2,
+        )
+
+
+async def test_empty_string_timestamp_values_survive_roundtrip(tmp_path):
+    """Oddball metadata values (empty strings) must not crash readback."""
+    from typeagent_tpu.knowpro.universal_message import ConversationMessage
+    from typeagent_tpu.storage.sqlite.provider import SqliteStorageProvider
+
+    db = str(tmp_path / "odd.db")
+    provider = SqliteStorageProvider(db, ConversationMessage, None)
+    async with provider:
+        await provider.set_conversation_metadata(custom="", other="x")
+    meta = await provider.get_conversation_metadata()
+    assert meta.extra.get("custom") == ""
+    assert meta.extra.get("other") == "x"
+    await provider.close()
+
+
+async def test_metadata_shared_access_two_handles(tmp_path):
+    """Two providers on the same DB file observe each other's metadata
+    writes (WAL mode)."""
+    from typeagent_tpu.knowpro.universal_message import ConversationMessage
+    from typeagent_tpu.storage.sqlite.provider import SqliteStorageProvider
+
+    db = str(tmp_path / "shared.db")
+    a = SqliteStorageProvider(db, ConversationMessage, None)
+    async with a:
+        await a.set_conversation_metadata(origin="writer-a")
+    b = SqliteStorageProvider(db, ConversationMessage, None)
+    meta = await b.get_conversation_metadata()
+    assert meta.extra.get("origin") == "writer-a"
+    await a.close()
+    await b.close()
