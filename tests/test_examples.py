@@ -17,6 +17,7 @@ EXAMPLES = [
     ("simple_query_demo.py", ["bach"]),
     ("batch_query_demo.py", []),
     ("sharded_corpus_demo.py", []),
+    ("serving_demo.py", ["serving demo ok"]),
 ]
 
 
