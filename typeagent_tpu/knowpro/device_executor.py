@@ -789,7 +789,7 @@ class DeviceQueryExecutor:
         if not leaves or self._n_semrefs == 0:
             return np.empty(0, dtype=np.int64)
         n_seg = len(leaves)
-        n_ops, window = self._plan_cost(
+        n_ops, window, _total = self._plan_cost(
             _Plan(0, root, leaves, None, None, [], None)
         )
         if (
@@ -922,24 +922,26 @@ class DeviceQueryExecutor:
             return None
         return expr, top_n, min_hit, ktype_predicates
 
-    def _plan_cost(self, plan: "_Plan") -> tuple[int, int]:
-        """(op count, longest queried posting list) for the gather gate."""
+    def _plan_cost(self, plan: "_Plan") -> tuple[int, int, int]:
+        """(op count, longest posting list, TOTAL postings).
+
+        The dense gather gate pays ops x longest-list (uniform windows);
+        the ragged COO route pays total postings."""
         n_ops = 0
         max_size = 1
+        total = 0
         for leaf in plan.leaves:
             for op in leaf.ops:
                 n_ops += 1
-                max_size = max(
-                    max_size,
-                    self._postings.posting_size(self._postings.lookup(op.key)),
-                )
+                size = self._postings.posting_size(self._postings.lookup(op.key))
+                max_size = max(max_size, size)
+                total += size
             for key in leaf.boost_keys:
                 n_ops += 1
-                max_size = max(
-                    max_size,
-                    self._postings.posting_size(self._postings.lookup(key)),
-                )
-        return n_ops, max_size
+                size = self._postings.posting_size(self._postings.lookup(key))
+                max_size = max(max_size, size)
+                total += size
+        return n_ops, max_size, total
 
     @staticmethod
     def _gather_elements(n_ops: int, window: int) -> int:
@@ -963,29 +965,40 @@ class DeviceQueryExecutor:
         budget. Order within each pool is preserved."""
         sparse_pool = [p for p in plans if self._sparse_capable(p)]
         dense_pool = [p for p in plans if not self._sparse_capable(p)]
-        return self._pack_plans(sparse_pool, _MAX_SPARSE_ENTRIES) + (
+        return self._pack_plans(sparse_pool, _MAX_SPARSE_ENTRIES, sparse=True) + (
             self._pack_plans(dense_pool, _MAX_DENSE_ENTRIES)
         )
 
     def _pack_plans(
-        self, plans: list["_Plan"], entry_budget: int
+        self, plans: list["_Plan"], entry_budget: int, sparse: bool = False
     ) -> list[list["_Plan"]]:
         """Pack plans into device calls under the given per-call entry and
         gather budgets; plans with conflicting boost factors split into
-        separate calls; plans too large even alone are skipped (host VM)."""
+        separate calls; plans too large even alone are skipped (host VM).
+        Sparse pools gate on TOTAL postings (the ragged COO sort size);
+        dense pools gate on ops x longest-window."""
+        from ..ops.postings import _COO_E_BUCKETS
+
         cap = self._postings._semref_cap
         groups: list[list[_Plan]] = []
         current: list[_Plan] = []
         current_segs = 0
         current_ops = 0
         current_window = 1
+        current_total = 0
         current_factor: float | None = None
+
+        def gather_ok(n_ops, window, total):
+            if sparse:
+                return total <= _COO_E_BUCKETS[-1]
+            return self._gather_elements(n_ops, window) <= _MAX_GATHER_ELEMENTS
+
         for plan in plans:
             n_seg = len(plan.leaves)
-            n_ops, window = self._plan_cost(plan)
+            n_ops, window, total = self._plan_cost(plan)
             if (
                 _bucket(max(n_seg, 1), _SEG_BUCKETS) * cap > entry_budget
-                or self._gather_elements(n_ops, window) > _MAX_GATHER_ELEMENTS
+                or not gather_ok(n_ops, window, total)
             ):
                 continue  # too large even alone: host VM wins here
             factor = plan.boost_factor()
@@ -997,19 +1010,20 @@ class DeviceQueryExecutor:
             fits = (
                 _bucket(max(current_segs + n_seg, 1), _SEG_BUCKETS) * cap
                 <= entry_budget
-            ) and (
-                self._gather_elements(
-                    current_ops + n_ops, max(current_window, window)
-                )
-                <= _MAX_GATHER_ELEMENTS
+            ) and gather_ok(
+                current_ops + n_ops,
+                max(current_window, window),
+                current_total + total,
             )
             if current and not (compatible and fits):
                 groups.append(current)
                 current, current_segs = [], 0
                 current_ops, current_window, current_factor = 0, 1, None
+                current_total = 0
             current.append(plan)
             current_segs += n_seg
             current_ops += n_ops
+            current_total += total
             current_window = max(current_window, window)
             if factor is not None:
                 current_factor = factor

@@ -46,6 +46,10 @@ _COMPACT_FETCH_BUCKETS = (256, 1024, 4096, 8192)
 # COO result-size buckets for the sort+scan sparse kernel (total active
 # (segment, semref) runs per device call).
 _COO_BUCKETS = (4096, 16384, 65536, 262144)
+# COO entry-count buckets (total postings across the call's ops — ragged
+# flattening makes this the sort size; the dense kernels' window bucketing
+# would pay t_pad x the LONGEST posting list instead).
+_COO_E_BUCKETS = (4096, 16384, 65536, 262144, 1048576, 4194304)
 
 # Op kinds for the segmented accumulator.
 OP_EXACT = 0
@@ -233,7 +237,7 @@ _POS_P = 8192
 
 @functools.partial(
     jax.jit,
-    static_argnames=("window", "semref_cap", "n_seg", "dedup_related", "r_max"),
+    static_argnames=("e_pad", "semref_cap", "n_seg", "dedup_related", "r_max"),
 )
 def accumulate_postings_segmented_coo(
     offsets: jax.Array,
@@ -250,7 +254,7 @@ def accumulate_postings_segmented_coo(
     semref_ktype: jax.Array,
     boost_factor: jax.Array,
     *,
-    window: int,
+    e_pad: int,
     semref_cap: int,
     n_seg: int,
     dedup_related: bool = False,
@@ -260,9 +264,12 @@ def accumulate_postings_segmented_coo(
 
     XLA lowers data-dependent scatter-adds to a serial loop on TPU — the
     dense kernel measured ~1 s/call at 100k semrefs. This formulation is
-    TPU-shaped: flatten the (op, posting) grid to COO entries, ONE sort by
-    (segment, semref, op-position), then per-run segmented scans implement
-    every MatchAccumulator rule:
+    TPU-shaped: flatten the ops' posting lists RAGGED (entry j maps to its
+    op via a searchsorted over cumulative sizes, so the entry count is the
+    TOTAL postings queried — not t_pad x the longest list; a single hot
+    term no longer inflates every op's window), ONE sort by (segment,
+    semref, op-position), then per-run segmented scans implement every
+    MatchAccumulator rule:
 
       * run = all entries of one (leaf segment, semref);
       * first-adder: the run's min op position is its first sorted entry;
@@ -279,45 +286,62 @@ def accumulate_postings_segmented_coo(
     Returns (keys [r_max] i32 = seg * (semref_cap+1) + semref (ascending;
     padding = 2^30), sums [4, r_max] f32, n_runs scalar i32, op_hit [t_pad]).
     """
+    t_pad = tids.shape[0]
     safe_tids = jnp.clip(tids, 0, offsets.shape[0] - 2)
-    starts = offsets[safe_tids]
-    sizes = offsets[safe_tids + 1] - starts
+    starts = offsets[safe_tids].astype(jnp.int32)
     term_valid = tids >= 0
+    sizes = jnp.where(
+        term_valid, (offsets[safe_tids + 1] - offsets[safe_tids]), 0
+    ).astype(jnp.int32)
+    cum = jnp.cumsum(sizes)  # [t_pad]
+    total = cum[-1]
 
-    lane = jnp.arange(window, dtype=jnp.int32)[None, :]
-    pos_idx = jnp.clip(starts[:, None] + lane, 0, post_semrefs.shape[0] - 1)
-    valid = (lane < sizes[:, None]) & term_valid[:, None]
+    # Ragged flattening: entry j belongs to the op whose cumulative-size
+    # span contains j. searchsorted over [t_pad] is log-cost per entry.
+    j = jnp.arange(e_pad, dtype=jnp.int32)
+    op_idx = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
+    safe_op = jnp.clip(op_idx, 0, t_pad - 1)
+    prev = jnp.where(safe_op > 0, cum[safe_op - 1], 0)
+    within = j - prev
+    valid = j < total
 
-    ids = post_semrefs[pos_idx]  # [t_pad, window]
-    base_scores = post_scores[pos_idx] * weights[:, None]
+    pos_idx = jnp.clip(starts[safe_op] + within, 0, post_semrefs.shape[0] - 1)
+    ids = post_semrefs[pos_idx]  # [e_pad]
+    base_scores = post_scores[pos_idx] * weights[safe_op]
 
-    gate = ktype_gate.astype(jnp.int8)
-    gate_ok = (gate[:, None] < 0) | (semref_ktype[ids] == gate[:, None])
-    scoring = kinds[:, None] <= OP_RELATED
-    scope_ok = scope_masks[scope_ids[:, None], ids]
+    gate = ktype_gate.astype(jnp.int8)[safe_op]
+    gate_ok = (gate < 0) | (semref_ktype[ids] == gate)
+    op_kind = kinds[safe_op]
+    scoring = op_kind <= OP_RELATED
+    scope_ok = scope_masks[scope_ids[safe_op], ids]
     valid_scoring = valid & scoring & gate_ok & scope_ok
-    valid_boost = valid & (kinds[:, None] == OP_BOOST)
-    op_hit = valid_scoring.any(axis=1)
+    valid_boost = valid & (op_kind == OP_BOOST)
+    # Per-op any(valid_scoring): op entries are contiguous in j, so the op
+    # slice reduces via cumsum differences at the boundaries (no scatter).
+    vs_cum = jnp.cumsum(valid_scoring.astype(jnp.int32))
+    hi = jnp.clip(cum - 1, 0, e_pad - 1)
+    at_hi = jnp.where(cum > 0, vs_cum[hi], 0)
+    lo_cum = jnp.concatenate([jnp.zeros((1,), jnp.int32), at_hi[:-1]])
+    op_hit = (at_hi - lo_cum) > 0
 
     live = valid_scoring | valid_boost
-    seg2d = jnp.broadcast_to(segs[:, None], ids.shape)
+    seg_e = segs[safe_op]
     # Two-key sort (segment-major key, op position): stays in int32 — the
     # sparse packing budget keeps n_seg * (semref_cap + 1) < 2^30, and x64
     # is off on TPU so a composite 64-bit key would silently overflow.
-    key = seg2d.astype(jnp.int32) * jnp.int32(semref_cap + 1) + ids
+    key = seg_e.astype(jnp.int32) * jnp.int32(semref_cap + 1) + ids
     dead_key = jnp.int32(2**30)
-    key_flat = jnp.where(live, key, dead_key).reshape(-1)
-    pos2d = jnp.where(
+    key_flat = jnp.where(live, key, dead_key)
+    pos_flat = jnp.where(
         valid_scoring,
-        jnp.minimum(positions[:, None], _POS_P - 2),
+        jnp.minimum(positions[safe_op], _POS_P - 2),
         _POS_P - 1,  # boost entries: after all scoring entries of the run
-    )
-    pos_flat = pos2d.astype(jnp.int32).reshape(-1)
+    ).astype(jnp.int32)
 
-    score_flat = jnp.where(valid_scoring, base_scores, 0.0).reshape(-1)
-    is_exact = (valid_scoring & (kinds[:, None] == OP_EXACT)).reshape(-1)
-    is_rel = (valid_scoring & (kinds[:, None] == OP_RELATED)).reshape(-1)
-    is_boost = valid_boost.reshape(-1)
+    score_flat = jnp.where(valid_scoring, base_scores, 0.0)
+    is_exact = valid_scoring & (op_kind == OP_EXACT)
+    is_rel = valid_scoring & (op_kind == OP_RELATED)
+    is_boost = valid_boost
 
     key_s, pos_s, score_s, exact_s, rel_s, boost_s = jax.lax.sort(
         (key_flat, pos_flat, score_flat, is_exact, is_rel, is_boost),
@@ -709,13 +733,27 @@ class DevicePostingsIndex:
             return None
         if not self._built:
             self.build()
+        total = sum(
+            self.posting_size(op[0]) for op in ops if op[0] >= 0
+        )
+        if total > _COO_E_BUCKETS[-1]:
+            return None  # pathological query: dense path's gates decide
+        e_pad = _bucket(max(total, 1), _COO_E_BUCKETS)
         operands, statics, seg_pad = self._prepare_operands(
             ops, n_seg, semref_ktype, scopes, boost_factor
+        )
+        statics_coo = dict(
+            e_pad=e_pad,
+            semref_cap=statics["semref_cap"],
+            n_seg=statics["n_seg"],
+            dedup_related=statics["dedup_related"],
         )
         r = self._coo_hint
         while True:
             keys_dev, sums_dev, n_runs_dev, op_hit_dev = (
-                accumulate_postings_segmented_coo(*operands, r_max=r, **statics)
+                accumulate_postings_segmented_coo(
+                    *operands, r_max=r, **statics_coo
+                )
             )
             n_runs, keys_np, sums_np, op_hit = jax.device_get(
                 (n_runs_dev, keys_dev, sums_dev, op_hit_dev)

@@ -1075,12 +1075,18 @@ def _rescore_selected_pallas(emb, queries, bucket_ids, *, B: int):
     )(bucket_ids, queries, *([emb] * B))
 
 
-# VMEM ceiling for the rescore kernel's B double-buffered bucket blocks.
+# VMEM ceiling for the rescore kernel's B double-buffered bucket blocks, and
+# a hard operand-count cap: a B=32-operand rescore faulted the v5e TPU
+# worker at small shapes (nb == B == 32, d_pad=128); B <= 24 is validated.
 _RESCORE_VMEM = 13 * 1024 * 1024
+_RESCORE_MAX_B = 24
 
 
 def _rescore_fits(d_pad: int, itemsize: int, B: int) -> bool:
-    return 2 * B * _BUCKET_ROWS * d_pad * itemsize <= _RESCORE_VMEM
+    return (
+        B <= _RESCORE_MAX_B
+        and 2 * B * _BUCKET_ROWS * d_pad * itemsize <= _RESCORE_VMEM
+    )
 
 
 def _exact2_phase2(emb, queries, count, bvals, bidx, *, k: int, B: int, use_pallas: bool):
@@ -1202,7 +1208,7 @@ _topk_exact2_hybrid = jax.jit(
 # slack than the bf16 shadow; the cert still bounds any miss to an
 # eps-score tie.
 _CERT_EPS_HYBRID_I8 = 2e-2
-_HYBRID_I8_SLACK = 22
+_HYBRID_I8_SLACK = 14
 
 
 def _topk_exact2_hybrid_i8_impl(
@@ -1218,7 +1224,10 @@ def _topk_exact2_hybrid_i8_impl(
 ):
     nb = emb.shape[0] // _BUCKET_ROWS
     B = min(k + slack, nb)
-    if use_pallas:
+    # The quantized maxima kernel is validated at large-store shapes (the
+    # int8 shadow only pays off there); small stores take the XLA branch —
+    # a Mosaic fault was observed at n_pad=4096/b=8 on v5e.
+    if use_pallas and emb.shape[0] >= 64 * 1024:
         bvals = _bucket_maxima_pallas_q(
             shadow_q,
             shadow_scales,
@@ -1264,12 +1273,35 @@ def topk_program_exact2_hybrid_i8(
 ):
     """Traceable int8-selection hybrid exact top-k: quarter-bandwidth bucket
     selection over an int8 shadow + exact f32 VPU rescore of the selected
-    buckets. Wider slack + certificate absorb the quantization skew."""
+    buckets. Wider slack + certificate absorb the quantization skew.
+    Call INSIDE jit/lax.map (an eager scalar-prefetch rescore faulted the
+    v5e worker); standalone callers use :func:`cosine_topk_exact2_hybrid_i8`.
+    """
     k = min(k, emb.shape[0])
     if use_pallas is None:
         use_pallas = _use_pallas()
     return _topk_exact2_hybrid_i8_impl(
         emb, shadow_q, shadow_scales, queries, count,
+        k=k, slack=slack, use_pallas=use_pallas,
+    )
+
+
+def cosine_topk_exact2_hybrid_i8(
+    emb: jax.Array,
+    shadow_q: jax.Array,
+    shadow_scales: jax.Array,
+    queries: jax.Array,
+    count: jax.Array | int,
+    k: int,
+    *,
+    slack: int = _HYBRID_I8_SLACK,
+):
+    """Batched (jitted) int8-selection hybrid exact top-k."""
+    k = min(k, emb.shape[0])
+    count_arr = jnp.asarray(count, dtype=jnp.int32).reshape(())
+    use_pallas = _platform_of(emb) == "tpu"
+    return _topk_exact2_hybrid_i8(
+        emb, shadow_q, shadow_scales, queries, count_arr,
         k=k, slack=slack, use_pallas=use_pallas,
     )
 
