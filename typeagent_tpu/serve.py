@@ -23,10 +23,12 @@ Usage::
 from __future__ import annotations
 
 import asyncio
+import time
 from dataclasses import dataclass, field
 
 import numpy as np
 
+from .utils.metrics import METRICS
 from .vectorstore import ScoredInt, VectorStore
 
 __all__ = ["LookupBatcher"]
@@ -126,6 +128,9 @@ class LookupBatcher:
     def _dispatch_group(self, group: list[_Pending]) -> None:
         self.dispatches += 1
         self.served += len(group)
+        METRICS.incr("serve.requests", len(group))
+        METRICS.incr("serve.dispatches")
+        t_dispatch = time.perf_counter()
         if len(group) == 1:
             item = group[0]
             item.future.set_result(
@@ -133,6 +138,7 @@ class LookupBatcher:
                     item.queries, max_hits=item.max_hits, min_score=item.min_score
                 )
             )
+            METRICS.observe("serve.dispatch", time.perf_counter() - t_dispatch)
             return
         b_max = max(item.queries.shape[0] for item in group)
         d = group[0].queries.shape[1]
@@ -148,6 +154,7 @@ class LookupBatcher:
         many = self._store.fuzzy_lookup_embeddings_many(
             stacked, max_hits=k_max, min_score=0.0
         )
+        METRICS.observe("serve.dispatch", time.perf_counter() - t_dispatch)
         for i, item in enumerate(group):
             rows = many[i][: item.queries.shape[0]]
             out = [
