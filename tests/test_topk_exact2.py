@@ -506,3 +506,41 @@ def test_exact2_hybrid_i8_matches_f32_oracle(rng):
     assert np.asarray(cert).all()
     assert (np.asarray(idx_h) == np.asarray(idx_e)).all()
     np.testing.assert_allclose(np.asarray(vals_h), np.asarray(vals_e), atol=1e-6)
+
+
+def test_dispatch_collect_exact2_route(rng, monkeypatch):
+    """dispatch_lookup must stay async under exact2 (cert checked at
+    collect time), and results must match the synchronous batch path —
+    including the cert-miss fallback."""
+    from typeagent_tpu import vectorstore as vs_mod
+    from typeagent_tpu.models.adapters import create_test_embedding_model
+    from typeagent_tpu.vectorstore import TextEmbeddingIndexSettings, VectorStore
+
+    d = 48
+    m = _normed(rng, 3000, d)
+    q = _normed(rng, 5, d)
+    for dtype in ("float32", "bfloat16"):
+        store = VectorStore(
+            TextEmbeddingIndexSettings(
+                embedding_model=create_test_embedding_model(d),
+                min_score=0.0,
+                dtype=dtype,
+            )
+        )
+        store.add_embeddings(None, m)
+        store._flush()  # _use_exact2 reads the committed row count
+        monkeypatch.setattr(vs_mod, "EXACT2_MIN_ROWS", 100)  # force exact2
+        assert store._use_exact2(10)
+        handle = store.dispatch_lookup(q, max_hits=8)
+        assert len(handle) == 6  # cert deferred to collect
+        got = store.collect_lookup(handle, min_score=0.2)
+        expected = store.fuzzy_lookup_embeddings_batch(q, max_hits=8, min_score=0.2)
+        for a, b in zip(got, expected):
+            assert [s.item for s in a] == [s.item for s in b]
+
+        # Cert-miss at collect: transparent one-phase redo.
+        vals, idx, b_, cert, qp, k = store.dispatch_lookup(q, max_hits=8)
+        bad = (vals, idx, b_, jnp.zeros_like(cert), qp, k)
+        redo = store.collect_lookup(bad, min_score=0.2)
+        for a, b in zip(redo, expected):
+            assert [s.item for s in a] == [s.item for s in b]

@@ -580,6 +580,17 @@ class VectorStore:
             return ("sharded", handle)
         q = self._pad_queries(queries)
         k = min(max_hits, self._count)
+        # The exact2 certificate must NOT be checked here — np.asarray on it
+        # would block, defeating the async dispatch. Defer to collect_lookup.
+        mode, aux = self._engine_mode(k)
+        if mode == "exact2":
+            vals, idx, cert = topk.cosine_topk_exact2(self._buf, q, self._count, k)
+            return (vals, idx, queries.shape[0], cert, q, k)
+        if mode == "exact2h":
+            vals, idx, cert = topk.cosine_topk_exact2_hybrid(
+                self._buf, aux, q, self._count, k
+            )
+            return (vals, idx, queries.shape[0], cert, q, k)
         vals, idx = self._topk(q, k)
         return (vals, idx, queries.shape[0])
 
@@ -597,6 +608,11 @@ class VectorStore:
                 [ScoredInt(i, v) for i, v in row if v >= min_score]
                 for row in raw
             ]
+        if len(handle) == 6:  # exact2 dispatch: certificate checked here
+            vals, idx, b, cert, q, k = handle
+            if not bool(np.asarray(cert).all()):
+                vals, idx = topk.cosine_topk(self._buf, q, self._count, k)
+            handle = (vals, idx, b)
         vals, idx, b = handle
         vals = np.asarray(vals)[:b]
         idx = np.asarray(idx)[:b]
