@@ -509,6 +509,11 @@ async def test_differential_through_compact_transfer(monkeypatch):
     monkeypatch.setattr(P, "_COMPACT_CAP", 8)
     monkeypatch.setattr(P, "_COMPACT_FETCH_BUCKETS", (4, 8))
     monkeypatch.setattr(P, "accumulate_postings_segmented_compact", counting)
+    # The COO sparse route would intercept first; force the dense/compact
+    # transfer path this test pins.
+    monkeypatch.setattr(
+        P.DevicePostingsIndex, "lookup_ops_sparse", lambda self, *a, **k: None
+    )
     covered, total = await run_differential(31337, 25)
     assert covered >= int(0.85 * total), (covered, total)
     assert calls  # the compact route actually ran
@@ -529,6 +534,9 @@ async def test_differential_compact_no_overflow(monkeypatch):
     monkeypatch.setattr(P, "_COMPACT_CAP", 24)
     monkeypatch.setattr(P, "_COMPACT_FETCH_BUCKETS", (8, 24))
     monkeypatch.setattr(P, "accumulate_postings_segmented_compact", counting)
+    monkeypatch.setattr(
+        P.DevicePostingsIndex, "lookup_ops_sparse", lambda self, *a, **k: None
+    )
     covered, total = await run_differential(777, 25)
     assert covered >= int(0.85 * total), (covered, total)
     assert calls  # the compact route actually ran

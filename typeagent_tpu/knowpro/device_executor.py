@@ -676,23 +676,29 @@ class DeviceQueryExecutor:
         its VM evaluates queries strictly one at a time.
         """
         results: list[dict | None] = [None] * len(queries)
-        plans: list[_Plan] = []
+        unwrapped_by_index: dict[int, tuple] = {}
+        scope_items: list[tuple[int, GetScopeExpr]] = []
         for i, query in enumerate(queries):
             unwrapped = self._unwrap(query)
             if unwrapped is None:
                 continue
-            expr, top_n, min_hit, preds = unwrapped
             if self._n_semrefs == 0:
                 results[i] = {}
                 continue
-            # Scope selectors evaluate exactly as begin_match would; the
-            # message-derived selectors (action scopes) additionally run
-            # their term sub-queries on the device when expressible.
-            ranges_in_scope: TextRangesInScope | None = None
+            unwrapped_by_index[i] = unwrapped
+            expr = unwrapped[0]
             if expr.get_scope_expr is not None:
-                ranges_in_scope = await self._eval_scope(
-                    expr.get_scope_expr, context
-                )
+                scope_items.append((i, expr.get_scope_expr))
+
+        # Scope selectors evaluate exactly as begin_match would; the
+        # message-derived selectors (action scopes) run their term
+        # sub-queries on the device when expressible — BATCHED across
+        # queries (each sub-query as its own device call costs a full
+        # round trip on tunneled devices).
+        scopes = await self._batch_eval_scopes(scope_items, context)
+
+        plans: list[_Plan] = []
+        for i, (expr, top_n, min_hit, preds) in unwrapped_by_index.items():
             try:
                 root, leaves = self._compile_tree(expr)
             except _Unsupported:
@@ -705,7 +711,7 @@ class DeviceQueryExecutor:
                     top_n=top_n,
                     min_hit=min_hit,
                     ktype_predicates=preds,
-                    scope=self._scope_mask(ranges_in_scope),
+                    scope=self._scope_mask(scopes.get(i)),
                 )
             )
         for plan_group in self._group_plans(plans):
@@ -727,33 +733,63 @@ class DeviceQueryExecutor:
         ranges, threads, precomputed ranges) evaluate on the host as the VM
         would; results are identical either way.
         """
+        scopes = await self._batch_eval_scopes([(0, scope_expr)], context)
+        return scopes[0]
+
+    async def _batch_eval_scopes(
+        self, items: list[tuple[int, GetScopeExpr]], context: QueryEvalContext
+    ) -> dict[int, TextRangesInScope]:
+        """Evaluate many queries' GetScopeExprs with ONE fused device call.
+
+        Every device-expressible message-derived selector across all
+        queries contributes leaf segments to a single membership lookup
+        (per-selector sub-queries each cost a network round trip on
+        tunneled devices — measured as the dominant share of batched query
+        time). Host-evaluated selectors (or_max message groups, date
+        ranges, threads, precomputed ranges) run as the VM would.
+        """
         from .collections import TextRangeCollection
 
-        scope = TextRangesInScope()
-        for selector in scope_expr.range_selectors:
-            if isinstance(selector, TextRangesFromMessagesSelector):
-                ordinals = self._device_message_members(selector.source_expr)
-                if ordinals is not None:
-                    if ordinals.size == 0:
-                        # VM: no matches -> empty collection (rejects all).
-                        scope.add_text_ranges(TextRangeCollection(None))
-                    else:
-                        scope.add_text_ranges(
-                            TextRangeCollection(
-                                text_ranges_from_message_ordinals(
-                                    [int(o) for o in ordinals]
-                                )
+        scopes: dict[int, TextRangesInScope] = {
+            qi: TextRangesInScope() for qi, _ in items
+        }
+        device_jobs: list[tuple[int, "_GroupNode", list[_Leaf], list]] = []
+        host_jobs: list[tuple[int, object]] = []
+        for qi, scope_expr in items:
+            for selector in scope_expr.range_selectors:
+                compiled = None
+                if isinstance(selector, TextRangesFromMessagesSelector):
+                    compiled = self._compile_message_members(
+                        selector.source_expr
+                    )
+                if compiled is not None:
+                    device_jobs.append((qi, *compiled))
+                else:
+                    host_jobs.append((qi, selector))
+
+        if device_jobs:
+            for qi, ordinals in self._run_member_jobs(device_jobs):
+                if ordinals.size == 0:
+                    # VM: no matches -> empty collection (rejects all).
+                    scopes[qi].add_text_ranges(TextRangeCollection(None))
+                else:
+                    scopes[qi].add_text_ranges(
+                        TextRangeCollection(
+                            text_ranges_from_message_ordinals(
+                                [int(o) for o in ordinals]
                             )
                         )
-                    continue
+                    )
+        for qi, selector in host_jobs:
             collection = await selector.eval(context)
             if collection is not None:
-                scope.add_text_ranges(collection)
-        return scope
+                scopes[qi].add_text_ranges(collection)
+        return scopes
 
-    def _device_message_members(self, expr) -> np.ndarray | None:
-        """Sorted matched-message ordinals of a MatchMessages* tree, or None.
+    def _compile_message_members(self, expr):
+        """Compile a MatchMessages* tree for device membership evaluation.
 
+        Returns (root, leaves, ops) or None (inexpressible / over budget).
         The tree's leaves are the same term expressions the knowledge path
         compiles; message-level booleans reduce to set algebra because every
         member has hit_count >= 1 (AND's select_with_hit_count(n) always
@@ -786,8 +822,6 @@ class DeviceQueryExecutor:
             root, leaves = self._compile_tree(faux)
         except _Unsupported:
             return None
-        if not leaves or self._n_semrefs == 0:
-            return np.empty(0, dtype=np.int64)
         n_seg = len(leaves)
         n_ops, window, _total = self._plan_cost(
             _Plan(0, root, leaves, None, None, [], None)
@@ -798,7 +832,6 @@ class DeviceQueryExecutor:
             or self._gather_elements(n_ops, window) > _MAX_GATHER_ELEMENTS
         ):
             return None
-
         ops = []
         for leaf in leaves:
             for op in leaf.ops:
@@ -806,7 +839,7 @@ class DeviceQueryExecutor:
                     (
                         self._postings.lookup(op.key),
                         op.weight,
-                        leaf.seg,
+                        leaf.seg,  # rebased when jobs pack into one call
                         op.kind,
                         op.position,
                         op.ktype_gate,
@@ -814,13 +847,76 @@ class DeviceQueryExecutor:
                     )
                 )
             # boost ops don't affect membership: skipped entirely.
-        if ops:
-            _, exact_hits, _, rel_hits, _ = self._postings.lookup_ops(
-                ops, n_seg, self._semref_ktype, None, 1.0
-            )
-        else:
-            exact_hits = rel_hits = np.zeros((n_seg, self._n_semrefs), np.float32)
+        return root, leaves, ops
 
+    def _run_member_jobs(self, jobs):
+        """Run compiled membership jobs in fused device calls.
+
+        Yields (query_index, sorted message ordinals) per job. Jobs chunk
+        under the sparse-entry budget; within a chunk every job's leaf
+        segments rebase into one segment axis.
+        """
+        cap = self._postings._semref_cap
+        chunk: list = []
+        chunk_segs = 0
+        for job in jobs:
+            n_seg = max(len(job[2]), 1)
+            fits = (
+                _bucket(max(chunk_segs + n_seg, 1), _SEG_BUCKETS) * cap
+                <= _MAX_SPARSE_ENTRIES
+            )
+            if chunk and not fits:
+                yield from self._run_member_chunk(chunk)
+                chunk, chunk_segs = [], 0
+            chunk.append(job)
+            chunk_segs += n_seg
+        if chunk:
+            yield from self._run_member_chunk(chunk)
+
+    def _run_member_chunk(self, jobs):
+        n = self._n_semrefs
+        all_ops: list = []
+        bases: list[int] = []
+        base = 0
+        for _qi, _root, leaves, ops in jobs:
+            bases.append(base)
+            all_ops.extend(
+                (tid, w, base + seg, kind, pos, gate, scope_id)
+                for tid, w, seg, kind, pos, gate, scope_id in ops
+            )
+            base += len(leaves)
+
+        members_by_seg: list[np.ndarray]
+        if all_ops and base:
+            sparse = self._postings.lookup_ops_sparse(
+                all_ops, base, self._semref_ktype, None, 1.0
+            )
+            if sparse is not None:
+                cols, _packed, counts, _oh = sparse
+                members_by_seg = []
+                for s in range(base):
+                    m = np.zeros(n, dtype=bool)
+                    m[cols[s, : counts[s]]] = True
+                    members_by_seg.append(m)
+            else:
+                _, exact_hits, _, rel_hits, _ = self._postings.lookup_ops(
+                    all_ops, base, self._semref_ktype, None, 1.0
+                )
+                members_by_seg = [
+                    (exact_hits[s] > 0) | (rel_hits[s] > 0) for s in range(base)
+                ]
+        else:
+            members_by_seg = [np.zeros(n, dtype=bool) for _ in range(max(base, 1))]
+
+        for (qi, root, leaves, _ops), seg_base in zip(jobs, bases):
+            yield qi, self._combine_message_members(
+                root, members_by_seg, seg_base
+            )
+
+    def _combine_message_members(
+        self, root, members_by_seg: list[np.ndarray], seg_base: int
+    ) -> np.ndarray:
+        """Boolean set algebra over per-leaf member masks -> message ordinals."""
         ktype = self._semref_ktype
         start_msgs = self._sem_start_key >> _CHUNK_SHIFT
         last_msgs = self._sem_end_key >> _CHUNK_SHIFT
@@ -842,7 +938,7 @@ class DeviceQueryExecutor:
             if isinstance(node, _Leaf):
                 if node.seg < 0:
                     return None
-                member = (exact_hits[node.seg] > 0) | (rel_hits[node.seg] > 0)
+                member = members_by_seg[seg_base + node.seg]
                 for code, _w, _t in node.wildcards:
                     member = member | (ktype == code)
                 if not member.any():
