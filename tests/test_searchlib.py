@@ -238,3 +238,67 @@ def test_property_search_terms_whitespace_values_filtered():
     terms = create_property_search_terms({"type": "book,  , movie"})
     values = [t.property_value.term.text for t in terms]
     assert values == ["book", "movie"]
+
+
+def test_parse_degenerate_search_term_entries_drop():
+    # ";", " ; ", and "" carry no main term -> dropped entirely
+    # (reference pins _parse_search_term(";") -> None).
+    terms = create_search_terms([";", " ; ", "", "real;alias"])
+    assert [t.term.text for t in terms] == ["real"]
+    assert [r.text for r in terms[0].related_terms] == ["alias"]
+
+
+def test_parse_search_term_trims_embedded_whitespace():
+    terms = create_search_terms(["  NOVEL ; BOOK ;  BESTSELLER  "])
+    assert terms[0].term.text == "novel"
+    assert [r.text for r in terms[0].related_terms] == ["book", "bestseller"]
+
+
+def test_multiple_choice_question_no_none_option():
+    q = create_multiple_choice_question("Pick", ["a", "b"], add_none=False)
+    assert "- a\n" in q and "- b\n" in q
+    assert "None of the above" not in q
+
+
+def test_multiple_choice_question_strips_choice_whitespace():
+    q = create_multiple_choice_question("Pick", ["  padded  ", "ok"])
+    assert "- padded\n" in q
+    assert "- None of the above\n" in q
+
+
+async def test_get_semantic_refs_from_scored_ordinals_preserves_order():
+    from typeagent_tpu.knowpro import kplib
+    from typeagent_tpu.knowpro.interfaces import (
+        ScoredSemanticRefOrdinal,
+        SemanticRef,
+        TextLocation,
+        TextRange,
+    )
+    from typeagent_tpu.knowpro.searchlib import get_semantic_refs_from_scored_ordinals
+    from typeagent_tpu.storage.memory.collections import MemorySemanticRefCollection
+
+    refs = MemorySemanticRefCollection()
+    await refs.extend(
+        [
+            SemanticRef(
+                i, TextRange(TextLocation(i, 0)), kplib.ConcreteEntity(f"e{i}", ["t"])
+            )
+            for i in range(4)
+        ]
+    )
+    scored = [
+        ScoredSemanticRefOrdinal(2, 1.0),
+        ScoredSemanticRefOrdinal(0, 0.8),
+        ScoredSemanticRefOrdinal(3, 0.6),
+    ]
+    got = await get_semantic_refs_from_scored_ordinals(refs, scored)
+    assert [r.semantic_ref_ordinal for r in got] == [2, 0, 3]
+
+
+async def test_get_semantic_refs_from_empty_scored_list():
+    from typeagent_tpu.knowpro.searchlib import get_semantic_refs_from_scored_ordinals
+    from typeagent_tpu.storage.memory.collections import MemorySemanticRefCollection
+
+    assert await get_semantic_refs_from_scored_ordinals(
+        MemorySemanticRefCollection(), []
+    ) == []

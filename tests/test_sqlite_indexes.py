@@ -471,3 +471,73 @@ async def test_fuzzy_lookup_terms_plural_shape():
     assert len(results) == 2
     assert all(isinstance(r, list) for r in results)
     await p.close()
+
+
+async def test_semref_index_empty_term_add_is_noop():
+    # Reference pins: add_term("") returns "" and leaves the index empty.
+    p = sqlite_provider()
+    await add_refs(p, 1)
+    idx = p.semantic_ref_index
+    assert await idx.add_term("", 0) == ""
+    assert await idx.size() == 0
+    await p.close()
+
+
+async def test_fuzzy_index_first_run_deserialize_then_lookup():
+    """Fresh DB -> deserialize snapshot embeddings -> query works immediately.
+
+    Regression role of the reference's fuzzy_index_first_run_scenario (its
+    SQLite deserialize was once a no-op); hermetic here via the fake model.
+    """
+    from typeagent_tpu.models.adapters import create_test_embedding_model
+
+    texts = ["chess", "magnus carlsen", "grandmaster", "artificial intelligence"]
+    model = create_test_embedding_model(16)
+    emb = np.asarray(await model.get_embeddings(texts), dtype=np.float32)
+
+    p = sqlite_provider()
+    fuzzy = p.related_terms_index.fuzzy_index
+    await fuzzy.deserialize({"textItems": texts, "embeddings": emb})
+    assert await fuzzy.size() == len(texts)
+
+    # The fake embedder is deterministic: the same text must be its own
+    # nearest neighbor at score ~1.0.
+    hits = await fuzzy.lookup_term("grandmaster", max_hits=3, min_score=0.1)
+    assert hits and hits[0].text == "grandmaster"
+    assert hits[0].weight is not None and hits[0].weight > 0.99
+
+    # Rows landed in SQLite too (not just the in-RAM mirror): a reopened
+    # index over the same connection sees them.
+    reload_count = (
+        p.db.cursor().execute("SELECT COUNT(*) FROM RelatedTermsFuzzy").fetchone()[0]
+    )
+    assert reload_count == len(texts)
+    await p.close()
+
+
+async def test_fuzzy_index_deserialize_empty_data_clears():
+    p = sqlite_provider()
+    fuzzy = p.related_terms_index.fuzzy_index
+    await fuzzy.add_terms(["stale"])
+    assert await fuzzy.size() == 1
+    await fuzzy.deserialize({"textItems": [], "embeddings": None})
+    assert await fuzzy.size() == 0
+    assert await fuzzy.lookup_term("stale", max_hits=3, min_score=0.0) == []
+    await p.close()
+
+
+async def test_related_terms_combined_serialize_shape():
+    # Combined index serialize carries BOTH sections with the wire keys the
+    # snapshot format uses (aliasData / textEmbeddingData).
+    p = sqlite_provider()
+    rel = p.related_terms_index
+    await rel.aliases.deserialize(
+        {"relatedTerms": [{"termText": "auto", "relatedTerms": [{"text": "car"}]}]}
+    )
+    await rel.fuzzy_index.add_terms(["vehicle"])
+    data = await rel.serialize()
+    assert {"auto"} == {e["termText"] for e in data["aliasData"]["relatedTerms"]}
+    assert data["textEmbeddingData"]["textItems"] == ["vehicle"]
+    emb = data["textEmbeddingData"]["embeddings"]
+    assert emb is not None and len(emb) == 1
+    await p.close()
