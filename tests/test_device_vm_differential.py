@@ -563,3 +563,24 @@ async def test_differential_through_sparse_union_combine(monkeypatch):
     covered, total = await run_differential(2024, 25)
     assert covered >= int(0.85 * total), (covered, total)
     assert any(sparse_hits)  # the union combine actually ran
+
+
+async def test_differential_under_tiny_device_budgets(monkeypatch):
+    """Budget pressure must never change RESULTS — only call shapes.
+
+    Shrinks every packing budget (dense entries, sparse entries, gather
+    elements) and the compact cap so plan groups constantly re-pack, the
+    sparse->dense fallback re-checks the dense budgets, and member chunks
+    split; the differential still must match the host VM everywhere."""
+    from typeagent_tpu.knowpro import device_executor as DE
+    from typeagent_tpu.ops import postings as P
+
+    monkeypatch.setattr(P, "_COMPACT_CAP", 16)
+    monkeypatch.setattr(P, "_COMPACT_FETCH_BUCKETS", (8, 16))
+    monkeypatch.setattr(DE, "_MAX_DENSE_ENTRIES", 8 * 1024)
+    monkeypatch.setattr(DE, "_MAX_SPARSE_ENTRIES", 16 * 1024)
+    monkeypatch.setattr(DE, "_MAX_GATHER_ELEMENTS", 4 * 1024)
+    covered, total = await run_differential(4242, 25)
+    # Tiny budgets legitimately push more queries to the host VM; whatever
+    # stays device-routed must agree (assert_results_equivalent inside).
+    assert total == 25

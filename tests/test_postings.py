@@ -267,3 +267,28 @@ def test_coo_sparse_overflow_grows_buckets(monkeypatch):
     cols, packed, counts, _ = sparse
     assert counts[0] == 300
     np.testing.assert_array_equal(cols[0, :300], np.arange(300))
+
+
+def test_compact_route_preserves_active_semref_zero(monkeypatch):
+    """Regression: the compact host re-expansion used a full-width fancy
+    assignment whose unused slots carried (order 0, value 0) — numpy's
+    last-duplicate-wins then silently zeroed an ACTIVE semref 0."""
+    from typeagent_tpu.ops import postings as P
+
+    monkeypatch.setattr(P, "_COMPACT_CAP", 8)
+    monkeypatch.setattr(P, "_COMPACT_FETCH_BUCKETS", (4, 8))
+
+    index = DevicePostingsIndex()
+    index.add_term("alpha", 0)  # semref 0 is active
+    index.add_term("alpha", 1)
+    index.add_term("far", 5000)  # semref_cap >> 2 * cap -> compact route
+    index.build()
+    assert index._semref_cap > 2 * P._COMPACT_CAP
+
+    tid = index.lookup("alpha")
+    ktype = np.zeros(index._n_semrefs, np.int32)
+    ops = [(tid, 1.0, 0, P.OP_EXACT, 0, -1, 0)]
+    es, eh, rs, rh, _ = index.lookup_ops(ops, 1, ktype)
+    assert es[0, 0] == 1.0 and eh[0, 0] == 1.0
+    assert es[0, 1] == 1.0
+    assert es[0, 2:].sum() == 0.0

@@ -122,3 +122,63 @@ def test_closed_batcher_rejects(store):
             await batcher.lookup(np.zeros((1, 32), np.float32))
 
     asyncio.run(run())
+
+
+def test_cancelled_caller_does_not_poison_group(store):
+    """One co-batched caller cancelling (e.g. asyncio.timeout) must not
+    raise InvalidStateError on its resolved future nor fail the others."""
+    rng = np.random.default_rng(9)
+    qa, qb = _queries(rng, 3), _queries(rng, 3)
+
+    async def run():
+        batcher = LookupBatcher(store, max_delay_ms=30.0, max_coalesce=4)
+        task_a = asyncio.ensure_future(batcher.lookup(qa, max_hits=5))
+        task_b = asyncio.ensure_future(batcher.lookup(qb, max_hits=5))
+        await asyncio.sleep(0)  # both enqueued into the lingering group
+        task_a.cancel()
+        res_b = await task_b
+        with pytest.raises(asyncio.CancelledError):
+            await task_a
+        await batcher.close()
+        return res_b
+
+    res_b = asyncio.run(run())
+    expected = store.fuzzy_lookup_embeddings_batch(qb, max_hits=5)
+    assert [[s.item for s in row] for row in res_b] == [
+        [s.item for s in row] for row in expected
+    ]
+
+
+def test_event_loop_stays_responsive_during_dispatch(store, monkeypatch):
+    """The device fetch runs off-loop: callers can enqueue (and timers can
+    fire) while a dispatch is in flight."""
+    import time as _time
+
+    real = store.fuzzy_lookup_embeddings_batch
+
+    def slow(*args, **kwargs):
+        _time.sleep(0.25)  # simulate a tunnel RTT
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(store, "fuzzy_lookup_embeddings_batch", slow)
+    rng = np.random.default_rng(11)
+    q = _queries(rng, 2)
+
+    async def run():
+        batcher = LookupBatcher(store, max_delay_ms=0.0)
+        ticks = 0
+
+        async def heartbeat():
+            nonlocal ticks
+            while True:
+                await asyncio.sleep(0.01)
+                ticks += 1
+
+        hb = asyncio.ensure_future(heartbeat())
+        await batcher.lookup(q, max_hits=3)
+        hb.cancel()
+        await batcher.close()
+        return ticks
+
+    ticks = asyncio.run(run())
+    assert ticks >= 5  # loop advanced many times during the 250 ms dispatch

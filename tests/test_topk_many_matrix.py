@@ -219,3 +219,64 @@ def test_reserve_noop_when_smaller(mesh, rng):
     cap = store.buf.shape[0]
     store.reserve(100)  # smaller: no shrink
     assert store.buf.shape[0] == cap
+
+
+# ---------------------------------------------------------------------------
+# intervals_to_rowmask + topk_program_masked (the >8-interval fused route)
+# ---------------------------------------------------------------------------
+
+
+def _oracle_union_mask(n, intervals):
+    mask = np.zeros(n, bool)
+    for lo, hi in intervals:
+        mask[max(lo, 0) : max(hi, 0)] = True
+    return mask
+
+
+@pytest.mark.parametrize(
+    "intervals",
+    [
+        [(0, 0)],  # padding only: selects nothing
+        [(5, 10)],
+        [(0, 100)],
+        [(10, 20), (15, 40)],  # overlapping
+        [(50, 60), (5, 12)],  # unsorted
+        [(0, 10), (0, 0), (90, 100), (0, 0)],  # real + padding interleaved
+        [(3, 4), (3, 4), (3, 4)],  # duplicates
+        [(0, 30), (10, 20)],  # nested
+    ],
+)
+def test_intervals_to_rowmask_matches_union_oracle(intervals):
+    n = 128
+    iv = jnp.asarray(np.asarray(intervals, np.int32))
+    got = np.asarray(topk.intervals_to_rowmask(n, iv))[0] > 0
+    np.testing.assert_array_equal(got, _oracle_union_mask(n, intervals))
+
+
+def test_topk_program_masked_matches_oracle(rng):
+    n, d, k = 500, 32, 7
+    m = _normed(rng, n, d)
+    q = m[123:124]
+    mask = np.zeros(n, bool)
+    mask[50:200] = True
+    mask[400:450] = True
+    vals, idx = topk.topk_program_masked(
+        jnp.asarray(m), jnp.asarray(q), jnp.asarray(n, jnp.int32),
+        jnp.asarray(mask), k,
+    )
+    scores = (m @ q[0] + 1.0) / 2.0
+    scores[~mask] = -1.0
+    want = np.argsort(-scores, kind="stable")[:k]
+    got = np.asarray(idx)[0]
+    assert set(got.tolist()) == set(want.tolist())
+    assert 123 in got and np.asarray(vals)[0, 0] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_topk_program_masked_all_masked_out(rng):
+    n, d = 200, 16
+    m = _normed(rng, n, d)
+    vals, idx = topk.topk_program_masked(
+        jnp.asarray(m), jnp.asarray(m[:2]), jnp.asarray(n, jnp.int32),
+        jnp.zeros(n, jnp.int32), 5,
+    )
+    assert (np.asarray(idx) == -1).all()

@@ -856,14 +856,21 @@ class DeviceQueryExecutor:
         under the sparse-entry budget; within a chunk every job's leaf
         segments rebase into one segment axis.
         """
+        from ..ops import postings as _P
+
         cap = self._postings._semref_cap
+        # When the sparse route is structurally unavailable (small
+        # semref_cap) every chunk WILL run dense: pack under the dense
+        # transfer budget, not the 8x larger sparse one.
+        sparse_route = cap > 2 * _P._COMPACT_CAP
+        entry_budget = _MAX_SPARSE_ENTRIES if sparse_route else _MAX_DENSE_ENTRIES
         chunk: list = []
         chunk_segs = 0
         for job in jobs:
             n_seg = max(len(job[2]), 1)
             fits = (
                 _bucket(max(chunk_segs + n_seg, 1), _SEG_BUCKETS) * cap
-                <= _MAX_SPARSE_ENTRIES
+                <= entry_budget
             )
             if chunk and not fits:
                 yield from self._run_member_chunk(chunk)
@@ -872,6 +879,20 @@ class DeviceQueryExecutor:
             chunk_segs += n_seg
         if chunk:
             yield from self._run_member_chunk(chunk)
+
+    def _member_chunk_dense_ok(self, jobs) -> bool:
+        """Does this chunk fit the DENSE budgets (entries + gather)?"""
+        cap = self._postings._semref_cap
+        segs = sum(max(len(job[2]), 1) for job in jobs)
+        if _bucket(max(segs, 1), _SEG_BUCKETS) * cap > _MAX_DENSE_ENTRIES:
+            return False
+        n_ops = 0
+        window = 1
+        for job in jobs:
+            for op in job[3]:
+                n_ops += 1
+                window = max(window, self._postings.posting_size(op[0]))
+        return self._gather_elements(n_ops, window) <= _MAX_GATHER_ELEMENTS
 
     def _run_member_chunk(self, jobs):
         n = self._n_semrefs
@@ -891,6 +912,18 @@ class DeviceQueryExecutor:
             sparse = self._postings.lookup_ops_sparse(
                 all_ops, base, self._semref_ktype, None, 1.0
             )
+            if (
+                sparse is None
+                and len(jobs) > 1
+                and not self._member_chunk_dense_ok(jobs)
+            ):
+                # Forced dense but packed under the sparse budget: split
+                # until each piece fits the dense budgets (a single job
+                # always does — _compile_members gates it at compile).
+                mid = len(jobs) // 2
+                yield from self._run_member_chunk(jobs[:mid])
+                yield from self._run_member_chunk(jobs[mid:])
+                return
             if sparse is not None:
                 cols, _packed, counts, _oh = sparse
                 members_by_seg = []
@@ -953,10 +986,11 @@ class DeviceQueryExecutor:
                 for c in present[1:]:
                     out |= c
                 return out
-            # AND: any empty child empties the whole conjunction; every
-            # intersection member has summed hit_count >= n, so the VM's
-            # final select_with_hit_count(n) never removes anyone.
-            if any(c is None for c in children):
+            # AND: any empty child empties the whole conjunction (a
+            # childless AND is empty too); every intersection member has
+            # summed hit_count >= n, so the VM's final
+            # select_with_hit_count(n) never removes anyone.
+            if not children or any(c is None for c in children):
                 return None
             out = children[0].copy()
             for c in children[1:]:
@@ -1198,13 +1232,23 @@ class DeviceQueryExecutor:
                         plan, *blocks, op_hit, ops, space=union
                     )
                 return out
-            # Sparse overflow (a segment matched more active semrefs than
-            # the compact cap): the group was packed under the larger
-            # sparse budget, so re-pack under the dense budget and run
-            # dense. Plans too large even for a lone dense call are left
-            # unanswered -> host VM fallback.
+            # Sparse unavailable (run overflow / pathological posting
+            # sizes): the group was packed under the larger sparse budget
+            # (TOTAL postings), so BOTH dense budgets must be re-checked
+            # before running dense — the entry budget (dense transfer) and
+            # the gather budget (ops x longest-window intermediates).
+            # Re-pack violators; plans too large even for a lone dense
+            # call are left unanswered -> host VM fallback.
             cap = self._postings._semref_cap
-            if _bucket(max(base, 1), _SEG_BUCKETS) * cap > _MAX_DENSE_ENTRIES:
+            window_g = 1
+            for plan in plans:
+                _n, w, _t = self._plan_cost(plan)
+                window_g = max(window_g, w)
+            if (
+                _bucket(max(base, 1), _SEG_BUCKETS) * cap > _MAX_DENSE_ENTRIES
+                or self._gather_elements(len(ops), window_g)
+                > _MAX_GATHER_ELEMENTS
+            ):
                 out = {}
                 for sub in self._pack_plans(plans, _MAX_DENSE_ENTRIES):
                     out.update(self._run_plan_group(sub, force_dense=True))

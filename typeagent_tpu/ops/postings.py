@@ -689,11 +689,19 @@ class DevicePostingsIndex:
                     packed_np, order_np = jax.device_get(
                         (packed[:, :, :m], order[:, :m])
                     )
-                rows = np.arange(seg_pad)[:, None]
+                # Scatter back only each segment's first counts[s] slots:
+                # unused slots carry (order 0, value 0) and a full-width
+                # fancy assignment would let those trailing writes clobber
+                # an ACTIVE semref 0 (last duplicate wins in numpy).
+                valid = np.arange(m)[None, :] < np.minimum(counts, m)[:, None]
+                rr = np.broadcast_to(
+                    np.arange(seg_pad, dtype=np.int64)[:, None], order_np.shape
+                )[valid]
+                cc = order_np[valid]
                 out = []
                 for block in packed_np:
                     dense = np.zeros((seg_pad, self._semref_cap), np.float32)
-                    dense[rows, order_np] = block
+                    dense[rr, cc] = block[valid]
                     out.append(dense[:n_seg, :n])
                 return (*out, op_hit[: len(ops)])
             # Overflow (a segment matched more than cap semrefs): lossless

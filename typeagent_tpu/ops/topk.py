@@ -456,6 +456,23 @@ def _topk_pallas_iv_impl(
     return _raw_to_score(vals[:, :k], idx[:, :k])
 
 
+def intervals_to_rowmask(n: int, intervals: jax.Array) -> jax.Array:
+    """[1, n] i32 membership mask of the UNION of half-open row intervals.
+
+    O(n log s) via sort + cummax + searchsorted — no [n, s] intermediate:
+    row r is in the union iff r < max(stop | start <= r). Correct for
+    unsorted and overlapping tables; (0, 0) padding rows select nothing.
+    """
+    starts = intervals[:, 0]
+    order = jnp.argsort(starts)
+    sorted_starts = starts[order]
+    cum_stops = jax.lax.cummax(intervals[:, 1][order])
+    rows = jnp.arange(n, dtype=jnp.int32)
+    pos = jnp.searchsorted(sorted_starts, rows, side="right") - 1
+    stop_at = cum_stops[jnp.clip(pos, 0, sorted_starts.shape[0] - 1)]
+    return ((pos >= 0) & (rows < stop_at)).astype(jnp.int32)[None, :]
+
+
 def _topk_xla_iv_impl(emb, queries, count, intervals, *, k: int):
     raw = jnp.einsum(
         "bd,nd->bn",
@@ -470,13 +487,130 @@ def _topk_xla_iv_impl(emb, queries, count, intervals, *, k: int):
     )
     n = emb.shape[0]
     rows = jnp.arange(n, dtype=jnp.int32)
-    in_scope = (
-        (rows[:, None] >= intervals[None, :, 0])
-        & (rows[:, None] < intervals[None, :, 1])
-    ).any(axis=1)
+    in_scope = intervals_to_rowmask(n, intervals)[0] > 0
     ok = in_scope & (rows < count)
     scores = jnp.clip((raw + 1.0) * 0.5, 0.0, 1.0)
     return jax.lax.top_k(jnp.where(ok[None, :], scores, _NEG), k)
+
+
+# ---------------------------------------------------------------------------
+# Row-masked exact variant: an arbitrary [1, n_pad] i32 mask streams from
+# HBM alongside the embedding tiles (one i32 per row ~ 0.5% extra HBM
+# traffic on a bf16 store) — scoped/subset search over huge stores without
+# materializing [b, n] scores and without the interval kernel's static
+# table-size cap.
+# ---------------------------------------------------------------------------
+
+
+def _topk_kernel_m(
+    count_ref, q_ref, e_ref, m_ref, vals_ref, idx_ref, *, k: int, tile_n: int
+):
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        vals_ref[:] = jnp.full_like(vals_ref, _RAW_NEG)
+        idx_ref[:] = jnp.full_like(idx_ref, -1)
+
+    count = count_ref[0]
+    scores = jax.lax.dot_general(
+        q_ref[:].astype(e_ref.dtype),
+        e_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=(
+            jax.lax.Precision.HIGHEST
+            if e_ref.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        ),
+    )
+    b = scores.shape[0]
+    tile_base = step * tile_n
+    row_ids = tile_base + jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
+    ok = (row_ids < count) & (m_ref[:] > 0)  # [1, tile_n] broadcasts over b
+    masked = jnp.where(ok, scores, _RAW_NEG)
+    _fold_tile_into_topk(masked, tile_base, vals_ref, idx_ref, k=k)
+
+
+def _topk_pallas_m_impl(
+    emb: jax.Array,
+    queries: jax.Array,
+    count: jax.Array,
+    rowmask: jax.Array,  # [1, n_pad] i32
+    *,
+    k: int,
+):
+    n_pad, d_pad = emb.shape
+    b_pad = queries.shape[0]
+    tile_n = _pick_tile(n_pad, d_pad, b_pad, emb.dtype.itemsize, k)
+    grid = (pl.cdiv(n_pad, tile_n),)
+    kernel = functools.partial(_topk_kernel_m, k=k, tile_n=tile_n)
+    vals, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # count (1,)
+            pl.BlockSpec((b_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b_pad, _K_LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, _K_LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, _K_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, _K_LANES), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * n_pad * d_pad,
+            bytes_accessed=n_pad * d_pad * emb.dtype.itemsize
+            + n_pad * 4
+            + b_pad * d_pad * 4
+            + 2 * b_pad * _K_LANES * 4,
+            transcendentals=0,
+        ),
+    )(count, queries, emb, rowmask)
+    return _raw_to_score(vals[:, :k], idx[:, :k])
+
+
+def topk_program_masked(
+    emb: jax.Array,
+    queries: jax.Array,
+    count: jax.Array,
+    rowmask: jax.Array,
+    k: int,
+    use_pallas: bool | None = None,
+):
+    """Traceable row-masked exact top-k (usable inside shard_map).
+
+    ``rowmask``: [n_pad] or [1, n_pad], nonzero = searchable. Unlike the
+    interval variant there is no table-size cap — any scope that can be
+    expressed as a row mask rides the fused scan.
+    """
+    k = min(k, emb.shape[0])
+    if use_pallas is None:
+        use_pallas = _use_pallas()
+    mask2d = rowmask.reshape(1, -1).astype(jnp.int32)
+    if use_pallas and k <= _PALLAS_MAX_K:
+        return _topk_pallas_m_impl(emb, queries, count.reshape(1), mask2d, k=k)
+    raw = jnp.einsum(
+        "bd,nd->bn",
+        queries.astype(emb.dtype),
+        emb,
+        preferred_element_type=jnp.float32,
+        precision=(
+            jax.lax.Precision.HIGHEST
+            if emb.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        ),
+    )
+    rows = jnp.arange(emb.shape[0], dtype=jnp.int32)
+    ok = (mask2d[0] > 0) & (rows < count.reshape(()))
+    scores = jnp.clip((raw + 1.0) * 0.5, 0.0, 1.0)
+    vals, pos = jax.lax.top_k(jnp.where(ok[None, :], scores, _NEG), k)
+    # Same invalid-slot convention as the Pallas route: idx -1.
+    return vals, jnp.where(vals >= 0.0, pos, -1)
 
 
 def topk_program_intervals(
@@ -490,20 +624,23 @@ def topk_program_intervals(
     """Traceable interval-scoped exact top-k (usable inside shard_map).
 
     ``intervals``: [s_pad, 2] i32 half-open (start, stop) global row spans
-    (padding rows (0, 0)). The Pallas route requires s_pad <=
-    ``_PALLAS_MAX_INTERVALS``; larger tables take the XLA route (which
-    materializes [b, n] scores — fine at small n, not at 10M).
+    (padding rows (0, 0)). Small tables (s_pad <= ``_PALLAS_MAX_INTERVALS``)
+    mask inside the fused kernel from SMEM; larger tables expand to a
+    [1, n] row mask on device (O(n log s), no [n, s] intermediate) and ride
+    the masked fused kernel — still no [b, n] score materialization. Only
+    non-Pallas backends (CPU test meshes) take the XLA top_k route.
     """
     k = min(k, emb.shape[0])
     if use_pallas is None:
         use_pallas = _use_pallas()
-    if (
-        use_pallas
-        and k <= _PALLAS_MAX_K
-        and intervals.shape[0] <= _PALLAS_MAX_INTERVALS
-    ):
-        return _topk_pallas_iv_impl(
-            emb, queries, count.reshape(1), intervals, k=k
+    if use_pallas and k <= _PALLAS_MAX_K:
+        if intervals.shape[0] <= _PALLAS_MAX_INTERVALS:
+            return _topk_pallas_iv_impl(
+                emb, queries, count.reshape(1), intervals, k=k
+            )
+        rowmask = intervals_to_rowmask(emb.shape[0], intervals)
+        return _topk_pallas_m_impl(
+            emb, queries, count.reshape(1), rowmask, k=k
         )
     return _topk_xla_iv_impl(emb, queries, count.reshape(()), intervals, k=k)
 
@@ -934,13 +1071,21 @@ def _bucket_maxima_kernel_q(
 def _bucket_maxima_pallas_q(
     emb_q: jax.Array, scales: jax.Array, queries: jax.Array, count: jax.Array
 ):
-    """Per-bucket maxima over an int8 store (selection shadow for exact2)."""
+    """Per-bucket maxima over an int8 store (selection shadow for exact2).
+
+    Returns None when no 1024-aligned tile fits the VMEM budget (huge dim /
+    batch) — the caller falls back to its XLA einsum branch."""
     n_pad, d_pad = emb_q.shape
     b_pad = queries.shape[0]
     tile_n = _pick_tile_bucket(n_pad, d_pad, b_pad, emb_q.dtype.itemsize)
     # The 1-D scales operand carries (1024,) tiling (see _topk_pallas_q_impl).
     if tile_n < n_pad:
         tile_n = max((tile_n // 1024) * 1024, 1024)
+        # Alignment may have rounded a 512-row pick UP to 1024: re-check
+        # the budget rather than overflow scoped VMEM.
+        per_row = 2 * d_pad * emb_q.dtype.itemsize + b_pad * 8
+        if tile_n * per_row > 14 * 1024 * 1024:
+            return None
     g = tile_n // _BUCKET_ROWS
     subs = max(_K_LANES // g, 1)
     steps = pl.cdiv(n_pad, tile_n)
@@ -1227,6 +1372,7 @@ def _topk_exact2_hybrid_i8_impl(
     # The quantized maxima kernel is validated at large-store shapes (the
     # int8 shadow only pays off there); small stores take the XLA branch —
     # a Mosaic fault was observed at n_pad=4096/b=8 on v5e.
+    bvals = None
     if use_pallas and emb.shape[0] >= 64 * 1024:
         bvals = _bucket_maxima_pallas_q(
             shadow_q,
@@ -1234,7 +1380,7 @@ def _topk_exact2_hybrid_i8_impl(
             queries.astype(jnp.bfloat16),
             count.reshape(1),
         )
-    else:
+    if bvals is None:
         raw = jnp.einsum(
             "bd,nd->bn",
             queries.astype(jnp.float32),

@@ -36,8 +36,10 @@ except ImportError:  # pragma: no cover
 from ..ops import append as append_ops
 from ..ops.topk import (
     _NEG,
+    intervals_to_rowmask,
     topk_program,
     topk_program_intervals,
+    topk_program_masked,
     topk_program_quantized,
 )
 from .mesh import AXIS_DP, AXIS_SHARD
@@ -159,8 +161,12 @@ def _sharded_subset_topk_cached(mesh: Mesh, k: int, quantized: bool):
 
     The mask shards with the rows (P over ``shard``), so scoping costs the
     same SPMD program as a global search — no oversampling, no host filter.
+    Non-quantized stores ride the masked fused kernel (the mask streams
+    from HBM with the row tiles — no [b, local_n] score materialization);
+    quantized stores keep the einsum route (scores need per-row scales).
     """
     emb_spec = (P(AXIS_SHARD, None), P(AXIS_SHARD)) if quantized else (P(AXIS_SHARD, None),)
+    use_pallas = mesh.devices.flat[0].platform == "tpu"
 
     @functools.partial(
         _shard_map,
@@ -178,6 +184,13 @@ def _sharded_subset_topk_cached(mesh: Mesh, k: int, quantized: bool):
         shard = jax.lax.axis_index(AXIS_SHARD)
         offset = shard * local_n
         local_count = jnp.clip(count[0] - offset, 0, local_n)
+        kk = min(k, local_n)
+        if not quantized:
+            vals, idx = topk_program_masked(
+                emb_local, q_local, local_count, mask_local, kk, use_pallas
+            )
+            idx = jnp.where(vals >= 0.0, idx + offset, -1)
+            return _merge_shard_winners(vals, idx, kk, min_score)
         raw = jnp.einsum(
             "bd,nd->bn",
             q_local.astype(jnp.float32),
@@ -185,14 +198,12 @@ def _sharded_subset_topk_cached(mesh: Mesh, k: int, quantized: bool):
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        if quantized:
-            raw = raw * scales_local[None, :]
+        raw = raw * scales_local[None, :]
         scores = jnp.clip((raw + 1.0) * 0.5, 0.0, 1.0)
         row_ok = mask_local & (
             jnp.arange(local_n, dtype=jnp.int32) < local_count
         )
         scores = jnp.where(row_ok[None, :], scores, _NEG)
-        kk = min(k, local_n)
         vals, pos = jax.lax.top_k(scores, kk)
         idx = jnp.where(vals >= 0.0, pos + offset, -1)
         return _merge_shard_winners(vals, idx, kk, min_score)
@@ -237,11 +248,7 @@ def _sharded_interval_topk_cached(mesh: Mesh, k: int, quantized: bool):
             idx = jnp.where(vals >= 0.0, idx + offset, -1)
             return _merge_shard_winners(vals, idx, kk, min_score)
         # Quantized stores keep the einsum route (scores need per-row scales).
-        gid = offset + jnp.arange(local_n, dtype=jnp.int32)
-        in_seg = (gid[:, None] >= intervals[None, :, 0]) & (
-            gid[:, None] < intervals[None, :, 1]
-        )
-        mask_local = in_seg.any(axis=1)
+        mask_local = intervals_to_rowmask(local_n, local_iv)[0] > 0
         raw = jnp.einsum(
             "bd,nd->bn",
             q_local.astype(jnp.float32),

@@ -119,13 +119,17 @@ class LookupBatcher:
             group = self._queue[: self._max_coalesce]
             del self._queue[: len(group)]
             try:
-                self._dispatch_group(group)
+                await self._dispatch_group(group)
             except Exception as exc:  # propagate to all waiters
                 for item in group:
                     if not item.future.done():
                         item.future.set_exception(exc)
 
-    def _dispatch_group(self, group: list[_Pending]) -> None:
+    async def _dispatch_group(self, group: list[_Pending]) -> None:
+        # The device fetch blocks for a full tunnel RTT — run it in a
+        # thread so the event loop keeps accepting lookups meanwhile
+        # (that accumulation is what the next dispatch coalesces).
+        loop = asyncio.get_running_loop()
         self.dispatches += 1
         self.served += len(group)
         METRICS.incr("serve.requests", len(group))
@@ -133,11 +137,14 @@ class LookupBatcher:
         t_dispatch = time.perf_counter()
         if len(group) == 1:
             item = group[0]
-            item.future.set_result(
-                self._store.fuzzy_lookup_embeddings_batch(
+            result = await loop.run_in_executor(
+                None,
+                lambda: self._store.fuzzy_lookup_embeddings_batch(
                     item.queries, max_hits=item.max_hits, min_score=item.min_score
-                )
+                ),
             )
+            if not item.future.done():  # caller may have been cancelled
+                item.future.set_result(result)
             METRICS.observe("serve.dispatch", time.perf_counter() - t_dispatch)
             return
         b_max = max(item.queries.shape[0] for item in group)
@@ -151,8 +158,11 @@ class LookupBatcher:
                 )
             stacked[i, : item.queries.shape[0]] = item.queries
         # One dispatch; per-request min_score/max_hits applied on the slice.
-        many = self._store.fuzzy_lookup_embeddings_many(
-            stacked, max_hits=k_max, min_score=0.0
+        many = await loop.run_in_executor(
+            None,
+            lambda: self._store.fuzzy_lookup_embeddings_many(
+                stacked, max_hits=k_max, min_score=0.0
+            ),
         )
         METRICS.observe("serve.dispatch", time.perf_counter() - t_dispatch)
         for i, item in enumerate(group):
@@ -161,6 +171,7 @@ class LookupBatcher:
                 [s for s in row if s.score >= item.min_score][: item.max_hits]
                 for row in rows
             ]
-            item.future.set_result(out)
+            if not item.future.done():  # caller may have been cancelled
+                item.future.set_result(out)
 
 
