@@ -462,3 +462,60 @@ async def test_chunk_granular_scope_mask_matches_host_oracle():
             [scope.is_range_in_scope(m.range) for m in metadata], dtype=bool
         )
         np.testing.assert_array_equal(mask, expect, err_msg=f"trial {trial}")
+
+
+def test_engine_router_sampling_and_follow():
+    from typeagent_tpu.knowpro.search import _EngineRouter
+
+    r = _EngineRouter()
+    # Samples each engine once before following anyone.
+    assert r.pick() == "device"
+    r.record("device", 50.0)
+    assert r.pick() == "host"
+    r.record("host", 10.0)
+    # Host is faster -> follow host.
+    assert r.pick() == "host"
+    # EMA shift: device becomes much faster -> probe eventually flips route.
+    for _ in range(r.PROBE_EVERY + 1):
+        pick = r.pick()
+        r.record(pick, 1.0 if pick == "device" else 100.0)
+    assert r.pick() == "device"
+
+
+async def test_auto_engine_route_matches_both_engines():
+    """use_device_executor="auto" returns identical results while routing
+    through BOTH engines across repeated calls (sampling phase)."""
+    conv = await build_conversation()
+    group = SearchTermGroup(
+        boolean_op="or",
+        terms=[SearchTerm(Term("Bach")), SearchTerm(Term("harpsichord"))],
+    )
+    host = await search_conversation_knowledge(
+        conv, group, options=SearchOptions(exact_match=True, use_device_executor=False)
+    )
+    results = [
+        await search_conversation_knowledge(
+            conv,
+            group,
+            options=SearchOptions(exact_match=True, use_device_executor="auto"),
+        )
+        for _ in range(4)
+    ]
+    for res in results:
+        assert as_score_map(res) == pytest.approx(as_score_map(host))
+    router = conv._engine_router
+    assert router.ms["device"] is not None and router.ms["host"] is not None
+
+
+def test_engine_route_env_default(monkeypatch):
+    import importlib
+
+    from typeagent_tpu.knowpro import search as S
+
+    assert S._default_engine_route() in (True, "auto", False)
+    monkeypatch.setenv("TAT_ENGINE_ROUTE", "auto")
+    assert S._default_engine_route() == "auto"
+    monkeypatch.setenv("TAT_ENGINE_ROUTE", "host")
+    assert S._default_engine_route() is False
+    monkeypatch.setenv("TAT_ENGINE_ROUTE", "device")
+    assert S._default_engine_route() is True

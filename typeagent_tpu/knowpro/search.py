@@ -19,7 +19,10 @@ or/or_max groups through the fused device postings program
 from __future__ import annotations
 
 import logging
+import os
+import time
 from collections.abc import Callable
+from dataclasses import field
 from typing import TypeGuard, cast
 
 logger = logging.getLogger(__name__)
@@ -157,6 +160,64 @@ class SearchQueryExpr:
     raw_query: str | None = None
 
 
+def _default_engine_route() -> bool | str:
+    v = os.environ.get("TAT_ENGINE_ROUTE", "").strip().lower()
+    if v == "auto":
+        return "auto"
+    if v in ("host", "vm", "0", "false"):
+        return False
+    return True
+
+
+_ENGINE_ROUTE = _default_engine_route()
+
+
+class _EngineRouter:
+    """Latency-adaptive device-vs-host routing for ``use_device_executor="auto"``.
+
+    Both engines return identical results (pinned by the differential
+    suites), so routing is purely a latency decision. Per conversation:
+    sample each engine once, then follow the faster EMA while re-probing
+    the slower one periodically — dispatch latency shifts with link
+    conditions and conversation growth.
+    """
+
+    PROBE_EVERY = 32
+    ALPHA = 0.3
+
+    def __init__(self) -> None:
+        self.ms: dict[str, float | None] = {"device": None, "host": None}
+        self.calls = 0
+
+    def pick(self) -> str:
+        self.calls += 1
+        if self.ms["device"] is None:
+            return "device"
+        if self.ms["host"] is None:
+            return "host"
+        fast = "device" if self.ms["device"] <= self.ms["host"] else "host"
+        if self.calls % self.PROBE_EVERY == 0:
+            return "host" if fast == "device" else "device"
+        return fast
+
+    def record(self, engine: str, ms: float) -> None:
+        cur = self.ms[engine]
+        self.ms[engine] = (
+            ms if cur is None else (1.0 - self.ALPHA) * cur + self.ALPHA * ms
+        )
+
+
+def _engine_router(conversation: IConversation) -> _EngineRouter | None:
+    router = getattr(conversation, "_engine_router", None)
+    if router is None:
+        router = _EngineRouter()
+        try:
+            conversation._engine_router = router  # type: ignore[attr-defined]
+        except AttributeError:
+            return None  # slots-only conversations: route statically
+    return router
+
+
 @dataclass
 class SearchOptions:
     max_knowledge_matches: int | None = None
@@ -169,7 +230,11 @@ class SearchOptions:
     # program (knowpro/device_executor.py) — related terms, scopes, boolean
     # groups, wildcards and the entity boost included; falls back to the
     # host VM transparently for anything the executor can't express.
-    use_device_executor: bool = True
+    # "auto" routes adaptively by measured latency (both engines return
+    # identical results): small conversations on dispatch-bound links are
+    # often faster on the host VM, large ones on the device. Env default:
+    # TAT_ENGINE_ROUTE=device|host|auto.
+    use_device_executor: bool | str = field(default_factory=lambda: _ENGINE_ROUTE)
 
     def __repr__(self):
         set_fields = (
@@ -234,9 +299,17 @@ async def search_conversation_knowledge(
     knowledge_query = await compiler.compile_knowledge_query(
         search_term_group, when_filter, options
     )
-    if options.use_device_executor:
+    auto = options.use_device_executor == "auto"
+    router = _engine_router(conversation) if auto else None
+    route_device = (
+        router.pick() == "device"
+        if router is not None
+        else bool(options.use_device_executor)
+    )
+    if route_device:
         with span("search.knowledge", route="device"):
             try:
+                t0 = time.perf_counter()
                 device_result = await _try_device_executor(
                     conversation, knowledge_query, options
                 )
@@ -246,9 +319,15 @@ async def search_conversation_knowledge(
                 logger.exception("device executor failed; host VM fallback")
                 device_result = None
         if device_result is not None:
+            if router is not None:
+                router.record("device", (time.perf_counter() - t0) * 1000.0)
             return device_result
     with span("search.knowledge", route="host"):
-        return await run_query(conversation, options, knowledge_query)
+        t0 = time.perf_counter()
+        result = await run_query(conversation, options, knowledge_query)
+        if router is not None:
+            router.record("host", (time.perf_counter() - t0) * 1000.0)
+        return result
 
 
 async def search_conversation_knowledge_batch(
@@ -276,20 +355,42 @@ async def search_conversation_knowledge_batch(
             )
         )
     results: list[dict | None] = [None] * len(selects)
-    if options.use_device_executor:
+    auto = options.use_device_executor == "auto"
+    router = _engine_router(conversation) if auto else None
+    route_device = (
+        router.pick() == "device"
+        if router is not None
+        else bool(options.use_device_executor)
+    )
+    if route_device:
         with span("search.knowledge", route="device", batch=len(selects)):
             try:
+                t0 = time.perf_counter()
                 executor, context = await _get_device_executor(conversation)
                 results = list(await executor.execute_batch(compiled, context))
+                if router is not None and selects and all(
+                    r is not None for r in results
+                ):
+                    router.record(
+                        "device",
+                        (time.perf_counter() - t0) * 1000.0 / len(selects),
+                    )
             except Exception:
                 # The host VM is the always-correct fallback: never let a
                 # device-engine failure abort a search.
                 logger.exception("device executor failed; host VM fallback")
                 results = [None] * len(selects)
+    host_t0 = time.perf_counter()
+    host_ran = 0
     for i, knowledge_query in enumerate(compiled):
         if results[i] is None:
+            host_ran += 1
             with span("search.knowledge", route="host"):
                 results[i] = await run_query(conversation, options, knowledge_query)
+    if router is not None and host_ran == len(selects) and host_ran:
+        router.record(
+            "host", (time.perf_counter() - host_t0) * 1000.0 / host_ran
+        )
     return results
 
 
