@@ -15,6 +15,13 @@ sys.path.insert(0, "/root/repo")
 
 DIM, B, K = 384, 64, 10
 SEGS = [("podcast", 4_500_000), ("mailbox", 3_500_000), ("podcast", 2_000_000)]
+# Fragmented layout: 24 interleaved segments -> scoping to one name is 8
+# intervals (SMEM interval kernel), two names 16 (row-masked kernel).
+FRAG_SEGS = [
+    (name, 416_000)
+    for _ in range(8)
+    for name in ("podcast", "mailbox", "wiki")
+]
 
 
 def log(*a):
@@ -28,14 +35,15 @@ def main():
     from typeagent_tpu.parallel import create_mesh
     from typeagent_tpu.parallel.corpus import CorpusVectorStore
 
+    segs = FRAG_SEGS if "--fragmented" in sys.argv else SEGS
     log("backend:", jax.default_backend())
     mesh = create_mesh(n_shard=1, n_dp=1, devices=jax.devices()[:1])
     corpus = CorpusVectorStore(DIM, mesh=mesh, dtype=jnp.bfloat16)
 
     t0 = time.perf_counter()
-    corpus.reserve(sum(n for _, n in SEGS))  # avoid doubling overshoot (HBM)
+    corpus.reserve(sum(n for _, n in segs))  # avoid doubling overshoot (HBM)
     key = jax.random.PRNGKey(3)
-    for i, (name, n) in enumerate(SEGS):
+    for i, (name, n) in enumerate(segs):
         # Generate in 500k chunks to bound peak f32 memory during gen.
         done = 0
         while done < n:
@@ -64,22 +72,50 @@ def main():
         return out
 
     res_g = bench("global exact", lambda: corpus.search(q, k=K))
-    res_s = bench(
-        "scoped exact (podcast: 2 intervals, 6.5M rows)",
-        lambda: corpus.search(q, k=K, conversations=["podcast"]),
-    )
-    assert all(h.conversation == "podcast" for row in res_s for h in row)
-    iv = corpus._segment_intervals({"podcast"})
-    log(f"scoped host work: intervals table {iv.tolist()} ({iv.nbytes} bytes)")
+    if "--fragmented" in sys.argv:
+        iv1 = corpus._segment_intervals({"podcast"})
+        res_s = bench(
+            f"scoped exact (podcast: {len(iv1)} intervals, SMEM kernel)",
+            lambda: corpus.search(q, k=K, conversations=["podcast"]),
+        )
+        assert all(h.conversation == "podcast" for row in res_s for h in row)
+        # podcast+wiki segments are never adjacent (a mailbox segment sits
+        # between them), so the merged table keeps all 16 intervals —
+        # past the SMEM kernel's cap, onto the row-masked kernel.
+        iv2 = corpus._segment_intervals({"podcast", "wiki"})
+        res_2 = bench(
+            f"scoped exact (2 names: {len(iv2)} intervals, row-masked kernel)",
+            lambda: corpus.search(q, k=K, conversations=["podcast", "wiki"]),
+        )
+        assert all(
+            h.conversation in ("podcast", "wiki") for row in res_2 for h in row
+        )
+        log(f"scoped host work: intervals tables {iv1.nbytes}/{iv2.nbytes} bytes")
+    else:
+        res_s = bench(
+            "scoped exact (podcast: 2 intervals, 6.5M rows)",
+            lambda: corpus.search(q, k=K, conversations=["podcast"]),
+        )
+        assert all(h.conversation == "podcast" for row in res_s for h in row)
+        iv = corpus._segment_intervals({"podcast"})
+        log(f"scoped host work: intervals table {iv.tolist()} ({iv.nbytes} bytes)")
 
-    # Self-match probe through the scoped path.
+    # Self-match probe through the scoped path (scope = the probe row's
+    # own conversation, whichever segment layout is active).
+    probe_ordinal = 5_000_123
+    offset, owner = 0, None
+    for name, n in segs:
+        if offset <= probe_ordinal < offset + n:
+            owner = name
+            break
+        offset += n
     probe_row = np.asarray(
-        corpus._store.get_row(5_000_123), dtype=np.float32
+        corpus._store.get_row(probe_ordinal), dtype=np.float32
     ).reshape(1, -1)
-    hit = corpus.search(probe_row, k=1, conversations=["mailbox"])[0][0]
+    hit = corpus.search(probe_row, k=1, conversations=[owner])[0][0]
     log(f"scoped self-match: global_ordinal={hit.global_ordinal} "
         f"({hit.conversation}/{hit.local_ordinal}) score={hit.score:.4f}")
-    assert hit.global_ordinal == 5_000_123
+    assert hit.global_ordinal == probe_ordinal and hit.conversation == owner
 
 
 if __name__ == "__main__":
