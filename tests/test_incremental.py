@@ -199,3 +199,54 @@ async def test_mark_sources_ingested_batch_empty_and_idempotent(tmp_path):
     cursor.execute("SELECT COUNT(*) FROM IngestedSources")
     assert cursor.fetchone()[0] == 2
     await provider.close()
+
+
+@pytest.mark.parametrize("backend", ["memory", "sqlite"])
+async def test_message_index_catches_up_after_unindexed_extend(tmp_path, backend):
+    """A lagging message-text index is rebased and caught up by the next
+    indexed add.
+
+    Snapshot loads (convfiles.py) and bulk loaders extend the message
+    collection with ``index_messages=False``; the text index then lags the
+    collection. The next ``add_messages_with_indexing`` must index the
+    lagging prefix AND the new tail at their true global ordinals — passing
+    the tail slice to ``add_messages`` (which skips by its own indexed
+    count assuming the FULL list) used to index the new message at
+    ordinal 0.
+    """
+    db = None if backend == "memory" else str(tmp_path / "lag.db")
+    conv = await create_conversation(db, ConversationMessage, settings=make_settings())
+    await conv.messages.extend(
+        [msg("alpha lagging text"), msg("beta lagging text")],
+        index_messages=False,
+    )
+    index = conv.secondary_indexes.message_index
+    assert await index.indexed_message_count() == 0
+
+    await conv.add_messages_with_indexing([msg("gamma fresh text")])
+
+    assert await conv.messages.size() == 3
+    assert await index.indexed_message_count() == 3
+    for term, expected_ordinal in [
+        ("alpha lagging text", 0),
+        ("beta lagging text", 1),
+        ("gamma fresh text", 2),
+    ]:
+        hits = await index.lookup_messages(term, max_matches=1)
+        assert hits, term
+        assert hits[0].message_ordinal == expected_ordinal
+    await conv.storage_provider.close()
+
+
+@pytest.mark.parametrize("backend", ["memory", "sqlite"])
+async def test_message_index_noop_when_already_fed_by_extend(tmp_path, backend):
+    """The ordinary path (extend auto-feeds the index) must not re-index:
+    indexed_message_count equals the collection size and chunk-row count
+    stays exactly one per single-chunk message."""
+    db = None if backend == "memory" else str(tmp_path / "fed.db")
+    conv = await create_conversation(db, ConversationMessage, settings=make_settings())
+    await conv.add_messages_with_indexing([msg("one solo"), msg("two solo")])
+    index = conv.secondary_indexes.message_index
+    assert await index.indexed_message_count() == 2
+    assert await index.size() == 2  # chunk rows: no duplicates
+    await conv.storage_provider.close()

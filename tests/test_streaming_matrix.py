@@ -256,3 +256,22 @@ async def test_mark_sources_ingested_batch_and_idempotence():
     }
     assert await storage.is_source_ingested("s1")
     assert not await storage.is_source_ingested("s4")
+
+
+async def test_streaming_commit_catches_up_lagging_message_index():
+    """A text index left behind by an unindexed extend (snapshot-load path)
+    is caught up inside the first streaming commit, at true ordinals."""
+    conv = await make_conv()
+    await conv.messages.extend([multi(["alpha lagging text"])], index_messages=False)
+    index = conv.secondary_indexes.message_index
+    assert await index.indexed_message_count() == 0
+
+    result = await conv.add_messages_streaming(astream([multi(["beta streamed text"])]))
+    assert result.messages_added == 1
+    assert await index.indexed_message_count() == 2
+    for term, expected_ordinal in [
+        ("alpha lagging text", 0),
+        ("beta streamed text", 1),
+    ]:
+        hits = await index.lookup_messages(term, max_matches=1)
+        assert hits and hits[0].message_ordinal == expected_ordinal

@@ -155,6 +155,7 @@ class ConversationBase(
 
             start_points = await self._index_watermarks()
 
+            await self._catch_up_message_index(start_points.message_count)
             await self.messages.extend(messages)
             await self._fold_in_metadata_knowledge(start_points.message_count)
 
@@ -258,6 +259,7 @@ class ConversationBase(
 
         async with storage:
             start_points = await self._index_watermarks()
+            await self._catch_up_message_index(start_points.message_count)
 
             chunk_embeddings: list[np.ndarray] = []
             for batch_pos, message in enumerate(messages_batch):
@@ -433,17 +435,55 @@ class ConversationBase(
         if new_terms:
             await fuzzy_index.add_terms(list(new_terms))
 
-    async def _advance_message_index(
-        self,
-        new_messages: list[TMessage],
-        start_ordinal: MessageOrdinal,
-    ) -> None:
+    async def _catch_up_message_index(self, collection_size: int) -> None:
+        """Index any trailing messages the text index hasn't seen yet.
+
+        Snapshot loads (`convfiles.py`) and bulk loaders extend the message
+        collection with ``index_messages=False``, leaving the text index
+        behind the collection. This must run BEFORE the next indexed extend:
+        the extend feeds the index at the new messages' true ordinals, after
+        which ``indexed_message_count`` (max-ordinal based) can no longer
+        see the missing prefix.
+        """
         if (
             self.secondary_indexes is None
             or self.secondary_indexes.message_index is None
         ):
             return
-        await self.secondary_indexes.message_index.add_messages(new_messages)
+        index = self.secondary_indexes.message_index
+        indexed = await index.indexed_message_count()
+        if indexed >= collection_size:
+            return
+        lagging = await self.messages.get_slice(indexed, collection_size)
+        await index.add_messages_starting_at(indexed, list(lagging))
+
+    async def _advance_message_index(
+        self,
+        new_messages: list[TMessage],
+        start_ordinal: MessageOrdinal,
+    ) -> None:
+        """Safety net: index this batch's tail if the extend didn't.
+
+        Both collection backends feed the text index during ``extend``, so
+        normally the index is already at ``start_ordinal + len(new_messages)``
+        and this is a no-op. ``new_messages`` is a TAIL SLICE starting at
+        global ordinal ``start_ordinal``, so rebase by the index's own
+        count rather than passing the slice to ``add_messages`` (which
+        skips by indexed count assuming the FULL message list).
+        """
+        if (
+            self.secondary_indexes is None
+            or self.secondary_indexes.message_index is None
+        ):
+            return
+        index = self.secondary_indexes.message_index
+        indexed = await index.indexed_message_count()
+        end_ordinal = start_ordinal + len(new_messages)
+        if indexed >= end_ordinal or indexed < start_ordinal:
+            return
+        await index.add_messages_starting_at(
+            indexed, list(new_messages[indexed - start_ordinal :])
+        )
 
     # -- the 4-stage query path ----------------------------------------------
 

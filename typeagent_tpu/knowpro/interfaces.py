@@ -526,6 +526,10 @@ class IMessageTextIndex[TMessage: IMessage](Protocol):
     ) -> list[ScoredMessageOrdinal]: ...
     async def size(self) -> int: ...
     async def is_empty(self) -> bool: ...
+    async def indexed_message_count(self) -> int:
+        """Number of MESSAGES indexed (``size()`` counts chunk rows)."""
+        ...
+
     async def serialize(self) -> MessageTextIndexData: ...
     async def deserialize(self, data: MessageTextIndexData) -> None: ...
 

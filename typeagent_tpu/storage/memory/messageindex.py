@@ -81,6 +81,10 @@ class MessageTextIndex(IMessageTextEmbeddingIndex):
     async def is_empty(self) -> bool:
         return await self.text_location_index.is_empty()
 
+    async def indexed_message_count(self) -> int:
+        """Number of MESSAGES indexed so far (size() counts chunks)."""
+        return self._max_message_ordinal + 1
+
     async def add_messages[TMessage: IMessage](
         self, messages: Iterable[TMessage]
     ) -> None:

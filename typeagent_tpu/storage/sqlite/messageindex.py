@@ -62,16 +62,20 @@ class SqliteMessageTextIndex(IMessageTextEmbeddingIndex):
     async def is_empty(self) -> bool:
         return self._size() == 0
 
+    async def indexed_message_count(self) -> int:
+        """Number of MESSAGES indexed so far (_size() counts chunk rows)."""
+        cursor = self.db.cursor()
+        cursor.execute("SELECT MAX(msg_id) FROM MessageTextIndex")
+        result = cursor.fetchone()[0]
+        return 0 if result is None else result + 1
+
     async def add_messages(
         self, messages: typing.Iterable[interfaces.IMessage]
     ) -> None:
         message_list = list(messages)
         if not message_list:
             return
-        cursor = self.db.cursor()
-        cursor.execute("SELECT MAX(msg_id) FROM MessageTextIndex")
-        result = cursor.fetchone()[0]
-        start_ordinal = 0 if result is None else result + 1
+        start_ordinal = await self.indexed_message_count()
         if start_ordinal < len(message_list):
             await self.add_messages_starting_at(
                 start_ordinal, message_list[start_ordinal:]
