@@ -89,6 +89,22 @@ def main() -> None:
     jax.block_until_ready(stores["int8"]._buf)
     log(f"store builds (cast/quantize, on device): {time.perf_counter() - t0:.1f}s")
 
+    # First Pallas lower/compile does a one-time backend RPC round; the
+    # tunnel intermittently stalls for minutes and the stall lands on
+    # whichever device call runs first. Absorb it in a named tiny probe so
+    # the per-engine warmup lines below stay attributable.
+    t0 = time.perf_counter()
+    tiny_e = jnp.zeros((256, DIM), dtype=jnp.bfloat16)
+    tiny_q = jnp.zeros((8, DIM), dtype=jnp.float32)
+    tiny_c = jnp.asarray(256, dtype=jnp.int32)
+    jax.jit(lambda e, q: T.topk_program(e, q, tiny_c, 5)).lower(
+        tiny_e, tiny_q
+    ).compile()
+    log(
+        f"backend probe (tiny pallas lower+compile; absorbs tunnel stalls): "
+        f"{time.perf_counter() - t0:.1f}s"
+    )
+
     count = jnp.asarray(N_ROWS, dtype=jnp.int32)
     bf16 = stores["bfloat16"]._buf
     f32 = stores["float32"]._buf

@@ -530,8 +530,11 @@ class ShardedVectorStore:
 
     @staticmethod
     def _collect(vals, idx, b) -> list[list[tuple[int, float]]]:
-        vals = np.asarray(vals)[:b]
-        idx = np.asarray(idx)[:b]
+        # One concurrent fetch (sequential np.asarray calls pay a tunnel
+        # round trip each on remote-attached devices).
+        vals, idx = jax.device_get((vals, idx))
+        vals = vals[:b]
+        idx = idx[:b]
         out = []
         for r in range(b):
             keep = idx[r] >= 0

@@ -401,9 +401,20 @@ class VectorStore:
 
         q = self._pad_queries(queries)
         k = min(max_hits, self._count)
-        vals, idx = self._topk(q, k)
-        vals = np.asarray(vals)[:b]
-        idx = np.asarray(idx)[:b]
+        vals, idx, cert = self._topk_dispatch(q, k)
+        # ONE concurrent fetch for every output (device_get overlaps the
+        # per-array copies): fetching cert, vals, idx sequentially costs a
+        # tunnel round trip EACH on remote-attached devices.
+        if cert is None:
+            vals, idx = jax.device_get((vals, idx))
+        else:
+            vals, idx, cert_h = jax.device_get((vals, idx, cert))
+            if not cert_h.all():
+                # Certificate miss (eps-tie phase skew): re-run through the
+                # one-phase kernel for unconditional exactness.
+                vals, idx = jax.device_get(self._topk_exact1(q, k))
+        vals = vals[:b]
+        idx = idx[:b]
         results = []
         for r in range(b):
             keep = (vals[r] >= min_score) & (idx[r] >= 0)
@@ -419,32 +430,46 @@ class VectorStore:
             )
         return topk.cosine_scores(self._buf, q, self._count)
 
-    def _topk(self, q: jax.Array, k: int):
+    def _topk_dispatch(
+        self, q: jax.Array, k: int
+    ) -> tuple[jax.Array, jax.Array, jax.Array | None]:
+        """Dispatch the engine program WITHOUT blocking.
+
+        Returns ``(vals, idx, cert)`` device arrays; ``cert`` is None for
+        engines with no exactness certificate. Callers fetch all outputs in
+        one concurrent ``jax.device_get`` (each separate fetch costs a full
+        round trip on remote-attached devices) and re-run via
+        :meth:`_topk_exact1` on a certificate miss.
+        """
         if self._quantized:
-            return topk.cosine_topk_quantized(
+            vals, idx = topk.cosine_topk_quantized(
                 self._buf, self._scales, q, self._count, k
             )
+            return vals, idx, None
         if self.settings.search_mode == "approx":
-            return topk.cosine_topk_approx(
+            vals, idx = topk.cosine_topk_approx(
                 self._buf, q, self._count, k,
                 recall_target=self.settings.recall_target,
             )
+            return vals, idx, None
         if self._use_exact2(k):
             if self._dtype == jnp.float32:
                 # Hybrid: bf16-shadow bucket selection (half the HBM read,
                 # one MXU pass) + exact f32 VPU rescore — ~2.4x the
                 # one-phase f32 kernel with identical results.
-                vals, idx, cert = topk.cosine_topk_exact2_hybrid(
+                return topk.cosine_topk_exact2_hybrid(
                     self._buf, self._shadow(), q, self._count, k
                 )
-            else:
-                vals, idx, cert = topk.cosine_topk_exact2(
-                    self._buf, q, self._count, k
-                )
-            if bool(np.asarray(cert).all()):
-                return vals, idx
-            # Certificate miss (eps-tie phase skew): re-run through the
-            # one-phase kernel for unconditional exactness.
+            return topk.cosine_topk_exact2(self._buf, q, self._count, k)
+        vals, idx = topk.cosine_topk(self._buf, q, self._count, k)
+        return vals, idx, None
+
+    def _topk_exact1(self, q: jax.Array, k: int):
+        """One-phase unconditional-exact rerun (certificate-miss path)."""
+        if self._quantized:
+            return topk.cosine_topk_quantized(
+                self._buf, self._scales, q, self._count, k
+            )
         return topk.cosine_topk(self._buf, q, self._count, k)
 
     def _shadow(self) -> jax.Array:
@@ -511,10 +536,12 @@ class VectorStore:
             and k <= topk._PALLAS_MAX_K,
             recall_target=self.settings.recall_target,
         )
-        leaves = jax.tree.leaves(out)
-        vals = np.asarray(leaves[0])[:, :b]
-        idx = np.asarray(leaves[1])[:, :b]
-        if len(leaves) > 2 and not bool(np.asarray(leaves[2]).all()):
+        # One concurrent fetch for every output (separate np.asarray calls
+        # cost a tunnel round trip each on remote-attached devices).
+        leaves = jax.device_get(jax.tree.leaves(out))
+        vals = leaves[0][:, :b]
+        idx = leaves[1][:, :b]
+        if len(leaves) > 2 and not leaves[2].all():
             # Certificate miss in some batch: redo through the one-phase
             # exact engine for unconditional exactness.
             out = topk.topk_many(
@@ -527,9 +554,9 @@ class VectorStore:
                 use_pallas=topk._platform_of(self._buf) == "tpu"
                 and k <= topk._PALLAS_MAX_K,
             )
-            leaves = jax.tree.leaves(out)
-            vals = np.asarray(leaves[0])[:, :b]
-            idx = np.asarray(leaves[1])[:, :b]
+            leaves = jax.device_get(jax.tree.leaves(out))
+            vals = leaves[0][:, :b]
+            idx = leaves[1][:, :b]
         results = []
         for i in range(r_n):
             rows = []
@@ -582,16 +609,9 @@ class VectorStore:
         k = min(max_hits, self._count)
         # The exact2 certificate must NOT be checked here — np.asarray on it
         # would block, defeating the async dispatch. Defer to collect_lookup.
-        mode, aux = self._engine_mode(k)
-        if mode == "exact2":
-            vals, idx, cert = topk.cosine_topk_exact2(self._buf, q, self._count, k)
+        vals, idx, cert = self._topk_dispatch(q, k)
+        if cert is not None:
             return (vals, idx, queries.shape[0], cert, q, k)
-        if mode == "exact2h":
-            vals, idx, cert = topk.cosine_topk_exact2_hybrid(
-                self._buf, aux, q, self._count, k
-            )
-            return (vals, idx, queries.shape[0], cert, q, k)
-        vals, idx = self._topk(q, k)
         return (vals, idx, queries.shape[0])
 
     def collect_lookup(
@@ -610,12 +630,16 @@ class VectorStore:
             ]
         if len(handle) == 6:  # exact2 dispatch: certificate checked here
             vals, idx, b, cert, q, k = handle
-            if not bool(np.asarray(cert).all()):
-                vals, idx = topk.cosine_topk(self._buf, q, self._count, k)
-            handle = (vals, idx, b)
-        vals, idx, b = handle
-        vals = np.asarray(vals)[:b]
-        idx = np.asarray(idx)[:b]
+            # One concurrent fetch for cert+vals+idx (separate fetches cost
+            # a tunnel round trip each).
+            vals, idx, cert_h = jax.device_get((vals, idx, cert))
+            if not cert_h.all():
+                vals, idx = jax.device_get(self._topk_exact1(q, k))
+        else:
+            vals, idx, b = handle
+            vals, idx = jax.device_get((vals, idx))
+        vals = vals[:b]
+        idx = idx[:b]
         results = []
         for r in range(b):
             keep = (vals[r] >= min_score) & (idx[r] >= 0)
