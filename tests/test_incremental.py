@@ -250,3 +250,30 @@ async def test_message_index_noop_when_already_fed_by_extend(tmp_path, backend):
     assert await index.indexed_message_count() == 2
     assert await index.size() == 2  # chunk rows: no duplicates
     await conv.storage_provider.close()
+
+
+@pytest.mark.parametrize("backend", ["memory", "sqlite"])
+async def test_zero_chunk_tail_message_keeps_ordinals_aligned(tmp_path, backend):
+    """A zero-chunk tail message contributes no index rows, so the
+    max-ordinal count under-reports and each later ingest re-runs a no-op
+    catch-up — which must be idempotent and keep subsequent messages at
+    their true ordinals."""
+    db = None if backend == "memory" else str(tmp_path / "zc.db")
+    conv = await create_conversation(db, ConversationMessage, settings=make_settings())
+    empty = ConversationMessage(
+        text_chunks=[], metadata=msg("x").metadata
+    )
+    await conv.add_messages_with_indexing([msg("first real text"), empty])
+    await conv.add_messages_with_indexing([msg("second real text")])
+    await conv.add_messages_with_indexing([msg("third real text")])
+    index = conv.secondary_indexes.message_index
+    assert await conv.messages.size() == 4
+    assert await index.size() == 3  # chunk rows: one per non-empty message
+    for term, expected_ordinal in [
+        ("first real text", 0),
+        ("second real text", 2),
+        ("third real text", 3),
+    ]:
+        hits = await index.lookup_messages(term, max_matches=1)
+        assert hits and hits[0].message_ordinal == expected_ordinal
+    await conv.storage_provider.close()
