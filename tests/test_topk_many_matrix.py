@@ -280,3 +280,70 @@ def test_topk_program_masked_all_masked_out(rng):
         jnp.zeros(n, jnp.int32), 5,
     )
     assert (np.asarray(idx) == -1).all()
+
+
+# ---------------------------------------------------------------------------
+# Quantized (int8) scoped search: masked/interval routes must ride the fused
+# kernel path with the same union semantics as the float routes (the old
+# einsum fallback materialized [b, n] scores — OOM at 30M rows).
+# ---------------------------------------------------------------------------
+
+
+def _sharded_store_q(mesh, rng, n=800, dim=32):
+    from typeagent_tpu.parallel import ShardedVectorStore
+
+    m = _normed(rng, n, dim)
+    store = ShardedVectorStore(mesh, dim, dtype="int8")
+    store.append(m)
+    return store, m
+
+
+def _oracle_scoped_q(store, intervals, q, k):
+    # Oracle over the store's own dequantized rows (quantization error is
+    # part of the contract; route parity is what we pin).
+    rows = store.get_rows(0, len(store))
+    mask = np.zeros(rows.shape[0], bool)
+    for lo, hi in intervals:
+        mask[lo:hi] = True
+    scores = (rows @ q + 1.0) / 2.0
+    scores[~mask] = -1
+    return set(np.argsort(-scores, kind="stable")[:k].tolist())
+
+
+def test_intervals_quantized_matches_dequantized_oracle(mesh, rng):
+    store, m = _sharded_store_q(mesh, rng)
+    iv = [(100, 400), (300, 500)]
+    res = store.search_intervals(m[250:251], np.asarray(iv), k=6)[0]
+    got = {i for i, _ in res}
+    assert got == _oracle_scoped_q(store, iv, m[250], 6)
+    assert 250 in got
+
+
+def test_intervals_quantized_straddles_shards(mesh, rng):
+    store, m = _sharded_store_q(mesh, rng)
+    iv = [(200, 300), (500, 800)]
+    res = store.search_intervals(m[700:701], np.asarray(iv), k=8)[0]
+    assert {i for i, _ in res} == _oracle_scoped_q(store, iv, m[700], 8)
+
+
+def test_intervals_quantized_beyond_pallas_table_size(mesh, rng):
+    store, m = _sharded_store_q(mesh, rng)
+    iv = [(i * 40, i * 40 + 15) for i in range(16)]
+    res = store.search_intervals(m[45:46], np.asarray(iv), k=5)[0]
+    assert {i for i, _ in res} == _oracle_scoped_q(store, iv, m[45], 5)
+
+
+def test_search_masked_quantized_matches_oracle(mesh, rng):
+    store, m = _sharded_store_q(mesh, rng)
+    mask = np.zeros(store.buf.shape[0], bool)
+    picked = rng.choice(800, size=137, replace=False)
+    mask[picked] = True
+    res = store.search_masked(m[int(picked[0]) : int(picked[0]) + 1], mask, k=7)[0]
+    got = {i for i, _ in res}
+    rows = store.get_rows(0, len(store))
+    scores = (rows @ m[int(picked[0])] + 1.0) / 2.0
+    oracle_mask = np.zeros(rows.shape[0], bool)
+    oracle_mask[picked] = True
+    scores[~oracle_mask] = -1
+    assert got == set(np.argsort(-scores, kind="stable")[:7].tolist())
+    assert int(picked[0]) in got

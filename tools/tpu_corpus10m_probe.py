@@ -36,9 +36,18 @@ def main():
     from typeagent_tpu.parallel.corpus import CorpusVectorStore
 
     segs = FRAG_SEGS if "--fragmented" in sys.argv else SEGS
+    dtype = jnp.int8 if "--int8" in sys.argv else jnp.bfloat16
+    if "--rows" in sys.argv:
+        # Scale the segment layout to a total row count (e.g. --rows
+        # 30000000 with --int8: 11.5 GB in HBM on one chip).
+        total = int(sys.argv[sys.argv.index("--rows") + 1])
+        f = total / sum(n for _, n in segs)
+        segs = [(name, int(n * f)) for name, n in segs]
     log("backend:", jax.default_backend())
+    log(f"layout: {len(segs)} segments, {sum(n for _, n in segs)} rows, "
+        f"dtype {jnp.dtype(dtype).name}")
     mesh = create_mesh(n_shard=1, n_dp=1, devices=jax.devices()[:1])
-    corpus = CorpusVectorStore(DIM, mesh=mesh, dtype=jnp.bfloat16)
+    corpus = CorpusVectorStore(DIM, mesh=mesh, dtype=dtype)
 
     t0 = time.perf_counter()
     corpus.reserve(sum(n for _, n in segs))  # avoid doubling overshoot (HBM)
@@ -72,10 +81,13 @@ def main():
         return out
 
     res_g = bench("global exact", lambda: corpus.search(q, k=K))
+    # int8 stores always scope via the row-masked quantized kernel; float
+    # stores use the SMEM interval kernel up to its table cap.
+    k1 = "row-masked-q kernel" if dtype == jnp.int8 else "SMEM kernel"
     if "--fragmented" in sys.argv:
         iv1 = corpus._segment_intervals({"podcast"})
         res_s = bench(
-            f"scoped exact (podcast: {len(iv1)} intervals, SMEM kernel)",
+            f"scoped exact (podcast: {len(iv1)} intervals, {k1})",
             lambda: corpus.search(q, k=K, conversations=["podcast"]),
         )
         assert all(h.conversation == "podcast" for row in res_s for h in row)
@@ -102,7 +114,7 @@ def main():
 
     # Self-match probe through the scoped path (scope = the probe row's
     # own conversation, whichever segment layout is active).
-    probe_ordinal = 5_000_123
+    probe_ordinal = sum(n for _, n in segs) // 2 + 123
     offset, owner = 0, None
     for name, n in segs:
         if offset <= probe_ordinal < offset + n:

@@ -748,6 +748,153 @@ def _topk_xla_q_impl(emb_q, scales, queries, count, *, k: int):
 _topk_xla_q = jax.jit(_topk_xla_q_impl, static_argnames=("k",))
 
 
+def _topk_kernel_mq(
+    count_ref, q_ref, e_ref, s_ref, m_ref, vals_ref, idx_ref, *, k: int, tile_n: int
+):
+    """Row-masked quantized scan: int8 rows + per-row scales + a [1, n]
+    mask all stream from HBM with the row tiles — no [b, n] score
+    materialization (the einsum fallback allocates 7+ GB at 30M rows)."""
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        vals_ref[:] = jnp.full_like(vals_ref, _RAW_NEG)
+        idx_ref[:] = jnp.full_like(idx_ref, -1)
+
+    count = count_ref[0]
+    raw = jax.lax.dot_general(
+        q_ref[:],
+        e_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    scores = raw * s_ref[:].reshape(1, tile_n)
+    b = scores.shape[0]
+    tile_base = step * tile_n
+    row_ids = tile_base + jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1)
+    ok = (row_ids < count) & (m_ref[:] > 0)  # [1, tile_n] broadcasts over b
+    masked = jnp.where(ok, scores, _RAW_NEG)
+    _fold_tile_into_topk(masked, tile_base, vals_ref, idx_ref, k=k)
+
+
+def _topk_pallas_mq_impl(
+    emb_q: jax.Array,  # [n_pad, d_pad] int8
+    scales: jax.Array,  # [n_pad] f32
+    queries: jax.Array,  # [b_pad, d_pad] bf16
+    count: jax.Array,
+    rowmask: jax.Array,  # [1, n_pad] i32
+    *,
+    k: int,
+):
+    n_pad, d_pad = emb_q.shape
+    b_pad = queries.shape[0]
+    tile_n = _pick_tile(n_pad, d_pad, b_pad, emb_q.dtype.itemsize, k)
+    # 1-D scales operand carries (1024,) tiling (see _topk_pallas_q_impl).
+    if tile_n < n_pad:
+        tile_n = (tile_n // 1024) * 1024
+        if tile_n == 0:
+            return _topk_xla_mq_impl(
+                emb_q, scales, queries, count[0], rowmask, k=k
+            )
+    grid = (pl.cdiv(n_pad, tile_n),)
+    kernel = functools.partial(_topk_kernel_mq, k=k, tile_n=tile_n)
+    vals, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((b_pad, d_pad), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b_pad, _K_LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, _K_LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b_pad, _K_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, _K_LANES), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * n_pad * d_pad,
+            bytes_accessed=n_pad * d_pad
+            + n_pad * 8
+            + b_pad * d_pad * 2
+            + 2 * b_pad * _K_LANES * 4,
+            transcendentals=0,
+        ),
+    )(count, queries, emb_q, scales, rowmask)
+    return _raw_to_score(vals[:, :k], idx[:, :k])
+
+
+def _topk_xla_mq_impl(emb_q, scales, queries, count, rowmask, *, k: int):
+    raw = jnp.einsum(
+        "bd,nd->bn",
+        queries.astype(jnp.float32),
+        emb_q.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    scores = jnp.clip((raw * scales[None, :] + 1.0) * 0.5, 0.0, 1.0)
+    n = emb_q.shape[0]
+    ok = (rowmask.reshape(-1) > 0) & (
+        jnp.arange(n, dtype=jnp.int32) < count
+    )
+    vals, pos = jax.lax.top_k(jnp.where(ok[None, :], scores, _NEG), k)
+    return vals, jnp.where(vals >= 0.0, pos, -1)
+
+
+def topk_program_masked_quantized(
+    emb_q: jax.Array,
+    scales: jax.Array,
+    queries: jax.Array,
+    count: jax.Array,
+    rowmask: jax.Array,
+    k: int,
+    use_pallas: bool | None = None,
+):
+    """Traceable row-masked quantized top-k (usable inside shard_map).
+
+    The quantized twin of :func:`topk_program_masked`: scoped search over
+    int8 stores rides the fused scan instead of materializing [b, n]
+    scores (which OOMs HBM at 30M rows).
+    """
+    k = min(k, emb_q.shape[0])
+    if use_pallas is None:
+        use_pallas = _use_pallas()
+    mask2d = rowmask.reshape(1, -1).astype(jnp.int32)
+    if use_pallas and k <= _PALLAS_MAX_K:
+        return _topk_pallas_mq_impl(
+            emb_q,
+            scales,
+            queries.astype(jnp.bfloat16),
+            count.reshape(1),
+            mask2d,
+            k=k,
+        )
+    return _topk_xla_mq_impl(
+        emb_q, scales, queries, count.reshape(()), mask2d, k=k
+    )
+
+
+def topk_program_intervals_quantized(
+    emb_q: jax.Array,
+    scales: jax.Array,
+    queries: jax.Array,
+    count: jax.Array,
+    intervals: jax.Array,
+    k: int,
+    use_pallas: bool | None = None,
+):
+    """Traceable interval-scoped quantized top-k: the [s, 2] table expands
+    to a [1, n] row mask on device (O(n log s)) and rides the masked fused
+    quantized kernel — host work and upload stay O(segments)."""
+    rowmask = intervals_to_rowmask(emb_q.shape[0], intervals)
+    return topk_program_masked_quantized(
+        emb_q, scales, queries, count, rowmask, k, use_pallas
+    )
+
+
 def quantize_rows(rows: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Per-row symmetric int8 quantization: returns (q [n,d] i8, scales [n])."""
     rows = np.asarray(rows, dtype=np.float32)

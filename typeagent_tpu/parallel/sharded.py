@@ -36,10 +36,11 @@ except ImportError:  # pragma: no cover
 from ..ops import append as append_ops
 from ..ops.topk import (
     _NEG,
-    intervals_to_rowmask,
     topk_program,
     topk_program_intervals,
+    topk_program_intervals_quantized,
     topk_program_masked,
+    topk_program_masked_quantized,
     topk_program_quantized,
 )
 from .mesh import AXIS_DP, AXIS_SHARD
@@ -161,9 +162,9 @@ def _sharded_subset_topk_cached(mesh: Mesh, k: int, quantized: bool):
 
     The mask shards with the rows (P over ``shard``), so scoping costs the
     same SPMD program as a global search — no oversampling, no host filter.
-    Non-quantized stores ride the masked fused kernel (the mask streams
-    from HBM with the row tiles — no [b, local_n] score materialization);
-    quantized stores keep the einsum route (scores need per-row scales).
+    Both dtypes ride the masked fused kernel (the mask streams from HBM
+    with the row tiles — no [b, local_n] score materialization; the
+    quantized variant streams per-row scales alongside).
     """
     emb_spec = (P(AXIS_SHARD, None), P(AXIS_SHARD)) if quantized else (P(AXIS_SHARD, None),)
     use_pallas = mesh.devices.flat[0].platform == "tpu"
@@ -185,27 +186,16 @@ def _sharded_subset_topk_cached(mesh: Mesh, k: int, quantized: bool):
         offset = shard * local_n
         local_count = jnp.clip(count[0] - offset, 0, local_n)
         kk = min(k, local_n)
-        if not quantized:
+        if quantized:
+            vals, idx = topk_program_masked_quantized(
+                emb_local, scales_local, q_local, local_count, mask_local,
+                kk, use_pallas,
+            )
+        else:
             vals, idx = topk_program_masked(
                 emb_local, q_local, local_count, mask_local, kk, use_pallas
             )
-            idx = jnp.where(vals >= 0.0, idx + offset, -1)
-            return _merge_shard_winners(vals, idx, kk, min_score)
-        raw = jnp.einsum(
-            "bd,nd->bn",
-            q_local.astype(jnp.float32),
-            emb_local.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        raw = raw * scales_local[None, :]
-        scores = jnp.clip((raw + 1.0) * 0.5, 0.0, 1.0)
-        row_ok = mask_local & (
-            jnp.arange(local_n, dtype=jnp.int32) < local_count
-        )
-        scores = jnp.where(row_ok[None, :], scores, _NEG)
-        vals, pos = jax.lax.top_k(scores, kk)
-        idx = jnp.where(vals >= 0.0, pos + offset, -1)
+        idx = jnp.where(vals >= 0.0, idx + offset, -1)
         return _merge_shard_winners(vals, idx, kk, min_score)
 
     return jax.jit(_search)
@@ -247,23 +237,13 @@ def _sharded_interval_topk_cached(mesh: Mesh, k: int, quantized: bool):
             )
             idx = jnp.where(vals >= 0.0, idx + offset, -1)
             return _merge_shard_winners(vals, idx, kk, min_score)
-        # Quantized stores keep the einsum route (scores need per-row scales).
-        mask_local = intervals_to_rowmask(local_n, local_iv)[0] > 0
-        raw = jnp.einsum(
-            "bd,nd->bn",
-            q_local.astype(jnp.float32),
-            emb_local.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        # Quantized stores ride the masked fused kernel too (the einsum
+        # route materialized [b, local_n] f32 scores — 7+ GB at 30M rows).
+        vals, idx = topk_program_intervals_quantized(
+            emb_local, scales_local, q_local, local_count, local_iv, kk,
+            use_pallas,
         )
-        raw = raw * scales_local[None, :]
-        scores = jnp.clip((raw + 1.0) * 0.5, 0.0, 1.0)
-        row_ok = mask_local & (
-            jnp.arange(local_n, dtype=jnp.int32) < local_count
-        )
-        scores = jnp.where(row_ok[None, :], scores, _NEG)
-        vals, pos = jax.lax.top_k(scores, kk)
-        idx = jnp.where(vals >= 0.0, pos + offset, -1)
+        idx = jnp.where(vals >= 0.0, idx + offset, -1)
         return _merge_shard_winners(vals, idx, kk, min_score)
 
     return jax.jit(_search)
