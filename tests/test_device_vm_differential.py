@@ -506,6 +506,7 @@ async def test_differential_through_compact_transfer(monkeypatch):
         calls.append(1)
         return real(*args, **kwargs)
 
+    monkeypatch.setattr(P, "_SPARSE_MIN_CAP", 16)
     monkeypatch.setattr(P, "_COMPACT_CAP", 8)
     monkeypatch.setattr(P, "_COMPACT_FETCH_BUCKETS", (4, 8))
     monkeypatch.setattr(P, "accumulate_postings_segmented_compact", counting)
@@ -531,6 +532,7 @@ async def test_differential_compact_no_overflow(monkeypatch):
         calls.append(1)
         return real(*args, **kwargs)
 
+    monkeypatch.setattr(P, "_SPARSE_MIN_CAP", 48)
     monkeypatch.setattr(P, "_COMPACT_CAP", 24)
     monkeypatch.setattr(P, "_COMPACT_FETCH_BUCKETS", (8, 24))
     monkeypatch.setattr(P, "accumulate_postings_segmented_compact", counting)
@@ -557,6 +559,7 @@ async def test_differential_through_sparse_union_combine(monkeypatch):
         sparse_hits.append(out is not None)
         return out
 
+    monkeypatch.setattr(P, "_SPARSE_MIN_CAP", 32)
     monkeypatch.setattr(P, "_COMPACT_CAP", 16)
     monkeypatch.setattr(P, "_COMPACT_FETCH_BUCKETS", (8, 16))
     monkeypatch.setattr(DevicePostingsIndex, "lookup_ops_sparse", counting)
@@ -575,6 +578,7 @@ async def test_differential_under_tiny_device_budgets(monkeypatch):
     from typeagent_tpu.knowpro import device_executor as DE
     from typeagent_tpu.ops import postings as P
 
+    monkeypatch.setattr(P, "_SPARSE_MIN_CAP", 32)
     monkeypatch.setattr(P, "_COMPACT_CAP", 16)
     monkeypatch.setattr(P, "_COMPACT_FETCH_BUCKETS", (8, 16))
     monkeypatch.setattr(DE, "_MAX_DENSE_ENTRIES", 8 * 1024)

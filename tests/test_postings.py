@@ -172,10 +172,11 @@ def test_lookup_ops_compact_path_matches_dense(monkeypatch):
     rng = np.random.default_rng(7)
     index, ops, ktype = _random_ops_setup(rng)
 
-    # semref_cap (~2000) > 2*cap forces the compact path.
+    # semref_cap (~2000) > the gate forces the compact path.
+    monkeypatch.setattr(P, "_SPARSE_MIN_CAP", 256)
     monkeypatch.setattr(P, "_COMPACT_CAP", 256)
     compact = index.lookup_ops(ops, 4, ktype)
-    monkeypatch.setattr(P, "_COMPACT_CAP", 10**9)  # force dense
+    monkeypatch.setattr(P, "_SPARSE_MIN_CAP", 10**9)  # force dense
     dense = index.lookup_ops(ops, 4, ktype)
     for a, b in zip(compact, dense):
         np.testing.assert_allclose(a, b, rtol=1e-5)
@@ -200,6 +201,7 @@ def test_lookup_ops_compact_overflow_falls_back(monkeypatch):
         (tid_hot, 1.0, 0, 0, 0, -1, 0),
         (tid_cold, 2.0, 1, 0, 1, -1, 0),
     ]
+    monkeypatch.setattr(P, "_SPARSE_MIN_CAP", 64)
     monkeypatch.setattr(P, "_COMPACT_CAP", 64)
     escore, ehits, _, _, op_hit = index.lookup_ops(ops, 2, ktype)
     # Segment 0 has all 1000 matches despite cap=64 (dense fallback).
@@ -226,7 +228,7 @@ def test_coo_sparse_matches_dense_randomized(monkeypatch):
     ops.append((ops[5][0], 1.5, 3, P.OP_RELATED, 31, -1, 1))  # scoped
     scopes = [None, scope]
 
-    monkeypatch.setattr(P, "_COMPACT_CAP", 64)  # force the sparse gate open
+    monkeypatch.setattr(P, "_SPARSE_MIN_CAP", 128)  # force the sparse gate open
     sparse = index.lookup_ops_sparse(ops, 4, ktype, scopes, boost_factor=10.0)
     assert sparse is not None
     cols, packed, counts, op_hit_s = sparse
@@ -259,7 +261,7 @@ def test_coo_sparse_overflow_grows_buckets(monkeypatch):
     tid = index._interner.lookup("hot")
     ops = [(tid, 1.0, 0, P.OP_EXACT, 0, -1, 0)]
 
-    monkeypatch.setattr(P, "_COMPACT_CAP", 16)
+    monkeypatch.setattr(P, "_SPARSE_MIN_CAP", 32)
     monkeypatch.setattr(P, "_COO_BUCKETS", (64, 512))
     index._coo_hint = 64  # start below the 300 active runs -> retry path
     sparse = index.lookup_ops_sparse(ops, 1, ktype)
@@ -269,21 +271,49 @@ def test_coo_sparse_overflow_grows_buckets(monkeypatch):
     np.testing.assert_array_equal(cols[0, :300], np.arange(300))
 
 
+def test_mid_size_conversation_routes_sparse_by_default():
+    """No monkeypatching: a conversation whose semref_cap sits between
+    _SPARSE_MIN_CAP and the compact cap must take the sparse COO route
+    under the DEFAULT constants (measured on a tunnel-attached v5e: the
+    dense [4, n_seg, cap] f32 download dominates from ~2k semrefs up —
+    dense 21.0 ms/query vs sparse 6.0 at 10k semrefs)."""
+    from typeagent_tpu.ops import postings as P
+
+    rng = np.random.default_rng(13)
+    index, ops, ktype = _random_ops_setup(
+        rng, n_terms=80, n_semrefs=3000, n_postings=6000
+    )
+    assert P._SPARSE_MIN_CAP < index._semref_cap <= 2 * P._COMPACT_CAP
+    sparse = index.lookup_ops_sparse(ops, 4, ktype)
+    assert sparse is not None
+    cols, packed, counts, op_hit_s = sparse
+    es, eh, rs, rh, op_hit_d = index.lookup_ops(ops, 4, ktype)
+    np.testing.assert_array_equal(op_hit_s, op_hit_d)
+    for s in range(4):
+        c = counts[s]
+        dense_active = np.flatnonzero((eh[s] > 0) | (rh[s] > 0))
+        np.testing.assert_array_equal(cols[s, :c], dense_active)
+        np.testing.assert_allclose(
+            packed[0, s, :c], es[s, dense_active], rtol=1e-5, atol=1e-6
+        )
+
+
 def test_compact_route_preserves_active_semref_zero(monkeypatch):
     """Regression: the compact host re-expansion used a full-width fancy
     assignment whose unused slots carried (order 0, value 0) — numpy's
     last-duplicate-wins then silently zeroed an ACTIVE semref 0."""
     from typeagent_tpu.ops import postings as P
 
+    monkeypatch.setattr(P, "_SPARSE_MIN_CAP", 16)
     monkeypatch.setattr(P, "_COMPACT_CAP", 8)
     monkeypatch.setattr(P, "_COMPACT_FETCH_BUCKETS", (4, 8))
 
     index = DevicePostingsIndex()
     index.add_term("alpha", 0)  # semref 0 is active
     index.add_term("alpha", 1)
-    index.add_term("far", 5000)  # semref_cap >> 2 * cap -> compact route
+    index.add_term("far", 5000)  # semref_cap >> the gate -> compact route
     index.build()
-    assert index._semref_cap > 2 * P._COMPACT_CAP
+    assert index._semref_cap > P._SPARSE_MIN_CAP
 
     tid = index.lookup("alpha")
     ktype = np.zeros(index._n_semrefs, np.int32)

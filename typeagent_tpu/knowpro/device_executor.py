@@ -28,6 +28,7 @@ device == VM over randomized compiled queries.
 
 from __future__ import annotations
 
+import asyncio
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -714,8 +715,27 @@ class DeviceQueryExecutor:
                     scope=self._scope_mask(scopes.get(i)),
                 )
             )
-        for plan_group in self._group_plans(plans):
-            for index, result in self._run_plan_group(plan_group).items():
+        groups = self._group_plans(plans)
+        if len(groups) > 1:
+            # Each group is one device call whose result fetch blocks a
+            # full round trip on tunneled devices; running the groups on
+            # threads overlaps those round trips (dispatches and fetches
+            # are thread-safe; the shared postings index is built once
+            # here, and the per-group combine is pure numpy over its own
+            # plans). Results land in distinct ``results`` slots.
+            if not self._postings._built:
+                self._postings.build()
+            loop = asyncio.get_running_loop()
+            outs = await asyncio.gather(
+                *[
+                    loop.run_in_executor(None, self._run_plan_group, g)
+                    for g in groups
+                ]
+            )
+        else:
+            outs = [self._run_plan_group(g) for g in groups]
+        for out in outs:
+            for index, result in out.items():
                 results[index] = result
         return results
 
@@ -862,7 +882,7 @@ class DeviceQueryExecutor:
         # When the sparse route is structurally unavailable (small
         # semref_cap) every chunk WILL run dense: pack under the dense
         # transfer budget, not the 8x larger sparse one.
-        sparse_route = cap > 2 * _P._COMPACT_CAP
+        sparse_route = cap > _P._SPARSE_MIN_CAP
         entry_budget = _MAX_SPARSE_ENTRIES if sparse_route else _MAX_DENSE_ENTRIES
         chunk: list = []
         chunk_segs = 0
@@ -1084,7 +1104,7 @@ class DeviceQueryExecutor:
     def _sparse_capable(self, plan: "_Plan") -> bool:
         from ..ops import postings as _P
 
-        return self._postings._semref_cap > 2 * _P._COMPACT_CAP and not any(
+        return self._postings._semref_cap > _P._SPARSE_MIN_CAP and not any(
             leaf.wildcards for leaf in plan.leaves
         )
 

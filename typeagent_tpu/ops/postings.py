@@ -42,6 +42,13 @@ _SEG_BUCKETS = (4, 16, 64, 256)
 # the dense transfer). The actual fetch is sliced to the observed max
 # count, bucketed by _COMPACT_FETCH_BUCKETS.
 _COMPACT_CAP = 8192
+# Conversations with semref capacity above this use the sparse COO route
+# (transfer = active runs only). Below it the dense [n_seg, cap] transfer
+# is small enough to win. Measured on a tunnel-attached v5e at 10k
+# semrefs (cap 16384): dense 21.0 ms/query vs sparse 6.0 — the dense
+# download (4 x seg_pad x cap f32) dominates well before the old
+# 2*_COMPACT_CAP gate engaged.
+_SPARSE_MIN_CAP = 2048
 _COMPACT_FETCH_BUCKETS = (256, 1024, 4096, 8192)
 # COO result-size buckets for the sort+scan sparse kernel (total active
 # (segment, semref) runs per device call).
@@ -664,8 +671,8 @@ class DevicePostingsIndex:
         )
         n = self._n_semrefs
 
-        cap = _COMPACT_CAP
-        if self._semref_cap > 2 * cap:
+        cap = min(_COMPACT_CAP, self._semref_cap)
+        if self._semref_cap > _SPARSE_MIN_CAP:
             # Large conversation: compact on device, expand on host — the
             # dense [n_seg, semref_cap] download dominates otherwise. ONE
             # device->host fetch brings counts + a packed slice sized by the
@@ -674,10 +681,10 @@ class DevicePostingsIndex:
             # fetch is a full round trip, so the steady state is 1 RTT.
             packed, op_hit_dev, order, counts_dev = (
                 accumulate_postings_segmented_compact(
-                    *operands, cap=min(cap, self._semref_cap), **statics
+                    *operands, cap=cap, **statics
                 )
             )
-            m = min(self._fetch_hint, cap, self._semref_cap)
+            m = min(self._fetch_hint, cap)
             counts, packed_np, order_np, op_hit = jax.device_get(
                 (counts_dev, packed[:, :, :m], order[:, :m], op_hit_dev)
             )
@@ -737,7 +744,7 @@ class DevicePostingsIndex:
         of dense [n_seg, n_semrefs] arrays. Device side is the scatter-free
         sort+scan COO kernel (:func:`accumulate_postings_segmented_coo`).
         """
-        if self._semref_cap <= 2 * _COMPACT_CAP:
+        if self._semref_cap <= _SPARSE_MIN_CAP:
             return None
         if not self._built:
             self.build()
