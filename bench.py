@@ -239,10 +239,40 @@ def main() -> None:
         f"({BATCH / sync_ms * 1000:.0f} QPS; includes tunnel RTT)"
     )
 
+    # Pipelined serving: LookupBatcher double-buffering with coalescing OFF
+    # — successive dispatches overlap one batch's result download with the
+    # next one's query upload (what a stream of independent requests gets).
+    import asyncio
+
+    from typeagent_tpu.serve import LookupBatcher
+
+    many_host = np.asarray(many)
+
+    async def run_pipelined():
+        batcher = LookupBatcher(
+            store, max_delay_ms=0.0, max_coalesce=1, max_inflight=2
+        )
+        await asyncio.gather(
+            *(batcher.lookup(many_host[i], max_hits=K) for i in range(R))
+        )
+        await batcher.close()
+
+    asyncio.run(run_pipelined())  # warm
+    pipe_elapsed = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        asyncio.run(run_pipelined())
+        pipe_elapsed = min(pipe_elapsed, time.perf_counter() - t0)
+    pipe_qps = R * BATCH / pipe_elapsed
+    log(
+        f"served pipelined-x2: {pipe_elapsed / R * 1000:.2f} ms/batch-{BATCH} "
+        f"({pipe_qps:.0f} QPS, {pipe_qps / (BATCH / sync_ms * 1000):.1f}x sync; "
+        f"independent requests, no coalescing)"
+    )
+
     # Coalesced serving: R waiting batches in one dispatch (what
     # serve.LookupBatcher does under load). Warm once (trace/compile), then
     # time the steady state.
-    many_host = np.asarray(many)
     store.fuzzy_lookup_embeddings_many(many_host, max_hits=K)
     coal_elapsed = float("inf")
     for _ in range(3):

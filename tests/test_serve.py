@@ -149,6 +149,93 @@ def test_cancelled_caller_does_not_poison_group(store):
     ]
 
 
+def test_pipelined_dispatches_overlap(store, monkeypatch):
+    """max_inflight=2 double-buffers: with coalescing off, concurrent
+    requests must actually run ≥2 dispatches at once (overlapping the
+    tunnel RTTs) and still return per-request-correct results."""
+    import threading as _threading
+    import time as _time
+
+    live = 0
+    peak = 0
+    lock = _threading.Lock()
+    real = store.fuzzy_lookup_embeddings_batch
+
+    def slow(*args, **kwargs):
+        nonlocal live, peak
+        with lock:
+            live += 1
+            peak = max(peak, live)
+        _time.sleep(0.15)  # simulate a tunnel RTT
+        try:
+            return real(*args, **kwargs)
+        finally:
+            with lock:
+                live -= 1
+
+    monkeypatch.setattr(store, "fuzzy_lookup_embeddings_batch", slow)
+    rng = np.random.default_rng(12)
+    batches = [_queries(rng, 3) for _ in range(4)]
+
+    async def run():
+        batcher = LookupBatcher(
+            store, max_delay_ms=0.0, max_coalesce=1, max_inflight=2
+        )
+        results = await asyncio.gather(
+            *(batcher.lookup(q, max_hits=5) for q in batches)
+        )
+        await batcher.close()
+        return results, batcher
+
+    results, batcher = asyncio.run(run())
+    assert batcher.dispatches == 4 and batcher.served == 4
+    assert peak >= 2, "dispatches never overlapped"
+    assert batcher.peak_inflight >= 2
+    for q, res in zip(batches, results):
+        expected = real(q, max_hits=5)
+        for a, b in zip(res, expected):
+            assert [s.item for s in a] == [s.item for s in b]
+
+
+def test_single_inflight_stays_sequential(store, monkeypatch):
+    """max_inflight=1 preserves the strict one-dispatch-at-a-time order."""
+    import threading as _threading
+    import time as _time
+
+    live = 0
+    peak = 0
+    lock = _threading.Lock()
+    real = store.fuzzy_lookup_embeddings_batch
+
+    def slow(*args, **kwargs):
+        nonlocal live, peak
+        with lock:
+            live += 1
+            peak = max(peak, live)
+        _time.sleep(0.05)
+        try:
+            return real(*args, **kwargs)
+        finally:
+            with lock:
+                live -= 1
+
+    monkeypatch.setattr(store, "fuzzy_lookup_embeddings_batch", slow)
+    rng = np.random.default_rng(13)
+    batches = [_queries(rng, 2) for _ in range(3)]
+
+    async def run():
+        batcher = LookupBatcher(
+            store, max_delay_ms=0.0, max_coalesce=1, max_inflight=1
+        )
+        await asyncio.gather(*(batcher.lookup(q) for q in batches))
+        await batcher.close()
+        return batcher
+
+    batcher = asyncio.run(run())
+    assert batcher.dispatches == 3
+    assert peak == 1 and batcher.peak_inflight == 1
+
+
 def test_event_loop_stays_responsive_during_dispatch(store, monkeypatch):
     """The device fetch runs off-loop: callers can enqueue (and timers can
     fire) while a dispatch is in flight."""

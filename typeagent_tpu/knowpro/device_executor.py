@@ -29,6 +29,7 @@ device == VM over randomized compiled queries.
 from __future__ import annotations
 
 import asyncio
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -716,7 +717,7 @@ class DeviceQueryExecutor:
                 )
             )
         groups = self._group_plans(plans)
-        if len(groups) > 1:
+        if len(groups) > 1 and os.environ.get("TAT_GROUP_THREADS", "1") != "0":
             # Each group is one device call whose result fetch blocks a
             # full round trip on tunneled devices; running the groups on
             # threads overlaps those round trips (dispatches and fetches

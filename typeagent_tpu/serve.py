@@ -46,8 +46,13 @@ class LookupBatcher:
     """Coalesces concurrent fuzzy-lookup calls into single device dispatches.
 
     Requests arriving while a dispatch is in flight accumulate; the next
-    dispatch takes up to ``max_coalesce`` of them at once. An idle request
-    waits at most ``max_delay_ms`` for company before dispatching alone.
+    dispatch takes up to ``max_coalesce`` of them at once. Up to
+    ``max_inflight`` dispatches run concurrently (double-buffering by
+    default): the device serializes their compute, but one dispatch's
+    result download overlaps the next one's query upload, which is where
+    most of a sync lookup's wall time goes on tunnel-attached devices.
+    An idle request waits at most ``max_delay_ms`` for company before
+    dispatching alone.
     Batches with identical (b, max_hits, min_score) shapes ride the
     multi-batch program; ragged ones are padded to the largest b in the
     group (results are sliced back).
@@ -59,16 +64,22 @@ class LookupBatcher:
         *,
         max_delay_ms: float = 2.0,
         max_coalesce: int = 16,
+        max_inflight: int = 2,
     ):
         self._store = store
         self._max_delay = max_delay_ms / 1000.0
         self._max_coalesce = max(1, max_coalesce)
+        self._max_inflight = max(1, max_inflight)
         self._queue: list[_Pending] = []
         self._wakeup: asyncio.Event | None = None
         self._task: asyncio.Task | None = None
+        self._inflight: asyncio.Semaphore | None = None
+        self._dispatch_tasks: set[asyncio.Task] = set()
         self._closed = False
         self.dispatches = 0  # observability: device dispatches issued
         self.served = 0  # batches served
+        self.peak_inflight = 0  # max concurrent dispatches observed
+        self._cur_inflight = 0
 
     async def lookup(
         self,
@@ -94,10 +105,15 @@ class LookupBatcher:
             self._wakeup.set()
             await self._task
             self._task = None
+        if self._dispatch_tasks:  # drain in-flight dispatches
+            await asyncio.gather(
+                *list(self._dispatch_tasks), return_exceptions=True
+            )
 
     def _ensure_worker(self) -> None:
         if self._task is None or self._task.done():
             self._wakeup = asyncio.Event()
+            self._inflight = asyncio.Semaphore(self._max_inflight)
             self._task = asyncio.get_running_loop().create_task(self._worker())
 
     async def _worker(self) -> None:
@@ -116,14 +132,35 @@ class LookupBatcher:
             # Linger briefly so concurrent callers can pile on.
             if len(self._queue) < self._max_coalesce and self._max_delay > 0:
                 await asyncio.sleep(self._max_delay)
+            # Pipelined dispatch: up to max_inflight groups run at once
+            # (each on an executor thread). The device serializes their
+            # compute, but batch N's result download overlaps batch N+1's
+            # query upload — on tunnel-attached devices most of a sync
+            # lookup's wall time is those transfers.
+            await self._inflight.acquire()
             group = self._queue[: self._max_coalesce]
             del self._queue[: len(group)]
-            try:
-                await self._dispatch_group(group)
-            except Exception as exc:  # propagate to all waiters
-                for item in group:
-                    if not item.future.done():
-                        item.future.set_exception(exc)
+            if not group:
+                self._inflight.release()
+                continue
+            task = asyncio.get_running_loop().create_task(
+                self._dispatch_guarded(group)
+            )
+            self._dispatch_tasks.add(task)
+            task.add_done_callback(self._dispatch_tasks.discard)
+
+    async def _dispatch_guarded(self, group: list[_Pending]) -> None:
+        self._cur_inflight += 1
+        self.peak_inflight = max(self.peak_inflight, self._cur_inflight)
+        try:
+            await self._dispatch_group(group)
+        except Exception as exc:  # propagate to all waiters
+            for item in group:
+                if not item.future.done():
+                    item.future.set_exception(exc)
+        finally:
+            self._cur_inflight -= 1
+            self._inflight.release()
 
     async def _dispatch_group(self, group: list[_Pending]) -> None:
         # The device fetch blocks for a full tunnel RTT — run it in a

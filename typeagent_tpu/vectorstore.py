@@ -19,6 +19,7 @@ Architecture differences (the point of this build):
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -148,6 +149,9 @@ class VectorStore:
         self._count = 0  # rows committed to the device buffer
         self._pending: list[np.ndarray] = []  # host rows awaiting flush
         self._pending_rows = 0
+        # Lookups from concurrent serving threads (LookupBatcher with
+        # max_inflight > 1) all call _flush; the flush body must run once.
+        self._flush_lock = threading.Lock()
         # Mesh mode: the device state is a row-sharded store instead of a
         # single-chip buffer (created lazily once the embedding size is
         # known); host-side pending/scoring semantics stay identical.
@@ -289,6 +293,12 @@ class VectorStore:
     def _flush(self) -> None:
         if not self._pending:
             return
+        with self._flush_lock:
+            self._flush_locked()
+
+    def _flush_locked(self) -> None:
+        if not self._pending:
+            return  # another serving thread flushed while we waited
         if self._mesh is not None:
             rows = np.concatenate(self._pending, axis=0)
             self._pending.clear()
