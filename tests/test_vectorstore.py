@@ -350,6 +350,32 @@ def test_approx_mode_rejects_unknown():
         make_store(8, search_mode="fuzzy")
 
 
+def test_concurrent_first_lookups_never_see_half_flushed_store(rng):
+    """Regression: _flush clears _pending BEFORE the buffer write lands; an
+    unlocked emptiness fast path let a concurrent serving thread (pipelined
+    LookupBatcher) observe count==0 mid-flush and return EMPTY results.
+    Every concurrent first lookup must see the whole store."""
+    import concurrent.futures as cf
+
+    matrix = random_normalized(rng, 500, 32)
+    for _ in range(6):
+        store = make_store(32)
+        store.add_embeddings(None, matrix)  # pending, not yet flushed
+        q = random_normalized(rng, 4, 32)
+
+        with cf.ThreadPoolExecutor(4) as ex:
+            outs = list(
+                ex.map(
+                    lambda _: store.fuzzy_lookup_embeddings_batch(q, max_hits=5),
+                    range(4),
+                )
+            )
+        for out in outs:
+            assert all(len(row) == 5 for row in out), [len(r) for r in out]
+            for a, b in zip(out, outs[0]):
+                assert [s.item for s in a] == [s.item for s in b]
+
+
 def test_lookup_k25_matches_oracle(rng):
     """k in (16, 32] rides the Pallas kernel on TPU (the message re-rank
     stage asks for 25); everywhere it must match the oracle exactly."""

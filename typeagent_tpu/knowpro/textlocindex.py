@@ -118,13 +118,18 @@ class TextToTextLocationIndex:
         threshold_score: float | None = None,
     ) -> list[ScoredTextLocation]:
         min_score = 0.85 if threshold_score is None else threshold_score
-        return self.to_scored_locations(
-            self._embedding_index.get_indexes_of_nearest(
-                await self.generate_embedding(text),
-                max_matches=max_matches,
-                min_score=min_score,
-            )
+        embedding = await self.generate_embedding(text)
+        base = self._embedding_index._vector_base
+        if len(base) == 0:
+            return []
+        # Async route: event loop stays live during the device round trip;
+        # concurrent requests' lookups coalesce into shared dispatches.
+        rows = await base.fuzzy_lookup_embeddings_batch_async(
+            np.asarray(embedding, dtype=np.float32).reshape(1, -1),
+            max_hits=max_matches,
+            min_score=min_score,
         )
+        return self.to_scored_locations(rows[0])
 
     async def lookup_text_in_subset(
         self,

@@ -181,7 +181,7 @@ class TermEmbeddingIndex(ITermEmbeddingIndex):
         queries = await self._vectorbase.get_embeddings(texts)
         if max_hits is None:
             max_hits = len(self._vectorbase)
-        batches = self._vectorbase.fuzzy_lookup_embeddings_batch(
+        batches = await self._vectorbase.fuzzy_lookup_embeddings_batch_async(
             np.asarray(queries), max_hits=max_hits, min_score=min_score
         )
         return [self.matches_to_terms(m) for m in batches]

@@ -196,7 +196,7 @@ class SqliteRelatedTermsFuzzy(interfaces.ITermToRelatedTermsFuzzy):
             max_hits = len(self._vector_base)
         if len(self._vector_base) == 0:
             return [[] for _ in texts]
-        batches = self._vector_base.fuzzy_lookup_embeddings_batch(
+        batches = await self._vector_base.fuzzy_lookup_embeddings_batch_async(
             np.asarray(queries), max_hits=max_hits, min_score=min_score
         )
         return [

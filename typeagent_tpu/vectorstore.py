@@ -19,6 +19,7 @@ Architecture differences (the point of this build):
 
 from __future__ import annotations
 
+import asyncio
 import threading
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -152,6 +153,11 @@ class VectorStore:
         # Lookups from concurrent serving threads (LookupBatcher with
         # max_inflight > 1) all call _flush; the flush body must run once.
         self._flush_lock = threading.Lock()
+        # Per-event-loop LookupBatcher for the async lookup route (created
+        # lazily; rebound if the store outlives the loop, as in test suites
+        # running many asyncio.run() calls).
+        self._batcher = None
+        self._batcher_loop = None
         # Mesh mode: the device state is a row-sharded store instead of a
         # single-chip buffer (created lazily once the embedding size is
         # known); host-side pending/scoring semantics stay identical.
@@ -291,14 +297,17 @@ class VectorStore:
         return self._sharded
 
     def _flush(self) -> None:
-        if not self._pending:
-            return
+        # No pre-lock fast path: the flush body clears _pending BEFORE the
+        # buffer write lands, so an unlocked emptiness check would let a
+        # concurrent serving thread read a half-flushed store (count still
+        # 0) and return empty results. Uncontended acquire is ~100 ns —
+        # noise next to any device call.
         with self._flush_lock:
             self._flush_locked()
 
     def _flush_locked(self) -> None:
         if not self._pending:
-            return  # another serving thread flushed while we waited
+            return  # nothing new (or another serving thread flushed)
         if self._mesh is not None:
             rows = np.concatenate(self._pending, axis=0)
             self._pending.clear()
@@ -499,6 +508,40 @@ class VectorStore:
             mode == "exact"
             and self._count >= EXACT2_MIN_ROWS
             and k <= topk._PALLAS_MAX_K
+        )
+
+    async def fuzzy_lookup_embeddings_batch_async(
+        self,
+        queries: np.ndarray,
+        max_hits: int | None = None,
+        min_score: float | None = None,
+    ) -> list[list[ScoredInt]]:
+        """Async batched lookup through the store's per-loop LookupBatcher.
+
+        The sync lookup blocks the event loop for a full device round trip
+        (~30 ms on tunnel-attached chips), serializing concurrent server
+        requests on the data plane. This route (a) runs the device fetch on
+        an executor thread so the loop stays live, (b) coalesces lookups
+        from concurrent tasks into shared dispatches, and (c) keeps two
+        dispatches in flight (double-buffering). Results are identical to
+        :meth:`fuzzy_lookup_embeddings_batch`.
+        """
+        from .serve import LookupBatcher  # local import: serve imports us
+
+        loop = asyncio.get_running_loop()
+        if (
+            self._batcher is None
+            or self._batcher_loop is not loop
+            or self._batcher._closed
+        ):
+            self._batcher = LookupBatcher(
+                self, max_delay_ms=0.2, max_coalesce=16, max_inflight=2
+            )
+            self._batcher_loop = loop
+        return await self._batcher.lookup(
+            np.asarray(queries, dtype=np.float32),
+            max_hits=10 if max_hits is None else max_hits,
+            min_score=0.0 if min_score is None else float(min_score),
         )
 
     def fuzzy_lookup_embeddings_many(
@@ -717,6 +760,15 @@ class VectorStore:
             # "No limit": every row above min_score, best-first
             # (parity with settings.max_matches = None).
             max_hits = len(self)
+        if predicate is None and len(self) > 0:
+            # Async route: keeps the event loop live during the device
+            # round trip and coalesces with concurrent lookups.
+            rows = await self.fuzzy_lookup_embeddings_batch_async(
+                np.asarray(embedding, dtype=np.float32).reshape(1, -1),
+                max_hits=max_hits,
+                min_score=min_score,
+            )
+            return rows[0]
         return self.fuzzy_lookup_embedding(
             embedding, max_hits=max_hits, min_score=min_score, predicate=predicate
         )
