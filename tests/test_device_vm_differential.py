@@ -578,6 +578,7 @@ async def test_differential_under_tiny_device_budgets(monkeypatch):
     from typeagent_tpu.knowpro import device_executor as DE
     from typeagent_tpu.ops import postings as P
 
+    monkeypatch.setenv("TAT_GROUP_THREADS", "1")  # cover the threaded branch
     monkeypatch.setattr(P, "_SPARSE_MIN_CAP", 32)
     monkeypatch.setattr(P, "_COMPACT_CAP", 16)
     monkeypatch.setattr(P, "_COMPACT_FETCH_BUCKETS", (8, 16))

@@ -717,13 +717,16 @@ class DeviceQueryExecutor:
                 )
             )
         groups = self._group_plans(plans)
-        if len(groups) > 1 and os.environ.get("TAT_GROUP_THREADS", "1") != "0":
-            # Each group is one device call whose result fetch blocks a
-            # full round trip on tunneled devices; running the groups on
-            # threads overlaps those round trips (dispatches and fetches
-            # are thread-safe; the shared postings index is built once
-            # here, and the per-group combine is pure numpy over its own
-            # plans). Results land in distinct ``results`` slots.
+        if len(groups) > 1 and os.environ.get("TAT_GROUP_THREADS", "0") == "1":
+            # Optional (TAT_GROUP_THREADS=1): run the groups on threads so
+            # their device round trips overlap. Measured OFF-by-default: an
+            # interleaved ABBA on a tunnel-attached v5e (100k semrefs,
+            # batch 16, 6 pairs) put threads at 50.8 vs 44.1 ms/query mean
+            # — concurrent dispatches through the tunnel contend rather
+            # than overlap. The knob stays for locally-attached topologies.
+            # (Dispatches/fetches are thread-safe; the postings index is
+            # built once here; per-group combines are pure numpy over their
+            # own plans. Results land in distinct ``results`` slots.)
             if not self._postings._built:
                 self._postings.build()
             loop = asyncio.get_running_loop()
