@@ -388,3 +388,30 @@ def test_lookup_k25_matches_oracle(rng):
     assert [r.item for r in result] == [i for i, _ in expected]
     for r, (_, score) in zip(result, expected):
         assert abs(r.score - score) < 2e-5
+
+
+def test_bf16_store_uploads_bf16_queries(rng):
+    """bf16 stores round queries to bf16 ON HOST: the kernels cast queries
+    to the store dtype before the matmul anyway, so pre-rounding halves the
+    tunnel upload bytes with identical selection. f32 stores must keep f32
+    queries (exact-parity semantics)."""
+    import ml_dtypes
+
+    matrix = random_normalized(rng, 64, 32)
+    q = random_normalized(rng, 4, 32)
+
+    bf16 = make_store(32, dtype="bfloat16")
+    bf16.add_embeddings(None, matrix)
+    bf16._flush()
+    assert bf16._pad_queries(q).dtype == ml_dtypes.bfloat16
+
+    f32 = make_store(32)
+    f32.add_embeddings(None, matrix)
+    f32._flush()
+    assert f32._pad_queries(q).dtype == np.float32
+
+    # Selection through the bf16-wire path still matches the oracle's sets.
+    out = bf16.fuzzy_lookup_embeddings_batch(q, max_hits=5)
+    for row, qv in zip(out, q):
+        exp = {i for i, _ in oracle_lookup(matrix, qv, max_hits=5)}
+        assert {s.item for s in row} == exp

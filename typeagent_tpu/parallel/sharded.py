@@ -25,6 +25,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import ml_dtypes
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -494,7 +495,14 @@ class ShardedVectorStore:
         b = queries.shape[0]
         b_quantum = max(8, self.n_dp * 8)
         b_pad = append_ops.round_up(b, b_quantum)
-        q = np.zeros((b_pad, self.dim_pad), dtype=np.float32)
+        # bf16 stores take bf16 queries on the wire: the per-shard kernels
+        # cast queries to the store dtype before the matmul either way, so
+        # rounding on the host halves the upload bytes with identical
+        # selection (see VectorStore._query_upload_dtype).
+        dtype = (
+            ml_dtypes.bfloat16 if self._dtype == jnp.bfloat16 else np.float32
+        )
+        q = np.zeros((b_pad, self.dim_pad), dtype=dtype)
         q[:b, : self.dim] = queries
         return q
 

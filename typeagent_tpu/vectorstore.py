@@ -26,6 +26,7 @@ from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp
+import ml_dtypes
 import numpy as np
 
 from .ops import append, topk
@@ -350,9 +351,23 @@ class VectorStore:
     def _pad_queries(self, queries: np.ndarray) -> jax.Array:
         b = queries.shape[0]
         b_pad = _bucket(b)
-        out = np.zeros((b_pad, self._dim_pad), dtype=np.float32)
+        out = np.zeros((b_pad, self._dim_pad), dtype=self._query_upload_dtype())
         out[:b, : self._embedding_size] = queries
         return jnp.asarray(out)
+
+    def _query_upload_dtype(self) -> np.dtype:
+        """Host dtype for query upload.
+
+        Every device kernel casts queries to the store dtype before the
+        matmul (``q.astype(emb.dtype)``), so for bf16 stores the f32->bf16
+        rounding happens either way — doing it on the HOST halves the query
+        upload bytes through the tunnel with bit-identical selection. f32
+        and int8 stores keep f32 queries (exact-parity semantics; the int8
+        kernels score in bf16/f32 against dequantized rows).
+        """
+        if self._dtype == jnp.bfloat16:
+            return np.dtype(ml_dtypes.bfloat16)
+        return np.dtype(np.float32)
 
     def fuzzy_lookup_embedding(
         self,
@@ -573,7 +588,9 @@ class VectorStore:
             ]
             return [self.collect_lookup(h, min_score=min_score) for h in handles]
         b_pad = _bucket(b)
-        padded = np.zeros((r_n, b_pad, self._dim_pad), dtype=np.float32)
+        padded = np.zeros(
+            (r_n, b_pad, self._dim_pad), dtype=self._query_upload_dtype()
+        )
         padded[:, :b, : self._embedding_size] = qb
         q_dev = jnp.asarray(padded)
         k = min(max_hits, self._count)
