@@ -89,6 +89,55 @@ def native_available() -> bool:
     return _load_library() is not None
 
 
+_RESULTS_SO = os.path.join(_NATIVE_DIR, "tat_results.so")
+_results_mod = None
+_results_attempted = False
+
+
+def load_results_module():
+    """The tat_results CPython extension (native result materialization).
+
+    Built on demand from native/results.cpp; returns None when no compiler
+    or headers are available (callers keep a pure-Python fallback).
+    """
+    global _results_mod, _results_attempted
+    if _results_mod is not None or _results_attempted:
+        return _results_mod
+    with _build_lock:
+        if _results_mod is not None:
+            return _results_mod
+        _results_attempted = True
+        if os.environ.get("TAT_NATIVE", "1") in ("0", "off"):
+            return None
+        if not os.path.exists(_RESULTS_SO):
+            src = os.path.join(_NATIVE_DIR, "results.cpp")
+            if not os.path.exists(src):
+                return None
+            try:
+                subprocess.run(
+                    ["make", "-C", _NATIVE_DIR, "tat_results.so"],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+            except Exception:
+                return None
+        try:
+            import importlib.machinery
+            import importlib.util
+
+            loader = importlib.machinery.ExtensionFileLoader(
+                "tat_results", _RESULTS_SO
+            )
+            spec = importlib.util.spec_from_loader("tat_results", loader)
+            mod = importlib.util.module_from_spec(spec)
+            loader.exec_module(mod)
+        except Exception:
+            return None
+        _results_mod = mod
+        return _results_mod
+
+
 class NativeInterner:
     """C++ interner + posting accumulator (terms lowercased on intern)."""
 

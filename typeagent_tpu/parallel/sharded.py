@@ -523,6 +523,15 @@ class ShardedVectorStore:
         vals, idx = jax.device_get((vals, idx))
         vals = vals[:b]
         idx = idx[:b]
+        from ..vectorstore import _NATIVE_RESULTS
+
+        if _NATIVE_RESULTS is not None:
+            # min_score was applied on device; filter only padding (-1).
+            vals_c = np.ascontiguousarray(vals, dtype=np.float32)
+            idx_c = np.ascontiguousarray(idx, dtype=np.int32)
+            return _NATIVE_RESULTS.build_pairs(
+                vals_c, idx_c, b, vals_c.shape[1], -1e30
+            )
         out = []
         for r in range(b):
             keep = idx[r] >= 0

@@ -69,6 +69,37 @@ class ScoredInt:
     score: float
 
 
+# Result materialization is a measured serve-path bottleneck: a batch-256
+# top-10 lookup builds 2,560 records and the Python dataclass loop costs
+# ~9 ms — more than the device compute at 1M x 384. The native builder
+# (native/results.cpp, a CPython extension built on demand) does it in one
+# C pass; its ScoredInt type is attribute- and equality-compatible with the
+# dataclass above, which remains the fallback. Opt out: TAT_NATIVE=0.
+from . import native as _native_mod
+
+_NATIVE_RESULTS = _native_mod.load_results_module()
+if _NATIVE_RESULTS is not None:
+    ScoredInt = _NATIVE_RESULTS.ScoredInt  # type: ignore[misc]
+
+
+def _materialize_rows(vals, idx, b: int, min_score: float):
+    """[b, k] fetched device buffers -> list[list[ScoredInt]] (order kept;
+    entries with score < min_score or ordinal < 0 dropped)."""
+    if _NATIVE_RESULTS is not None:
+        vals_c = np.ascontiguousarray(vals[:b], dtype=np.float32)
+        idx_c = np.ascontiguousarray(idx[:b], dtype=np.int32)
+        return _NATIVE_RESULTS.build(
+            vals_c, idx_c, b, vals_c.shape[1], float(min_score)
+        )
+    results = []
+    for r in range(b):
+        keep = (vals[r] >= min_score) & (idx[r] >= 0)
+        results.append(
+            [ScoredInt(int(i), float(v)) for v, i in zip(vals[r][keep], idx[r][keep])]
+        )
+    return results
+
+
 class TextEmbeddingIndexSettings:
     """Runtime settings for embedding-backed fuzzy lookup.
 
@@ -447,15 +478,7 @@ class VectorStore:
                 # Certificate miss (eps-tie phase skew): re-run through the
                 # one-phase kernel for unconditional exactness.
                 vals, idx = jax.device_get(self._topk_exact1(q, k))
-        vals = vals[:b]
-        idx = idx[:b]
-        results = []
-        for r in range(b):
-            keep = (vals[r] >= min_score) & (idx[r] >= 0)
-            results.append(
-                [ScoredInt(int(i), float(v)) for v, i in zip(vals[r][keep], idx[r][keep])]
-            )
-        return results
+        return _materialize_rows(vals, idx, b, min_score)
 
     def _all_scores(self, q: jax.Array) -> jax.Array:
         if self._quantized:
@@ -627,19 +650,10 @@ class VectorStore:
             leaves = jax.device_get(jax.tree.leaves(out))
             vals = leaves[0][:, :b]
             idx = leaves[1][:, :b]
-        results = []
-        for i in range(r_n):
-            rows = []
-            for r in range(b):
-                keep = (vals[i, r] >= min_score) & (idx[i, r] >= 0)
-                rows.append(
-                    [
-                        ScoredInt(int(j), float(v))
-                        for v, j in zip(vals[i, r][keep], idx[i, r][keep])
-                    ]
-                )
-            results.append(rows)
-        return results
+        return [
+            _materialize_rows(vals[i], idx[i], b, min_score)
+            for i in range(r_n)
+        ]
 
     def _engine_mode(self, k: int) -> tuple[str, jax.Array | None]:
         """Resolve the engine mode + auxiliary operand for program builders."""
@@ -708,15 +722,7 @@ class VectorStore:
         else:
             vals, idx, b = handle
             vals, idx = jax.device_get((vals, idx))
-        vals = vals[:b]
-        idx = idx[:b]
-        results = []
-        for r in range(b):
-            keep = (vals[r] >= min_score) & (idx[r] >= 0)
-            results.append(
-                [ScoredInt(int(i), float(v)) for v, i in zip(vals[r][keep], idx[r][keep])]
-            )
-        return results
+        return _materialize_rows(vals, idx, b, min_score)
 
     def fuzzy_lookup_embedding_in_subset(
         self,
