@@ -469,7 +469,14 @@ class ShardedVectorStore:
         self._pending.clear()
         self._pending_rows = 0
         n = rows.shape[0]
-        padded = np.zeros((n, self.dim_pad), dtype=np.float32)
+        # bf16 stores take bf16 rows on the wire (device append casts to
+        # the buffer dtype either way); int8 quantizes from f32 below.
+        row_dtype = (
+            ml_dtypes.bfloat16
+            if (not self._quantized and self._dtype == jnp.bfloat16)
+            else np.float32
+        )
+        padded = np.zeros((n, self.dim_pad), dtype=row_dtype)
         padded[:, : self.dim] = rows
         self._grow(self.count + n)
         count = jnp.int32(self.count)

@@ -352,7 +352,12 @@ class VectorStore:
         self._pending.clear()
         self._pending_rows = 0
         n = rows.shape[0]
-        padded = np.zeros((n, self._dim_pad), dtype=np.float32)
+        # bf16 stores take bf16 rows on the wire: the device append casts
+        # to the buffer dtype anyway, so host-side rounding halves the
+        # ingest upload bytes bit-identically. int8 quantization needs the
+        # f32 rows (it happens on host below), f32 stores keep f32.
+        row_dtype = np.float32 if self._quantized else self._query_upload_dtype()
+        padded = np.zeros((n, self._dim_pad), dtype=row_dtype)
         padded[:, : self._embedding_size] = rows
         if self._buf is None:
             cap = max(append.MIN_CAPACITY, 1 << (n - 1).bit_length())
@@ -457,12 +462,15 @@ class VectorStore:
             return results
 
         if self._mesh is not None:
-            raw = self._sharded_store().search(
+            # Materialize straight from the gathered device buffers (the
+            # tuple detour through ShardedVectorStore.search would rebuild
+            # every record a second time).
+            handle = self._sharded_store().search_dispatch(
                 np.asarray(queries, dtype=np.float32),
                 k=min(max_hits, self._count),
                 min_score=min_score,
             )
-            return [[ScoredInt(i, v) for i, v in row] for row in raw]
+            return self._collect_sharded_scored(handle, min_score)
 
         q = self._pad_queries(queries)
         k = min(max_hits, self._count)
@@ -478,6 +486,18 @@ class VectorStore:
                 # Certificate miss (eps-tie phase skew): re-run through the
                 # one-phase kernel for unconditional exactness.
                 vals, idx = jax.device_get(self._topk_exact1(q, k))
+        return _materialize_rows(vals, idx, b, min_score)
+
+    def _collect_sharded_scored(
+        self, handle, min_score: float
+    ) -> list[list[ScoredInt]]:
+        """Materialize a ShardedVectorStore dispatch handle into ScoredInt
+        rows straight from the gathered device buffers (min_score was
+        applied on device; padding carries ordinal -1)."""
+        if handle[0] == "empty":
+            return [[] for _ in range(handle[1])]
+        vals, idx, b = handle
+        vals, idx = jax.device_get((vals, idx))
         return _materialize_rows(vals, idx, b, min_score)
 
     def _all_scores(self, q: jax.Array) -> jax.Array:
@@ -707,11 +727,7 @@ class VectorStore:
         if handle is None:
             return []
         if isinstance(handle[0], str):  # ("sharded", dispatch handle)
-            raw = self._sharded_store().collect_search(handle[1])
-            return [
-                [ScoredInt(i, v) for i, v in row if v >= min_score]
-                for row in raw
-            ]
+            return self._collect_sharded_scored(handle[1], min_score)
         if len(handle) == 6:  # exact2 dispatch: certificate checked here
             vals, idx, b, cert, q, k = handle
             # One concurrent fetch for cert+vals+idx (separate fetches cost
