@@ -187,7 +187,14 @@ class LookupBatcher:
         b_max = max(item.queries.shape[0] for item in group)
         d = group[0].queries.shape[1]
         k_max = max(item.max_hits for item in group)
-        stacked = np.zeros((len(group), b_max, d), dtype=np.float32)
+        # Stack straight in the store's wire dtype (bf16 for bf16 stores):
+        # the per-item assignment casts once, and the many() path can then
+        # pad without a second full-size copy.
+        wire = getattr(self._store, "_query_upload_dtype", None)
+        stacked = np.zeros(
+            (len(group), b_max, d),
+            dtype=wire() if wire is not None else np.float32,
+        )
         for i, item in enumerate(group):
             if item.queries.shape[1] != d:
                 raise ValueError(

@@ -616,7 +616,9 @@ class VectorStore:
             max_hits = 10
         if min_score is None:
             min_score = 0.0
-        qb = np.asarray(query_batches, dtype=np.float32)
+        qb = np.asarray(query_batches)
+        if qb.dtype not in (np.float32, self._query_upload_dtype()):
+            qb = qb.astype(np.float32)
         if qb.ndim != 3:
             raise ValueError(f"Expected [R, b, d] query batches, got {qb.shape}")
         r_n, b = qb.shape[0], qb.shape[1]
