@@ -1,0 +1,106 @@
+"""int8 query-wire mode: quarter-byte query upload for bf16 stores.
+
+The serve path on remote-attached devices is transfer-bound; queries ride
+the wire as int8 + per-query scale and dequantize to bf16 on device. Wire
+quantization shifts scores ~1e-3, so the mode is opt-in
+(``TextEmbeddingIndexSettings(query_wire="int8")``) and exact modes keep
+their float wire by default.
+"""
+
+import numpy as np
+import pytest
+
+from typeagent_tpu.models.adapters import create_test_embedding_model
+from typeagent_tpu.vectorstore import (
+    TextEmbeddingIndexSettings,
+    VectorStore,
+    _quantize_queries_host,
+)
+
+
+def _normal(rng, n, d):
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    return m / np.linalg.norm(m, axis=1, keepdims=True)
+
+
+def make_store(dim, **kw):
+    return VectorStore(
+        TextEmbeddingIndexSettings(
+            create_test_embedding_model(dim), min_score=0.0, **kw
+        )
+    )
+
+
+def test_int8_wire_requires_bf16_store():
+    with pytest.raises(ValueError):
+        TextEmbeddingIndexSettings(
+            create_test_embedding_model(8), dtype="float32", query_wire="int8"
+        )
+    with pytest.raises(ValueError):
+        TextEmbeddingIndexSettings(
+            create_test_embedding_model(8), dtype="int8", query_wire="int8"
+        )
+
+
+def test_quantize_queries_roundtrip_error_bounded():
+    rng = np.random.default_rng(0)
+    q = _normal(rng, 32, 64)
+    qi, sc = _quantize_queries_host(q)
+    assert qi.dtype == np.int8 and sc.dtype == np.float32
+    back = qi.astype(np.float32) * sc[:, None]
+    assert np.abs(back - q).max() <= (sc.max() / 2) + 1e-7
+
+
+def test_int8_wire_selection_close_to_float_wire():
+    rng = np.random.default_rng(1)
+    dim = 64
+    mat = _normal(rng, 2000, dim)
+    queries = _normal(rng, 32, dim)
+    queries[:8] = mat[:8]  # self-match queries
+
+    ref = make_store(dim, dtype="bfloat16")
+    ref.add_embeddings(None, mat)
+    wire8 = make_store(dim, dtype="bfloat16", query_wire="int8")
+    wire8.add_embeddings(None, mat)
+
+    out_ref = ref.fuzzy_lookup_embeddings_batch(queries, max_hits=10)
+    out_8 = wire8.fuzzy_lookup_embeddings_batch(queries, max_hits=10)
+    for i in range(8):  # exact self-matches survive wire quantization
+        assert out_8[i][0].item == i
+    overlaps = [
+        len({s.item for s in a} & {s.item for s in b}) / 10
+        for a, b in zip(out_8, out_ref)
+    ]
+    assert np.mean(overlaps) >= 0.95, np.mean(overlaps)
+    for a, b in zip(out_8, out_ref):  # scores shift only at wire precision
+        for sa, sb in zip(a[:3], b[:3]):
+            assert abs(sa.score - sb.score) < 2e-2
+
+
+def test_int8_wire_many_matches_batch_route():
+    rng = np.random.default_rng(2)
+    dim = 32
+    mat = _normal(rng, 500, dim)
+    store = make_store(dim, dtype="bfloat16", query_wire="int8")
+    store.add_embeddings(None, mat)
+    qs = np.stack([_normal(rng, 16, dim) for _ in range(3)])
+    many = store.fuzzy_lookup_embeddings_many(qs, max_hits=5)
+    for r in range(3):
+        batch = store.fuzzy_lookup_embeddings_batch(qs[r], max_hits=5)
+        assert [[s.item for s in row] for row in many[r]] == [
+            [s.item for s in row] for row in batch
+        ]
+
+
+def test_int8_wire_subset_and_predicate_paths():
+    rng = np.random.default_rng(3)
+    dim = 32
+    mat = _normal(rng, 300, dim)
+    store = make_store(dim, dtype="bfloat16", query_wire="int8")
+    store.add_embeddings(None, mat)
+    sub = store.fuzzy_lookup_embedding_in_subset(mat[7], [5, 6, 7, 8], max_hits=2)
+    assert sub[0].item == 7
+    pred = store.fuzzy_lookup_embeddings_batch(
+        mat[:1], max_hits=5, predicate=lambda i: i % 2 == 0
+    )
+    assert all(s.item % 2 == 0 for s in pred[0])

@@ -64,7 +64,12 @@ def main() -> None:
     f32 = np.dtype(np.float32)
 
     def set_upload(dtype_fn):
+        store.settings.query_wire = "auto"
         store._query_upload_dtype = dtype_fn
+
+    def set_int8_wire():
+        store._query_upload_dtype = native_upload
+        store.settings.query_wire = "int8"
 
     native_upload = type(store)._query_upload_dtype.__get__(store)
 
@@ -102,20 +107,25 @@ def main() -> None:
 
         asyncio.run(run())
 
-    # Warm compiles for both wire dtypes before timing.
-    for dtype_fn in (native_upload, lambda: f32):
-        set_upload(dtype_fn)
+    # Warm compiles for every wire variant before timing.
+    for setter in (
+        lambda: set_upload(native_upload),
+        lambda: set_upload(lambda: f32),
+        set_int8_wire,
+    ):
+        setter()
         sync_once()
         many_once()
         stream_once()
 
     acc = {}
     for pair in range(args.pairs):
-        for label, dtype_fn in (
-            ("bf16-wire", native_upload),
-            ("f32-wire", lambda: f32),
+        for label, setter in (
+            ("bf16-wire", lambda: set_upload(native_upload)),
+            ("f32-wire", lambda: set_upload(lambda: f32)),
+            ("int8-wire", set_int8_wire),
         ):
-            set_upload(dtype_fn)
+            setter()
             s = timed(sync_once, warm=0, iters=2)
             m = timed(many_once, warm=0, iters=1)
             st = timed(stream_once, warm=0, iters=1)

@@ -118,6 +118,7 @@ class TextEmbeddingIndexSettings:
         mesh=None,
         search_mode: str = "exact",
         recall_target: float = 0.95,
+        query_wire: str = "auto",
     ):
         if embedding_model is None:
             from .models.adapters import create_embedding_model
@@ -149,6 +150,64 @@ class TextEmbeddingIndexSettings:
         # (scoped/subset lookups on sharded stores stay exact).
         self.search_mode = search_mode
         self.recall_target = recall_target
+        # Query upload ("wire") format. "auto": bf16 stores take bf16
+        # queries (selection-identical — the kernels cast queries to the
+        # store dtype anyway), f32/int8 stores take f32. "int8": queries
+        # quantize per-query on the host and dequantize to bf16 on device —
+        # a quarter of the upload bytes for transfer-bound serving, at a
+        # small wire-quantization cost (scores shift ~1e-3; recall@10
+        # >= 0.99 vs the bf16 wire on random data). bf16 stores only.
+        assert query_wire in ("auto", "int8"), query_wire
+        if query_wire == "int8" and dtype != "bfloat16":
+            raise ValueError("query_wire='int8' requires dtype='bfloat16'")
+        self.query_wire = query_wire
+
+
+@jax.jit
+def _dequant_queries(qi: jax.Array, scales: jax.Array) -> jax.Array:
+    """int8-wire queries -> bf16 on device (scales broadcast per query)."""
+    sc = scales.astype(jnp.bfloat16)
+    if qi.ndim == 3:
+        return qi.astype(jnp.bfloat16) * sc[:, :, None]
+    return qi.astype(jnp.bfloat16) * sc[:, None]
+
+
+def _quantize_queries_host(
+    q: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-query symmetric int8 quantization (the query twin of
+    ``ops.topk.quantize_rows``); q: [..., d] f32 -> (int8 [..., d],
+    scales [...] f32)."""
+    amax = np.abs(q).max(axis=-1)
+    scales = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+    qi = np.clip(np.round(q / scales[..., None]), -127, 127).astype(np.int8)
+    return qi, scales
+
+
+def _int8_wire_upload(
+    queries: np.ndarray, b_pad: int, dim_pad: int, size: int
+) -> jax.Array:
+    """Upload queries as int8 + per-query scales (a quarter of the f32
+    bytes) and dequantize to bf16 on device. Zero-padded slots carry scale
+    0, so they dequantize to the same zero rows the float wire pads with."""
+    q = np.asarray(queries, dtype=np.float32)
+    b = q.shape[0]
+    qi = np.zeros((b_pad, dim_pad), dtype=np.int8)
+    sc = np.zeros((b_pad,), dtype=np.float32)
+    qi[:b, :size], sc[:b] = _quantize_queries_host(q)
+    return _dequant_queries(jnp.asarray(qi), jnp.asarray(sc))
+
+
+def _int8_wire_upload_many(
+    qb: np.ndarray, b_pad: int, dim_pad: int, size: int
+) -> jax.Array:
+    """[R, b, d] twin of :func:`_int8_wire_upload`."""
+    q = np.asarray(qb, dtype=np.float32)
+    r_n, b = q.shape[0], q.shape[1]
+    qi = np.zeros((r_n, b_pad, dim_pad), dtype=np.int8)
+    sc = np.zeros((r_n, b_pad), dtype=np.float32)
+    qi[:, :b, :size], sc[:, :b] = _quantize_queries_host(q)
+    return _dequant_queries(jnp.asarray(qi), jnp.asarray(sc))
 
 
 def _bucket(n: int, buckets=_QUERY_BUCKETS) -> int:
@@ -387,6 +446,10 @@ class VectorStore:
     def _pad_queries(self, queries: np.ndarray) -> jax.Array:
         b = queries.shape[0]
         b_pad = _bucket(b)
+        if self.settings.query_wire == "int8":
+            return _int8_wire_upload(
+                queries, b_pad, self._dim_pad, self._embedding_size
+            )
         out = np.zeros((b_pad, self._dim_pad), dtype=self._query_upload_dtype())
         out[:b, : self._embedding_size] = queries
         return jnp.asarray(out)
@@ -633,11 +696,16 @@ class VectorStore:
             ]
             return [self.collect_lookup(h, min_score=min_score) for h in handles]
         b_pad = _bucket(b)
-        padded = np.zeros(
-            (r_n, b_pad, self._dim_pad), dtype=self._query_upload_dtype()
-        )
-        padded[:, :b, : self._embedding_size] = qb
-        q_dev = jnp.asarray(padded)
+        if self.settings.query_wire == "int8":
+            q_dev = _int8_wire_upload_many(
+                qb, b_pad, self._dim_pad, self._embedding_size
+            )
+        else:
+            padded = np.zeros(
+                (r_n, b_pad, self._dim_pad), dtype=self._query_upload_dtype()
+            )
+            padded[:, :b, : self._embedding_size] = qb
+            q_dev = jnp.asarray(padded)
         k = min(max_hits, self._count)
         mode, aux = self._engine_mode(k)
         out = topk.topk_many(
