@@ -104,3 +104,28 @@ def test_int8_wire_subset_and_predicate_paths():
         mat[:1], max_hits=5, predicate=lambda i: i % 2 == 0
     )
     assert all(s.item % 2 == 0 for s in pred[0])
+
+
+def test_int8_wire_through_lookup_batcher():
+    import asyncio
+
+    from typeagent_tpu.serve import LookupBatcher
+
+    rng = np.random.default_rng(4)
+    dim = 32
+    mat = _normal(rng, 400, dim)
+    store = make_store(dim, dtype="bfloat16", query_wire="int8")
+    store.add_embeddings(None, mat)
+
+    async def run():
+        b = LookupBatcher(store, max_delay_ms=1.0, max_coalesce=4, max_inflight=2)
+        outs = await asyncio.gather(
+            *(b.lookup(mat[i * 8 : i * 8 + 8], max_hits=3) for i in range(6))
+        )
+        await b.close()
+        return outs
+
+    outs = asyncio.run(run())
+    for gi, rows in enumerate(outs):
+        for r, row in enumerate(rows):
+            assert row[0].item == gi * 8 + r  # self-match survives the wire
