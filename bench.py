@@ -213,6 +213,32 @@ def main() -> None:
         exact_parity_recall,
     )
 
+    # -- headline (printed BEFORE the serving ladder: the tunnel stalls for
+    # minutes at a time, and a stall inside the serving section must not
+    # cost the recorded result) --------------------------------------------
+    eligible = {n: (q, r) for n, (q, r) in rates.items() if r >= RECALL_BAR}
+    mode, (best_qps, best_recall) = max(eligible.items(), key=lambda kv: kv[1][0])
+    log(
+        f"headline mode: {mode} ({best_qps:.0f} QPS, recall {best_recall:.4f}); "
+        f"exact-parity (recall 1.0): exact2h-f32 {exact_parity_qps:.0f} QPS"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    f"cosine top-{K} QPS ({mode}, recall@{K}>={RECALL_BAR} vs "
+                    f"exact f32 oracle, measured {best_recall:.3f}; "
+                    f"exact-parity recall-1.0 mode: {exact_parity_qps:.0f} QPS), "
+                    f"{N_ROWS // 1000}k x {DIM} fragments, batch {BATCH}"
+                ),
+                "value": round(best_qps, 1),
+                "unit": "QPS",
+                "vs_baseline": round(best_qps / BASELINE_QPS, 1),
+            }
+        ),
+        flush=True,
+    )
+
     # -- serving-path measurements (host round trips through the tunnel) ----
     store = stores["bfloat16"]
     queries_host = np.asarray(many[0])
@@ -318,30 +344,6 @@ def main() -> None:
         f"{stream_elapsed / n_stream * 1000:.2f} ms/batch-{BATCH} "
         f"({stream_qps:.0f} QPS, {stream_qps / (BATCH / sync_ms * 1000):.1f}x sync)"
     )
-
-    # -- headline ------------------------------------------------------------
-    eligible = {n: (q, r) for n, (q, r) in rates.items() if r >= RECALL_BAR}
-    mode, (best_qps, best_recall) = max(eligible.items(), key=lambda kv: kv[1][0])
-    log(
-        f"headline mode: {mode} ({best_qps:.0f} QPS, recall {best_recall:.4f}); "
-        f"exact-parity (recall 1.0): exact2h-f32 {exact_parity_qps:.0f} QPS"
-    )
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"cosine top-{K} QPS ({mode}, recall@{K}>={RECALL_BAR} vs "
-                    f"exact f32 oracle, measured {best_recall:.3f}; "
-                    f"exact-parity recall-1.0 mode: {exact_parity_qps:.0f} QPS), "
-                    f"{N_ROWS // 1000}k x {DIM} fragments, batch {BATCH}"
-                ),
-                "value": round(best_qps, 1),
-                "unit": "QPS",
-                "vs_baseline": round(best_qps / BASELINE_QPS, 1),
-            }
-        )
-    )
-
 
 if __name__ == "__main__":
     main()
