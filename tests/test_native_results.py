@@ -69,7 +69,7 @@ def test_materialize_rows_python_fallback_equivalent(native_mod, monkeypatch):
     vals = rng.random((16, 10)).astype(np.float32)
     idx = rng.integers(-1, 500, (16, 10)).astype(np.int32)
     native_rows = vs._materialize_rows(vals, idx, 16, 0.4)
-    monkeypatch.setattr(vs, "_NATIVE_RESULTS", None)
+    monkeypatch.setattr(vs, "_NATIVE_RESULTS_CACHE", [None])
     python_rows = vs._materialize_rows(vals, idx, 16, 0.4)
     assert [[(s.item, s.score) for s in row] for row in native_rows] == [
         [(s.item, s.score) for s in row] for row in python_rows

@@ -129,3 +129,35 @@ def test_int8_wire_through_lookup_batcher():
     for gi, rows in enumerate(outs):
         for r, row in enumerate(rows):
             assert row[0].item == gi * 8 + r  # self-match survives the wire
+
+
+def test_int8_wire_coalesced_group_identical_to_solo():
+    """Coalesced int8-wire dispatches must quantize from the f32 queries:
+    stacking the group in bf16 first would shift the int8 codes (and
+    near-tie ranks) vs a solo dispatch of the same query."""
+    import asyncio
+
+    from typeagent_tpu.serve import LookupBatcher
+
+    rng = np.random.default_rng(9)
+    dim = 32
+    mat = _normal(rng, 400, dim)
+    store = make_store(dim, dtype="bfloat16", query_wire="int8")
+    store.add_embeddings(None, mat)
+    batches = [_normal(rng, 8, dim) for _ in range(5)]
+
+    async def run():
+        b = LookupBatcher(store, max_delay_ms=5.0, max_coalesce=8)
+        outs = await asyncio.gather(
+            *(b.lookup(q, max_hits=4) for q in batches)
+        )
+        await b.close()
+        return outs, b
+
+    outs, batcher = asyncio.run(run())
+    assert batcher.dispatches < len(batches)  # they did coalesce
+    for q, got in zip(batches, outs):
+        solo = store.fuzzy_lookup_embeddings_batch(q, max_hits=4)
+        assert [[(s.item, s.score) for s in r] for r in got] == [
+            [(s.item, s.score) for s in r] for r in solo
+        ]

@@ -269,3 +269,57 @@ def test_event_loop_stays_responsive_during_dispatch(store, monkeypatch):
 
     ticks = asyncio.run(run())
     assert ticks >= 5  # loop advanced many times during the 250 ms dispatch
+
+
+def test_unlimited_max_hits_rides_alone(store):
+    """A "give me everything" request (max_hits = len(store)) must not
+    coalesce: it would force k_max = count onto every top-10 neighbor in
+    its group (full-store sort + count-wide fetch per request)."""
+    rng = np.random.default_rng(21)
+    small_qs = [_queries(rng, 4) for _ in range(4)]
+    big_q = _queries(rng, 2)
+
+    async def run():
+        batcher = LookupBatcher(store, max_delay_ms=5.0, max_coalesce=8)
+        jobs = [batcher.lookup(q, max_hits=5, min_score=0.2) for q in small_qs]
+        jobs.append(batcher.lookup(big_q, max_hits=len(store), min_score=0.0))
+        outs = await asyncio.gather(*jobs)
+        await batcher.close()
+        return outs, batcher
+
+    outs, batcher = asyncio.run(run())
+    # The big request took its own dispatch.
+    assert batcher.dispatches >= 2
+    for q, got in zip(small_qs, outs[:4]):
+        want = store.fuzzy_lookup_embeddings_batch(q, max_hits=5, min_score=0.2)
+        assert [[s.item for s in r] for r in got] == [
+            [s.item for s in r] for r in want
+        ]
+    want_big = store.fuzzy_lookup_embeddings_batch(
+        big_q, max_hits=len(store), min_score=0.0
+    )
+    assert [len(r) for r in outs[4]] == [len(r) for r in want_big]
+    assert [[s.item for s in r] for r in outs[4]] == [
+        [s.item for s in r] for r in want_big
+    ]
+
+
+def test_inflight_semaphore_survives_worker_restart(store):
+    """Dispatches release the semaphore instance they acquired; a worker
+    restart must not mint a fresh semaphore (in-flight releases would
+    over-credit it and break the max_inflight cap forever)."""
+    rng = np.random.default_rng(22)
+    q = _queries(rng, 2)
+
+    async def run():
+        batcher = LookupBatcher(store, max_delay_ms=0.0)
+        await batcher.lookup(q, max_hits=3)
+        sem = batcher._inflight
+        batcher._task.cancel()
+        await asyncio.sleep(0)  # let the cancellation land
+        await batcher.lookup(q, max_hits=3)  # restarts the worker
+        same = batcher._inflight is sem
+        await batcher.close()
+        return same
+
+    assert asyncio.run(run())

@@ -359,3 +359,22 @@ def test_vectorstore_mesh_approx_settings_route():
     assert hits[0].item == 7
     inner = store._sharded_store()
     assert inner.search_mode == "approx" and inner.recall_target == 0.9
+
+
+def test_reserve_keeps_capacity_divisible_by_shards(rng):
+    """reserve() must round to the capacity quantum (n_shard * 8), not a
+    bare 1024: on a 6-shard mesh 2048 % 6 != 0 and the shard-axis split
+    (and per-shard block-ownership offsets) would break."""
+    if len(jax.devices()) < 6:
+        pytest.skip("needs 6 (virtual) devices")
+    mesh = create_mesh(n_shard=6, n_dp=1)
+    dim = 32
+    store = ShardedVectorStore(mesh, dim)
+    store.reserve(2000)
+    cap = store.buf.shape[0]
+    assert cap >= 2000
+    assert cap % store._cap_quantum == 0
+    matrix = normalized(rng, 2000, dim)
+    store.append(matrix)
+    got = store.search(matrix[:4], k=3)
+    assert [row[0][0] for row in got] == [0, 1, 2, 3]

@@ -190,12 +190,12 @@ def test_vectorstore_f32_exact2_uses_hybrid_and_matches(rng):
         s.add_embeddings(None, m)
         res[mode] = s.fuzzy_lookup_embeddings_batch(q, max_hits=10)
         if mode == "exact2":
-            assert s._shadow_buf is not None  # hybrid shadow was built
+            assert s._shadow_cache is not None  # hybrid shadow was built
             # appending must invalidate the shadow cache key
-            old_key = s._shadow_key
+            old_key = s._shadow_cache[0]
             s.add_embeddings(None, _normed(rng, 10, d))
             s.fuzzy_lookup_embeddings_batch(q, max_hits=3)
-            assert s._shadow_key != old_key
+            assert s._shadow_cache[0] != old_key
     for r1, r2 in zip(res["exact1"], res["exact2"]):
         assert [x.item for x in r1] == [x.item for x in r2]
         np.testing.assert_allclose(
@@ -532,15 +532,15 @@ def test_dispatch_collect_exact2_route(rng, monkeypatch):
         monkeypatch.setattr(vs_mod, "EXACT2_MIN_ROWS", 100)  # force exact2
         assert store._use_exact2(10)
         handle = store.dispatch_lookup(q, max_hits=8)
-        assert len(handle) == 6  # cert deferred to collect
+        assert len(handle) == 7  # cert deferred to collect
         got = store.collect_lookup(handle, min_score=0.2)
         expected = store.fuzzy_lookup_embeddings_batch(q, max_hits=8, min_score=0.2)
         for a, b in zip(got, expected):
             assert [s.item for s in a] == [s.item for s in b]
 
         # Cert-miss at collect: transparent one-phase redo.
-        vals, idx, b_, cert, qp, k = store.dispatch_lookup(q, max_hits=8)
-        bad = (vals, idx, b_, jnp.zeros_like(cert), qp, k)
+        vals, idx, b_, cert, qp, k, snap = store.dispatch_lookup(q, max_hits=8)
+        bad = (vals, idx, b_, jnp.zeros_like(cert), qp, k, snap)
         redo = store.collect_lookup(bad, min_score=0.2)
         for a, b in zip(redo, expected):
             assert [s.item for s in a] == [s.item for s in b]

@@ -415,3 +415,94 @@ def test_bf16_store_uploads_bf16_queries(rng):
     for row, qv in zip(out, q):
         exp = {i for i, _ in oracle_lookup(matrix, qv, max_hits=5)}
         assert {s.item for s in row} == exp
+
+
+def test_dispatch_view_blocks_concurrent_flush():
+    """Appends DONATE the previous buffer (in-place device update), so a
+    flush racing a lookup dispatch would hand the engine a deleted array.
+    _dispatch_view must hold the flush lock for the dispatch: a concurrent
+    flush waits until the view exits, then lands."""
+    import threading
+
+    rng = np.random.default_rng(41)
+    d = 32
+    m1 = rng.standard_normal((100, d)).astype(np.float32)
+    m1 /= np.linalg.norm(m1, axis=1, keepdims=True)
+    store = VectorStore(
+        TextEmbeddingIndexSettings(
+            embedding_model=create_test_embedding_model(d), min_score=0.0
+        )
+    )
+    store.add_embeddings(None, m1)
+    flushed = threading.Event()
+    m2 = rng.standard_normal((500, d)).astype(np.float32)
+    m2 /= np.linalg.norm(m2, axis=1, keepdims=True)
+
+    def grower():
+        store.add_embeddings(None, m2)  # pending only
+        store._flush()  # must block while the view is held
+        flushed.set()
+
+    with store._dispatch_view() as (buf, scales, count):
+        assert count == 100
+        t = threading.Thread(target=grower)
+        t.start()
+        # The grower cannot flush (and donate buf away) while we dispatch.
+        assert not flushed.wait(timeout=0.3)
+        q = store._pad_queries(m2[:4])
+        vals, idx, cert = store._topk_dispatch(q, 5, buf, scales, count)
+    t.join(timeout=30)
+    assert flushed.is_set()
+    assert store._count == 600
+    # The dispatch issued under the view scored exactly the old 100 rows.
+    idx = np.asarray(idx)[:4]
+    assert idx.max() < 100
+    oracle = (m2[:4] @ m1.T).argmax(axis=1)
+    assert list(idx[:, 0]) == list(oracle)
+
+
+def test_concurrent_append_and_lookup_threads():
+    """Hammer flushes against lookups on executor threads: no torn reads
+    (phantom zero-row hits / hybrid shape mismatches), every result
+    well-formed."""
+    import concurrent.futures
+
+    rng = np.random.default_rng(42)
+    d = 32
+    store = VectorStore(
+        TextEmbeddingIndexSettings(
+            embedding_model=create_test_embedding_model(d), min_score=0.0
+        )
+    )
+    first = rng.standard_normal((64, d)).astype(np.float32)
+    first /= np.linalg.norm(first, axis=1, keepdims=True)
+    store.add_embeddings(None, first)
+    q = first[:4]
+    stop = False
+    errors = []
+
+    def appender():
+        try:
+            while not stop:
+                rows = rng.standard_normal((32, d)).astype(np.float32)
+                rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+                store.add_embeddings(None, rows)
+                store._flush()
+        except Exception as exc:  # pragma: no cover - the failure signal
+            errors.append(exc)
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=3) as pool:
+        fut = pool.submit(appender)
+        try:
+            for _ in range(60):
+                rows = store.fuzzy_lookup_embeddings_batch(q, max_hits=5)
+                limit = len(store)
+                for row in rows:
+                    assert len(row) == 5
+                    assert all(0 <= s.item < limit for s in row)
+                # The self-match must always surface at rank 0.
+                assert [row[0].item for row in rows] == [0, 1, 2, 3]
+        finally:
+            stop = True
+            fut.result(timeout=30)
+    assert not errors

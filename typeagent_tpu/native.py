@@ -9,6 +9,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import sysconfig
 import threading
 
 import numpy as np
@@ -20,6 +21,38 @@ _lib = None
 _load_attempted = False
 
 
+def _needs_build(so_path: str, src_path: str) -> bool:
+    """True when the .so is missing or older than its source (a stale
+    binary would silently keep serving old semantics after a source edit —
+    the Python-side mtime check also skips the make subprocess entirely
+    when the binary is fresh)."""
+    if not os.path.exists(so_path):
+        return True
+    try:
+        return os.path.getmtime(src_path) > os.path.getmtime(so_path)
+    except OSError:
+        return False
+
+
+def _make(target: str) -> bool:
+    """Build one Makefile target with the RUNNING interpreter's headers
+    (PATH python3-config may belong to a different install — an ABI
+    mismatch the import would only catch at load time)."""
+    paths = sysconfig.get_paths()
+    includes = {paths.get("include"), paths.get("platinclude")}
+    py_includes = " ".join(f"-I{p}" for p in sorted(i for i in includes if i))
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR, target, f"PY_INCLUDES={py_includes}"],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
 def _load_library():
     global _lib, _load_attempted
     if _lib is not None or _load_attempted:
@@ -28,18 +61,13 @@ def _load_library():
         if _lib is not None:
             return _lib
         _load_attempted = True
-        if not os.path.exists(_LIB_PATH):
-            src = os.path.join(_NATIVE_DIR, "interner.cpp")
+        src = os.path.join(_NATIVE_DIR, "interner.cpp")
+        if _needs_build(_LIB_PATH, src):
             if not os.path.exists(src):
                 return None
-            try:
-                subprocess.run(
-                    ["make", "-C", _NATIVE_DIR],
-                    check=True,
-                    capture_output=True,
-                    timeout=120,
-                )
-            except Exception:
+            # A failed rebuild with a stale .so on disk falls through to
+            # loading the stale binary (degraded but working).
+            if not _make("libtat_native.so") and not os.path.exists(_LIB_PATH):
                 return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
@@ -109,18 +137,11 @@ def load_results_module():
         _results_attempted = True
         if os.environ.get("TAT_NATIVE", "1") in ("0", "off"):
             return None
-        if not os.path.exists(_RESULTS_SO):
-            src = os.path.join(_NATIVE_DIR, "results.cpp")
+        src = os.path.join(_NATIVE_DIR, "results.cpp")
+        if _needs_build(_RESULTS_SO, src):
             if not os.path.exists(src):
                 return None
-            try:
-                subprocess.run(
-                    ["make", "-C", _NATIVE_DIR, "tat_results.so"],
-                    check=True,
-                    capture_output=True,
-                    timeout=120,
-                )
-            except Exception:
+            if not _make("tat_results.so") and not os.path.exists(_RESULTS_SO):
                 return None
         try:
             import importlib.machinery

@@ -22,6 +22,7 @@ would retrace every time (seconds per append on a TPU mesh).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -414,7 +415,11 @@ class ShardedVectorStore:
         """Pre-size the buffer for a known ingest (capacity doubling would
         otherwise overshoot by up to 2x — at 10M x 384 bf16 that is an extra
         ~5 GB of HBM)."""
-        needed = append_ops.round_up(max(n_rows, 1), 1024)
+        # Capacity must stay a multiple of _cap_quantum (n_shard * 8) or the
+        # shard-axis split breaks on meshes whose shard count doesn't divide
+        # 1024 (e.g. 6 devices); keep the 1024 floor for append-bucket reuse.
+        quantum = math.lcm(1024, self._cap_quantum)
+        needed = append_ops.round_up(max(n_rows, 1), quantum)
         if needed > self.buf.shape[0]:
             self.buf = _grow_rows_cached(self.mesh)(self.buf, new_capacity=needed)
             if self._quantized:
@@ -435,7 +440,10 @@ class ShardedVectorStore:
         if n == 0:
             return
         self._flush()
-        padded = jnp.pad(rows.astype(jnp.float32), ((0, 0), (0, self.dim_pad - size)))
+        # Pad at the SOURCE dtype: the append jit casts to the buffer dtype
+        # and quantize_rows_device casts to f32 internally — an eager f32
+        # copy would add a full-size HBM intermediate (~15 GB at 10M x 384).
+        padded = jnp.pad(rows, ((0, 0), (0, self.dim_pad - size)))
         self._grow(self.count + n)
         count = jnp.int32(self.count)
         if self._quantized:
@@ -530,15 +538,14 @@ class ShardedVectorStore:
         vals, idx = jax.device_get((vals, idx))
         vals = vals[:b]
         idx = idx[:b]
-        from ..vectorstore import _NATIVE_RESULTS
+        from ..vectorstore import _native_results
 
-        if _NATIVE_RESULTS is not None:
+        native = _native_results()
+        if native is not None:
             # min_score was applied on device; filter only padding (-1).
             vals_c = np.ascontiguousarray(vals, dtype=np.float32)
             idx_c = np.ascontiguousarray(idx, dtype=np.int32)
-            return _NATIVE_RESULTS.build_pairs(
-                vals_c, idx_c, b, vals_c.shape[1], -1e30
-            )
+            return native.build_pairs(vals_c, idx_c, b, vals_c.shape[1], -1e30)
         out = []
         for r in range(b):
             keep = idx[r] >= 0

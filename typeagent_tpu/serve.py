@@ -33,6 +33,13 @@ from .vectorstore import ScoredInt, VectorStore
 
 __all__ = ["LookupBatcher"]
 
+# Requests asking for more hits than this never coalesce: one "give me
+# everything" request (max_hits = len(store), the default when settings
+# set no limit) would otherwise force k_max = count onto every top-10
+# neighbor in its group — a full-store sort plus a count-wide fetch per
+# coalesced request. Past the fused kernel's k range they ride alone.
+_COALESCE_K_CAP = 128
+
 
 @dataclass
 class _Pending:
@@ -113,7 +120,12 @@ class LookupBatcher:
     def _ensure_worker(self) -> None:
         if self._task is None or self._task.done():
             self._wakeup = asyncio.Event()
-            self._inflight = asyncio.Semaphore(self._max_inflight)
+            if self._inflight is None:
+                # Created once for the batcher's lifetime: dispatches still
+                # in flight from a dead worker release the SAME semaphore
+                # they acquired — replacing it here would let those releases
+                # over-credit the new one and break the inflight cap.
+                self._inflight = asyncio.Semaphore(self._max_inflight)
             self._task = asyncio.get_running_loop().create_task(self._worker())
 
     async def _worker(self) -> None:
@@ -138,18 +150,26 @@ class LookupBatcher:
             # query upload — on tunnel-attached devices most of a sync
             # lookup's wall time is those transfers.
             await self._inflight.acquire()
-            group = self._queue[: self._max_coalesce]
-            del self._queue[: len(group)]
+            group: list[_Pending] = []
+            while self._queue and len(group) < self._max_coalesce:
+                if self._queue[0].max_hits > _COALESCE_K_CAP:
+                    if group:
+                        break  # flush the small-k group; big one next round
+                    group.append(self._queue.pop(0))
+                    break  # full-store-k requests dispatch alone
+                group.append(self._queue.pop(0))
             if not group:
                 self._inflight.release()
                 continue
             task = asyncio.get_running_loop().create_task(
-                self._dispatch_guarded(group)
+                self._dispatch_guarded(group, self._inflight)
             )
             self._dispatch_tasks.add(task)
             task.add_done_callback(self._dispatch_tasks.discard)
 
-    async def _dispatch_guarded(self, group: list[_Pending]) -> None:
+    async def _dispatch_guarded(
+        self, group: list[_Pending], sem: asyncio.Semaphore
+    ) -> None:
         self._cur_inflight += 1
         self.peak_inflight = max(self.peak_inflight, self._cur_inflight)
         try:
@@ -160,7 +180,7 @@ class LookupBatcher:
                     item.future.set_exception(exc)
         finally:
             self._cur_inflight -= 1
-            self._inflight.release()
+            sem.release()
 
     async def _dispatch_group(self, group: list[_Pending]) -> None:
         # The device fetch blocks for a full tunnel RTT — run it in a
@@ -189,12 +209,16 @@ class LookupBatcher:
         k_max = max(item.max_hits for item in group)
         # Stack straight in the store's wire dtype (bf16 for bf16 stores):
         # the per-item assignment casts once, and the many() path can then
-        # pad without a second full-size copy.
+        # pad without a second full-size copy. int8-wire stores quantize
+        # from the f32 queries, so those must NOT round through bf16 first —
+        # the codes (and near-tie ranks) would differ from a solo dispatch.
         wire = getattr(self._store, "_query_upload_dtype", None)
-        stacked = np.zeros(
-            (len(group), b_max, d),
-            dtype=wire() if wire is not None else np.float32,
-        )
+        settings = getattr(self._store, "settings", None)
+        if wire is None or getattr(settings, "query_wire", "auto") == "int8":
+            stack_dtype = np.dtype(np.float32)
+        else:
+            stack_dtype = wire()
+        stacked = np.zeros((len(group), b_max, d), dtype=stack_dtype)
         for i, item in enumerate(group):
             if item.queries.shape[1] != d:
                 raise ValueError(

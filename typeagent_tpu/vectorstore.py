@@ -20,6 +20,7 @@ Architecture differences (the point of this build):
 from __future__ import annotations
 
 import asyncio
+import contextlib
 import threading
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -72,25 +73,31 @@ class ScoredInt:
 # Result materialization is a measured serve-path bottleneck: a batch-256
 # top-10 lookup builds 2,560 records and the Python dataclass loop costs
 # ~9 ms — more than the device compute at 1M x 384. The native builder
-# (native/results.cpp, a CPython extension built on demand) does it in one
-# C pass; its ScoredInt type is attribute- and equality-compatible with the
-# dataclass above, which remains the fallback. Opt out: TAT_NATIVE=0.
+# (native/results.cpp, a CPython extension) does it in one C pass; its
+# ScoredInt type is attribute- and equality-compatible with the dataclass
+# above (duck-typed richcompare), so the two interoperate freely and the
+# dataclass stays the public/fallback type. Loaded — and built, on a fresh
+# checkout — LAZILY on the first materialization: importing this module
+# must never spawn a compiler subprocess. Opt out: TAT_NATIVE=0.
 from . import native as _native_mod
 
-_NATIVE_RESULTS = _native_mod.load_results_module()
-if _NATIVE_RESULTS is not None:
-    ScoredInt = _NATIVE_RESULTS.ScoredInt  # type: ignore[misc]
+_NATIVE_RESULTS_CACHE: list = []  # [module_or_None] once resolved
+
+
+def _native_results():
+    if not _NATIVE_RESULTS_CACHE:
+        _NATIVE_RESULTS_CACHE.append(_native_mod.load_results_module())
+    return _NATIVE_RESULTS_CACHE[0]
 
 
 def _materialize_rows(vals, idx, b: int, min_score: float):
     """[b, k] fetched device buffers -> list[list[ScoredInt]] (order kept;
     entries with score < min_score or ordinal < 0 dropped)."""
-    if _NATIVE_RESULTS is not None:
+    native = _native_results()
+    if native is not None:
         vals_c = np.ascontiguousarray(vals[:b], dtype=np.float32)
         idx_c = np.ascontiguousarray(idx[:b], dtype=np.int32)
-        return _NATIVE_RESULTS.build(
-            vals_c, idx_c, b, vals_c.shape[1], float(min_score)
-        )
+        return native.build(vals_c, idx_c, b, vals_c.shape[1], float(min_score))
     results = []
     for r in range(b):
         keep = (vals[r] >= min_score) & (idx[r] >= 0)
@@ -233,8 +240,8 @@ class VectorStore:
         else:
             self._dtype = jnp.float32
         self._scales: jax.Array | None = None  # per-row scales (int8 mode)
-        self._shadow_buf: jax.Array | None = None  # bf16 selection shadow
-        self._shadow_key = None
+        # bf16 selection shadow: one (key, shadow) tuple — atomic swap
+        self._shadow_cache: tuple | None = None
         self._embedding_size = 0
         self._dim_pad = 0
         self._buf: jax.Array | None = None
@@ -348,31 +355,40 @@ class VectorStore:
                 f"Embedding size mismatch: expected {self._embedding_size}, "
                 f"got {size}"
             )
-        self._flush()
         if n == 0:
+            self._flush()
             return
-        padded = jnp.pad(
-            rows.astype(jnp.float32), ((0, 0), (0, self._dim_pad - size))
-        )
-        if self._buf is None:
-            cap = max(append.MIN_CAPACITY, 1 << (n - 1).bit_length())
-            self._buf = append.make_buffer(cap, self._dim_pad, self._dtype)
+        # Under the flush lock end to end: growing/appending donates the
+        # previous buffer, so a concurrent serving dispatch must never
+        # observe the half-updated state.
+        with self._flush_lock:
+            self._flush_locked()
+            # Pad at the SOURCE dtype: the append jit casts to the buffer
+            # dtype and quantize_rows_device casts to f32 internally, so an
+            # eager f32 materialization here would only add a full-size HBM
+            # intermediate (~15 GB for a 10M x 384 bf16 ingest).
+            padded = jnp.pad(rows, ((0, 0), (0, self._dim_pad - size)))
+            if self._buf is None:
+                cap = max(append.MIN_CAPACITY, 1 << (n - 1).bit_length())
+                self._buf = append.make_buffer(cap, self._dim_pad, self._dtype)
+                if self._quantized:
+                    self._scales = jnp.ones((cap,), dtype=jnp.float32)
+            elif self._count + n > self._buf.shape[0]:
+                self._buf = append.grow_buffer(self._buf, self._count + n)
+                if self._quantized:
+                    pad_n = self._buf.shape[0] - self._scales.shape[0]
+                    self._scales = jnp.pad(
+                        self._scales, (0, pad_n), constant_values=1.0
+                    )
             if self._quantized:
-                self._scales = jnp.ones((cap,), dtype=jnp.float32)
-        elif self._count + n > self._buf.shape[0]:
-            self._buf = append.grow_buffer(self._buf, self._count + n)
-            if self._quantized:
-                pad_n = self._buf.shape[0] - self._scales.shape[0]
-                self._scales = jnp.pad(self._scales, (0, pad_n), constant_values=1.0)
-        if self._quantized:
-            q_rows, row_scales = topk.quantize_rows_device(padded)
-            self._buf = append.append_rows(self._buf, q_rows, self._count)
-            self._scales = jax.lax.dynamic_update_slice(
-                self._scales, row_scales, (self._count,)
-            )
-        else:
-            self._buf = append.append_rows(self._buf, padded, self._count)
-        self._count += n
+                q_rows, row_scales = topk.quantize_rows_device(padded)
+                self._buf = append.append_rows(self._buf, q_rows, self._count)
+                self._scales = jax.lax.dynamic_update_slice(
+                    self._scales, row_scales, (self._count,)
+                )
+            else:
+                self._buf = append.append_rows(self._buf, padded, self._count)
+            self._count += n
 
     def _sharded_store(self):
         if self._sharded is None:
@@ -395,6 +411,36 @@ class VectorStore:
         # noise next to any device call.
         with self._flush_lock:
             self._flush_locked()
+
+    @contextlib.contextmanager
+    def _dispatch_view(self):
+        """Flush, then hold the flush lock while the caller DISPATCHES
+        device programs against the yielded ``(buf, scales, count)``.
+
+        Serving runs lookups on multiple executor threads while ingest
+        flushes concurrently. Two hazards force this discipline: (a) a
+        flush grows/swaps the buffer and bumps the count, so reading live
+        attributes piecemeal could pair the OLD buffer with the NEW count
+        (zero-padded rows scoring 0.5 surface as phantom hits) or read the
+        buffer twice across a swap (shape mismatch in the hybrid engine);
+        (b) appends DONATE the previous buffer (in-place device update), so
+        a capture that outlives a concurrent flush points at a deleted
+        array. Holding the lock for just the (async, sub-ms) JAX dispatch
+        closes both while flushes and the long result fetches still
+        overlap — fetch device results OUTSIDE the ``with`` block.
+        """
+        with self._flush_lock:
+            self._flush_locked()
+            yield self._buf, self._scales, self._count
+
+    def _rerun_exact1(self, q: jax.Array, k: int, count: int):
+        """Certificate-miss rerun against the CURRENT buffer, windowed to
+        the row count the original dispatch saw (append-only rows make that
+        exactly the original store state; the original capture's buffer may
+        have been donated away by a flush since)."""
+        with self._flush_lock:
+            out = self._topk_exact1(q, k, self._buf, self._scales, count)
+        return jax.device_get(out)
 
     def _flush_locked(self) -> None:
         if not self._pending:
@@ -500,20 +546,39 @@ class VectorStore:
         if min_score is None:
             min_score = 0.0
         b = queries.shape[0]
-        self._flush()
-        if self._count == 0 or b == 0:
-            return [[] for _ in range(b)]
+        with self._dispatch_view() as (buf, scales, count):
+            if count == 0 or b == 0:
+                return [[] for _ in range(b)]
 
-        if predicate is not None:
-            # Host-callback path: pull the full masked score matrix and apply
-            # the predicate to candidates above the threshold
-            # (parity: vectorbase.py:191-201).
-            if self._mesh is not None:
-                scores = self._sharded_store().scores(
-                    np.asarray(queries, dtype=np.float32)
+            if predicate is not None:
+                # Host-callback path: pull the full masked score matrix and
+                # apply the predicate to candidates above the threshold
+                # (parity: vectorbase.py:191-201).
+                if self._mesh is not None:
+                    scores_dev = self._sharded_store().scores(
+                        np.asarray(queries, dtype=np.float32)
+                    )
+                else:
+                    scores_dev = self._all_scores(
+                        self._pad_queries(queries), buf, scales, count
+                    )
+            elif self._mesh is not None:
+                # Materialize straight from the gathered device buffers (the
+                # tuple detour through ShardedVectorStore.search would
+                # rebuild every record a second time).
+                handle = self._sharded_store().search_dispatch(
+                    np.asarray(queries, dtype=np.float32),
+                    k=min(max_hits, count),
+                    min_score=min_score,
                 )
             else:
-                scores = np.asarray(self._all_scores(self._pad_queries(queries)))[:b]
+                q = self._pad_queries(queries)
+                k = min(max_hits, count)
+                vals, idx, cert = self._topk_dispatch(q, k, buf, scales, count)
+        # Fetches below run OUTSIDE the flush lock (a device round trip
+        # must not block concurrent ingest).
+        if predicate is not None:
+            scores = np.asarray(scores_dev)[:b]
             results = []
             for row in scores:
                 cand = np.flatnonzero(row >= min_score)
@@ -523,21 +588,8 @@ class VectorStore:
                 scored.sort(key=lambda s: s.score, reverse=True)
                 results.append(scored[:max_hits])
             return results
-
         if self._mesh is not None:
-            # Materialize straight from the gathered device buffers (the
-            # tuple detour through ShardedVectorStore.search would rebuild
-            # every record a second time).
-            handle = self._sharded_store().search_dispatch(
-                np.asarray(queries, dtype=np.float32),
-                k=min(max_hits, self._count),
-                min_score=min_score,
-            )
             return self._collect_sharded_scored(handle, min_score)
-
-        q = self._pad_queries(queries)
-        k = min(max_hits, self._count)
-        vals, idx, cert = self._topk_dispatch(q, k)
         # ONE concurrent fetch for every output (device_get overlaps the
         # per-array copies): fetching cert, vals, idx sequentially costs a
         # tunnel round trip EACH on remote-attached devices.
@@ -548,7 +600,7 @@ class VectorStore:
             if not cert_h.all():
                 # Certificate miss (eps-tie phase skew): re-run through the
                 # one-phase kernel for unconditional exactness.
-                vals, idx = jax.device_get(self._topk_exact1(q, k))
+                vals, idx = self._rerun_exact1(q, k, count)
         return _materialize_rows(vals, idx, b, min_score)
 
     def _collect_sharded_scored(
@@ -563,71 +615,79 @@ class VectorStore:
         vals, idx = jax.device_get((vals, idx))
         return _materialize_rows(vals, idx, b, min_score)
 
-    def _all_scores(self, q: jax.Array) -> jax.Array:
+    def _all_scores(
+        self, q: jax.Array, buf=None, scales=None, count=None
+    ) -> jax.Array:
+        if buf is None:
+            buf, scales, count = self._buf, self._scales, self._count
         if self._quantized:
-            return topk.cosine_scores_quantized(
-                self._buf, self._scales, q, self._count
-            )
-        return topk.cosine_scores(self._buf, q, self._count)
+            return topk.cosine_scores_quantized(buf, scales, q, count)
+        return topk.cosine_scores(buf, q, count)
 
     def _topk_dispatch(
-        self, q: jax.Array, k: int
+        self, q: jax.Array, k: int, buf: jax.Array, scales, count: int
     ) -> tuple[jax.Array, jax.Array, jax.Array | None]:
         """Dispatch the engine program WITHOUT blocking.
 
-        Returns ``(vals, idx, cert)`` device arrays; ``cert`` is None for
-        engines with no exactness certificate. Callers fetch all outputs in
-        one concurrent ``jax.device_get`` (each separate fetch costs a full
+        ``(buf, scales, count)`` come from one :meth:`_dispatch_view`
+        capture (call this inside the ``with`` block) so concurrent flushes
+        can't tear the view or donate the buffer away mid-dispatch. Returns
+        ``(vals, idx, cert)`` device arrays; ``cert`` is None for engines
+        with no exactness certificate. Callers fetch all outputs in one
+        concurrent ``jax.device_get`` (each separate fetch costs a full
         round trip on remote-attached devices) and re-run via
-        :meth:`_topk_exact1` on a certificate miss.
+        :meth:`_rerun_exact1` on a certificate miss.
         """
         if self._quantized:
-            vals, idx = topk.cosine_topk_quantized(
-                self._buf, self._scales, q, self._count, k
-            )
+            vals, idx = topk.cosine_topk_quantized(buf, scales, q, count, k)
             return vals, idx, None
         if self.settings.search_mode == "approx":
             vals, idx = topk.cosine_topk_approx(
-                self._buf, q, self._count, k,
-                recall_target=self.settings.recall_target,
+                buf, q, count, k, recall_target=self.settings.recall_target
             )
             return vals, idx, None
-        if self._use_exact2(k):
+        if self._use_exact2(k, count):
             if self._dtype == jnp.float32:
                 # Hybrid: bf16-shadow bucket selection (half the HBM read,
                 # one MXU pass) + exact f32 VPU rescore — ~2.4x the
                 # one-phase f32 kernel with identical results.
                 return topk.cosine_topk_exact2_hybrid(
-                    self._buf, self._shadow(), q, self._count, k
+                    buf, self._shadow(buf, count), q, count, k
                 )
-            return topk.cosine_topk_exact2(self._buf, q, self._count, k)
-        vals, idx = topk.cosine_topk(self._buf, q, self._count, k)
+            return topk.cosine_topk_exact2(buf, q, count, k)
+        vals, idx = topk.cosine_topk(buf, q, count, k)
         return vals, idx, None
 
-    def _topk_exact1(self, q: jax.Array, k: int):
+    def _topk_exact1(self, q: jax.Array, k: int, buf, scales, count: int):
         """One-phase unconditional-exact rerun (certificate-miss path)."""
         if self._quantized:
-            return topk.cosine_topk_quantized(
-                self._buf, self._scales, q, self._count, k
-            )
-        return topk.cosine_topk(self._buf, q, self._count, k)
+            return topk.cosine_topk_quantized(buf, scales, q, count, k)
+        return topk.cosine_topk(buf, q, count, k)
 
-    def _shadow(self) -> jax.Array:
+    def _shadow(self, buf=None, count=None) -> jax.Array:
         """Cached bf16 cast of the f32 buffer (the exact2 selection shadow);
-        rebuilt on device after appends (one ~free cast per ingest batch)."""
-        key = (id(self._buf), self._count)
-        if self._shadow_buf is None or self._shadow_key != key:
-            self._shadow_buf = self._buf.astype(jnp.bfloat16)
-            self._shadow_key = key
-        return self._shadow_buf
+        rebuilt on device after appends (one ~free cast per ingest batch).
+        The cache is a single tuple attribute so concurrent serving threads
+        can never observe a key paired with another buffer's shadow."""
+        if buf is None:
+            buf, count = self._buf, self._count
+        key = (id(buf), count)
+        cached = self._shadow_cache
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        shadow = buf.astype(jnp.bfloat16)
+        self._shadow_cache = (key, shadow)
+        return shadow
 
-    def _use_exact2(self, k: int) -> bool:
+    def _use_exact2(self, k: int, count: int | None = None) -> bool:
         mode = self.settings.search_mode
         if mode == "exact2":
             return True
+        if count is None:
+            count = self._count
         return (
             mode == "exact"
-            and self._count >= EXACT2_MIN_ROWS
+            and count >= EXACT2_MIN_ROWS
             and k <= topk._PALLAS_MAX_K
         )
 
@@ -685,58 +745,66 @@ class VectorStore:
         if qb.ndim != 3:
             raise ValueError(f"Expected [R, b, d] query batches, got {qb.shape}")
         r_n, b = qb.shape[0], qb.shape[1]
-        self._flush()
-        if self._count == 0 or r_n == 0 or b == 0:
-            return [[[] for _ in range(b)] for _ in range(r_n)]
         if self._mesh is not None:
+            self._flush()
+            if self._count == 0 or r_n == 0 or b == 0:
+                return [[[] for _ in range(b)] for _ in range(r_n)]
             # Sharded stores pipeline per-batch dispatches instead (the mesh
             # program already amortizes across shards).
             handles = [
                 self.dispatch_lookup(qb[i], max_hits=max_hits) for i in range(r_n)
             ]
             return [self.collect_lookup(h, min_score=min_score) for h in handles]
-        b_pad = _bucket(b)
-        if self.settings.query_wire == "int8":
-            q_dev = _int8_wire_upload_many(
-                qb, b_pad, self._dim_pad, self._embedding_size
+        with self._dispatch_view() as (buf, scales, count):
+            if count == 0 or r_n == 0 or b == 0:
+                return [[[] for _ in range(b)] for _ in range(r_n)]
+            b_pad = _bucket(b)
+            if self.settings.query_wire == "int8":
+                q_dev = _int8_wire_upload_many(
+                    qb, b_pad, self._dim_pad, self._embedding_size
+                )
+            else:
+                padded = np.zeros(
+                    (r_n, b_pad, self._dim_pad), dtype=self._query_upload_dtype()
+                )
+                padded[:, :b, : self._embedding_size] = qb
+                q_dev = jnp.asarray(padded)
+            k = min(max_hits, count)
+            mode, aux = self._engine_mode(k, buf, scales, count)
+            use_pallas = (
+                topk._platform_of(buf) == "tpu" and k <= topk._PALLAS_MAX_K
             )
-        else:
-            padded = np.zeros(
-                (r_n, b_pad, self._dim_pad), dtype=self._query_upload_dtype()
+            out = topk.topk_many(
+                buf,
+                aux,
+                q_dev,
+                jnp.asarray(count, dtype=jnp.int32),
+                k=k,
+                mode=mode,
+                use_pallas=use_pallas,
+                recall_target=self.settings.recall_target,
             )
-            padded[:, :b, : self._embedding_size] = qb
-            q_dev = jnp.asarray(padded)
-        k = min(max_hits, self._count)
-        mode, aux = self._engine_mode(k)
-        out = topk.topk_many(
-            self._buf,
-            aux,
-            q_dev,
-            jnp.asarray(self._count, dtype=jnp.int32),
-            k=k,
-            mode=mode,
-            use_pallas=topk._platform_of(self._buf) == "tpu"
-            and k <= topk._PALLAS_MAX_K,
-            recall_target=self.settings.recall_target,
-        )
         # One concurrent fetch for every output (separate np.asarray calls
-        # cost a tunnel round trip each on remote-attached devices).
+        # cost a tunnel round trip each on remote-attached devices); runs
+        # OUTSIDE the flush lock so ingest isn't blocked for a round trip.
         leaves = jax.device_get(jax.tree.leaves(out))
         vals = leaves[0][:, :b]
         idx = leaves[1][:, :b]
         if len(leaves) > 2 and not leaves[2].all():
             # Certificate miss in some batch: redo through the one-phase
-            # exact engine for unconditional exactness.
-            out = topk.topk_many(
-                self._buf,
-                aux if mode == "quantized" else None,
-                q_dev,
-                jnp.asarray(self._count, dtype=jnp.int32),
-                k=k,
-                mode="quantized" if mode == "quantized" else "exact1",
-                use_pallas=topk._platform_of(self._buf) == "tpu"
-                and k <= topk._PALLAS_MAX_K,
-            )
+            # exact engine for unconditional exactness, against the CURRENT
+            # buffer windowed to the original count (the capture's buffer
+            # may have been donated away by a concurrent flush).
+            with self._flush_lock:
+                out = topk.topk_many(
+                    self._buf,
+                    self._scales if mode == "quantized" else None,
+                    q_dev,
+                    jnp.asarray(count, dtype=jnp.int32),
+                    k=k,
+                    mode="quantized" if mode == "quantized" else "exact1",
+                    use_pallas=use_pallas,
+                )
             leaves = jax.device_get(jax.tree.leaves(out))
             vals = leaves[0][:, :b]
             idx = leaves[1][:, :b]
@@ -745,15 +813,19 @@ class VectorStore:
             for i in range(r_n)
         ]
 
-    def _engine_mode(self, k: int) -> tuple[str, jax.Array | None]:
+    def _engine_mode(
+        self, k: int, buf=None, scales=None, count=None
+    ) -> tuple[str, jax.Array | None]:
         """Resolve the engine mode + auxiliary operand for program builders."""
+        if buf is None:
+            buf, scales, count = self._buf, self._scales, self._count
         if self._quantized:
-            return "quantized", self._scales
+            return "quantized", scales
         if self.settings.search_mode == "approx":
             return "approx", None
-        if self._use_exact2(k):
+        if self._use_exact2(k, count):
             if self._dtype == jnp.float32:
-                return "exact2h", self._shadow()
+                return "exact2h", self._shadow(buf, count)
             return "exact2", None
         return "exact1", None
 
@@ -768,25 +840,27 @@ class VectorStore:
         batches without a device round-trip between them (JAX dispatch is
         async; only result materialization blocks).
         """
-        self._flush()
-        if self._count == 0 or queries.shape[0] == 0:
-            return None
-        if self._mesh is not None:
-            # Async dispatch on the mesh too: results materialize in
-            # collect_lookup.
-            handle = self._sharded_store().search_dispatch(
-                np.asarray(queries, dtype=np.float32),
-                k=min(max_hits, self._count),
-            )
-            return ("sharded", handle)
-        q = self._pad_queries(queries)
-        k = min(max_hits, self._count)
-        # The exact2 certificate must NOT be checked here — np.asarray on it
-        # would block, defeating the async dispatch. Defer to collect_lookup.
-        vals, idx, cert = self._topk_dispatch(q, k)
-        if cert is not None:
-            return (vals, idx, queries.shape[0], cert, q, k)
-        return (vals, idx, queries.shape[0])
+        with self._dispatch_view() as (buf, scales, count):
+            if count == 0 or queries.shape[0] == 0:
+                return None
+            if self._mesh is not None:
+                # Async dispatch on the mesh too: results materialize in
+                # collect_lookup.
+                handle = self._sharded_store().search_dispatch(
+                    np.asarray(queries, dtype=np.float32),
+                    k=min(max_hits, count),
+                )
+                return ("sharded", handle)
+            q = self._pad_queries(queries)
+            k = min(max_hits, count)
+            # The exact2 certificate must NOT be checked here — np.asarray
+            # on it would block, defeating the async dispatch. Defer to
+            # collect_lookup. The dispatch-time row count rides the handle
+            # so a cert-miss rerun scores the same store state.
+            vals, idx, cert = self._topk_dispatch(q, k, buf, scales, count)
+            if cert is not None:
+                return (vals, idx, queries.shape[0], cert, q, k, count)
+            return (vals, idx, queries.shape[0])
 
     def collect_lookup(
         self,
@@ -798,13 +872,13 @@ class VectorStore:
             return []
         if isinstance(handle[0], str):  # ("sharded", dispatch handle)
             return self._collect_sharded_scored(handle[1], min_score)
-        if len(handle) == 6:  # exact2 dispatch: certificate checked here
-            vals, idx, b, cert, q, k = handle
+        if len(handle) == 7:  # exact2 dispatch: certificate checked here
+            vals, idx, b, cert, q, k, count = handle
             # One concurrent fetch for cert+vals+idx (separate fetches cost
             # a tunnel round trip each).
             vals, idx, cert_h = jax.device_get((vals, idx, cert))
             if not cert_h.all():
-                vals, idx = jax.device_get(self._topk_exact1(q, k))
+                vals, idx = self._rerun_exact1(q, k, count)
         else:
             vals, idx, b = handle
             vals, idx = jax.device_get((vals, idx))
@@ -822,32 +896,38 @@ class VectorStore:
             max_hits = 10
         if min_score is None:
             min_score = 0.0
-        self._flush()
-        if not ordinals_of_subset or self._count == 0:
-            return []
-        if self._mesh is not None:
-            q = np.asarray(embedding, dtype=np.float32).reshape(1, -1)
-            raw = self._sharded_store().search_subset(
-                q, ordinals_of_subset, k=min(max_hits, len(ordinals_of_subset)),
-                min_score=min_score,
-            )[0]
-            return [ScoredInt(i, v) for i, v in raw]
-        s = len(ordinals_of_subset)
-        s_pad = _bucket(s, ( _SUBSET_MIN_BUCKET, 128, 256, 512, 1024, 2048, 4096))
-        ords = np.full((s_pad,), 0, dtype=np.int32)
-        ords[:s] = np.asarray(ordinals_of_subset, dtype=np.int32)
-        valid = np.zeros((s_pad,), dtype=bool)
-        valid[:s] = True
-        q = self._pad_queries(np.asarray(embedding, dtype=np.float32).reshape(1, -1))
-        k = min(max_hits, s)
-        if self._quantized:
-            vals, idx = topk.subset_cosine_topk_quantized(
-                self._buf, self._scales, q, jnp.asarray(ords), jnp.asarray(valid), k
+        with self._dispatch_view() as (buf, scales, count):
+            if not ordinals_of_subset or count == 0:
+                return []
+            if self._mesh is not None:
+                q = np.asarray(embedding, dtype=np.float32).reshape(1, -1)
+                raw = self._sharded_store().search_subset(
+                    q,
+                    ordinals_of_subset,
+                    k=min(max_hits, len(ordinals_of_subset)),
+                    min_score=min_score,
+                )[0]
+                return [ScoredInt(i, v) for i, v in raw]
+            s = len(ordinals_of_subset)
+            s_pad = _bucket(
+                s, (_SUBSET_MIN_BUCKET, 128, 256, 512, 1024, 2048, 4096)
             )
-        else:
-            vals, idx = topk.subset_cosine_topk(
-                self._buf, q, jnp.asarray(ords), jnp.asarray(valid), k
+            ords = np.full((s_pad,), 0, dtype=np.int32)
+            ords[:s] = np.asarray(ordinals_of_subset, dtype=np.int32)
+            valid = np.zeros((s_pad,), dtype=bool)
+            valid[:s] = True
+            q = self._pad_queries(
+                np.asarray(embedding, dtype=np.float32).reshape(1, -1)
             )
+            k = min(max_hits, s)
+            if self._quantized:
+                vals, idx = topk.subset_cosine_topk_quantized(
+                    buf, scales, q, jnp.asarray(ords), jnp.asarray(valid), k
+                )
+            else:
+                vals, idx = topk.subset_cosine_topk(
+                    buf, q, jnp.asarray(ords), jnp.asarray(valid), k
+                )
         vals = np.asarray(vals)[0]
         idx = np.asarray(idx)[0]
         keep = vals >= min_score
@@ -887,8 +967,7 @@ class VectorStore:
     def clear(self) -> None:
         self._buf = None
         self._scales = None
-        self._shadow_buf = None
-        self._shadow_key = None
+        self._shadow_cache = None
         self._sharded = None
         self._count = 0
         self._pending.clear()
