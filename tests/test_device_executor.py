@@ -519,3 +519,75 @@ def test_engine_route_env_default(monkeypatch):
     assert S._default_engine_route() is False
     monkeypatch.setenv("TAT_ENGINE_ROUTE", "device")
     assert S._default_engine_route() is True
+
+
+async def test_string_host_option_routes_host(monkeypatch):
+    """SearchOptions(use_device_executor="host") must run the host VM:
+    bool("host") is True, so a bare bool() cast would silently route the
+    explicit host request to the DEVICE engine."""
+    from typeagent_tpu.knowpro import search as S
+
+    assert S._route_device("host") is False
+    assert S._route_device("vm") is False
+    assert S._route_device("false") is False
+    assert S._route_device("device") is True
+    assert S._route_device(True) is True
+    assert S._route_device(False) is False
+
+    conv = await build_conversation()
+    group = SearchTermGroup(boolean_op="or", terms=[SearchTerm(Term("Bach"))])
+
+    def boom(*a, **k):  # pragma: no cover - the failure signal
+        raise AssertionError("device executor must not run for 'host'")
+
+    monkeypatch.setattr(S, "_try_device_executor", boom)
+    got = await search_conversation_knowledge(
+        conv,
+        group,
+        options=SearchOptions(exact_match=True, use_device_executor="host"),
+    )
+    want = await search_conversation_knowledge(
+        conv, group, options=host_options()
+    )
+    assert as_score_map(got) == pytest.approx(as_score_map(want))
+
+
+async def test_auto_router_converges_when_device_cannot_serve(monkeypatch):
+    """If the device engine keeps returning None (inexpressible queries),
+    the auto router must still collect a device sample (attempt + fallback
+    cost) and converge to host instead of re-paying the futile attempt on
+    every call."""
+    from typeagent_tpu.knowpro import search as S
+
+    conv = await build_conversation()
+    group = SearchTermGroup(boolean_op="or", terms=[SearchTerm(Term("Bach"))])
+
+    async def no_device(*a, **k):
+        return None
+
+    monkeypatch.setattr(S, "_try_device_executor", no_device)
+    opts = SearchOptions(exact_match=True, use_device_executor="auto")
+    want = await search_conversation_knowledge(conv, group, options=host_options())
+    for _ in range(3):
+        got = await search_conversation_knowledge(conv, group, options=opts)
+        assert as_score_map(got) == pytest.approx(as_score_map(want))
+    router = conv._engine_router
+    assert router.ms["device"] is not None  # the failed attempt was charged
+    assert router.ms["host"] is not None
+    # With both samples present the router follows an EMA instead of
+    # force-probing device on every call (timing magnitudes at this tiny
+    # scale are noise, so only the convergence mechanics are pinned).
+
+
+async def test_dropped_plan_falls_back_to_host(monkeypatch):
+    """_run_plan_group may drop a plan that is too large even alone (COO
+    run overflow + over-budget dense repack); search() must treat that as
+    a host-VM-fallback signal, not crash on a missing key."""
+    conv = await build_conversation()
+    group = SearchTermGroup(boolean_op="or", terms=[SearchTerm(Term("Bach"))])
+    executor = DeviceQueryExecutor(conv)
+    await executor.sync()
+    monkeypatch.setattr(
+        executor, "_run_plan_group", lambda plans, force_dense=False: {}
+    )
+    assert await executor.search(group) is None

@@ -322,3 +322,36 @@ def test_compact_route_preserves_active_semref_zero(monkeypatch):
     assert es[0, 0] == 1.0 and eh[0, 0] == 1.0
     assert es[0, 1] == 1.0
     assert es[0, 2:].sum() == 0.0
+
+
+def test_lookup_ops_compact_refetch_bucket_above_cap(monkeypatch):
+    """A refetch whose bucket rounds ABOVE the packed block width must
+    clamp to cap: JAX slicing past cap silently truncates while the host
+    `valid` mask keeps the bucket width, crashing the scatter with a
+    boolean-index shape mismatch (semref_cap values between the fetch
+    buckets, e.g. 3072, hit this in production sizes)."""
+    from typeagent_tpu.ops import postings as P
+
+    rng = np.random.default_rng(11)
+    index, ops, ktype = _random_ops_setup(rng)
+    # cap=8; hint starts at 4; a segment matching 5-8 semrefs buckets to
+    # 16 > cap on refetch.
+    monkeypatch.setattr(P, "_SPARSE_MIN_CAP", 256)
+    monkeypatch.setattr(P, "_COMPACT_CAP", 8)
+    monkeypatch.setattr(P, "_COMPACT_FETCH_BUCKETS", (4, 16))
+    # Make one op hit ~6 semrefs in its segment: craft a hot term.
+    hot = DevicePostingsIndex()
+    for semref in range(6):
+        hot.add_term("hot", semref, 0.9)
+    hot.add_term("cold", 30, 0.7)
+    # Pad the id space so semref_cap clears the sparse gate.
+    hot.add_term("pad", 1999, 0.5)
+    hot.build()
+    kt = np.zeros(2000, np.int8)
+    tid = hot._interner.lookup("hot")
+    got = hot.lookup_ops([(tid, 1.0, 0, 0, 0, -1, 0)], 1, kt)
+    assert hot._fetch_hint <= min(P._COMPACT_CAP, hot._semref_cap)
+    monkeypatch.setattr(P, "_SPARSE_MIN_CAP", 10**9)  # force dense
+    dense = hot.lookup_ops([(tid, 1.0, 0, 0, 0, -1, 0)], 1, kt)
+    for a, b in zip(got, dense):
+        np.testing.assert_allclose(a, b, rtol=1e-5)

@@ -1051,7 +1051,10 @@ class DeviceQueryExecutor:
         groups = self._group_plans([plan])
         if not groups:
             return None
-        return self._run_plan_group(groups[0])[0]
+        # .get: the runtime dense re-pack can drop a plan too large even
+        # alone (COO run overflow + over-budget dense fallback) — that is
+        # a host-VM-fallback signal, not a KeyError.
+        return self._run_plan_group(groups[0]).get(0)
 
     def _unwrap(self, query):
         top_n: int | None = None

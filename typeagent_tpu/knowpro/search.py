@@ -169,6 +169,18 @@ def _default_engine_route() -> bool | str:
     return True
 
 
+def _route_device(value: bool | str) -> bool:
+    """Resolve a non-"auto" ``use_device_executor`` value to a route.
+
+    Accepts the same vocabulary as TAT_ENGINE_ROUTE so callers can pass
+    the strings directly — ``bool("host")`` is True, so a bare bool() cast
+    would silently run the DEVICE engine for an explicit host request.
+    """
+    if isinstance(value, str):
+        return value.strip().lower() not in ("host", "vm", "0", "false", "")
+    return bool(value)
+
+
 _ENGINE_ROUTE = _default_engine_route()
 
 
@@ -304,12 +316,13 @@ async def search_conversation_knowledge(
     route_device = (
         router.pick() == "device"
         if router is not None
-        else bool(options.use_device_executor)
+        else _route_device(options.use_device_executor)
     )
+    t_dev = None
     if route_device:
         with span("search.knowledge", route="device"):
             try:
-                t0 = time.perf_counter()
+                t_dev = time.perf_counter()
                 device_result = await _try_device_executor(
                     conversation, knowledge_query, options
                 )
@@ -320,13 +333,20 @@ async def search_conversation_knowledge(
                 device_result = None
         if device_result is not None:
             if router is not None:
-                router.record("device", (time.perf_counter() - t0) * 1000.0)
+                router.record("device", (time.perf_counter() - t_dev) * 1000.0)
             return device_result
     with span("search.knowledge", route="host"):
         t0 = time.perf_counter()
         result = await run_query(conversation, options, knowledge_query)
         if router is not None:
             router.record("host", (time.perf_counter() - t0) * 1000.0)
+            if t_dev is not None:
+                # The device attempt failed (inexpressible query or engine
+                # error) and we paid attempt + fallback. Record that full
+                # cost as the device sample — otherwise ms["device"] stays
+                # None and pick() routes device forever, re-paying the
+                # futile attempt on every query.
+                router.record("device", (time.perf_counter() - t_dev) * 1000.0)
         return result
 
 
@@ -360,12 +380,13 @@ async def search_conversation_knowledge_batch(
     route_device = (
         router.pick() == "device"
         if router is not None
-        else bool(options.use_device_executor)
+        else _route_device(options.use_device_executor)
     )
+    t_dev = None
     if route_device:
         with span("search.knowledge", route="device", batch=len(selects)):
             try:
-                t0 = time.perf_counter()
+                t_dev = time.perf_counter()
                 executor, context = await _get_device_executor(conversation)
                 results = list(await executor.execute_batch(compiled, context))
                 if router is not None and selects and all(
@@ -373,7 +394,7 @@ async def search_conversation_knowledge_batch(
                 ):
                     router.record(
                         "device",
-                        (time.perf_counter() - t0) * 1000.0 / len(selects),
+                        (time.perf_counter() - t_dev) * 1000.0 / len(selects),
                     )
             except Exception:
                 # The host VM is the always-correct fallback: never let a
@@ -391,6 +412,13 @@ async def search_conversation_knowledge_batch(
         router.record(
             "host", (time.perf_counter() - host_t0) * 1000.0 / host_ran
         )
+        if t_dev is not None:
+            # Every query fell back: charge device the full attempt +
+            # fallback cost so the router can converge to host instead of
+            # re-paying the futile device attempt each call.
+            router.record(
+                "device", (time.perf_counter() - t_dev) * 1000.0 / host_ran
+            )
     return results
 
 

@@ -691,7 +691,11 @@ class DevicePostingsIndex:
             max_count = int(counts.max(initial=0))
             if max_count <= cap:
                 if max_count > m:
-                    m = _bucket(max_count, _COMPACT_FETCH_BUCKETS)
+                    # Clamp to the packed block width: JAX slicing past cap
+                    # silently truncates, and a wider host-side `valid` mask
+                    # would then shape-mismatch the fetched arrays (caps
+                    # between fetch buckets, e.g. 3072, hit this).
+                    m = min(_bucket(max_count, _COMPACT_FETCH_BUCKETS), cap)
                     self._fetch_hint = max(self._fetch_hint, m)
                     packed_np, order_np = jax.device_get(
                         (packed[:, :, :m], order[:, :m])
@@ -844,10 +848,22 @@ class DevicePostingsIndex:
                 else:
                     masks[row, : len(scope)] = scope
             masks_dev = jnp.asarray(masks)
-        if self._ktype_cache is None or self._ktype_cache[0] is not semref_ktype:
+        # Value-keyed cache (a few µs even at 100k codes): identity keying
+        # would serve a stale device vector to callers that edit the ktype
+        # array in place and pass the same ndarray object. The cached host
+        # copy is ours, so later caller mutations can't alias into the key.
+        cached = self._ktype_cache
+        if (
+            cached is None
+            or cached[0].shape != semref_ktype.shape
+            or not np.array_equal(cached[0], semref_ktype)
+        ):
             ktype_padded = np.full(self._semref_cap, -1, dtype=np.int8)
             ktype_padded[: len(semref_ktype)] = semref_ktype
-            self._ktype_cache = (semref_ktype, jnp.asarray(ktype_padded))
+            self._ktype_cache = (
+                np.array(semref_ktype, copy=True),
+                jnp.asarray(ktype_padded),
+            )
         ktype_dev = self._ktype_cache[1]
 
         operands = (

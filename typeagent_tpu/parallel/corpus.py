@@ -75,13 +75,7 @@ class CorpusVectorStore:
             return
         norms = np.linalg.norm(rows, axis=1, keepdims=True)
         rows = rows / np.where(norms > 0, norms, 1.0)
-        start = len(self._store)
-        local_base = self._local_counts.get(conversation, 0)
-        self._store.append(rows)
-        self._segments.append(
-            _Segment(conversation, start, rows.shape[0], local_base)
-        )
-        self._local_counts[conversation] = local_base + rows.shape[0]
+        self._append_segment(conversation, rows.shape[0], self._store.append, rows)
 
     def reserve(self, n_rows: int) -> None:
         """Pre-size the sharded buffer for a known corpus size."""
@@ -96,13 +90,17 @@ class CorpusVectorStore:
             return
         norms = jnp.linalg.norm(rows.astype(jnp.float32), axis=1, keepdims=True)
         unit = rows / jnp.where(norms > 0, norms, 1.0)
+        self._append_segment(
+            conversation, rows.shape[0], self._store.append_device, unit
+        )
+
+    def _append_segment(self, conversation: str, n: int, store_append, rows):
+        """Shared segment/local-count bookkeeping around a store append."""
         start = len(self._store)
         local_base = self._local_counts.get(conversation, 0)
-        self._store.append_device(unit)
-        self._segments.append(
-            _Segment(conversation, start, rows.shape[0], local_base)
-        )
-        self._local_counts[conversation] = local_base + rows.shape[0]
+        store_append(rows)
+        self._segments.append(_Segment(conversation, start, n, local_base))
+        self._local_counts[conversation] = local_base + n
 
     def _resolve(self, global_ordinal: int) -> tuple[str, int]:
         starts = [s.start for s in self._segments]
