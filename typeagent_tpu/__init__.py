@@ -19,7 +19,21 @@ if _os.environ.get("TAT_JAX_PLATFORM"):
     except Exception:
         pass
 
-if _os.environ.get("TAT_COMPILE_CACHE", "1") not in ("0", "off"):
+# Persistent cache is scoped to accelerator platforms: XLA:CPU cache
+# entries are AOT code specialized to the compiling host's CPU features
+# (AVX512/AMX sets), and loading them on a different host can SIGILL.
+# CPU compiles are cheap; TPU compiles (remote compile service) are the
+# ones worth caching. Setting JAX_COMPILATION_CACHE_DIR explicitly
+# re-enables caching on any platform.
+_plat = (
+    (_os.environ.get("TAT_JAX_PLATFORM") or _os.environ.get("JAX_PLATFORMS") or "")
+    .split(",")[0]
+    .strip()
+    .lower()
+)
+if _os.environ.get("TAT_COMPILE_CACHE", "1") not in ("0", "off") and (
+    _plat != "cpu" or "JAX_COMPILATION_CACHE_DIR" in _os.environ
+):
     # Persistent XLA compilation cache: TPU compiles of the fused kernels
     # take seconds-to-minutes (remote compile services more so); caching
     # them on disk makes every CLI/benchmark after the first start warm.
