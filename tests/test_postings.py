@@ -271,6 +271,73 @@ def test_coo_sparse_overflow_grows_buckets(monkeypatch):
     np.testing.assert_array_equal(cols[0, :300], np.arange(300))
 
 
+def test_coo_sparse_runs_past_last_bucket_fall_back(monkeypatch):
+    """Active runs beyond the LARGEST COO bucket must fall back to dense
+    (None) — even when the first call is the one that overflows — and must
+    never inflate the retry hint past the bucket cap (an inflated hint
+    would size every later fetch and compile fresh kernel variants)."""
+    from typeagent_tpu.ops import postings as P
+
+    index = DevicePostingsIndex()
+    for semref in range(300):
+        index.add_term("hot", semref, 0.9)
+    index.build()
+    ktype = np.zeros(300, np.int8)
+    tid = index._interner.lookup("hot")
+    ops = [(tid, 1.0, 0, P.OP_EXACT, 0, -1, 0)]
+
+    monkeypatch.setattr(P, "_SPARSE_MIN_CAP", 32)
+    monkeypatch.setattr(P, "_COO_BUCKETS", (8, 32))
+    index._coo_hint = 8  # 300 runs overflow even the largest bucket (32)
+    assert index.lookup_ops_sparse(ops, 1, ktype) is None
+    assert index._coo_hint <= P._COO_BUCKETS[-1]
+    # The full entry point still answers (dense fallback), losslessly.
+    escore, ehits, _, _, op_hit = index.lookup_ops(ops, 1, ktype)
+    assert (ehits[0] > 0).sum() == 300
+    assert list(op_hit) == [True]
+
+
+def test_coo_sparse_key_packing_overflow_falls_back(monkeypatch):
+    """n_seg * (semref_cap + 1) >= 2^30 cannot ride the int32 COO key:
+    lookup_ops_sparse must return None instead of silently dropping the
+    high segments' runs."""
+    from typeagent_tpu.ops import postings as P
+
+    index = DevicePostingsIndex()
+    for semref in range(100):
+        index.add_term("hot", semref, 0.9)
+    index.build()
+    ktype = np.zeros(100, np.int8)
+    tid = index._interner.lookup("hot")
+    ops = [(tid, 1.0, 0, P.OP_EXACT, 0, -1, 0)]
+    monkeypatch.setattr(P, "_SPARSE_MIN_CAP", 32)
+    n_seg_over = 2**30 // (index._semref_cap + 1) + 1
+    assert index.lookup_ops_sparse(ops, n_seg_over, ktype) is None
+
+
+def test_coo_sparse_wide_leaf_positions_fall_back(monkeypatch):
+    """Op positions past the _POS_P clamp would collide in the secondary
+    sort key and break first-adder tie-breaking: such leaves must take the
+    dense path."""
+    from typeagent_tpu.ops import postings as P
+
+    index = DevicePostingsIndex()
+    for semref in range(100):
+        index.add_term("hot", semref, 0.9)
+    index.build()
+    ktype = np.zeros(100, np.int8)
+    tid = index._interner.lookup("hot")
+    ops = [(tid, 1.0, 0, P.OP_RELATED, P._POS_P - 1, -1, 0)]
+    monkeypatch.setattr(P, "_SPARSE_MIN_CAP", 32)
+    assert index.lookup_ops_sparse(ops, 1, ktype) is None
+    # At the clamp boundary itself the sparse route is still exact.
+    ops_ok = [(tid, 1.0, 0, P.OP_RELATED, P._POS_P - 2, -1, 0)]
+    sparse = index.lookup_ops_sparse(ops_ok, 1, ktype)
+    assert sparse is not None
+    cols, packed, counts, _ = sparse
+    assert counts[0] == 100
+
+
 def test_mid_size_conversation_routes_sparse_by_default():
     """No monkeypatching: a conversation whose semref_cap sits between
     _SPARSE_MIN_CAP and the compact cap must take the sparse COO route

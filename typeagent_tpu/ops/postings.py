@@ -333,9 +333,10 @@ def accumulate_postings_segmented_coo(
 
     live = valid_scoring | valid_boost
     seg_e = segs[safe_op]
-    # Two-key sort (segment-major key, op position): stays in int32 — the
-    # sparse packing budget keeps n_seg * (semref_cap + 1) < 2^30, and x64
-    # is off on TPU so a composite 64-bit key would silently overflow.
+    # Two-key sort (segment-major key, op position): stays in int32 —
+    # lookup_ops_sparse guards n_seg * (semref_cap + 1) < 2^30 before
+    # dispatching here, and x64 is off on TPU so a composite 64-bit key
+    # would silently overflow.
     key = seg_e.astype(jnp.int32) * jnp.int32(semref_cap + 1) + ids
     dead_key = jnp.int32(2**30)
     key_flat = jnp.where(live, key, dead_key)
@@ -742,13 +743,27 @@ class DevicePostingsIndex:
         Returns ``(cols [n_seg, m] i32 ascending-ordinal active columns,
         packed [4, n_seg, m] f32 (exact_score/exact_hits/related_score/
         related_hits), counts [n_seg] i32, op_hit [len(ops)] bool)`` — or
-        None when the conversation is small (dense is cheaper) or a segment
-        overflowed the compact cap (caller falls back to :meth:`lookup_ops`).
+        None when the dense path must take over (caller falls back to
+        :meth:`lookup_ops`): small conversation (dense is cheaper there),
+        total postings past the largest entry bucket, active (seg, semref)
+        runs past the largest result bucket, or a query whose shape cannot
+        ride the COO kernel's int32 packing (see the guards below).
         The combine then runs over each query's active-column union instead
         of dense [n_seg, n_semrefs] arrays. Device side is the scatter-free
         sort+scan COO kernel (:func:`accumulate_postings_segmented_coo`).
         """
         if self._semref_cap <= _SPARSE_MIN_CAP:
+            return None
+        # The COO kernel packs (segment, semref) into ONE int32 sort key
+        # (x64 is off on TPU); past 2^30 live keys collide with the padding
+        # sentinel and real runs get dropped. Nothing upstream enforces the
+        # budget for direct callers of this public method, so check here.
+        if n_seg * (self._semref_cap + 1) >= 2**30:
+            return None
+        # Secondary sort key clamps op positions to _POS_P - 2; beyond that
+        # distinct positions collide and first-adder tie-breaking diverges
+        # from the dense kernel. Leaves that wide ride the dense path.
+        if ops and max(op[4] for op in ops) > _POS_P - 2:
             return None
         if not self._built:
             self.build()
@@ -780,8 +795,13 @@ class DevicePostingsIndex:
             n_runs = int(n_runs)
             if n_runs <= keys_np.shape[0]:
                 break
-            if r >= _COO_BUCKETS[-1]:
-                return None  # enormous result set: dense path wins
+            if n_runs > _COO_BUCKETS[-1]:
+                # Enormous result set: dense path wins. Checked on n_runs,
+                # not the retry width — _bucket() rounds past the last
+                # bucket, so gating on `r` would both skip this fallback
+                # when the FIRST call overflows and inflate _coo_hint (and
+                # every later fetch + compiled variant) without bound.
+                return None
             r = _bucket(n_runs, _COO_BUCKETS)
             self._coo_hint = max(self._coo_hint, r)
 
