@@ -579,6 +579,37 @@ async def test_auto_router_converges_when_device_cannot_serve(monkeypatch):
     # scale are noise, so only the convergence mechanics are pinned).
 
 
+async def test_auto_router_records_on_mixed_batches(monkeypatch):
+    """A batch where the device answers only SOME queries must still feed
+    the router: without per-engine samples from mixed batches, ms stays
+    {None, None} and pick() routes device forever without ever probing the
+    host (the futile per-batch fallback cost never converges away)."""
+    from typeagent_tpu.knowpro import search as S
+    from typeagent_tpu.knowpro.search import search_conversation_knowledge_batch
+
+    conv = await build_conversation()
+    group = SearchTermGroup(boolean_op="or", terms=[SearchTerm(Term("Bach"))])
+    selects = [(group, None), (group, None)]
+    sentinel = {"entity": "device-answered"}
+
+    class HalfDeviceExecutor:
+        async def execute_batch(self, compiled, context):
+            # First query device-answered, second inexpressible.
+            return [sentinel, None]
+
+    async def fake_get_executor(conversation):
+        return HalfDeviceExecutor(), None
+
+    monkeypatch.setattr(S, "_get_device_executor", fake_get_executor)
+    opts = SearchOptions(exact_match=True, use_device_executor="auto")
+    results = await search_conversation_knowledge_batch(conv, selects, opts)
+    assert results[0] is sentinel
+    assert results[1] is not None and results[1] is not sentinel
+    router = conv._engine_router
+    assert router.ms["device"] is not None  # mixed batch recorded a sample
+    assert router.ms["host"] is not None
+
+
 async def test_dropped_plan_falls_back_to_host(monkeypatch):
     """_run_plan_group may drop a plan that is too large even alone (COO
     run overflow + over-budget dense repack); search() must treat that as

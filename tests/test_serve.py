@@ -323,3 +323,56 @@ def test_inflight_semaphore_survives_worker_restart(store):
         return same
 
     assert asyncio.run(run())
+
+
+def test_idle_worker_exits_and_respawns(store):
+    """An idle batcher's worker must exit after its idle polls (no per-store
+    0.5 s wakeups forever on an idle server) and respawn on the next lookup."""
+    rng = np.random.default_rng(23)
+    q = _queries(rng, 2)
+
+    async def run():
+        batcher = LookupBatcher(store, max_delay_ms=0.0)
+        got = await batcher.lookup(q, max_hits=3)
+        assert len(got) == 2
+        # Wait past _IDLE_EXIT_POLLS * 0.5 s: the worker should be gone.
+        for _ in range(50):
+            if batcher._task.done():
+                break
+            await asyncio.sleep(0.1)
+        assert batcher._task.done()
+        # And the next lookup still works (worker respawned).
+        got = await batcher.lookup(q, max_hits=3)
+        assert len(got) == 2
+        await batcher.close()
+
+    asyncio.run(run())
+
+
+def test_store_rebind_closes_previous_loop_batcher(store):
+    """Re-binding the store's batcher to a new event loop must close the
+    previous loop's batcher instead of orphaning its worker.
+
+    Two explicit event loops (not asyncio.run twice: orbax applies
+    nest_asyncio, which patches asyncio.run to reuse ONE loop process-wide
+    — under it a second asyncio.run correctly does NOT rebind)."""
+    rng = np.random.default_rng(24)
+    q = _queries(rng, 2)
+
+    async def use_store():
+        return await store.fuzzy_lookup_embeddings_batch_async(q, max_hits=3)
+
+    loop1 = asyncio.new_event_loop()
+    try:
+        assert len(loop1.run_until_complete(use_store())) == 2
+    finally:
+        loop1.close()
+    first = store._batcher
+    assert first is not None
+    loop2 = asyncio.new_event_loop()
+    try:
+        assert len(loop2.run_until_complete(use_store())) == 2
+    finally:
+        loop2.close()
+    assert store._batcher is not first
+    assert first._closed

@@ -378,3 +378,28 @@ def test_reserve_keeps_capacity_divisible_by_shards(rng):
     store.append(matrix)
     got = store.search(matrix[:4], k=3)
     assert [row[0][0] for row in got] == [0, 1, 2, 3]
+
+
+def test_bf16_scores_wire_identity(mesh8, rng):
+    """The mesh score matrix (predicate path) must be identical whether
+    queries arrive as f32 or host-pre-rounded bf16: the kernel scores in
+    the STORE dtype, so the bf16 query wire cannot shift any candidate
+    across a min_score threshold."""
+    import ml_dtypes
+
+    dim = 32
+    store = ShardedVectorStore(mesh8, dim, dtype="bfloat16")
+    matrix = normalized(rng, 300, dim)
+    store.append(matrix)
+    q = normalized(rng, 4, dim)
+
+    s_f32 = np.asarray(store.scores(q))
+    q_rounded = q.astype(ml_dtypes.bfloat16).astype(np.float32)
+    s_bf16 = np.asarray(store.scores(q_rounded))
+    np.testing.assert_array_equal(s_f32, s_bf16)
+
+    # And the scores agree with the bf16-effective oracle.
+    m_bf = matrix.astype(ml_dtypes.bfloat16).astype(np.float32)
+    q_bf = q.astype(ml_dtypes.bfloat16).astype(np.float32)
+    oracle = np.clip((q_bf @ m_bf.T + 1.0) * 0.5, 0.0, 1.0)
+    np.testing.assert_allclose(s_f32[:4, :300], oracle, atol=2e-3)

@@ -506,3 +506,110 @@ def test_concurrent_append_and_lookup_threads():
             stop = True
             fut.result(timeout=30)
     assert not errors
+
+
+def test_concurrent_append_flush_conserves_rows():
+    """No ingested row may vanish when appends race flushes on another
+    thread: a row appended between a flush's concatenate and its pending-
+    list reset used to be destroyed before reaching the device buffer."""
+    import concurrent.futures
+    import sys
+
+    rng = np.random.default_rng(7)
+    d = 16
+    store = VectorStore(
+        TextEmbeddingIndexSettings(
+            embedding_model=create_test_embedding_model(d), min_score=0.0
+        )
+    )
+    n_batches, batch = 3000, 2
+    all_rows = rng.standard_normal((n_batches, batch, d)).astype(np.float32)
+    all_rows /= np.linalg.norm(all_rows, axis=2, keepdims=True)
+    stop = False
+    errors = []
+
+    def flusher():
+        try:
+            while not stop:
+                store._flush()
+        except Exception as exc:  # pragma: no cover - the failure signal
+            errors.append(exc)
+
+    # The hazard window (between the flush's concatenate and its pending
+    # reset) is sub-microsecond; the default 5 ms GIL switch interval
+    # would practically never land an append inside it.
+    prev_switch = sys.getswitchinterval()
+    sys.setswitchinterval(1e-6)
+    try:
+        with concurrent.futures.ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(flusher)
+            try:
+                for i in range(n_batches):
+                    store.add_embeddings(None, all_rows[i])
+            finally:
+                stop = True
+                fut.result(timeout=60)
+    finally:
+        sys.setswitchinterval(prev_switch)
+    assert not errors
+    store._flush()
+    assert store._count == n_batches * batch
+    assert len(store) == n_batches * batch
+
+
+def test_append_landing_mid_flush_commit_survives(monkeypatch):
+    """Deterministic form of the append/flush race: an add_embeddings call
+    landing while a flush commits its snapshot must survive to the device
+    buffer. The losing implementation concatenated the SHARED pending list
+    and then cleared it — wiping any row appended in between. Injection
+    point: np.concatenate is the snapshot step of the flush, so an append
+    fired right after it emulates the executor-thread interleaving."""
+    rng = np.random.default_rng(3)
+    d = 16
+    store = VectorStore(
+        TextEmbeddingIndexSettings(
+            embedding_model=create_test_embedding_model(d), min_score=0.0
+        )
+    )
+
+    racing_row = rng.standard_normal((1, d)).astype(np.float32)
+    racing_row /= np.linalg.norm(racing_row)
+    armed = [False]
+    orig_concat = np.concatenate
+
+    def racy_concatenate(arrays, *args, **kwargs):
+        out = orig_concat(arrays, *args, **kwargs)
+        if armed[0]:
+            armed[0] = False
+            store.add_embeddings(None, racing_row)
+        return out
+
+    first = rng.standard_normal((8, d)).astype(np.float32)
+    first /= np.linalg.norm(first, axis=1, keepdims=True)
+    store.add_embeddings(None, first)
+    monkeypatch.setattr(np, "concatenate", racy_concatenate)
+    armed[0] = True
+    store._flush()
+    monkeypatch.undo()
+    assert len(store) == 9  # 8 committed + the racing row, none lost
+    store._flush()
+    assert store._count == 9
+
+
+def test_warm_serving_precompiles_buckets():
+    """warm_serving dispatches one lookup per query bucket up to max_batch
+    so cold-shape compiles happen at startup, not under serving traffic."""
+    rng = np.random.default_rng(5)
+    store = VectorStore(
+        TextEmbeddingIndexSettings(
+            embedding_model=create_test_embedding_model(16), min_score=0.0
+        )
+    )
+    assert store.warm_serving() == 0  # empty store: nothing to compile
+    rows = rng.standard_normal((100, 16)).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    store.add_embeddings(None, rows)
+    assert store.warm_serving(max_batch=64) == 4  # buckets 8, 16, 32, 64
+    # Warmed store still answers correctly.
+    hits = store.fuzzy_lookup_embedding(rows[3], max_hits=1)
+    assert hits[0].item == 3

@@ -21,10 +21,32 @@ if _os.environ.get("TAT_JAX_PLATFORM"):
 
 # Persistent cache is scoped to accelerator platforms: XLA:CPU cache
 # entries are AOT code specialized to the compiling host's CPU features
-# (AVX512/AMX sets), and loading them on a different host can SIGILL.
-# CPU compiles are cheap; TPU compiles (remote compile service) are the
-# ones worth caching. Setting JAX_COMPILATION_CACHE_DIR explicitly
-# re-enables caching on any platform.
+# (AVX512/AMX sets) and the cache key does NOT capture those, so loading
+# them on a different host can SIGILL. CPU compiles are cheap; TPU
+# compiles (remote compile service) are the ones worth caching. Setting
+# JAX_COMPILATION_CACHE_DIR explicitly re-enables caching anywhere.
+
+
+def _accelerator_expected() -> bool:
+    """Without an explicit platform pin, enable the cache only when an
+    accelerator plugin is installed (the default backend will be CPU
+    otherwise, and caching XLA:CPU AOT code is the hazard above)."""
+    import importlib.util
+
+    for mod in ("libtpu", "axon", "jax_plugins"):
+        try:
+            if importlib.util.find_spec(mod) is not None:
+                return True
+        except (ImportError, ValueError):
+            continue
+    try:
+        import importlib.metadata
+
+        return bool(list(importlib.metadata.entry_points(group="jax_plugins")))
+    except Exception:
+        return False
+
+
 _plat = (
     (_os.environ.get("TAT_JAX_PLATFORM") or _os.environ.get("JAX_PLATFORMS") or "")
     .split(",")[0]
@@ -32,7 +54,8 @@ _plat = (
     .lower()
 )
 if _os.environ.get("TAT_COMPILE_CACHE", "1") not in ("0", "off") and (
-    _plat != "cpu" or "JAX_COMPILATION_CACHE_DIR" in _os.environ
+    "JAX_COMPILATION_CACHE_DIR" in _os.environ
+    or (_plat != "cpu" if _plat else _accelerator_expected())
 ):
     # Persistent XLA compilation cache: TPU compiles of the fused kernels
     # take seconds-to-minutes (remote compile services more so); caching

@@ -37,6 +37,16 @@ class EmbeddingIndex:
     async def get_embedding(self, key: str, cache: bool = True) -> np.ndarray:
         return await self._vector_base.get_embedding(key, cache)
 
+    async def get_embeddings(
+        self, keys: list[str], cache: bool = True
+    ) -> np.ndarray:
+        return await self._vector_base.get_embeddings(keys, cache=cache)
+
+    def host_rows(self, start: int, stop: int) -> np.ndarray:
+        """Live rows [start, stop) as host f32 — O(stop-start) incremental
+        sync for mirrors (e.g. ConversationCorpus.refresh)."""
+        return self._vector_base.host_rows(start, stop)
+
     def get(self, pos: int) -> np.ndarray:
         return self._vector_base.get_embedding_at(pos)
 
@@ -65,6 +75,21 @@ class EmbeddingIndex:
     ) -> list[list[ScoredInt]]:
         """Batched lookup: one fused device call for all queries."""
         return self._vector_base.fuzzy_lookup_embeddings_batch(
+            embeddings, max_hits=max_matches, min_score=min_score
+        )
+
+    async def get_indexes_of_nearest_batch_async(
+        self,
+        embeddings: np.ndarray,
+        max_matches: int | None = None,
+        min_score: float | None = None,
+    ) -> list[list[ScoredInt]]:
+        """Async batched lookup through the store's LookupBatcher: the
+        event loop stays live during the device round trip and concurrent
+        callers' lookups coalesce into shared dispatches."""
+        if len(self._vector_base) == 0:
+            return [[] for _ in range(np.asarray(embeddings).shape[0])]
+        return await self._vector_base.fuzzy_lookup_embeddings_batch_async(
             embeddings, max_hits=max_matches, min_score=min_score
         )
 

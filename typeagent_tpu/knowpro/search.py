@@ -383,18 +383,21 @@ async def search_conversation_knowledge_batch(
         else _route_device(options.use_device_executor)
     )
     t_dev = None
+    device_done = 0
     if route_device:
         with span("search.knowledge", route="device", batch=len(selects)):
             try:
                 t_dev = time.perf_counter()
                 executor, context = await _get_device_executor(conversation)
                 results = list(await executor.execute_batch(compiled, context))
-                if router is not None and selects and all(
-                    r is not None for r in results
-                ):
+                device_done = sum(1 for r in results if r is not None)
+                if router is not None and device_done:
+                    # Mixed batches (some queries device-inexpressible) must
+                    # still record a sample — otherwise ms["device"] stays
+                    # None forever and pick() never probes the host.
                     router.record(
                         "device",
-                        (time.perf_counter() - t_dev) * 1000.0 / len(selects),
+                        (time.perf_counter() - t_dev) * 1000.0 / device_done,
                     )
             except Exception:
                 # The host VM is the always-correct fallback: never let a
@@ -408,11 +411,11 @@ async def search_conversation_knowledge_batch(
             host_ran += 1
             with span("search.knowledge", route="host"):
                 results[i] = await run_query(conversation, options, knowledge_query)
-    if router is not None and host_ran == len(selects) and host_ran:
+    if router is not None and host_ran:
         router.record(
             "host", (time.perf_counter() - host_t0) * 1000.0 / host_ran
         )
-        if t_dev is not None:
+        if t_dev is not None and not device_done:
             # Every query fell back: charge device the full attempt +
             # fallback cost so the router can converge to host instead of
             # re-paying the futile device attempt each call.

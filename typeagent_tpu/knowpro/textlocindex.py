@@ -75,8 +75,9 @@ class TextToTextLocationIndex:
     ) -> list[np.ndarray]:
         if not texts:
             return []
-        base = self._embedding_index._vector_base
-        return list(await base.get_embeddings(texts, cache=cache))
+        return list(
+            await self._embedding_index.get_embeddings(texts, cache=cache)
+        )
 
     # -- lookups: text strings embed first, embedding variants go straight
     # to the device index ------------------------------------------------------
@@ -119,14 +120,11 @@ class TextToTextLocationIndex:
     ) -> list[ScoredTextLocation]:
         min_score = 0.85 if threshold_score is None else threshold_score
         embedding = await self.generate_embedding(text)
-        base = self._embedding_index._vector_base
-        if len(base) == 0:
-            return []
         # Async route: event loop stays live during the device round trip;
         # concurrent requests' lookups coalesce into shared dispatches.
-        rows = await base.fuzzy_lookup_embeddings_batch_async(
+        rows = await self._embedding_index.get_indexes_of_nearest_batch_async(
             np.asarray(embedding, dtype=np.float32).reshape(1, -1),
-            max_hits=max_matches,
+            max_matches=max_matches,
             min_score=min_score,
         )
         return self.to_scored_locations(rows[0])

@@ -127,9 +127,8 @@ class ConversationCorpus:
                 synced = self._synced_counts[conv_name]
                 if total <= synced:
                     continue
-                base = tli._embedding_index._vector_base
                 # Ranged copy: O(new rows), not a full-store serialize.
-                rows = base.host_rows(synced, total)
+                rows = tli._embedding_index.host_rows(synced, total)
                 locations = [tli.get(pos) for pos in range(synced, total)]
             else:
                 # SQLite backend: VectorStore + parallel (msg, chunk) list.

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import functools
 import math
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -282,9 +283,15 @@ def _sharded_scores_cached(mesh: Mesh, quantized: bool):
         shard = jax.lax.axis_index(AXIS_SHARD)
         offset = shard * local_n
         local_count = jnp.clip(count[0] - offset, 0, local_n)
+        # Queries score in the STORE dtype (as every top-k kernel does):
+        # for bf16 stores this makes host-side bf16 query rounding exactly
+        # idempotent, so the bf16 wire and an f32 wire select identically.
+        # int8 stores keep full-precision queries (rows dequantize via
+        # scales; the queries themselves are never quantized).
+        q_eff = q_local if quantized else q_local.astype(emb_local.dtype)
         raw = jnp.einsum(
             "bd,nd->bn",
-            q_local.astype(jnp.float32),
+            q_eff.astype(jnp.float32),
             emb_local.astype(jnp.float32),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
@@ -391,6 +398,12 @@ class ShardedVectorStore:
         self.count = 0  # rows committed to the device buffer
         self._pending: list[np.ndarray] = []  # host rows awaiting flush
         self._pending_rows = 0
+        # Guards the pending list + counter only (never held across device
+        # work): an append landing between a flush's concatenate and its
+        # clear() would otherwise be destroyed unflushed. VectorStore's
+        # mesh mode serializes flushes under its own flush lock; this lock
+        # covers direct users appending concurrently with searches.
+        self._pending_lock = threading.Lock()
 
     def __len__(self) -> int:
         return self.count + self._pending_rows
@@ -408,8 +421,9 @@ class ShardedVectorStore:
         assert rows.ndim == 2 and rows.shape[1] == self.dim
         if rows.shape[0] == 0:
             return
-        self._pending.append(rows)
-        self._pending_rows += rows.shape[0]
+        with self._pending_lock:
+            self._pending.append(rows)
+            self._pending_rows += rows.shape[0]
 
     def reserve(self, n_rows: int) -> None:
         """Pre-size the buffer for a known ingest (capacity doubling would
@@ -471,11 +485,15 @@ class ShardedVectorStore:
             )
 
     def _flush(self) -> None:
-        if not self._pending:
-            return
-        rows = np.concatenate(self._pending, axis=0)
-        self._pending.clear()
-        self._pending_rows = 0
+        # Atomic hand-off: detach the pending list under its lock so no
+        # concurrent append can land between concatenate and reset.
+        with self._pending_lock:
+            if not self._pending:
+                return
+            pending = self._pending
+            self._pending = []
+            self._pending_rows = 0
+        rows = np.concatenate(pending, axis=0)
         n = rows.shape[0]
         # bf16 stores take bf16 rows on the wire (device append casts to
         # the buffer dtype either way); int8 quantizes from f32 below.

@@ -117,6 +117,23 @@ class LookupBatcher:
                 *list(self._dispatch_tasks), return_exceptions=True
             )
 
+    def close_nowait(self) -> None:
+        """Mark closed and wake the worker without awaiting the drain.
+
+        For callers NOT on this batcher's event loop (e.g. a store being
+        re-bound to a new loop): schedule via the owning loop's
+        ``call_soon_threadsafe`` when that loop is alive; call directly
+        when it is already closed (nothing runs concurrently then)."""
+        self._closed = True
+        if self._wakeup is not None:
+            try:
+                self._wakeup.set()
+            except RuntimeError:
+                # Waking a waiter schedules a callback on the owning loop;
+                # if that loop is already closed the worker can never
+                # resume anyway — marking _closed is all that matters.
+                pass
+
     def _ensure_worker(self) -> None:
         if self._task is None or self._task.done():
             self._wakeup = asyncio.Event()
@@ -128,7 +145,13 @@ class LookupBatcher:
                 self._inflight = asyncio.Semaphore(self._max_inflight)
             self._task = asyncio.get_running_loop().create_task(self._worker())
 
+    # Consecutive idle poll timeouts before the worker exits (respawned by
+    # the next lookup): an idle server must not pay per-store 0.5 s wakeups
+    # forever.
+    _IDLE_EXIT_POLLS = 2
+
     async def _worker(self) -> None:
+        idle_polls = 0
         while True:
             if not self._queue:
                 if self._closed:
@@ -136,11 +159,16 @@ class LookupBatcher:
                 self._wakeup.clear()
                 try:
                     await asyncio.wait_for(self._wakeup.wait(), timeout=0.5)
+                    idle_polls = 0
                 except TimeoutError:
-                    pass
+                    if not self._queue:
+                        idle_polls += 1
+                        if idle_polls >= self._IDLE_EXIT_POLLS:
+                            return  # _ensure_worker respawns on demand
                 if self._closed and not self._queue:
                     return
                 continue  # re-check the queue under the non-empty branch
+            idle_polls = 0
             # Linger briefly so concurrent callers can pile on.
             if len(self._queue) < self._max_coalesce and self._max_delay > 0:
                 await asyncio.sleep(self._max_delay)

@@ -251,6 +251,12 @@ class VectorStore:
         # Lookups from concurrent serving threads (LookupBatcher with
         # max_inflight > 1) all call _flush; the flush body must run once.
         self._flush_lock = threading.Lock()
+        # Guards ONLY the pending list + row counter. Appends (event-loop
+        # thread) run concurrently with flushes (executor threads); without
+        # a shared lock, a row appended between the flush's concatenate and
+        # its clear() would be destroyed unflushed. This lock is never held
+        # across device work, so appends never stall behind a dispatch.
+        self._pending_lock = threading.Lock()
         # Per-event-loop LookupBatcher for the async lookup route (created
         # lazily; rebound if the store outlives the loop, as in test suites
         # running many asyncio.run() calls).
@@ -302,8 +308,9 @@ class VectorStore:
                 f"Embedding size mismatch: expected {self._embedding_size}, "
                 f"got {row.shape[-1]}"
             )
-        self._pending.append(row.reshape(1, -1))
-        self._pending_rows += 1
+        with self._pending_lock:
+            self._pending.append(row.reshape(1, -1))
+            self._pending_rows += 1
         if key is not None:
             self._model.add_embedding(key, row)
 
@@ -319,8 +326,9 @@ class VectorStore:
                 f"got {embeddings.shape[1]}"
             )
         if embeddings.shape[0]:
-            self._pending.append(embeddings)
-            self._pending_rows += embeddings.shape[0]
+            with self._pending_lock:
+                self._pending.append(embeddings)
+                self._pending_rows += embeddings.shape[0]
         if keys is not None:
             for key, emb in zip(keys, embeddings):
                 self._model.add_embedding(key, emb)
@@ -442,20 +450,30 @@ class VectorStore:
             out = self._topk_exact1(q, k, self._buf, self._scales, count)
         return jax.device_get(out)
 
-    def _flush_locked(self) -> None:
-        if not self._pending:
-            return  # nothing new (or another serving thread flushed)
-        if self._mesh is not None:
-            rows = np.concatenate(self._pending, axis=0)
-            self._pending.clear()
+    def _take_pending(self) -> np.ndarray | None:
+        """Atomically detach the pending rows for a flush.
+
+        The hand-off must happen under _pending_lock: an event-loop append
+        landing between an unlocked concatenate and clear() would be wiped
+        without ever reaching the device buffer.
+        """
+        with self._pending_lock:
+            if not self._pending:
+                return None  # nothing new (or another serving thread flushed)
+            pending = self._pending
+            self._pending = []
             self._pending_rows = 0
+        return np.concatenate(pending, axis=0)
+
+    def _flush_locked(self) -> None:
+        rows = self._take_pending()
+        if rows is None:
+            return
+        if self._mesh is not None:
             store = self._sharded_store()
             store.append(rows)
             self._count = len(store)
             return
-        rows = np.concatenate(self._pending, axis=0)
-        self._pending.clear()
-        self._pending_rows = 0
         n = rows.shape[0]
         # bf16 stores take bf16 rows on the wire: the device append casts
         # to the buffer dtype anyway, so host-side rounding halves the
@@ -513,6 +531,30 @@ class VectorStore:
         if self._dtype == jnp.bfloat16:
             return np.dtype(ml_dtypes.bfloat16)
         return np.dtype(np.float32)
+
+    def warm_serving(self, max_batch: int = 256, k: int = 10) -> int:
+        """Pre-compile the lookup program for every query-batch bucket up
+        to ``max_batch`` against the CURRENT buffer shape.
+
+        :meth:`_dispatch_view` holds the flush lock across the JAX
+        dispatch; a cold shape (first lookup at a new batch bucket, or the
+        first after a buffer growth) pays XLA compilation INSIDE that lock
+        — on remote-attached TPUs that is seconds-to-minutes during which
+        every concurrent serving thread and ingest flush stalls. Servers
+        should call this at startup and after bulk ingests so the compiles
+        happen before traffic. Returns the number of lookups dispatched.
+        """
+        self._flush()
+        if len(self) == 0:
+            return 0
+        dispatched = 0
+        for bucket in _QUERY_BUCKETS:
+            if bucket > _bucket(max_batch):
+                break
+            queries = np.zeros((bucket, self._embedding_size), np.float32)
+            self.fuzzy_lookup_embeddings_batch(queries, max_hits=k)
+            dispatched += 1
+        return dispatched
 
     def fuzzy_lookup_embedding(
         self,
@@ -715,6 +757,18 @@ class VectorStore:
             or self._batcher_loop is not loop
             or self._batcher._closed
         ):
+            old, old_loop = self._batcher, self._batcher_loop
+            if old is not None and not old._closed and old_loop is not None:
+                # Don't orphan the previous loop's batcher: its worker would
+                # keep waking (or die with a "Task was destroyed" warning)
+                # and queued futures would never resolve.
+                if old_loop.is_closed():
+                    old.close_nowait()
+                else:
+                    try:
+                        old_loop.call_soon_threadsafe(old.close_nowait)
+                    except RuntimeError:
+                        old.close_nowait()  # loop shut down mid-check
             self._batcher = LookupBatcher(
                 self, max_delay_ms=0.2, max_coalesce=16, max_inflight=2
             )
