@@ -108,3 +108,33 @@ async def test_int8_conversation_end_to_end():
     assert found.message_matches
     m = await conv.messages.get_item(found.message_matches[0].message_ordinal)
     assert "theme3" in m.text_chunks[0]
+
+
+@pytest.mark.skipif("not __import__('jax').default_backend() == 'tpu'")
+def test_bf16_wire_batch_exact2_rescore_compiles():
+    """The serve path's bf16 query wire through the exact2 Pallas rescore.
+
+    Regression: the bf16-wire change handed the rescore kernel a bf16 query
+    ref, and Mosaic cannot dynamically index packed 16-bit sublanes
+    ("index in dimension 0 is a multiple of 8" at lowering) — a TPU-only
+    compile failure the CPU interpreter never sees. The kernel now upcasts
+    the wire dtype to f32 before the pallas_call.
+    """
+    import jax
+    import numpy as np
+
+    from typeagent_tpu.models.adapters import create_test_embedding_model
+    from typeagent_tpu.vectorstore import TextEmbeddingIndexSettings, VectorStore
+
+    rng = np.random.default_rng(3)
+    rows = rng.normal(size=(4096, 128)).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    settings = TextEmbeddingIndexSettings(
+        embedding_model=create_test_embedding_model(128),
+        min_score=0.0,
+        dtype="bfloat16",
+    )
+    store = VectorStore(settings)
+    store.load_device_rows(jax.numpy.asarray(rows))
+    results = store.fuzzy_lookup_embeddings_batch(rows[:256], max_hits=10)
+    assert all(results[i][0].item == i for i in range(256))

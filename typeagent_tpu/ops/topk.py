@@ -1340,6 +1340,12 @@ def _rescore_kernel(ids_ref, q_ref, *refs, B: int):
 
 def _rescore_selected_pallas(emb, queries, bucket_ids, *, B: int):
     """Raw rescore scores [b, B*128] for each query's selected buckets."""
+    # Mosaic cannot dynamically index packed (16-bit) sublanes — the kernel
+    # selects query row i with ``pl.ds(program_id, 1)``, which only lowers for
+    # 32-bit operands ("index in dimension 0 is a multiple of 8" compile
+    # error on a bf16 ref). bf16->f32 is exact, so upcasting the wire dtype
+    # here is selection-identical; the kernel computes in f32 regardless.
+    queries = queries.astype(jnp.float32)
     b, d_pad = queries.shape
     kernel = functools.partial(_rescore_kernel, B=B)
     grid_spec = pltpu.PrefetchScalarGridSpec(
