@@ -151,3 +151,37 @@ def test_forbidden_maps_to_actionable_error(tmp_path):
         token="tok", client=httpx.Client(transport=httpx.MockTransport(deny)))
     with pytest.raises(SystemExit, match="Secrets User"):
         client.list_secret_names("teamvault")
+
+
+def test_pull_rewrites_duplicate_keys(tmp_path):
+    """A later duplicate line wins on reload — every occurrence must update."""
+    cfg = write_config(tmp_path)
+    dotenv = tmp_path / ".env"
+    dotenv.write_text("OPENAI_API_KEY=old1\nOTHER=x\nOPENAI_API_KEY=old2\n")
+    vault = FakeVault("teamvault", {"OPENAI-API-KEY": "sk-new"})
+    args = argparse.Namespace(vault=None, private=None, dotenv=None)
+    gk.pull(make_client(vault), gk.Config(cfg), args)
+    values = gk.dotenv_values(gk.read_dotenv_lines(dotenv))
+    assert values["OPENAI_API_KEY"] == "sk-new"
+    assert "old2" not in dotenv.read_text()
+
+
+def test_push_reads_only_configured_secrets(tmp_path):
+    cfg = write_config(tmp_path, shared=("OPENAI_API_KEY",))
+    (tmp_path / ".env").write_text("OPENAI_API_KEY=sk-1\n")
+    vault = FakeVault("teamvault", {"OPENAI-API-KEY": "sk-0",
+                                    "UNRELATED-SECRET": "other"})
+    reads: list[str] = []
+    orig = vault.handler
+
+    def counting(request: httpx.Request) -> httpx.Response:
+        parts = request.url.path.strip("/").split("/")
+        if len(parts) == 2 and request.method == "GET":
+            reads.append(parts[1])
+        return orig(request)
+
+    client = gk.KeyVaultClient(
+        token="tok", client=httpx.Client(transport=httpx.MockTransport(counting)))
+    args = argparse.Namespace(vault=None, private=None, dotenv=None, yes=True)
+    assert gk.push(client, gk.Config(cfg), args) == 1
+    assert reads == ["OPENAI-API-KEY"]  # UNRELATED-SECRET never fetched

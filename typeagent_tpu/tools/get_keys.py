@@ -154,18 +154,21 @@ def apply_updates(
     lines: list[str], updates: dict[str, str], deletes: set[str]
 ) -> list[str]:
     out: list[str] = []
-    pending = dict(updates)
+    rewritten: set[str] = set()
     for line in lines:
         stripped = line.strip()
         if stripped and not stripped.startswith("#") and "=" in stripped:
             key = stripped.partition("=")[0].strip()
             if key in deletes:
                 continue
-            if key in pending:
-                out.append(f"{key}={pending.pop(key)}")
+            if key in updates:
+                # Rewrite EVERY occurrence: a later duplicate line wins on
+                # reload, so leaving it stale would undo the update.
+                out.append(f"{key}={updates[key]}")
+                rewritten.add(key)
                 continue
         out.append(line)
-    out += [f"{key}={value}" for key, value in pending.items()]
+    out += [f"{k}={v}" for k, v in updates.items() if k not in rewritten]
     return out
 
 
@@ -251,9 +254,13 @@ def push(client: KeyVaultClient, cfg: Config, args) -> int:
         vault = vaults[scope]
         if not vault:
             continue
+        wanted_names = {to_secret_name(key) for key in wanted}
+        # Read only the configured secrets — the vault may hold many
+        # unrelated ones (and reads of those may not even be permitted).
         remote = {
             name: client.read_secret(vault, name)
             for name in client.list_secret_names(vault)
+            if name in wanted_names
         }
         for env_key in wanted:
             if env_key not in current:
