@@ -21,6 +21,9 @@ def _run_dryrun(extra_env: dict[str, str]) -> subprocess.CompletedProcess:
     # Start from a clean platform slate, then poison.
     env.pop("TAT_TEST_TPU", None)
     env.pop("TAT_JAX_PLATFORM", None)
+    # Same 4 stages, 10% corpus: full scale is the driver gate's job and
+    # costs ~20 s per subprocess on a single CPU core.
+    env.setdefault("TAT_DRYRUN_SCALE", "0.1")
     env.update(extra_env)
     return subprocess.run(
         [sys.executable, str(REPO / "__graft_entry__.py"), "multichip", "8"],
