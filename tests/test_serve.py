@@ -376,3 +376,44 @@ def test_store_rebind_closes_previous_loop_batcher(store):
         loop2.close()
     assert store._batcher is not first
     assert first._closed
+
+
+def test_batcher_over_mesh_backed_store():
+    """Coalesced serving through a mesh-sharded store: the batcher's shared
+    dispatch rides ShardedVectorStore.search_dispatch and every co-batched
+    caller gets results identical to a solo lookup."""
+    from typeagent_tpu.parallel import create_mesh
+
+    mesh = create_mesh(n_shard=4, n_dp=2)
+    rng = np.random.default_rng(11)
+    m = rng.standard_normal((600, 32)).astype(np.float32)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    s = VectorStore(
+        TextEmbeddingIndexSettings(
+            embedding_model=create_test_embedding_model(32),
+            min_score=0.0,
+            mesh=mesh,
+        )
+    )
+    s.add_embeddings(None, m)
+
+    qs = [_queries(np.random.default_rng(20 + i), 3) for i in range(5)]
+    solo = [s.fuzzy_lookup_embeddings_batch(q, max_hits=7) for q in qs]
+
+    async def run():
+        batcher = LookupBatcher(s, max_delay_ms=5.0)
+        out = await asyncio.gather(
+            *(batcher.lookup(q, max_hits=7) for q in qs)
+        )
+        stats = batcher.stats()
+        await batcher.close()
+        return out, stats
+
+    coalesced, stats = asyncio.run(run())
+    for got_rows, want_rows in zip(coalesced, solo):
+        for got, want in zip(got_rows, want_rows):
+            assert [r.item for r in got] == [r.item for r in want]
+            np.testing.assert_allclose(
+                [r.score for r in got], [r.score for r in want], rtol=1e-6
+            )
+    assert stats["dispatches"] <= len(qs)  # at least some sharing happened
