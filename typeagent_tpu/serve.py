@@ -88,6 +88,19 @@ class LookupBatcher:
         self.peak_inflight = 0  # max concurrent dispatches observed
         self._cur_inflight = 0
 
+    def stats(self) -> dict[str, int]:
+        """Snapshot of the batcher's dispatch counters (plain ints).
+
+        Dispatch latency/QPS distributions live in the process-wide
+        ``utils.metrics.METRICS`` registry; this view carries only the
+        coalescing-efficiency counters owned by this batcher instance.
+        """
+        return {
+            "dispatches": self.dispatches,
+            "served": self.served,
+            "peak_inflight": self.peak_inflight,
+        }
+
     async def lookup(
         self,
         queries: np.ndarray,

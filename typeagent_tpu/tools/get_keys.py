@@ -53,10 +53,6 @@ def to_env_key(secret_name: str) -> str:
     return secret_name.replace("-", "_")
 
 
-def redact(value: str) -> str:
-    return (value[:3] + "***") if value else "***"
-
-
 def az_cli_token(resource: str = VAULT_RESOURCE) -> str:
     """Bearer token for Key Vault from the logged-in ``az`` CLI."""
     override = os.environ.get("AZURE_KEYVAULT_TOKEN")
@@ -219,7 +215,7 @@ def pull(client: KeyVaultClient, cfg: Config, args) -> int:
                 continue
             value = client.read_secret(vault, name)
             if current.get(env_key) != value:
-                print(f"  updating {env_key} ({redact(value)})")
+                print(f"  updating {env_key} ([REDACTED])")
                 updates[env_key] = value
     if not found_any:
         raise SystemExit("No secrets found in the configured vault(s).")
@@ -270,7 +266,7 @@ def push(client: KeyVaultClient, cfg: Config, args) -> int:
             if remote.get(name) == value:
                 continue
             if name in remote and not args.yes:
-                answer = input(f"  overwrite {name} ({redact(remote[name])})? [y/N] ")
+                answer = input(f"  overwrite {name} ([REDACTED])? [y/N] ")
                 if answer.strip().lower() != "y":
                     print("  skipped")
                     continue
