@@ -1,7 +1,14 @@
-"""Message text index: chunk embeddings on device, max-merged per message.
+"""In-memory message text index: chunk embeddings live in the device store.
 
-(Parity: reference storage/memory/messageindex.py — chunk scores merge to a
-message's best chunk; default thresholds come from settings.)
+Each message contributes one embedding row per text chunk; a query scores
+every chunk and a message inherits its best chunk's score. The embedding
+rows themselves sit in the TPU-backed ``TextToTextLocationIndex`` — this
+layer only owns the message⇄chunk bookkeeping and the max-merge.
+
+(Behavioral parity: reference storage/memory/messageindex.py — same
+protocol surface and chunk→message max-merge semantics; the incremental
+dedupe-by-max-ordinal mirrors what the SQLite backend derives from
+MAX(msg_id), reference sqlite/messageindex.py:128-153.)
 """
 
 from __future__ import annotations
@@ -32,18 +39,28 @@ async def build_message_index[
     conversation: IConversation[TMessage, TTermToSemanticRefIndex],
     storage_provider: IStorageProvider[TMessage],
 ) -> None:
-    csi = conversation.secondary_indexes
-    if csi is None:
+    """(Re)index every message of ``conversation`` into its text index.
+
+    Wired into ``build_secondary_indexes`` (knowpro/secindex.py); idempotent
+    because ``add_messages`` skips the already-indexed prefix.
+    """
+    indexes = conversation.secondary_indexes
+    if indexes is None:
         return
-    if csi.message_index is None:
-        csi.message_index = storage_provider.message_text_index
-    all_messages = await conversation.messages.get_slice(
-        0, await conversation.messages.size()
-    )
-    await csi.message_index.add_messages(all_messages)
+    index = indexes.message_index or storage_provider.message_text_index
+    indexes.message_index = index
+    total = await conversation.messages.size()
+    if total:
+        await index.add_messages(await conversation.messages.get_slice(0, total))
 
 
 class IMessageTextEmbeddingIndex(IMessageTextIndex):
+    """Extension protocol: direct embedding-space entry points.
+
+    The query VM's re-rank expression (knowpro/query.py RankMessagesBy-
+    SimilarityExpr) narrows to this to skip re-embedding the query text.
+    """
+
     async def generate_embedding(self, text: str) -> np.ndarray: ...
 
     def lookup_by_embedding(
@@ -63,16 +80,28 @@ class IMessageTextEmbeddingIndex(IMessageTextIndex):
     ) -> list[ScoredMessageOrdinal]: ...
 
 
+def _chunk_plan[TMessage: IMessage](
+    first_ordinal: int, messages: list[TMessage]
+) -> tuple[list[str], list[TextLocation]]:
+    """One pass over the batch: chunk texts + their (message, chunk) rows."""
+    texts: list[str] = []
+    rows: list[TextLocation] = []
+    for ordinal, message in enumerate(messages, start=first_ordinal):
+        for chunk_ordinal, chunk in enumerate(message.text_chunks):
+            texts.append(chunk)
+            rows.append(TextLocation(ordinal, chunk_ordinal))
+    return texts, rows
+
+
 class MessageTextIndex(IMessageTextEmbeddingIndex):
     def __init__(self, settings: MessageTextIndexSettings):
         self.settings = settings
         self.text_location_index = TextToTextLocationIndex(
             settings.embedding_index_settings
         )
-        # Highest message ordinal already indexed (-1 when empty). Used by
-        # add_messages to skip messages indexed earlier by collection extends
-        # (same dedupe the SQLite backend does via MAX(msg_id),
-        # reference sqlite/messageindex.py:128-153).
+        # Highest message ordinal with rows in the store; -1 when empty.
+        # Lets add_messages() accept a full message list and index only the
+        # suffix that collection extends didn't already push.
         self._max_message_ordinal = -1
 
     async def size(self) -> int:
@@ -88,30 +117,22 @@ class MessageTextIndex(IMessageTextEmbeddingIndex):
     async def add_messages[TMessage: IMessage](
         self, messages: Iterable[TMessage]
     ) -> None:
-        message_list = list(messages)
-        if not message_list:
-            return
-        # Skip the prefix that collection extends already indexed.
-        start_ordinal = self._max_message_ordinal + 1
-        if start_ordinal < len(message_list):
-            await self.add_messages_starting_at(
-                start_ordinal, message_list[start_ordinal:]
-            )
+        batch = list(messages)
+        done = self._max_message_ordinal + 1
+        pending = batch[done:]
+        if pending:
+            await self.add_messages_starting_at(done, pending)
 
     async def add_messages_starting_at[TMessage: IMessage](
         self,
         start_message_ordinal: int,
         messages: list[TMessage],
     ) -> None:
-        chunk_texts: list[str] = []
-        for message in messages:
-            chunk_texts.extend(message.text_chunks)
-        chunk_embeddings = await self.text_location_index.generate_embeddings(
-            chunk_texts, cache=False
+        texts, rows = _chunk_plan(start_message_ordinal, messages)
+        embeddings = await self.text_location_index.generate_embeddings(
+            texts, cache=False
         )
-        await self.add_messages_starting_at_with_embeddings(
-            start_message_ordinal, messages, chunk_embeddings
-        )
+        await self._ingest(rows, embeddings)
 
     async def add_messages_starting_at_with_embeddings[TMessage: IMessage](
         self,
@@ -119,24 +140,23 @@ class MessageTextIndex(IMessageTextEmbeddingIndex):
         messages: list[TMessage],
         chunk_embeddings: list[np.ndarray],
     ) -> None:
-        text_locations = [
-            TextLocation(start_message_ordinal + idx, chunk_ord)
-            for idx, message in enumerate(messages)
-            for chunk_ord in range(len(message.text_chunks))
-        ]
-        if len(text_locations) != len(chunk_embeddings):
+        _, rows = _chunk_plan(start_message_ordinal, messages)
+        if len(rows) != len(chunk_embeddings):
             raise ValueError(
                 "messages and chunk_embeddings produced different chunk counts: "
-                f"{len(text_locations)} != {len(chunk_embeddings)}"
+                f"{len(rows)} != {len(chunk_embeddings)}"
             )
+        await self._ingest(rows, chunk_embeddings)
+
+    async def _ingest(
+        self, rows: list[TextLocation], embeddings: list[np.ndarray]
+    ) -> None:
         await self.text_location_index.add_text_locations_with_embeddings(
-            text_locations, chunk_embeddings
+            rows, embeddings
         )
-        if text_locations:
-            self._max_message_ordinal = max(
-                self._max_message_ordinal,
-                max(loc.message_ordinal for loc in text_locations),
-            )
+        for row in rows:
+            if row.message_ordinal > self._max_message_ordinal:
+                self._max_message_ordinal = row.message_ordinal
 
     async def lookup_messages(
         self,
@@ -145,12 +165,13 @@ class MessageTextIndex(IMessageTextEmbeddingIndex):
         threshold_score: float | None = None,
     ) -> list[ScoredMessageOrdinal]:
         defaults = self.settings.embedding_index_settings
-        scored = await self.text_location_index.lookup_text(
-            message_text,
-            max_matches or defaults.max_matches,
-            threshold_score or defaults.min_score,
+        return self._max_merge(
+            await self.text_location_index.lookup_text(
+                message_text,
+                max_matches if max_matches is not None else defaults.max_matches,
+                threshold_score if threshold_score is not None else defaults.min_score,
+            )
         )
-        return self.to_scored_message_ordinals(scored)
 
     async def lookup_messages_in_subset(
         self,
@@ -159,10 +180,11 @@ class MessageTextIndex(IMessageTextEmbeddingIndex):
         max_matches: int | None = None,
         threshold_score: float | None = None,
     ) -> list[ScoredMessageOrdinal]:
-        scored = await self.text_location_index.lookup_text_in_subset(
-            message_text, ordinals_to_search, max_matches, threshold_score
+        return self._max_merge(
+            await self.text_location_index.lookup_text_in_subset(
+                message_text, ordinals_to_search, max_matches, threshold_score
+            )
         )
-        return self.to_scored_message_ordinals(scored)
 
     async def generate_embedding(self, text: str) -> np.ndarray:
         return await self.text_location_index.generate_embedding(text)
@@ -174,10 +196,11 @@ class MessageTextIndex(IMessageTextEmbeddingIndex):
         threshold_score: float | None = None,
         predicate: Callable[[MessageOrdinal], bool] | None = None,
     ) -> list[ScoredMessageOrdinal]:
-        scored = self.text_location_index.lookup_by_embedding(
-            text_embedding, max_matches, threshold_score, predicate
+        return self._max_merge(
+            self.text_location_index.lookup_by_embedding(
+                text_embedding, max_matches, threshold_score, predicate
+            )
         )
-        return self.to_scored_message_ordinals(scored)
 
     def lookup_in_subset_by_embedding(
         self,
@@ -186,23 +209,32 @@ class MessageTextIndex(IMessageTextEmbeddingIndex):
         max_matches: int | None = None,
         threshold_score: float | None = None,
     ) -> list[ScoredMessageOrdinal]:
-        scored = self.text_location_index.lookup_in_subset_by_embedding(
-            text_embedding, ordinals_to_search, max_matches, threshold_score
+        return self._max_merge(
+            self.text_location_index.lookup_in_subset_by_embedding(
+                text_embedding, ordinals_to_search, max_matches, threshold_score
+            )
         )
-        return self.to_scored_message_ordinals(scored)
 
+    # Back-compat alias: earlier rounds exposed the merge publicly.
     def to_scored_message_ordinals(
         self, scored_locations: list[ScoredTextLocation]
     ) -> list[ScoredMessageOrdinal]:
-        # Max-merge chunk scores into message scores.
+        return self._max_merge(scored_locations)
+
+    @staticmethod
+    def _max_merge(
+        scored_locations: list[ScoredTextLocation],
+    ) -> list[ScoredMessageOrdinal]:
+        """Collapse chunk hits to messages: a message scores as its best chunk."""
         best: dict[MessageOrdinal, float] = {}
-        for sl in scored_locations:
-            ordinal = sl.text_location.message_ordinal
-            prior = best.get(ordinal)
-            if prior is None or sl.score > prior:
-                best[ordinal] = sl.score
-        ranked = sorted(best.items(), key=lambda kv: kv[1], reverse=True)
-        return [ScoredMessageOrdinal(o, s) for o, s in ranked]
+        for hit in scored_locations:
+            key = hit.text_location.message_ordinal
+            if best.get(key, -1.0) < hit.score:
+                best[key] = hit.score
+        return [
+            ScoredMessageOrdinal(ordinal, score)
+            for ordinal, score in sorted(best.items(), key=lambda kv: -kv[1])
+        ]
 
     async def serialize(self) -> MessageTextIndexData:
         return MessageTextIndexData(indexData=self.text_location_index.serialize())
