@@ -134,6 +134,57 @@ async def test_stage_debug_commands(capsys):
     assert "usage" in capsys.readouterr().out
 
 
+async def test_stage_3_and_4_commands(capsys):
+    """@stage 3 shows materialized search results + the engine route taken
+    (+ router EMA when auto-routing); @stage 4 adds the answer-context
+    JSON. Fully offline: the stage-1 LLM is a canned FakeChatModel and no
+    answer model is needed (stage 4 stops at the context)."""
+    from tests.test_query_pipeline import build_conversation
+    from typeagent_tpu.knowpro import searchlang
+    from typeagent_tpu.models.adapters import FakeChatModel
+    from typeagent_tpu.tools.query import QueryContext, handle_command
+
+    conv = await build_conversation()
+    search_query_json = json.dumps(
+        {
+            "searchExpressions": [
+                {
+                    "rewrittenQuery": "What did Bach write?",
+                    "filters": [
+                        {
+                            "entitySearchTerms": [
+                                {"name": "Bach", "isNamePronoun": False}
+                            ]
+                        }
+                    ],
+                }
+            ]
+        }
+    )
+    conv._query_translator = searchlang.create_search_query_translator(
+        FakeChatModel([search_query_json, search_query_json])
+    )
+    context = QueryContext(conv)
+
+    await handle_command(context, "@stage 3 What did Bach write?")
+    out = capsys.readouterr().out
+    assert "-- stage 1: SearchQuery --" in out
+    assert "-- stage 2: expr 0 select 0 --" in out
+    assert "-- stage 3: search results --" in out
+    assert "engine route:" in out
+    assert "semref matches" in out
+    assert "messages:" in out
+    assert "-- stage 4" not in out
+
+    await handle_command(context, "@stage 4 What did Bach write?")
+    out = capsys.readouterr().out
+    assert "-- stage 4: answer context --" in out
+    assert '"entities"' in out or '"messages"' in out
+
+    await handle_command(context, "@stage 9 nope")
+    assert "usage" in capsys.readouterr().out
+
+
 async def test_batch_loop_routes_commands(tmp_path, capsys):
     from tests.test_query_pipeline import build_conversation
     from typeagent_tpu.tools.query import QueryContext, batch_loop

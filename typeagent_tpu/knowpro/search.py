@@ -219,6 +219,15 @@ class _EngineRouter:
         )
 
 
+def _note_route(conversation: IConversation, route: str) -> None:
+    """Record the engine route the last search actually took (for @stage 3
+    REPL introspection and tests); best-effort on slots-only objects."""
+    try:
+        conversation._last_engine_route = route  # type: ignore[attr-defined]
+    except AttributeError:
+        pass
+
+
 def _engine_router(conversation: IConversation) -> _EngineRouter | None:
     router = getattr(conversation, "_engine_router", None)
     if router is None:
@@ -334,9 +343,13 @@ async def search_conversation_knowledge(
         if device_result is not None:
             if router is not None:
                 router.record("device", (time.perf_counter() - t_dev) * 1000.0)
+            _note_route(conversation, "device")
             return device_result
     with span("search.knowledge", route="host"):
         t0 = time.perf_counter()
+        _note_route(
+            conversation, "host (device fallback)" if t_dev is not None else "host"
+        )
         result = await run_query(conversation, options, knowledge_query)
         if router is not None:
             router.record("host", (time.perf_counter() - t0) * 1000.0)
@@ -422,6 +435,16 @@ async def search_conversation_knowledge_batch(
             router.record(
                 "device", (time.perf_counter() - t_dev) * 1000.0 / host_ran
             )
+    if device_done and host_ran:
+        _note_route(
+            conversation, f"mixed (device {device_done}, host {host_ran})"
+        )
+    elif device_done:
+        _note_route(conversation, "device")
+    else:
+        _note_route(
+            conversation, "host (device fallback)" if t_dev is not None else "host"
+        )
     return results
 
 

@@ -184,6 +184,93 @@ async def do_stage_debug(
                     print(f"when:  {select.when}")
 
 
+async def do_stage(context: QueryContext, count: int, question: str) -> None:
+    """Run only the first ``count`` pipeline stages and show their state.
+
+    (Parity-plus role: the reference's @stage command, reference
+    tools/query.py:332-408, which steps stages 1-4; here stage 3 adds the
+    TPU-specific introspection — engine route taken + latency-router EMA
+    state — and stage 4 prints the answer-context JSON without needing an
+    answer model.)
+    """
+    if count <= 2:
+        await do_stage_debug(context, question, compile_also=count == 2)
+        return
+
+    from ..knowpro import answers
+    from ..knowpro.fields import serialize_object
+    from ..models.result import Failure
+
+    conv = context.conversation
+    translator = _get_query_translator(context)
+    debug_context = searchlang.LanguageSearchDebugContext()
+    history_section = context.history.to_prompt_section()
+    options = searchlang.LanguageSearchOptions(
+        compile_options=searchlang.LanguageQueryCompileOptions(),
+        exact_match=False,
+        max_message_matches=25,
+        model_instructions=[history_section] if history_section else None,
+    )
+    result = await searchlang.search_conversation_with_language(
+        conv, translator, question, options, debug_context=debug_context
+    )
+    if isinstance(result, Failure):
+        print(f"Search failed: {result.message}")
+        return
+
+    # Stage 1+2 recap (compact).
+    if debug_context.search_query is not None:
+        print("-- stage 1: SearchQuery --")
+        print(json.dumps(serialize_object(debug_context.search_query), indent=2))
+    for i, expr in enumerate(debug_context.search_query_expr or []):
+        for j, select in enumerate(expr.select_expressions):
+            print(f"-- stage 2: expr {i} select {j} --")
+            print(f"terms: {select.search_term_group}")
+            if select.when is not None:
+                print(f"when:  {select.when}")
+
+    # Stage 3: materialized accumulators + engine route.
+    print("-- stage 3: search results --")
+    route = getattr(conv, "_last_engine_route", None)
+    router = getattr(conv, "_engine_router", None)
+    if route is not None:
+        print(f"engine route: {route}")
+    if router is not None:
+        ms = {k: (f"{v:.1f} ms" if v is not None else "unsampled")
+              for k, v in router.ms.items()}
+        print(f"router EMA: {ms} over {router.calls} calls")
+    for ri, sr in enumerate(result.value):
+        print(f"result {ri}:")
+        for ktype, km in sorted(sr.knowledge_matches.items()):
+            print(
+                f"  {ktype}: {len(km.semantic_ref_matches)} semref matches, "
+                f"matched terms: {sorted(km.term_matches)}"
+            )
+            for scored in km.semantic_ref_matches[:8]:
+                semref = await conv.semantic_refs.get_item(
+                    scored.semantic_ref_ordinal
+                )
+                rng = semref.range.start.message_ordinal
+                print(
+                    f"    [{scored.score:8.2f}] #{scored.semantic_ref_ordinal}"
+                    f" @msg{rng}: {semref.knowledge}"
+                )
+        print(f"  messages: {len(sr.message_matches)}")
+        for scored in sr.message_matches[:8]:
+            m = await conv.messages.get_item(scored.message_ordinal)
+            text = " ".join(m.text_chunks)[:90]
+            print(f"    [{scored.score:8.3f}] #{scored.message_ordinal}: {text}")
+    if count == 3:
+        return
+
+    # Stage 4: answer context (the JSON the answer LLM would receive).
+    print("-- stage 4: answer context --")
+    for ri, sr in enumerate(result.value):
+        ctx = await answers.make_context(sr, conv)
+        print(f"result {ri} context:")
+        print(json.dumps(answers.dictify(ctx), indent=2, default=str))
+
+
 async def process_query(
     context: QueryContext,
     query_text: str,
@@ -214,6 +301,9 @@ HELP = """Commands:
   @metrics              show latency metrics
   @translate QUESTION   stage 1 only: show the LLM-translated SearchQuery JSON
   @compile QUESTION     stages 1+2: also show the compiled expression tree
+  @stage N QUESTION     run stages 1..N (N=3: search results, accumulator
+                        contents, engine route + router EMA; N=4: + the
+                        answer-context JSON the answer LLM would receive)
   exit / quit           leave
 Anything else is treated as a natural-language question (requires LLM keys).
 """
@@ -248,6 +338,11 @@ async def handle_command(context: QueryContext, line: str) -> None:
                 await do_stage_debug(
                     context, " ".join(args), compile_also=cmd == "@compile"
                 )
+        case "@stage":
+            if len(args) < 2 or args[0] not in ("1", "2", "3", "4"):
+                print("usage: @stage N QUESTION  (N in 1..4)")
+            else:
+                await do_stage(context, int(args[0]), " ".join(args[1:]))
         case _:
             print(f"Unknown command {cmd!r}; try @help")
 
