@@ -91,8 +91,35 @@ def main() -> None:
 
     # First Pallas lower/compile does a one-time backend RPC round; the
     # tunnel intermittently stalls for minutes and the stall lands on
-    # whichever device call runs first. Absorb it in a named tiny probe so
-    # the per-engine warmup lines below stay attributable.
+    # whichever device call runs first (BENCH_r03 lost 503 s to one).
+    # Mitigation: warm the remote compile path in a SUBPROCESS with a hard
+    # timeout + retries — a fresh process opens a fresh tunnel stream,
+    # which is what unwedges a stalled one, and its compile lands in the
+    # persistent cache so the parent's own probe is a cache hit.
+    import subprocess
+
+    probe_src = (
+        "import jax, jax.numpy as jnp; import sys; sys.path.insert(0, '.');"
+        "from typeagent_tpu.ops import topk as T;"
+        f"e = jnp.zeros((256, {DIM}), dtype=jnp.bfloat16);"
+        f"q = jnp.zeros((8, {DIM}), dtype=jnp.float32);"
+        "c = jnp.asarray(256, dtype=jnp.int32);"
+        "jax.jit(lambda e, q: T.topk_program(e, q, c, 5)).lower(e, q).compile();"
+        "print('probe ok')"
+    )
+    t0 = time.perf_counter()
+    for attempt in range(3):
+        try:
+            subprocess.run(
+                [sys.executable, "-c", probe_src],
+                timeout=120,
+                check=True,
+                capture_output=True,
+            )
+            break
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+            log(f"backend probe attempt {attempt + 1} failed ({type(e).__name__}); retrying")
+    t_sub = time.perf_counter() - t0
     t0 = time.perf_counter()
     tiny_e = jnp.zeros((256, DIM), dtype=jnp.bfloat16)
     tiny_q = jnp.zeros((8, DIM), dtype=jnp.float32)
@@ -101,8 +128,8 @@ def main() -> None:
         tiny_e, tiny_q
     ).compile()
     log(
-        f"backend probe (tiny pallas lower+compile; absorbs tunnel stalls): "
-        f"{time.perf_counter() - t0:.1f}s"
+        f"backend probe: subprocess warm {t_sub:.1f}s (bounded, retried), "
+        f"in-process {time.perf_counter() - t0:.1f}s"
     )
 
     count = jnp.asarray(N_ROWS, dtype=jnp.int32)
@@ -240,8 +267,20 @@ def main() -> None:
     )
 
     # -- serving-path measurements (host round trips through the tunnel) ----
+    # Variance protocol (tunnel throughput swings ±40% between sessions and
+    # drifts WITHIN one): every rung runs once per round, rounds interleave
+    # all rungs A/B/C/D, and the recorded figure is the MEDIAN across
+    # rounds with per-request p50/p99 latency from the metrics registry.
+    import asyncio
+    import statistics
+
+    from typeagent_tpu.serve import LookupBatcher
+    from typeagent_tpu.utils.metrics import MetricsRegistry
+
     store = stores["bfloat16"]
     queries_host = np.asarray(many[0])
+    many_host = np.asarray(many)
+    n_stream = 3 * R
 
     @jax.jit
     def rtt_probe(x):
@@ -254,96 +293,109 @@ def main() -> None:
     rtt_ms = (time.perf_counter() - t0) / 5 * 1000
     log(f"tunnel round-trip (tiny dispatch + fetch): {rtt_ms:.1f} ms")
 
-    iters = 10
-    store.fuzzy_lookup_embeddings_batch(queries_host, max_hits=K)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        store.fuzzy_lookup_embeddings_batch(queries_host, max_hits=K)
-    sync_ms = (time.perf_counter() - t0) / iters * 1000
-    log(
-        f"served sync: {sync_ms:.2f} ms/batch-{BATCH} "
-        f"({BATCH / sync_ms * 1000:.0f} QPS; includes tunnel RTT)"
-    )
+    reg = MetricsRegistry()
 
-    # Pipelined serving: LookupBatcher double-buffering with coalescing OFF
-    # — successive dispatches overlap one batch's result download with the
-    # next one's query upload (what a stream of independent requests gets).
-    import asyncio
+    def rung_sync():
+        """One dispatch per batch, sequential (the no-concurrency floor)."""
+        for _ in range(R):
+            with reg.timer("sync"):
+                store.fuzzy_lookup_embeddings_batch(queries_host, max_hits=K)
+        return R * BATCH
 
-    from typeagent_tpu.serve import LookupBatcher
+    def rung_pipelined():
+        """Independent requests, coalescing OFF, 2 dispatches in flight —
+        upload/compute/download overlap only."""
 
-    many_host = np.asarray(many)
+        async def run():
+            batcher = LookupBatcher(
+                store, max_delay_ms=0.0, max_coalesce=1, max_inflight=2
+            )
 
-    async def run_pipelined():
-        batcher = LookupBatcher(
-            store, max_delay_ms=0.0, max_coalesce=1, max_inflight=2
+            async def one(i):
+                with reg.timer("pipelined"):
+                    return await batcher.lookup(many_host[i], max_hits=K)
+
+            await asyncio.gather(*(one(i) for i in range(R)))
+            await batcher.close()
+
+        asyncio.run(run())
+        return R * BATCH
+
+    def rung_coalesced():
+        """R waiting batches fused into ONE dispatch."""
+        with reg.timer("coalesced"):
+            res = store.fuzzy_lookup_embeddings_many(many_host, max_hits=K)
+        assert len(res) == R and len(res[0]) == BATCH
+        return R * BATCH
+
+    def rung_stream():
+        """Sustained independent-request stream, coalesce 8 × inflight 3 —
+        what a loaded server sustains."""
+
+        async def run():
+            batcher = LookupBatcher(
+                store, max_delay_ms=0.0, max_coalesce=8, max_inflight=3
+            )
+            sem = asyncio.Semaphore(24)
+
+            async def one(i):
+                async with sem:
+                    with reg.timer("stream"):
+                        return await batcher.lookup(many_host[i % R], max_hits=K)
+
+            await asyncio.gather(*(one(i) for i in range(n_stream)))
+            await batcher.close()
+
+        asyncio.run(run())
+        return n_stream * BATCH
+
+    rungs = {
+        "sync": rung_sync,
+        "pipelined-x2": rung_pipelined,
+        f"coalesced-x{R}": rung_coalesced,
+        "stream-x60 (coalesce 8, inflight 3)": rung_stream,
+    }
+    for fn in rungs.values():  # warm (trace/compile outside the timed rounds)
+        fn()
+    reg.latencies.clear()
+
+    rounds = 5
+    round_qps: dict[str, list[float]] = {name: [] for name in rungs}
+    for _ in range(rounds):
+        for name, fn in rungs.items():
+            t0 = time.perf_counter()
+            n_q = fn()
+            round_qps[name].append(n_q / (time.perf_counter() - t0))
+
+    timer_key = {
+        "sync": "sync",
+        "pipelined-x2": "pipelined",
+        f"coalesced-x{R}": "coalesced",
+        "stream-x60 (coalesce 8, inflight 3)": "stream",
+    }
+    sync_median = statistics.median(round_qps["sync"])
+    serving = {}
+    for name in rungs:
+        qps_med = statistics.median(round_qps[name])
+        s = reg.stats(timer_key[name])
+        lat = (
+            f"req p50 {s.p50_ms:.1f} ms, p99 {s.p99_ms:.1f} ms"
+            if s
+            else "n/a"
         )
-        await asyncio.gather(
-            *(batcher.lookup(many_host[i], max_hits=K) for i in range(R))
+        serving[name] = {
+            "qps_median": round(qps_med),
+            "qps_rounds": [round(x) for x in round_qps[name]],
+            "p50_ms": round(s.p50_ms, 1) if s else None,
+            "p99_ms": round(s.p99_ms, 1) if s else None,
+        }
+        log(
+            f"served {name}: median {qps_med:.0f} QPS over {rounds} "
+            f"interleaved rounds ({qps_med / sync_median:.1f}x sync; {lat}; "
+            f"rounds: {[f'{x / 1000:.1f}k' for x in round_qps[name]]})"
         )
-        await batcher.close()
+    log("serving summary json: " + json.dumps(serving))
 
-    asyncio.run(run_pipelined())  # warm
-    pipe_elapsed = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        asyncio.run(run_pipelined())
-        pipe_elapsed = min(pipe_elapsed, time.perf_counter() - t0)
-    pipe_qps = R * BATCH / pipe_elapsed
-    log(
-        f"served pipelined-x2: {pipe_elapsed / R * 1000:.2f} ms/batch-{BATCH} "
-        f"({pipe_qps:.0f} QPS, {pipe_qps / (BATCH / sync_ms * 1000):.1f}x sync; "
-        f"independent requests, no coalescing)"
-    )
-
-    # Coalesced serving: R waiting batches in one dispatch (what
-    # serve.LookupBatcher does under load). Warm once (trace/compile), then
-    # time the steady state.
-    store.fuzzy_lookup_embeddings_many(many_host, max_hits=K)
-    coal_elapsed = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        res = store.fuzzy_lookup_embeddings_many(many_host, max_hits=K)
-        coal_elapsed = min(coal_elapsed, time.perf_counter() - t0)
-    assert len(res) == R and len(res[0]) == BATCH
-    coal_qps = R * BATCH / coal_elapsed
-    log(
-        f"served coalesced-x{R}: {coal_elapsed / R * 1000:.2f} ms/batch-{BATCH} "
-        f"({coal_qps:.0f} QPS, {coal_qps / (BATCH / sync_ms * 1000):.1f}x sync)"
-    )
-
-    # Steady-state serving: a sustained stream of independent requests
-    # through the batcher with BOTH levers on — groups of 8 coalesce into
-    # shared dispatches while 3 dispatches stay in flight, so one group's
-    # query upload overlaps another's compute + result download. This is
-    # the number a loaded server actually sustains.
-    n_stream = 3 * R
-
-    async def run_stream():
-        batcher = LookupBatcher(
-            store, max_delay_ms=0.0, max_coalesce=8, max_inflight=3
-        )
-        sem = asyncio.Semaphore(24)  # bounded client concurrency
-
-        async def one(i):
-            async with sem:
-                return await batcher.lookup(many_host[i % R], max_hits=K)
-
-        await asyncio.gather(*(one(i) for i in range(n_stream)))
-        await batcher.close()
-
-    asyncio.run(run_stream())  # warm
-    stream_elapsed = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        asyncio.run(run_stream())
-        stream_elapsed = min(stream_elapsed, time.perf_counter() - t0)
-    stream_qps = n_stream * BATCH / stream_elapsed
-    log(
-        f"served stream-x{n_stream} (coalesce 8, inflight 3): "
-        f"{stream_elapsed / n_stream * 1000:.2f} ms/batch-{BATCH} "
-        f"({stream_qps:.0f} QPS, {stream_qps / (BATCH / sync_ms * 1000):.1f}x sync)"
-    )
 
 if __name__ == "__main__":
     main()

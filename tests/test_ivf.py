@@ -1,0 +1,173 @@
+"""IVF engine (ops/ivf.py): recall, certificate soundness, edge cases.
+
+CPU (XLA fallback rescore path); the Pallas path is shape-identical and
+exercised by tools/tpu_ivf_probe.py on the real chip.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from typeagent_tpu.ops.ivf import IVFState, ivf_build, ivf_topk
+
+K = 10
+
+
+def _mk_clustered(rng, n, d, nclust, sigma, bg_frac=0.0):
+    centers = rng.standard_normal((nclust, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    emb = centers[rng.integers(0, nclust, n)] + sigma * rng.standard_normal(
+        (n, d)
+    ).astype(np.float32) / np.sqrt(d)
+    if bg_frac:
+        bg = rng.random(n) < bg_frac
+        emb[bg] = rng.standard_normal((int(bg.sum()), d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    return emb, centers
+
+
+def _pad(emb, n_pad):
+    buf = np.zeros((n_pad, emb.shape[1]), np.float32)
+    buf[: len(emb)] = emb
+    return jnp.asarray(buf)
+
+
+def _oracle(q, emb, k=K):
+    true = q @ emb.T
+    return true, np.argsort(-true, axis=1)[:, :k]
+
+
+def _check_invariants(idx, n, k=K):
+    assert (idx >= 0).all() and (idx < n).all()
+    for row in idx:
+        assert len(set(row.tolist())) == k  # no duplicates, no padding
+
+
+def test_ivf_recall_clustered_with_background():
+    rng = np.random.default_rng(0)
+    n = 4000
+    emb, _ = _mk_clustered(rng, n, 64, 25, 0.25, bg_frac=0.08)
+    state = ivf_build(_pad(emb, 4096), n, train_rows=2048, iters=6,
+                      outlier_frac=0.12, rows_per_cluster=128)
+    q = emb[rng.choice(n, 32, replace=False)] + 0.1 * rng.standard_normal(
+        (32, 64)
+    ).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    true, oracle = _oracle(q, emb)
+    vals, idx, cert = map(np.asarray, ivf_topk(state, q, K, B=8))
+    _check_invariants(idx, n)
+    rec = np.mean(
+        [len(set(a.tolist()) & set(b.tolist())) / K for a, b in zip(idx, oracle)]
+    )
+    assert rec >= 0.97, rec
+    # Scores are in the public (cos+1)/2 space and descending.
+    assert (np.diff(vals, axis=1) <= 1e-6).all()
+    expected_best = np.clip((true.max(axis=1) + 1) / 2, 0, 1)
+    np.testing.assert_allclose(vals[:, 0], expected_best, atol=2e-3)
+
+
+def test_ivf_certificate_sound_and_achievable():
+    """Tight well-separated clusters: the certificate should mostly HOLD —
+    and every certified result must equal the exact oracle."""
+    rng = np.random.default_rng(1)
+    n, d, nclust = 4000, 64, 24
+    emb, centers = _mk_clustered(rng, n, d, nclust, 0.05)
+    state = ivf_build(_pad(emb, 4096), n, train_rows=2048, iters=6,
+                      outlier_frac=0.05, rows_per_cluster=128)
+    q = centers[rng.integers(0, nclust, 24)] + 0.02 * rng.standard_normal(
+        (24, d)
+    ).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    _true, oracle = _oracle(q, emb)
+    vals, idx, cert = map(np.asarray, ivf_topk(state, q, K, B=8))
+    _check_invariants(idx, n)
+    assert cert.mean() >= 0.8, cert.mean()
+    for i in np.nonzero(cert)[0]:
+        assert set(idx[i].tolist()) == set(oracle[i].tolist())
+
+
+def test_ivf_certificate_never_lies():
+    """Across data regimes (incl. hostile isotropic), certified results
+    must be exactly the oracle's top-k (up to eps ties)."""
+    rng = np.random.default_rng(2)
+    for sigma, bg in ((0.05, 0.0), (0.35, 0.1), (1.0, 1.0)):
+        emb, _ = _mk_clustered(rng, 3000, 48, 20, sigma, bg_frac=bg)
+        state = ivf_build(_pad(emb, 3072), 3000, train_rows=1536, iters=4,
+                          rows_per_cluster=128)
+        q = emb[rng.choice(3000, 16, replace=False)]
+        true, oracle = _oracle(q, emb)
+        vals, idx, cert = map(np.asarray, ivf_topk(state, q, K, B=6))
+        kth_true = np.sort(true, axis=1)[:, -K]
+        for i in np.nonzero(cert)[0]:
+            got = set(idx[i].tolist())
+            want = set(oracle[i].tolist())
+            if got != want:
+                # eps-tie latitude: every divergent pick must score within
+                # eps of the true k-th.
+                diff_scores = true[i, sorted(got - want)]
+                assert (diff_scores >= kth_true[i] - 1e-4).all()
+
+
+def test_ivf_small_store_scans_everything():
+    """B >= n_buckets: selection degenerates to a full scan, results exact."""
+    rng = np.random.default_rng(3)
+    emb, _ = _mk_clustered(rng, 900, 32, 5, 0.3)
+    state = ivf_build(_pad(emb, 1024), 900, train_rows=512, iters=3,
+                      outlier_frac=0.0)
+    q = emb[:8]
+    _true, oracle = _oracle(q, emb)
+    vals, idx, cert = map(np.asarray, ivf_topk(state, q, K, B=64))
+    _check_invariants(idx, 900)
+    for i in range(8):
+        assert set(idx[i].tolist()) == set(oracle[i].tolist())
+    assert cert.all()  # nothing excluded -> unconditionally certified
+    assert idx[:, 0].tolist() == list(range(8))  # self-match
+
+
+def test_ivf_no_outliers_mode():
+    rng = np.random.default_rng(4)
+    emb, _ = _mk_clustered(rng, 2000, 32, 12, 0.2)
+    state = ivf_build(_pad(emb, 2048), 2000, train_rows=1024, iters=4,
+                      outlier_frac=0.0, rows_per_cluster=128)
+    assert int(state.count_out) == 0
+    q = emb[:4]
+    _true, oracle = _oracle(q, emb)
+    _vals, idx, _cert = map(np.asarray, ivf_topk(state, q, K, B=8))
+    rec = np.mean(
+        [len(set(a.tolist()) & set(b.tolist())) / K for a, b in zip(idx, oracle)]
+    )
+    assert rec >= 0.9
+
+
+def test_ivf_single_query_convenience():
+    rng = np.random.default_rng(5)
+    emb, _ = _mk_clustered(rng, 1500, 32, 10, 0.2)
+    state = ivf_build(_pad(emb, 2048), 1500, train_rows=1024, iters=3)
+    vals, idx, cert = ivf_topk(state, emb[7], K, B=8)
+    assert vals.shape == (K,) and idx.shape == (K,)
+    assert int(idx[0]) == 7
+
+
+def test_ivf_build_validates_inputs():
+    rng = np.random.default_rng(6)
+    emb = rng.standard_normal((512, 32)).astype(np.float32)
+    with pytest.raises(ValueError):
+        ivf_build(jnp.asarray(emb[:100]), 100)  # padding not a 128-multiple
+    with pytest.raises(ValueError):
+        ivf_build(jnp.asarray(emb), 0)
+    with pytest.raises(ValueError):
+        ivf_build(jnp.asarray(emb), 1000)
+
+
+def test_ivf_state_roundtrips_as_arrays():
+    """IVFState is a flat NamedTuple of arrays — serializable by leaf."""
+    rng = np.random.default_rng(7)
+    emb, _ = _mk_clustered(rng, 1000, 32, 8, 0.2)
+    state = ivf_build(_pad(emb, 1024), 1000, train_rows=512, iters=3)
+    leaves = [np.asarray(x) for x in state]
+    state2 = IVFState(*(jnp.asarray(x) for x in leaves))
+    q = emb[:4]
+    v1, i1, c1 = map(np.asarray, ivf_topk(state, q, K, B=8))
+    v2, i2, c2 = map(np.asarray, ivf_topk(state2, q, K, B=8))
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(v1, v2)

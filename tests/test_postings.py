@@ -422,3 +422,55 @@ def test_lookup_ops_compact_refetch_bucket_above_cap(monkeypatch):
     dense = hot.lookup_ops([(tid, 1.0, 0, 0, 0, -1, 0)], 1, kt)
     for a, b in zip(got, dense):
         np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
+def test_coo_sparse_dp_matches_single(monkeypatch):
+    """lookup_ops_sparse_dp over a (dp, shard) mesh must reproduce the
+    single-call COO results exactly: segments split across dp ranks,
+    postings replicated, global segment numbering reassembled."""
+    from typeagent_tpu.ops import postings as P
+    from typeagent_tpu.parallel import create_mesh
+
+    rng = np.random.default_rng(13)
+    index, ops, ktype = _random_ops_setup(rng)
+    tid0 = ops[0][0]
+    ops.append((tid0, 1.0, 1, P.OP_BOOST, 0, -1, 0))
+    scope = np.zeros(len(ktype), dtype=bool)
+    scope[: len(ktype) // 2] = True
+    ops.append((ops[5][0], 1.5, 3, P.OP_RELATED, 31, -1, 1))
+    scopes = [None, scope]
+
+    monkeypatch.setattr(P, "_SPARSE_MIN_CAP", 128)
+    single = index.lookup_ops_sparse(ops, 4, ktype, scopes, boost_factor=10.0)
+    assert single is not None
+
+    mesh = create_mesh(n_shard=2, n_dp=4)
+    dp = index.lookup_ops_sparse_dp(
+        ops, 4, ktype, scopes, boost_factor=10.0, mesh=mesh
+    )
+    assert dp is not None
+    cols_s, packed_s, counts_s, oh_s = single
+    cols_d, packed_d, counts_d, oh_d = dp
+    np.testing.assert_array_equal(counts_d, counts_s)
+    np.testing.assert_array_equal(oh_d, oh_s)
+    for s in range(4):
+        c = counts_s[s]
+        np.testing.assert_array_equal(cols_d[s, :c], cols_s[s, :c])
+        np.testing.assert_allclose(
+            packed_d[:, s, :c], packed_s[:, s, :c], rtol=1e-5, atol=1e-6
+        )
+
+
+def test_coo_sparse_dp_single_rank_delegates(monkeypatch):
+    """A dp=1 mesh (or None) just routes to lookup_ops_sparse."""
+    from typeagent_tpu.ops import postings as P
+    from typeagent_tpu.parallel import create_mesh
+
+    rng = np.random.default_rng(14)
+    index, ops, ktype = _random_ops_setup(rng)
+    monkeypatch.setattr(P, "_SPARSE_MIN_CAP", 128)
+    single = index.lookup_ops_sparse(ops, 4, ktype)
+    mesh = create_mesh(n_shard=8, n_dp=1)
+    dp = index.lookup_ops_sparse_dp(ops, 4, ktype, mesh=mesh)
+    for a, b in zip(dp, single):
+        np.testing.assert_allclose(a, b, rtol=1e-6)

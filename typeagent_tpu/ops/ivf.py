@@ -1,39 +1,45 @@
-"""Device IVF: learned 128-row buckets + certified selective rescore.
+"""Device IVF: learned 128-row buckets + exact outlier tail + certified rescore.
 
 Every full-scan engine in ops/topk.py sits on this attach's measured
 roofline (docs/performance.md): ~317 GB/s streaming, ~70 TFLOP/s effective
 MXU — and a native int8 MXU probe (tools/tpu_int8_floor_probe.py) moved the
-floor only ~10%. Reading fewer rows is the only remaining lever, and on
-*clustered* corpora (what real text-embedding data looks like — isotropic
-random data is the information-theoretic worst case where no sublinear
-method can reach recall 0.99; see NOTES.md round-4) a coarse quantizer
-prunes almost everything.
+floor only ~10%. Reading fewer rows is the only remaining lever. On
+*clustered* corpora (the structure real text-embedding data has — isotropic
+random data is the information-theoretic worst case where NO sublinear
+method reaches recall 0.99; NOTES.md round-4 records the simulation) a
+coarse quantizer prunes almost everything.
 
-Design — "exact2 with learned buckets":
+Design — "exact2 with learned buckets plus an exact tail":
 
-* Build: k-means (device Lloyd iterations on a training sample, chunked
-  one-hot matmuls instead of data-dependent scatters) assigns every live
-  row to one of ~n/128 clusters; rows are reordered by cluster so each
-  128-row bucket is semantically coherent. Per bucket: a float32 centroid
-  ``c`` and radius ``r = max ||x - c||``.
-* Query phase 1: ``bound = q·c + r`` per bucket — by Cauchy-Schwarz an
-  upper bound on any row score in the bucket. FLOPs: b × nb × d, ~128×
-  fewer than the full scan; bytes: the [nb, d] centroid table (~6 MB at
-  1M × 384) instead of the 768 MB store.
-* Query phase 2: the exact2 machinery rescoring the top-B buckets
-  (ops/topk.py `_exact2_phase2_rescore`: scalar-prefetch Pallas DMA of
-  the selected buckets, exact top-k, certificate).
-* Certificate: sound for ANY data — ``B-th selected bound ≤ k-th rescored
-  score + eps`` implies every excluded bucket's bound (≤ the B-th selected
-  bound) admits no better row. On clustered data it holds for most
-  queries; on adversarial data it reports false rather than returning
-  silently-approximate results. See docs/spec/exact2.md for the shared
-  certificate semantics.
+* Build (host-orchestrated, heavy ops on device): k-means (Lloyd on a
+  training sample; chunked one-hot matmuls instead of data-dependent
+  scatters) assigns every live row to one of ~n/128 clusters. The
+  ``outlier_frac`` worst-fitting rows (lowest best-centroid score — e.g.
+  topic-less background text) are EXILED to a separate tail buffer; the
+  rest are reordered by cluster into semantically coherent 128-row
+  buckets with per-bucket f32 centroid ``c`` and radius
+  ``r = max ||x − c||``. Exiling the outliers is what keeps radii tight:
+  without it every bucket catches a few background rows and r balloons
+  from ~0.36 to ~1.2 (measured), killing both the bound's selectivity
+  and the certificate.
+* Query phase 1: ``bound = q·c + r`` per bucket — by Cauchy–Schwarz an
+  upper bound on every row score in the bucket. FLOPs: b × nb × d, ~128×
+  fewer than the full scan.
+* Query phase 2: scalar-prefetch Pallas rescore of the top-B buckets
+  (ops/topk.py machinery) — exact scores for ~B·128 rows per query.
+* Exact tail: the outlier buffer (~outlier_frac of the store) is scanned
+  EXACTLY by the fused one-phase kernel and merged. Queries near
+  unclustered content get their neighbors from here.
+* Certificate (sound for ANY data): ``max excluded-bucket bound ≤ k-th
+  merged score + eps`` — no excluded bucket can hold a better row, and
+  the tail was scanned exactly, so a certified result IS the exact top-k
+  (up to eps ties). On clustered corpora it holds for most queries; on
+  adversarial data it reports False rather than silently approximating.
 
 Replaces (behaviorally): the reference's brute-force
 `VectorBase.fuzzy_lookup_embedding` (reference aitools/vectorbase.py:163-201)
-at large scale; falls back to the full-scan engines when uncertified
-exactness is required on unclustered data.
+at large scale; full-scan engines remain for uncertified-exactness-required
+workloads on unclustered data.
 """
 
 from __future__ import annotations
@@ -45,17 +51,26 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .topk import _BUCKET_ROWS, _exact2_phase2_rescore
+from .append import round_up
+from .topk import (
+    _BUCKET_ROWS,
+    _NEG,
+    _raw_to_score,
+    _rescore_fits,
+    _rescore_selected_pallas,
+    topk_program,
+)
 
 __all__ = ["IVFState", "ivf_build", "ivf_topk", "ivf_topk_program"]
 
 # Phase-1 bound vs phase-2 rescore skew: centroids/radii are f32 reductions
 # of the store rows upcast to f32 (exact for bf16/f32 stores); the rescore
-# computes the same f32 dots. Only accumulation-order noise remains.
+# computes the same f32 dots. Only accumulation-order noise remains. The
+# comparison happens in the public (cos+1)/2 score space (monotone map).
 _CERT_EPS_IVF = 1e-5
 _BOUND_DEAD = -3.0e4  # bound for buckets with no live rows
 
-# Training-sample and assignment chunk sizes (rows per chunked matmul step).
+# Chunk sizes for the build matmuls (rows per step).
 _TRAIN_CHUNK = 8192
 _ASSIGN_CHUNK = 65536
 
@@ -63,43 +78,54 @@ _ASSIGN_CHUNK = 65536
 class IVFState(NamedTuple):
     """Built IVF index over a snapshot of the store.
 
-    ``emb_r`` holds the store rows REORDERED by cluster (live rows first,
-    padding at the tail); ``perm[i]`` is the original row ordinal of
-    reordered position i (-1 for padding). ``centroids``/``radius`` are
-    per-128-row-bucket summaries; ``bound = q·centroid + radius`` upper-
-    bounds every row score in the bucket.
+    ``emb_r`` holds the inlier rows REORDERED by cluster (padding zeroed at
+    the tail); ``perm[i]`` is the original ordinal of reordered position i
+    (-1 padding). ``out_emb``/``out_perm`` are the exiled outlier rows,
+    scanned exactly at query time. ``bound = q·centroid + radius`` upper-
+    bounds every inlier row score in its bucket.
     """
 
-    emb_r: jax.Array  # [n_pad, d_pad] store dtype, cluster-ordered
-    perm: jax.Array  # [n_pad] i32 original ordinals (-1 = padding)
+    emb_r: jax.Array  # [n_in_pad, d_pad] store dtype, cluster-ordered
+    perm: jax.Array  # [n_in_pad] i32 original ordinals (-1 = padding)
     centroids: jax.Array  # [nb, d_pad] f32 bucket means
-    radius: jax.Array  # [nb] f32 max residual norm (dead buckets: -inf-ish)
-    count: jax.Array  # scalar i32 live rows
+    radius: jax.Array  # [nb] f32 max residual norm (dead buckets: sentinel)
+    bucket_fill: jax.Array  # [nb] i32 live rows per bucket (dead rows are
+    # always the bucket TAIL: cluster regions pack from their start)
+    count_in: jax.Array  # scalar i32 live inlier rows
+    out_emb: jax.Array  # [m_pad, d_pad] store dtype outlier rows
+    out_perm: jax.Array  # [m_pad] i32 original ordinals (-1 = padding)
+    count_out: jax.Array  # scalar i32 live outlier rows
 
     @property
     def n_buckets(self) -> int:
         return self.centroids.shape[0]
 
 
-def _chunked_argmax_assign(emb_f32, centroids, chunk: int):
-    """argmax_k (emb @ centroids.T) in row chunks — never materializes the
-    [n, k] score matrix (31 GB at 1M × 7813)."""
-    n = emb_f32.shape[0]
+def _chunked_assign(emb, centroids, chunk: int):
+    """(argmax cluster, best score) per row in chunks — never materializes
+    the [n, k] score matrix (31 GB at 1M × 7813) nor a full f32 copy of a
+    bf16 store (15 GB at 10M × 384): casts happen per chunk inside the
+    map body."""
+    n = emb.shape[0]
     n_chunks = -(-n // chunk)
     pad = n_chunks * chunk - n
-    padded = jnp.pad(emb_f32, ((0, pad), (0, 0)))
+    padded = jnp.pad(emb, ((0, pad), (0, 0)))
     blocks = padded.reshape(n_chunks, chunk, -1)
 
     def one(block):
         scores = jax.lax.dot_general(
-            block,
+            block.astype(jnp.float32),
             centroids,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return jnp.argmax(scores, axis=1).astype(jnp.int32)
+        return (
+            jnp.argmax(scores, axis=1).astype(jnp.int32),
+            jnp.max(scores, axis=1),
+        )
 
-    return jax.lax.map(one, blocks).reshape(-1)[:n]
+    a, s = jax.lax.map(one, blocks)
+    return a.reshape(-1)[:n], s.reshape(-1)[:n]
 
 
 def _chunked_cluster_sums(train, assign, k: int, chunk: int):
@@ -115,12 +141,16 @@ def _chunked_cluster_sums(train, assign, k: int, chunk: int):
     def one(carry, xs):
         sums, counts = carry
         block, a = xs
-        oh = jax.nn.one_hot(a, k, dtype=jnp.float32)  # [chunk, k]
+        # bf16 one-hot: values 0/1 are exact; both reductions accumulate
+        # f32. Halves the transient (at 10M rows the cluster count is ~78k
+        # and a [chunk, k] f32 one-hot would be ~2.4 GB).
+        oh = jax.nn.one_hot(a, k, dtype=jnp.bfloat16)  # [chunk, k]
         sums = sums + jax.lax.dot_general(
-            oh, block, dimension_numbers=(((0,), (0,)), ((), ())),
+            oh, block.astype(jnp.bfloat16),
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        counts = counts + oh.sum(axis=0)
+        counts = counts + jnp.sum(oh, axis=0, dtype=jnp.float32)
         return (sums, counts), None
 
     init = (jnp.zeros((k, d), jnp.float32), jnp.zeros((k,), jnp.float32))
@@ -128,43 +158,47 @@ def _chunked_cluster_sums(train, assign, k: int, chunk: int):
     return sums, counts
 
 
-@functools.partial(
-    jax.jit, static_argnames=("train_rows", "iters", "nb")
-)
-def _ivf_build_impl(emb, count, key, *, train_rows: int, iters: int, nb: int):
-    n_pad, d_pad = emb.shape
-    emb_f = emb.astype(jnp.float32)
-    live = jnp.arange(n_pad, dtype=jnp.int32) < count
-
-    # --- train k-means on a sample of live rows --------------------------
-    t = min(train_rows, n_pad)
-    idx = jax.random.randint(key, (t,), 0, jnp.maximum(count, 1), jnp.int32)
-    train = jnp.take(emb_f, idx, axis=0)
+@functools.partial(jax.jit, static_argnames=("train_rows", "iters", "nb"))
+def _train_centroids(emb, count, key, *, train_rows: int, iters: int, nb: int):
+    # Gather first, cast the (small) gathered blocks — casting the whole
+    # store to f32 would materialize 15 GB at 10M x 384.
+    idx = jax.random.randint(
+        key, (train_rows,), 0, jnp.maximum(count, 1), jnp.int32
+    )
+    train = jnp.take(emb, idx, axis=0).astype(jnp.float32)
     init_idx = jax.random.randint(
         jax.random.fold_in(key, 1), (nb,), 0, jnp.maximum(count, 1), jnp.int32
     )
-    centroids = jnp.take(emb_f, init_idx, axis=0)
+    centroids = jnp.take(emb, init_idx, axis=0).astype(jnp.float32)
 
     def lloyd(c, _):
-        a = _chunked_argmax_assign(train, c, _TRAIN_CHUNK)
+        a, _s = _chunked_assign(train, c, _TRAIN_CHUNK)
         sums, counts = _chunked_cluster_sums(train, a, nb, _TRAIN_CHUNK)
         means = sums / jnp.maximum(counts, 1.0)[:, None]
-        # Empty clusters keep their previous centroid.
-        c2 = jnp.where(counts[:, None] > 0, means, c)
-        # Cosine k-means: normalize the mean directions.
+        c2 = jnp.where(counts[:, None] > 0, means, c)  # keep empty clusters
         norm = jnp.linalg.norm(c2, axis=1, keepdims=True)
         return jnp.where(norm > 1e-9, c2 / norm, c2), None
 
     centroids, _ = jax.lax.scan(lloyd, centroids, None, length=iters)
+    return centroids
 
-    # --- assign every live row, order by cluster ------------------------
-    assign = _chunked_argmax_assign(emb_f, centroids, _ASSIGN_CHUNK)
-    sort_key = jnp.where(live, assign, jnp.int32(2**30))
-    order = jnp.argsort(sort_key, stable=True).astype(jnp.int32)
-    emb_r = jnp.take(emb, order, axis=0)
-    perm = jnp.where(jnp.take(live, order), order, -1)
 
-    # --- per-128-row-bucket summaries ------------------------------------
+@jax.jit
+def _assign_all(emb, centroids):
+    return _chunked_assign(emb, centroids, _ASSIGN_CHUNK)
+
+
+@jax.jit
+def _gather_rows(emb, perm):
+    """Gather rows by (possibly -1-padded) permutation; padding rows zero."""
+    valid = perm >= 0
+    rows = jnp.take(emb, jnp.clip(perm, 0, emb.shape[0] - 1), axis=0)
+    return jnp.where(valid[:, None], rows, jnp.zeros_like(rows))
+
+
+@functools.partial(jax.jit, static_argnames=("nb",))
+def _bucket_summaries(emb_r, perm, *, nb: int):
+    d_pad = emb_r.shape[1]
     rows = emb_r.astype(jnp.float32).reshape(nb, _BUCKET_ROWS, d_pad)
     valid = (perm >= 0).reshape(nb, _BUCKET_ROWS)
     w = valid.astype(jnp.float32)
@@ -175,7 +209,12 @@ def _ivf_build_impl(emb, count, key, *, train_rows: int, iters: int, nb: int):
     resid = jnp.linalg.norm(rows - cent[:, None, :], axis=2)
     radius = jnp.max(jnp.where(valid, resid, -jnp.inf), axis=1)
     radius = jnp.where(counts_b > 0, radius, _BOUND_DEAD)
-    return emb_r, perm, cent, radius
+    return cent, radius, counts_b.astype(jnp.int32)
+
+
+# Keep build peak memory (store + reordered copy) under this fraction of a
+# 16 GB HBM part; past it the reorder gathers round-trip through host RAM.
+_DEVICE_GATHER_BUDGET = 12 * 1024**3
 
 
 def ivf_build(
@@ -185,33 +224,123 @@ def ivf_build(
     key: int = 0,
     train_rows: int = 131072,
     iters: int = 8,
+    outlier_frac: float = 0.1,
+    rows_per_cluster: int = 512,
+    via_host: bool | None = None,
 ) -> IVFState:
     """Build an IVF index over the live rows of a (padded) store buffer.
 
-    One-time device cost ~O(iters · train_rows · nb · d + n · nb · d)
-    matmul FLOPs (~1-2 s at 1M × 384 on one v5e). Buckets are 128 rows to
-    match the exact2 rescore kernel's block shape.
+    Host-orchestrated: k-means training, assignment, gathers and bucket
+    summaries run as device programs; the ordering/exile bookkeeping is
+    plain numpy over two [count] vectors. One-time cost ~30-70 s at
+    1M × 384 on one v5e (assignment matmul dominates).
+
+    Every cluster's region is padded to a 128-row boundary so no bucket
+    straddles two clusters — straddle buckets mix unrelated content and
+    their radius balloons to ~sqrt(2), poisoning both selection and the
+    certificate (measured). Cost: ≤64 dead rows per cluster, ~12% at the
+    default 512-row cluster target (dead rows carry perm = -1 and are
+    masked everywhere).
+
+    ``via_host``: route the reorder gathers through host RAM instead of
+    holding store + reordered copy on device simultaneously (auto when the
+    pair would exceed ~12 GB — the 10M × 384 bf16 case).
     """
-    n_pad = emb.shape[0]
+    n_pad, d_pad = emb.shape
     if n_pad % _BUCKET_ROWS:
         raise ValueError(f"store padding must be a multiple of {_BUCKET_ROWS}")
-    nb = n_pad // _BUCKET_ROWS
-    count = jnp.asarray(count, jnp.int32).reshape(())
-    emb_r, perm, cent, radius = _ivf_build_impl(
+    count = int(count)
+    if not 0 < count <= n_pad:
+        raise ValueError(f"count {count} out of range for buffer {n_pad}")
+    nb_clusters = max(n_pad // rows_per_cluster, 1)
+    # Lloyd needs enough sample mass per cluster.
+    train_rows = min(max(train_rows, 8 * nb_clusters), n_pad, count)
+    centroids = _train_centroids(
         emb,
-        count,
+        jnp.asarray(count, jnp.int32),
         jax.random.PRNGKey(key),
-        train_rows=min(train_rows, n_pad),
+        train_rows=train_rows,
         iters=iters,
-        nb=nb,
+        nb=nb_clusters,
     )
-    return IVFState(emb_r, perm, cent, radius, count)
+    assign, best_s = _assign_all(emb, centroids)
+    a = np.asarray(assign)[:count]
+    s = np.asarray(best_s)[:count]
+
+    m = int(count * outlier_frac)
+    order_by_fit = np.argsort(s, kind="stable")  # worst fit first
+    out_ids = np.sort(order_by_fit[:m]).astype(np.int32)
+    in_mask = np.ones(count, dtype=bool)
+    in_mask[out_ids] = False
+    in_ids = np.nonzero(in_mask)[0].astype(np.int32)
+    # Cluster-major order (stable: preserves insertion order in-cluster).
+    in_ids = in_ids[np.argsort(a[in_ids], kind="stable")]
+    a_sorted = a[in_ids]
+
+    # 128-aligned cluster regions: cluster c's rows land at
+    # [aligned_off[c], aligned_off[c] + size[c]); the rest of its region is
+    # dead (-1) padding.
+    sizes = np.bincount(a_sorted, minlength=nb_clusters).astype(np.int64)
+    padded = ((sizes + _BUCKET_ROWS - 1) // _BUCKET_ROWS) * _BUCKET_ROWS
+    aligned_off = np.concatenate([[0], np.cumsum(padded)[:-1]])
+    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    pos_in_cluster = np.arange(len(in_ids), dtype=np.int64) - starts[a_sorted]
+    dest = aligned_off[a_sorted] + pos_in_cluster
+
+    n_in = len(in_ids)
+    n_in_pad = round_up(max(int(padded.sum()), 1), 1024)
+    m_pad = round_up(max(m, 1), 1024)
+    perm = np.full(n_in_pad, -1, np.int32)
+    perm[dest] = in_ids
+    out_perm = np.full(m_pad, -1, np.int32)
+    out_perm[:m] = out_ids
+
+    perm_d = jnp.asarray(perm)
+    out_perm_d = jnp.asarray(out_perm)
+    itemsize = jnp.zeros((), emb.dtype).itemsize
+    if via_host is None:
+        via_host = (n_pad + n_in_pad + m_pad) * d_pad * itemsize > (
+            _DEVICE_GATHER_BUDGET
+        )
+    if via_host:
+        host = np.asarray(emb)
+        emb_r = jnp.asarray(
+            np.where(
+                (perm >= 0)[:, None], host[np.clip(perm, 0, n_pad - 1)], 0
+            ).astype(host.dtype)
+        )
+        out_emb = jnp.asarray(
+            np.where(
+                (out_perm >= 0)[:, None],
+                host[np.clip(out_perm, 0, n_pad - 1)],
+                0,
+            ).astype(host.dtype)
+        )
+        del host
+    else:
+        emb_r = _gather_rows(emb, perm_d)
+        out_emb = _gather_rows(emb, out_perm_d)
+    cent, radius, fill = _bucket_summaries(
+        emb_r, perm_d, nb=n_in_pad // _BUCKET_ROWS
+    )
+    return IVFState(
+        emb_r,
+        perm_d,
+        cent,
+        radius,
+        fill,
+        jnp.asarray(n_in, jnp.int32),
+        out_emb,
+        out_perm_d,
+        jnp.asarray(m, jnp.int32),
+    )
 
 
 def _ivf_topk_impl(
-    emb_r, perm, centroids, radius, count, queries, *, k: int, B: int,
-    use_pallas: bool, use_radius: bool,
+    emb_r, perm, centroids, radius, bucket_fill, count_in, out_emb, out_perm,
+    count_out, queries, *, k: int, B: int, use_pallas: bool,
 ):
+    b = queries.shape[0]
     qs = queries.astype(jnp.float32)
     qc = jax.lax.dot_general(
         qs, centroids,
@@ -219,31 +348,93 @@ def _ivf_topk_impl(
         preferred_element_type=jnp.float32,
     )  # [b, nb]
     dead = radius <= _BOUND_DEAD
-    if use_radius:
-        bounds = qc + radius[None, :]
+    # Selection is by raw centroid score (maximizes recall — selecting by
+    # the BOUND qc + r lets a handful of large-radius buckets hijack every
+    # query's budget; measured recall 0.23 vs 0.96 at 1M). The bound is
+    # used only for the certificate, computed over the excluded set.
+    sel_key = jnp.where(dead[None, :], 2.0 * _BOUND_DEAD, qc)
+    bounds = jnp.where(dead[None, :], 2.0 * _BOUND_DEAD, qc + radius[None, :])
+    nb = centroids.shape[0]
+    if B < nb:
+        top_qc, sel = jax.lax.top_k(sel_key, B)
+        q_bth = top_qc[:, B - 1:B]  # [b, 1]
+        # Sound excluded-bound max: buckets STRICTLY below the B-th
+        # selection score are certainly excluded. Ties at the boundary are
+        # ambiguous (top_k picks arbitrarily) — the tie guard refuses to
+        # certify those queries instead of under-counting a tied excluded
+        # bucket's bound.
+        excl_raw = jnp.max(
+            jnp.where(sel_key < q_bth, bounds, 2.0 * _BOUND_DEAD), axis=1
+        )
+        ties_ok = jnp.sum(sel_key >= q_bth, axis=1) == B
     else:
-        bounds = qc  # approx mode: tighter selection, no sound certificate
-    bounds = jnp.where(dead[None, :], _BOUND_DEAD * 2.0, bounds)
-    vals, idx_r, cert = _exact2_phase2_rescore(
-        emb_r, queries, count, bounds, k=k, B=B, use_pallas=use_pallas,
-        eps=_CERT_EPS_IVF,
+        sel = jnp.broadcast_to(jnp.arange(nb, dtype=jnp.int32)[None, :], (b, nb))
+        excl_raw = jnp.full((b,), 2.0 * _BOUND_DEAD, jnp.float32)
+        ties_ok = jnp.ones((b,), bool)
+        B = nb
+
+    sel = jnp.clip(sel, 0, nb - 1)
+    row_ids = (
+        sel[:, :, None] * _BUCKET_ROWS
+        + jnp.arange(_BUCKET_ROWS, dtype=jnp.int32)[None, None, :]
+    ).reshape(b, B * _BUCKET_ROWS)
+    if use_pallas and _rescore_fits(emb_r.shape[1], emb_r.dtype.itemsize, B):
+        raw = _rescore_selected_pallas(emb_r, queries, sel, B=B)
+    else:
+        cand = jnp.take(emb_r, row_ids, axis=0)
+        raw = jax.lax.dot_general(
+            queries.astype(emb_r.dtype),
+            cand,
+            dimension_numbers=(((1,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+    # Dead rows (cluster-alignment padding) always sit at a bucket's TAIL,
+    # so validity is a tiny [b, B] fill-count gather + lane compare — NOT a
+    # [b, B*128] perm gather (TPU gathers are element-serial; that version
+    # measured +0.27 ms per selected bucket).
+    fill_sel = jnp.take(bucket_fill, sel, axis=0)  # [b, B]
+    lane = jnp.arange(_BUCKET_ROWS, dtype=jnp.int32)[None, None, :]
+    valid = (lane < fill_sel[:, :, None]).reshape(b, B * _BUCKET_ROWS)
+    raw = jnp.where(valid, raw, -3.0)
+    k_in = min(k, B * _BUCKET_ROWS)
+    vals_r, pos = jax.lax.top_k(raw, k_in)
+    idx_r = jnp.take_along_axis(row_ids, pos, axis=1)
+    sv1, si1 = _raw_to_score(vals_r, idx_r)
+    si1 = jnp.where(
+        si1 >= 0, jnp.take(perm, jnp.clip(si1, 0, perm.shape[0] - 1)), -1
     )
-    # Map reordered positions back to original ordinals.
-    safe = jnp.clip(idx_r, 0, perm.shape[0] - 1)
-    idx = jnp.where(idx_r >= 0, jnp.take(perm, safe), -1)
-    if not use_radius:
-        cert = jnp.zeros_like(cert)  # centroid scores are not upper bounds
+
+    # Exact tail: full scan of the exiled outlier rows, mapped + merged.
+    k_out = min(k, out_emb.shape[0])
+    sv2, si2 = topk_program(
+        out_emb, queries, count_out, k_out, use_pallas=use_pallas
+    )
+    si2 = jnp.where(
+        si2 >= 0, jnp.take(out_perm, jnp.clip(si2, 0, out_perm.shape[0] - 1)), -1
+    )
+
+    sv = jnp.concatenate([sv1, sv2], axis=1)
+    si = jnp.concatenate([si1, si2], axis=1)
+    vals, pos = jax.lax.top_k(sv, k)
+    idx = jnp.take_along_axis(si, pos, axis=1)
+
+    # Certificate in the public score space (monotone map, clip is sound:
+    # a bound below -1 can't beat anything; above +1 the cert just fails).
+    excl_score = jnp.clip((excl_raw + 1.0) * 0.5, 0.0, 1.0)
+    kth = jnp.where(vals[:, k - 1] > _NEG, vals[:, k - 1], -1.0)
+    cert = ties_ok & (excl_score <= kth + _CERT_EPS_IVF * 0.5)
     return vals, idx, cert
 
 
 _ivf_topk_jit = jax.jit(
-    _ivf_topk_impl, static_argnames=("k", "B", "use_pallas", "use_radius")
+    _ivf_topk_impl, static_argnames=("k", "B", "use_pallas")
 )
 
 
 def ivf_topk_program(
-    emb_r, perm, centroids, radius, count, queries, k: int, *,
-    B: int = 16, use_pallas: bool = True, use_radius: bool = True,
+    emb_r, perm, centroids, radius, bucket_fill, count_in, out_emb, out_perm,
+    count_out, queries, k: int, *,
+    B: int = 16, use_pallas: bool = True,
 ):
     """Jit-composable IVF top-k (state unpacked so callers can lax.map it).
 
@@ -253,8 +444,9 @@ def ivf_topk_program(
     """
     nb = centroids.shape[0]
     return _ivf_topk_impl(
-        emb_r, perm, centroids, radius, count, queries,
-        k=k, B=min(B, nb), use_pallas=use_pallas, use_radius=use_radius,
+        emb_r, perm, centroids, radius, bucket_fill, count_in, out_emb,
+        out_perm, count_out, queries,
+        k=k, B=min(B, nb), use_pallas=use_pallas,
     )
 
 
@@ -265,7 +457,6 @@ def ivf_topk(
     *,
     B: int = 16,
     use_pallas: bool | None = None,
-    use_radius: bool = True,
 ):
     """Top-k over a built IVF index (host entry point)."""
     from .topk import _use_pallas
@@ -275,13 +466,10 @@ def ivf_topk(
     queries = jnp.asarray(queries)
     if queries.ndim == 1:
         vals, idx, cert = ivf_topk(
-            state, queries[None, :], k, B=B, use_pallas=use_pallas,
-            use_radius=use_radius,
+            state, queries[None, :], k, B=B, use_pallas=use_pallas
         )
         return vals[0], idx[0], cert[0]
-    nb = state.n_buckets
     return _ivf_topk_jit(
-        state.emb_r, state.perm, state.centroids, state.radius, state.count,
-        queries, k=k, B=min(B, nb), use_pallas=use_pallas,
-        use_radius=use_radius,
+        *state, queries, k=k, B=min(B, state.n_buckets),
+        use_pallas=use_pallas,
     )

@@ -404,6 +404,83 @@ def accumulate_postings_segmented_coo(
     return k_out[:r], sums_out, n_runs, op_hit
 
 
+# DP-sharded COO dispatch: one op group per data-parallel mesh rank, CSR
+# postings REPLICATED (they are small next to the embedding plane), op
+# arrays stacked on a leading axis sharded over the mesh's dp axis. The
+# COO program vmaps cleanly — sorts and segmented scans run over the
+# trailing axis — so SPMD partitioning is a pure leading-axis split with
+# no cross-rank collectives.
+_COO_DP_CACHE: dict = {}
+
+
+def accumulate_postings_segmented_coo_dp(
+    mesh,
+    offsets,
+    post_semrefs,
+    post_scores,
+    tids,  # [n_dp, t_pad]
+    weights,
+    segs,
+    kinds,
+    positions,
+    ktype_gate,
+    scope_ids,
+    scope_masks,  # [n_scopes, semref_cap] shared
+    semref_ktype,
+    boost_factor,
+    *,
+    e_pad: int,
+    semref_cap: int,
+    n_seg: int,
+    dedup_related: bool,
+    r_max: int,
+):
+    """Batched :func:`accumulate_postings_segmented_coo` over mesh dp ranks.
+
+    Returns stacked (keys [n_dp, r], sums [n_dp, 4, r], n_runs [n_dp],
+    op_hit [n_dp, t_pad]); each rank's keys use its LOCAL segment ids.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    statics = (e_pad, semref_cap, n_seg, dedup_related, r_max)
+    cache_key = (mesh, statics)
+    fn = _COO_DP_CACHE.get(cache_key)
+    if fn is None:
+        dp_axis = mesh.axis_names[0]
+        rep = NamedSharding(mesh, P())
+        dp = NamedSharding(mesh, P(dp_axis))
+        inner = functools.partial(
+            accumulate_postings_segmented_coo.__wrapped__,
+            e_pad=e_pad,
+            semref_cap=semref_cap,
+            n_seg=n_seg,
+            dedup_related=dedup_related,
+            r_max=r_max,
+        )
+        batched = jax.vmap(
+            inner,
+            in_axes=(
+                None, None, None,  # CSR: offsets / semrefs / scores
+                0, 0, 0, 0, 0, 0, 0,  # per-rank op arrays
+                None, None, None,  # scope masks / ktype / boost
+            ),
+        )
+        fn = jax.jit(
+            batched,
+            in_shardings=(
+                rep, rep, rep,
+                dp, dp, dp, dp, dp, dp, dp,
+                rep, rep, rep,
+            ),
+        )
+        _COO_DP_CACHE[cache_key] = fn
+    return fn(
+        offsets, post_semrefs, post_scores,
+        tids, weights, segs, kinds, positions, ktype_gate, scope_ids,
+        scope_masks, semref_ktype, boost_factor,
+    )
+
+
 def _accumulate_segmented_impl(
     offsets: jax.Array,  # [terms_cap+1] i64 CSR offsets
     post_semrefs: jax.Array,  # [post_cap] i32
@@ -823,6 +900,169 @@ class DevicePostingsIndex:
             cols[s, :c] = col_of[sl]
             packed[:, s, :c] = sums_np[:, sl]
         return cols, packed, counts[:n_seg], op_hit[: len(ops)]
+
+    def lookup_ops_sparse_dp(
+        self,
+        ops: list[tuple[int, float, int, int, int, int, int]],
+        n_seg: int,
+        semref_ktype: np.ndarray,
+        scopes: list[np.ndarray | None] | None = None,
+        boost_factor: float = 1.0,
+        *,
+        mesh=None,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray] | None:
+        """:meth:`lookup_ops_sparse` over a mesh: segments split into one
+        contiguous group per data-parallel rank (balanced by posting
+        totals), postings replicated, op arrays dp-sharded — one SPMD
+        device call evaluates every rank's group. Same return contract as
+        :meth:`lookup_ops_sparse` (global segment numbering); None routes
+        the caller to the dense path.
+        """
+        if mesh is None or mesh.shape[mesh.axis_names[0]] <= 1 or n_seg < 2:
+            return self.lookup_ops_sparse(
+                ops, n_seg, semref_ktype, scopes, boost_factor
+            )
+        if self._semref_cap <= _SPARSE_MIN_CAP:
+            return None
+        if ops and max(op[4] for op in ops) > _POS_P - 2:
+            return None
+        if not self._built:
+            self.build()
+        n_dp = mesh.shape[mesh.axis_names[0]]
+
+        # Contiguous segment ranges balanced by posting totals.
+        seg_cost = np.zeros(n_seg, dtype=np.int64)
+        for op in ops:
+            if op[0] >= 0:
+                seg_cost[op[2]] += self.posting_size(op[0])
+        total = int(seg_cost.sum())
+        if total > _COO_E_BUCKETS[-1] * n_dp:
+            return None
+        cum = np.cumsum(seg_cost)
+        bounds = sorted(
+            {0, n_seg}
+            | {
+                int(np.searchsorted(cum, total * g / n_dp))
+                for g in range(1, n_dp)
+            }
+        )
+        ranges = list(zip(bounds[:-1], bounds[1:]))
+        while len(ranges) < n_dp:
+            ranges.append((n_seg, n_seg))
+        ranges = ranges[:n_dp]
+
+        groups: list[list[int]] = [[] for _ in ranges]
+        for oi, op in enumerate(ops):
+            for g, (lo, hi) in enumerate(ranges):
+                if lo <= op[2] < hi:
+                    groups[g].append(oi)
+                    break
+        t_pad = _bucket(max((len(g) for g in groups), default=1) or 1,
+                        _TERM_BUCKETS)
+        e_need = 1
+        for g in groups:
+            e_need = max(
+                e_need,
+                sum(self.posting_size(ops[oi][0]) for oi in g if ops[oi][0] >= 0),
+            )
+        e_pad = _bucket(e_need, _COO_E_BUCKETS)
+        seg_pad = _bucket(
+            max((hi - lo for lo, hi in ranges), default=1) or 1, _SEG_BUCKETS
+        )
+        if seg_pad * (self._semref_cap + 1) >= 2**30:
+            return None
+
+        # Shared device operands (CSR, scope masks, ktype) via the common
+        # packer; its per-op arrays are replaced by the stacked ones below.
+        operands, statics, _ = self._prepare_operands(
+            ops, n_seg, semref_ktype, scopes, boost_factor
+        )
+        offsets_d, semrefs_d, scores_d = operands[:3]
+        masks_dev, ktype_dev, boost_dev = operands[10], operands[11], operands[12]
+
+        tids = np.full((n_dp, t_pad), -1, np.int32)
+        weights = np.zeros((n_dp, t_pad), np.float32)
+        segs = np.zeros((n_dp, t_pad), np.int32)
+        kinds = np.zeros((n_dp, t_pad), np.int8)
+        positions = np.zeros((n_dp, t_pad), np.int32)
+        gates = np.full((n_dp, t_pad), -1, np.int8)
+        scope_ids = np.zeros((n_dp, t_pad), np.int32)
+        for g, idxs in enumerate(groups):
+            lo = ranges[g][0]
+            for i, oi in enumerate(idxs):
+                tid, w, seg, kind, pos, gate, sid = ops[oi]
+                tids[g, i] = tid
+                weights[g, i] = w
+                segs[g, i] = seg - lo
+                kinds[g, i] = kind
+                positions[g, i] = pos
+                gates[g, i] = gate
+                scope_ids[g, i] = sid
+
+        r = self._coo_hint
+        while True:
+            keys_dev, sums_dev, n_runs_dev, op_hit_dev = (
+                accumulate_postings_segmented_coo_dp(
+                    mesh,
+                    offsets_d, semrefs_d, scores_d,
+                    jnp.asarray(tids), jnp.asarray(weights), jnp.asarray(segs),
+                    jnp.asarray(kinds), jnp.asarray(positions),
+                    jnp.asarray(gates), jnp.asarray(scope_ids),
+                    masks_dev, ktype_dev, boost_dev,
+                    e_pad=e_pad,
+                    semref_cap=self._semref_cap,
+                    n_seg=seg_pad,
+                    dedup_related=statics["dedup_related"],
+                    r_max=r,
+                )
+            )
+            n_runs_np, keys_np, sums_np, op_hit_np = jax.device_get(
+                (n_runs_dev, keys_dev, sums_dev, op_hit_dev)
+            )
+            mx = int(n_runs_np.max(initial=0))
+            if mx <= keys_np.shape[1]:
+                break
+            if mx > _COO_BUCKETS[-1]:
+                return None
+            r = _bucket(mx, _COO_BUCKETS)
+            self._coo_hint = max(self._coo_hint, r)
+
+        # Decode each rank's local keys back to global segments; groups are
+        # segment-ordered and keys ascend within a group, so the
+        # concatenation keeps the (seg, col) ascending order the combine
+        # relies on.
+        width = self._semref_cap + 1
+        seg_parts, col_parts, sum_parts = [], [], []
+        for g in range(len(ranges)):
+            nr = int(n_runs_np[g])
+            kz = keys_np[g, :nr].astype(np.int64)
+            seg_parts.append(kz // width + ranges[g][0])
+            col_parts.append((kz % width).astype(np.int32))
+            sum_parts.append(sums_np[g][:, :nr])
+        seg_of = np.concatenate(seg_parts) if seg_parts else np.zeros(0, np.int64)
+        col_of = np.concatenate(col_parts) if col_parts else np.zeros(0, np.int32)
+        sums_cat = (
+            np.concatenate(sum_parts, axis=1)
+            if sum_parts
+            else np.zeros((4, 0), np.float32)
+        )
+        counts = np.bincount(seg_of, minlength=n_seg).astype(np.int32)
+        m = int(counts.max(initial=0))
+        cols = np.zeros((n_seg, max(m, 1)), dtype=np.int32)
+        packed = np.zeros((4, n_seg, max(m, 1)), dtype=np.float32)
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        for s in range(n_seg):
+            c = counts[s]
+            if not c:
+                continue
+            sl = slice(starts[s], starts[s] + c)
+            cols[s, :c] = col_of[sl]
+            packed[:, s, :c] = sums_cat[:, sl]
+        op_hit = np.zeros(len(ops), dtype=bool)
+        for g, idxs in enumerate(groups):
+            for i, oi in enumerate(idxs):
+                op_hit[oi] = bool(op_hit_np[g, i])
+        return cols, packed, counts[:n_seg], op_hit
 
     def _prepare_operands(
         self, ops, n_seg, semref_ktype, scopes, boost_factor
