@@ -225,6 +225,10 @@ class DeviceQueryExecutor:
     def __init__(self, conversation: IConversation):
         self.conversation = conversation
         self._postings = DevicePostingsIndex()
+        # Data-parallel mesh for batched plan groups: postings replicate,
+        # each dp rank evaluates a contiguous segment range of the batch
+        # (ops/postings.py lookup_ops_sparse_dp). Opt-in per conversation.
+        self.mesh = getattr(conversation, "_device_mesh", None)
         self._n_semrefs = 0
         self._semref_ktype: np.ndarray | None = None  # i8 codes
         self._sem_start_key: np.ndarray | None = None  # i64 (msg, chunk) keys
@@ -933,8 +937,15 @@ class DeviceQueryExecutor:
 
         members_by_seg: list[np.ndarray]
         if all_ops and base:
-            sparse = self._postings.lookup_ops_sparse(
-                all_ops, base, self._semref_ktype, None, 1.0
+            sparse = (
+                self._postings.lookup_ops_sparse_dp(
+                    all_ops, base, self._semref_ktype, None, 1.0,
+                    mesh=self.mesh,
+                )
+                if self.mesh is not None
+                else self._postings.lookup_ops_sparse(
+                    all_ops, base, self._semref_ktype, None, 1.0
+                )
             )
             if (
                 sparse is None
@@ -1244,8 +1255,15 @@ class DeviceQueryExecutor:
             leaf.wildcards for plan in plans for leaf in plan.leaves
         )
         if ops and not has_wildcards and not force_dense:
-            sparse = self._postings.lookup_ops_sparse(
-                ops, base, self._semref_ktype, scopes, boost_factor
+            sparse = (
+                self._postings.lookup_ops_sparse_dp(
+                    ops, base, self._semref_ktype, scopes, boost_factor,
+                    mesh=self.mesh,
+                )
+                if self.mesh is not None
+                else self._postings.lookup_ops_sparse(
+                    ops, base, self._semref_ktype, scopes, boost_factor
+                )
             )
             if sparse is not None:
                 cols, packed, counts, op_hit = sparse

@@ -198,18 +198,39 @@ def _gather_rows(emb, perm):
 
 @functools.partial(jax.jit, static_argnames=("nb",))
 def _bucket_summaries(emb_r, perm, *, nb: int):
+    """Per-bucket (centroid, radius, fill) in bucket chunks — a whole-array
+    f32 cast would materialize a second full-size copy (9 GB at 6M x 384)
+    and OOM next to the store."""
     d_pad = emb_r.shape[1]
-    rows = emb_r.astype(jnp.float32).reshape(nb, _BUCKET_ROWS, d_pad)
-    valid = (perm >= 0).reshape(nb, _BUCKET_ROWS)
-    w = valid.astype(jnp.float32)
-    counts_b = w.sum(axis=1)
-    cent = (rows * w[:, :, None]).sum(axis=1) / jnp.maximum(counts_b, 1.0)[
-        :, None
-    ]
-    resid = jnp.linalg.norm(rows - cent[:, None, :], axis=2)
-    radius = jnp.max(jnp.where(valid, resid, -jnp.inf), axis=1)
-    radius = jnp.where(counts_b > 0, radius, _BOUND_DEAD)
-    return cent, radius, counts_b.astype(jnp.int32)
+    chunk_b = 512  # buckets/step: 512*128*d f32 = ~100 MB at d=384
+    n_steps = -(-nb // chunk_b)
+    pad_b = n_steps * chunk_b - nb
+    rows_all = jnp.pad(emb_r, ((0, pad_b * _BUCKET_ROWS), (0, 0))).reshape(
+        n_steps, chunk_b, _BUCKET_ROWS, d_pad
+    )
+    valid_all = jnp.pad(perm >= 0, (0, pad_b * _BUCKET_ROWS)).reshape(
+        n_steps, chunk_b, _BUCKET_ROWS
+    )
+
+    def one(xs):
+        block, valid = xs
+        rows = block.astype(jnp.float32)
+        w = valid.astype(jnp.float32)
+        counts_b = w.sum(axis=1)
+        cent = (rows * w[:, :, None]).sum(axis=1) / jnp.maximum(
+            counts_b, 1.0
+        )[:, None]
+        resid = jnp.linalg.norm(rows - cent[:, None, :], axis=2)
+        radius = jnp.max(jnp.where(valid, resid, -jnp.inf), axis=1)
+        radius = jnp.where(counts_b > 0, radius, _BOUND_DEAD)
+        return cent, radius, counts_b.astype(jnp.int32)
+
+    cent, radius, fill = jax.lax.map(one, (rows_all, valid_all))
+    return (
+        cent.reshape(n_steps * chunk_b, d_pad)[:nb],
+        radius.reshape(-1)[:nb],
+        fill.reshape(-1)[:nb],
+    )
 
 
 # Keep build peak memory (store + reordered copy) under this fraction of a

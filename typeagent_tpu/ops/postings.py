@@ -637,6 +637,9 @@ class DevicePostingsIndex:
         self._fetch_hint = _COMPACT_FETCH_BUCKETS[0]
         # Adaptive COO result size for the sort+scan sparse kernel.
         self._coo_hint = _COO_BUCKETS[0]
+        # Observability: SPMD dp dispatches actually taken (dryrun stage 5
+        # and tests assert the mesh path engaged rather than a fallback).
+        self.dp_calls = 0
 
     def add_term(self, term: str, semref_id: int, score: float = 1.0) -> None:
         tid = self._interner.intern(term)
@@ -971,6 +974,7 @@ class DevicePostingsIndex:
         )
         if seg_pad * (self._semref_cap + 1) >= 2**30:
             return None
+        self.dp_calls += 1
 
         # Shared device operands (CSR, scope masks, ktype) via the common
         # packer; its per-op arrays are replaced by the stacked ones below.
