@@ -107,3 +107,27 @@ async def test_benchmark_embeddings_self_retrieval_sweep(tmp_path, capsys):
     row = [line for line in out.splitlines() if line.strip().startswith("0.00")][0]
     cols = row.split()
     assert cols == ["0.00", "3", "1.000", "1.000"]
+
+
+async def test_benchmark_pipeline_stages(capsys):
+    """The full-pipeline benchmark's deterministic stage-1 queries drive
+    stages 2-4 end-to-end (host engine, tiny scale) and the per-stage
+    metrics registry records both timers."""
+    import random
+
+    from typeagent_tpu.tools.benchmark_pipeline import (
+        make_search_queries,
+        run_pipeline,
+    )
+    from typeagent_tpu.tools.benchmark_engine import build_conversation
+    from typeagent_tpu.utils.metrics import MetricsRegistry
+
+    rng = random.Random(3)
+    conv = await build_conversation(40, rng)
+    queries = make_search_queries(6, rng)
+    reg = MetricsRegistry()
+    contexts = await run_pipeline(conv, queries, use_device=False, reg=reg)
+    assert contexts > 0  # stage 4 produced entities/topics/messages
+    report = reg.report()["latency"]
+    assert report["stage2+3.search"]["count"] == 6
+    assert report["stage4.context"]["count"] == 6

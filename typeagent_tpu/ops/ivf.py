@@ -377,13 +377,25 @@ def _ivf_topk_impl(
     bounds = jnp.where(dead[None, :], 2.0 * _BOUND_DEAD, qc + radius[None, :])
     nb = centroids.shape[0]
     if B < nb:
-        top_qc, sel = jax.lax.top_k(sel_key, B)
-        q_bth = top_qc[:, B - 1:B]  # [b, 1]
-        # Sound excluded-bound max: buckets STRICTLY below the B-th
-        # selection score are certainly excluded. Ties at the boundary are
-        # ambiguous (top_k picks arbitrarily) — the tie guard refuses to
-        # certify those queries instead of under-counting a tied excluded
-        # bucket's bound.
+        if nb > 4096:
+            # Wide bucket tables: lax.top_k over [b, nb] costs ~15 ms at
+            # nb≈49k; the hardware PartialReduce is ~free. An approx
+            # selection can miss a true top-B bucket — recall impact is
+            # bounded by the recall_target, and the ties/count guard below
+            # DETECTS any miss (a skipped bucket then scores ≥ the weakest
+            # selected, count > B) and refuses certification, so the
+            # certificate stays sound.
+            top_qc, sel = jax.lax.approx_max_k(
+                sel_key, B, recall_target=0.99
+            )
+        else:
+            top_qc, sel = jax.lax.top_k(sel_key, B)
+        q_bth = top_qc[:, B - 1:B]  # [b, 1] weakest SELECTED bucket
+        # Sound excluded-bound max: buckets STRICTLY below the weakest
+        # selected score are certainly excluded. Boundary ties (or buckets
+        # an approx selection skipped) are ambiguous — the count guard
+        # refuses to certify those queries instead of under-counting an
+        # excluded bucket's bound.
         excl_raw = jnp.max(
             jnp.where(sel_key < q_bth, bounds, 2.0 * _BOUND_DEAD), axis=1
         )
