@@ -171,3 +171,75 @@ def test_ivf_state_roundtrips_as_arrays():
     v2, i2, c2 = map(np.asarray, ivf_topk(state2, q, K, B=8))
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(v1, v2)
+
+
+async def _noop():  # keep pytest-asyncio collection happy for sync tests
+    return None
+
+
+def test_vectorstore_ivf_mode_with_appends():
+    """search_mode='ivf': exact2 fallback before build_ivf(), snapshot
+    search after, and rows appended post-snapshot are found via the exact
+    interval-scan merge."""
+    from typeagent_tpu.models.adapters import create_test_embedding_model
+    from typeagent_tpu.vectorstore import TextEmbeddingIndexSettings, VectorStore
+
+    rng = np.random.default_rng(21)
+    d = 32
+    centers = rng.standard_normal((12, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    emb = centers[rng.integers(0, 12, 3000)] + 0.2 * rng.standard_normal(
+        (3000, d)
+    ).astype(np.float32) / np.sqrt(d)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+
+    settings = TextEmbeddingIndexSettings(
+        create_test_embedding_model(d), min_score=0.0, search_mode="ivf"
+    )
+    store = VectorStore(settings)
+    store.add_embeddings(None, emb)
+    q = emb[5]
+    pre = store.fuzzy_lookup_embedding(q, max_hits=5)
+    assert pre[0].item == 5  # exact2 fallback until a snapshot exists
+
+    store.build_ivf(rows_per_cluster=128, train_rows=2048, iters=4)
+    post = store.fuzzy_lookup_embedding(q, max_hits=5)
+    assert post[0].item == 5
+    assert {s.item for s in pre} == {s.item for s in post}
+
+    new = emb[5] + 0.01 * rng.standard_normal(d).astype(np.float32)
+    new /= np.linalg.norm(new)
+    store.add_embeddings(None, new[None])
+    appended = store.fuzzy_lookup_embedding(q, max_hits=3)
+    assert 3000 in [s.item for s in appended]
+
+    # Batch route agrees with the single route.
+    hits = store.fuzzy_lookup_embeddings_batch(emb[:4], max_hits=3)
+    assert [h[0].item for h in hits] == [0, 1, 2, 3]
+
+
+def test_vectorstore_ivf_certified_rerun_is_exact():
+    """ivf_certified=True: certificate misses rerun through the one-phase
+    exact kernel, so results always equal the exact oracle."""
+    from typeagent_tpu.models.adapters import create_test_embedding_model
+    from typeagent_tpu.vectorstore import TextEmbeddingIndexSettings, VectorStore
+
+    rng = np.random.default_rng(22)
+    d = 32
+    # Hostile data for IVF: isotropic — certs will miss, reruns must save it.
+    emb = rng.standard_normal((2500, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    settings = TextEmbeddingIndexSettings(
+        create_test_embedding_model(d), min_score=0.0, search_mode="ivf"
+    )
+    settings.ivf_certified = True
+    settings.ivf_b = 4
+    store = VectorStore(settings)
+    store.add_embeddings(None, emb)
+    store.build_ivf(rows_per_cluster=128, train_rows=1024, iters=3)
+    q = emb[rng.choice(2500, 8, replace=False)]
+    true = q @ emb.T
+    oracle = np.argsort(-true, axis=1)[:, :5]
+    hits = store.fuzzy_lookup_embeddings_batch(q, max_hits=5)
+    for row, want in zip(hits, oracle):
+        assert {s.item for s in row} == set(want.tolist())

@@ -147,7 +147,18 @@ class TextEmbeddingIndexSettings:
         # "exact1"/"exact2" force the one-/two-phase engine; "approx" rides
         # XLA's hardware approx_max_k at ~recall_target recall (the
         # lossy-but-fastest serving mode).
-        assert search_mode in ("exact", "exact1", "exact2", "approx"), search_mode
+        # "ivf": learned-bucket IVF + exact outlier tail (ops/ivf.py) —
+        # sublinear scans on clustered corpora; requires an explicit
+        # VectorStore.build_ivf() snapshot (falls back to the exact2 route
+        # until one exists; rows appended after the build are merged via an
+        # exact interval scan).
+        assert search_mode in (
+            "exact", "exact1", "exact2", "approx", "ivf"
+        ), search_mode
+        if search_mode == "ivf" and dtype == "int8":
+            raise ValueError(
+                "search_mode='ivf' supports float32/bfloat16 stores only"
+            )
         if search_mode == "approx" and dtype == "int8":
             raise ValueError(
                 "search_mode='approx' supports float32/bfloat16 stores only "
@@ -157,6 +168,13 @@ class TextEmbeddingIndexSettings:
         # (scoped/subset lookups on sharded stores stay exact).
         self.search_mode = search_mode
         self.recall_target = recall_target
+        # IVF knobs: buckets rescored per query (recall lever), the exiled
+        # outlier fraction at build, and whether an uncertified result
+        # triggers an unconditionally-exact one-phase rerun (strict mode:
+        # exact results always, sublinear speed only where the data allows).
+        self.ivf_b = 16
+        self.ivf_outlier_frac = 0.1
+        self.ivf_certified = False
         # Query upload ("wire") format. "auto": bf16 stores take bf16
         # queries (selection-identical — the kernels cast queries to the
         # store dtype anyway), f32/int8 stores take f32. "int8": queries
@@ -240,6 +258,8 @@ class VectorStore:
         else:
             self._dtype = jnp.float32
         self._scales: jax.Array | None = None  # per-row scales (int8 mode)
+        self._ivf = None  # ops.ivf.IVFState snapshot (search_mode="ivf")
+        self._ivf_count = 0  # rows covered by the snapshot
         # bf16 selection shadow: one (key, shadow) tuple — atomic swap
         self._shadow_cache: tuple | None = None
         self._embedding_size = 0
@@ -688,6 +708,8 @@ class VectorStore:
                 buf, q, count, k, recall_target=self.settings.recall_target
             )
             return vals, idx, None
+        if self.settings.search_mode == "ivf" and self._ivf is not None:
+            return self._topk_ivf(q, k, buf, count)
         if self._use_exact2(k, count):
             if self._dtype == jnp.float32:
                 # Hybrid: bf16-shadow bucket selection (half the HBM read,
@@ -699,6 +721,54 @@ class VectorStore:
             return topk.cosine_topk_exact2(buf, q, count, k)
         vals, idx = topk.cosine_topk(buf, q, count, k)
         return vals, idx, None
+
+    def _topk_ivf(self, q: jax.Array, k: int, buf: jax.Array, count: int):
+        """IVF dispatch: snapshot search + exact interval scan of any rows
+        appended after the snapshot, merged in score space. The certificate
+        stays sound across the merge (the suffix is scanned exactly and the
+        final k-th score only grows). Returned to callers only in
+        ``ivf_certified`` mode, where a cert miss triggers the
+        unconditionally-exact one-phase rerun."""
+        from .ops.ivf import ivf_topk_program
+
+        state = self._ivf
+        vals, idx, cert = ivf_topk_program(
+            *state, q, k,
+            B=self.settings.ivf_b,
+            use_pallas=topk._use_pallas() and topk._platform_of(buf) == "tpu",
+        )
+        if count > self._ivf_count:
+            intervals = jnp.asarray(
+                [[self._ivf_count, count]], dtype=jnp.int32
+            )
+            v2, i2 = topk.topk_program_intervals(
+                buf, q, jnp.asarray(count, jnp.int32), intervals, k
+            )
+            sv = jnp.concatenate([vals, v2], axis=1)
+            si = jnp.concatenate([idx, i2], axis=1)
+            vals, pos = jax.lax.top_k(sv, k)
+            idx = jnp.take_along_axis(si, pos, axis=1)
+        return vals, idx, (cert if self.settings.ivf_certified else None)
+
+    def build_ivf(self, **kwargs) -> None:
+        """Snapshot the current rows into an IVF index (ops/ivf.py).
+
+        One-time device cost (~60 s at 1M x 384 through the tunnel; the
+        k-means assignment matmul dominates). Rows appended later are
+        still found — they ride an exact interval scan until the next
+        build_ivf(). No-op on an empty store.
+        """
+        from .ops.ivf import ivf_build
+
+        self._flush()
+        with self._dispatch_view() as (buf, _scales, count):
+            if not count:
+                return
+            kwargs.setdefault(
+                "outlier_frac", self.settings.ivf_outlier_frac
+            )
+            self._ivf = ivf_build(buf, count, **kwargs)
+            self._ivf_count = count
 
     def _topk_exact1(self, q: jax.Array, k: int, buf, scales, count: int):
         """One-phase unconditional-exact rerun (certificate-miss path)."""
