@@ -243,3 +243,20 @@ def test_vectorstore_ivf_certified_rerun_is_exact():
     hits = store.fuzzy_lookup_embeddings_batch(q, max_hits=5)
     for row, want in zip(hits, oracle):
         assert {s.item for s in row} == set(want.tolist())
+
+
+def test_gather_rows_chunked_matches_single_shot():
+    """The O(chunk)-extra-HBM reorder gather must be value-identical to the
+    single-shot gather, including -1 padding and ragged final chunks."""
+    import jax.numpy as jnp
+
+    from typeagent_tpu.ops.ivf import _gather_rows, _gather_rows_chunked
+
+    rng = np.random.default_rng(5)
+    emb = jnp.asarray(rng.standard_normal((1024, 16)).astype(np.float32))
+    perm = rng.permutation(1024).astype(np.int32)
+    perm[::7] = -1  # dead padding rows
+    perm_d = jnp.asarray(perm)
+    want = np.asarray(_gather_rows(emb, perm_d))
+    got = np.asarray(_gather_rows_chunked(emb, perm_d, chunk_rows=100))
+    np.testing.assert_array_equal(got, want)

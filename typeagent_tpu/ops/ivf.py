@@ -113,9 +113,14 @@ def _chunked_assign(emb, centroids, chunk: int):
     blocks = padded.reshape(n_chunks, chunk, -1)
 
     def one(block):
+        # bf16 operands: the f32 dot runs ~30x slower at 10M x 19.5k
+        # centroids (74s -> 2.5s measured on v5e). Assignment is a
+        # partitioning heuristic — soundness (radii, certificates) comes
+        # from the exact f32 bucket summaries computed AFTER the reorder,
+        # so bf16 score noise only shifts marginal cluster fits/exiles.
         scores = jax.lax.dot_general(
-            block.astype(jnp.float32),
-            centroids,
+            block.astype(jnp.bfloat16),
+            centroids.astype(jnp.bfloat16),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -196,6 +201,28 @@ def _gather_rows(emb, perm):
     return jnp.where(valid[:, None], rows, jnp.zeros_like(rows))
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_chunk(dest, rows, start):
+    """In-place (donated) row-range write — the append-path pattern."""
+    return jax.lax.dynamic_update_slice(dest, rows, (start, 0))
+
+
+def _gather_rows_chunked(emb, perm, chunk_rows: int = 131_072):
+    """Reorder gather with O(chunk) extra HBM: gather each perm chunk, then
+    scatter it into a donated destination buffer. Peak residency is
+    store + destination + one chunk (~15.3 GB at 10M x 384 bf16) instead
+    of 2x store for the single-shot gather — and none of the ~15 GB
+    host round trip the via_host path pays through the tunnel (~30 MB/s
+    fetch measured; via_host at 10M is minutes, this is seconds)."""
+    n_out = perm.shape[0]
+    dest = jnp.zeros((n_out, emb.shape[1]), emb.dtype)
+    for start in range(0, n_out, chunk_rows):
+        stop = min(start + chunk_rows, n_out)
+        rows = _gather_rows(emb, jax.lax.slice(perm, (start,), (stop,)))
+        dest = _scatter_chunk(dest, rows, jnp.asarray(start, jnp.int32))
+    return dest
+
+
 @functools.partial(jax.jit, static_argnames=("nb",))
 def _bucket_summaries(emb_r, perm, *, nb: int):
     """Per-bucket (centroid, radius, fill) in bucket chunks — a whole-array
@@ -234,8 +261,13 @@ def _bucket_summaries(emb_r, perm, *, nb: int):
 
 
 # Keep build peak memory (store + reordered copy) under this fraction of a
-# 16 GB HBM part; past it the reorder gathers round-trip through host RAM.
+# 16 GB HBM part for the single-shot gather (its take/where transients
+# roughly double the output); between the two budgets the chunked
+# scatter-into-donated-dest path runs; past _DEVICE_CHUNKED_BUDGET the
+# reorder round-trips through host RAM (slow through a tunnel — last
+# resort only).
 _DEVICE_GATHER_BUDGET = 12 * 1024**3
+_DEVICE_CHUNKED_BUDGET = int(15.2 * 1024**3)
 
 
 def ivf_build(
@@ -267,6 +299,23 @@ def ivf_build(
     holding store + reordered copy on device simultaneously (auto when the
     pair would exceed ~12 GB — the 10M × 384 bf16 case).
     """
+    import os
+    import sys
+    import time as _time
+
+    _dbg = bool(os.environ.get("TAT_IVF_DEBUG"))
+    _t0 = _time.perf_counter()
+
+    def _phase(msg):
+        nonlocal _t0
+        if _dbg:
+            print(
+                f"[ivf_build] {msg}: {_time.perf_counter() - _t0:.1f}s",
+                file=sys.stderr,
+                flush=True,
+            )
+        _t0 = _time.perf_counter()
+
     n_pad, d_pad = emb.shape
     if n_pad % _BUCKET_ROWS:
         raise ValueError(f"store padding must be a multiple of {_BUCKET_ROWS}")
@@ -284,9 +333,14 @@ def ivf_build(
         iters=iters,
         nb=nb_clusters,
     )
+    jax.block_until_ready(centroids)
+    _phase(f"k-means train ({train_rows} rows, {nb_clusters} clusters)")
     assign, best_s = _assign_all(emb, centroids)
+    jax.block_until_ready(assign)
+    _phase("assign-all")
     a = np.asarray(assign)[:count]
     s = np.asarray(best_s)[:count]
+    _phase("assign fetch")
 
     m = int(count * outlier_frac)
     order_by_fit = np.argsort(s, kind="stable")  # worst fit first
@@ -316,34 +370,49 @@ def ivf_build(
     out_perm = np.full(m_pad, -1, np.int32)
     out_perm[:m] = out_ids
 
+    _phase("host cluster bookkeeping")
     perm_d = jnp.asarray(perm)
     out_perm_d = jnp.asarray(out_perm)
     itemsize = jnp.zeros((), emb.dtype).itemsize
+    pair_bytes = (n_pad + n_in_pad + m_pad) * d_pad * itemsize
     if via_host is None:
-        via_host = (n_pad + n_in_pad + m_pad) * d_pad * itemsize > (
-            _DEVICE_GATHER_BUDGET
-        )
+        # Chunked device gather handles the 10M bf16 case (store + reorder
+        # both resident, ~14.9 GB); via_host only when even that can't fit.
+        via_host = pair_bytes > _DEVICE_CHUNKED_BUDGET
     if via_host:
         host = np.asarray(emb)
-        emb_r = jnp.asarray(
-            np.where(
-                (perm >= 0)[:, None], host[np.clip(perm, 0, n_pad - 1)], 0
-            ).astype(host.dtype)
-        )
-        out_emb = jnp.asarray(
-            np.where(
-                (out_perm >= 0)[:, None],
-                host[np.clip(out_perm, 0, n_pad - 1)],
-                0,
-            ).astype(host.dtype)
-        )
+        _phase(f"via_host: store fetch ({emb.nbytes / 1e9:.1f} GB)")
+        emb_r_host = np.where(
+            (perm >= 0)[:, None], host[np.clip(perm, 0, n_pad - 1)], 0
+        ).astype(host.dtype)
+        out_host = np.where(
+            (out_perm >= 0)[:, None],
+            host[np.clip(out_perm, 0, n_pad - 1)],
+            0,
+        ).astype(host.dtype)
         del host
+        _phase("via_host: host gather")
+        emb_r = jnp.asarray(emb_r_host)
+        del emb_r_host
+        out_emb = jnp.asarray(out_host)
+        del out_host
+        jax.block_until_ready(emb_r)
+        _phase(f"via_host: upload ({emb_r.nbytes / 1e9:.1f} GB)")
     else:
-        emb_r = _gather_rows(emb, perm_d)
+        if pair_bytes > _DEVICE_GATHER_BUDGET:
+            # Single-shot gather transients would push peak past HBM;
+            # chunked scatter-into-donated-dest keeps extra HBM O(chunk).
+            emb_r = _gather_rows_chunked(emb, perm_d)
+        else:
+            emb_r = _gather_rows(emb, perm_d)
         out_emb = _gather_rows(emb, out_perm_d)
+        jax.block_until_ready(emb_r)
+        _phase("device gather")
     cent, radius, fill = _bucket_summaries(
         emb_r, perm_d, nb=n_in_pad // _BUCKET_ROWS
     )
+    jax.block_until_ready(cent)
+    _phase("bucket summaries")
     return IVFState(
         emb_r,
         perm_d,
