@@ -1,10 +1,14 @@
-"""Headline benchmark: cosine top-10 QPS at 1M fragments (dim 384).
+"""Headline benchmark: cosine top-10 QPS on one v5e chip.
 
 Baseline (BASELINE.md, measured on this machine): the reference's
 fuzzy_lookup_embedding kernel (serial numpy, 1 thread) at 1M x 384 runs at
-178 ms/query ~= 5.6 QPS. This benchmark builds the store ON DEVICE (the 1.5 GB
-matrix never crosses the host<->device tunnel) and reports steady-state QPS
-for every search engine the store ships:
+178 ms/query ~= 5.6 QPS; at 10M it extrapolates to 0.56 QPS (the scan is
+linear in rows). Stores build ON DEVICE (matrices never cross the
+host<->device tunnel). Three sections:
+
+**A. Isotropic 1M x 384** (the series-comparable section; random unit rows
+are the information-theoretic worst case — no pruning can help, so this
+measures the full-scan wall honestly):
 
   * exact1        — one-phase fused Pallas matmul+top-k (strict parity mode)
   * exact2        — two-phase: bucket-select at the matmul floor + certified
@@ -15,11 +19,31 @@ for every search engine the store ships:
   * approx        — XLA hardware approx_max_k (recall ~recall_target)
   * int8          — quantized store, fused kernel
 
-Headline: the fastest mode with in-run recall@10 >= 0.99 against the exact
-f32 oracle; the exact-parity (recall 1.0) QPS is stated alongside in the
-metric. Warmup is itemized (data-gen / trace+lower / compile / first-run)
-because the remote compile service behind the tunnel intermittently stalls
-for minutes — the itemization shows where the time went.
+  Measured wall (NOTES.md round-4 roofline): at batch 256 every full-scan
+  engine sits at the chip's compute/bandwidth balance point (~62-80
+  TFLOP/s effective == ~310 GB/s), so ~90-105k QPS is the physical ceiling
+  here for ANY dense method, at any batch size (probed to 2048).
+
+**B. Clustered 10M x 384 bf16** (7.7 GB in HBM — the realistic regime:
+text-embedding corpora are clustered; 10k topics + 2% isotropic
+background): the device IVF engine (learned buckets + exact outlier tail +
+per-query exactness certificate, ops/ivf.py) against the full-scan engines
+on the SAME data, recall vs the certified exact scan of the store. This is
+where pruning breaks the full-scan wall — the win scales with rows.
+Also: device bulk-ingest rate at 10M and an append crossing a
+capacity-doubling boundary (measured in section A's 1M store).
+
+**C. Serving ladder** (host round trips through the tunnel): sync /
+pipelined / coalesced / sustained-stream, interleaved-median QPS with
+p50/p99 request latency.
+
+Headline: the fastest mode with in-run recall@10 >= 0.99 against the
+section's exact oracle, across sections A and B (the metric string names
+the section, corpus and scale; vs_baseline uses that section's numpy
+rate). The exact-parity (recall 1.0) QPS is stated alongside. Warmup is
+itemized (data-gen / trace+lower / compile / first-run) because the remote
+compile service behind the tunnel intermittently stalls for minutes — the
+itemization shows where the time went.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Extra detail goes to stderr.
@@ -28,17 +52,22 @@ Extra detail goes to stderr.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-N_ROWS = 1_000_000
+# TAT_BENCH_SCALE shrinks every section for CPU smoke validation of the
+# benchmark's own code paths (CI uses ~0.01); the driver runs at 1.0.
+_SCALE = float(os.environ.get("TAT_BENCH_SCALE", "1"))
+N_ROWS = max(int(1_000_000 * _SCALE) // 1024 * 1024, 4096)
 DIM = 384
 BATCH = 256
 K = 10
 R = 20  # query batches per device-resident dispatch
-BASELINE_QPS = 1000.0 / 178.0  # 178 ms/query single-thread numpy (BASELINE.md)
+BASELINE_QPS = 1000.0 / 178.0 / _SCALE  # 178 ms/query single-thread numpy
+# at 1M rows (BASELINE.md); the scan is linear in rows.
 RECALL_BAR = 0.99
 
 
@@ -74,14 +103,15 @@ def main() -> None:
     rows_f32.block_until_ready()
     log(f"on-device data gen: {time.perf_counter() - t0:.1f}s")
 
-    def build_store(dtype):
+    def build_store(dtype, rows="default"):
         settings = TextEmbeddingIndexSettings(
             embedding_model=create_test_embedding_model(DIM),
             min_score=0.0,
             dtype=dtype,
         )
         store = VectorStore(settings)
-        store.load_device_rows(rows_f32)
+        if rows is not None:
+            store.load_device_rows(rows_f32 if rows == "default" else rows)
         return store
 
     t0 = time.perf_counter()
@@ -108,7 +138,7 @@ def main() -> None:
         "print('probe ok')"
     )
     t0 = time.perf_counter()
-    for attempt in range(3):
+    for attempt in range(3 if jax.default_backend() == "tpu" else 0):
         try:
             subprocess.run(
                 [sys.executable, "-c", probe_src],
@@ -240,27 +270,256 @@ def main() -> None:
         exact_parity_recall,
     )
 
+    # -- append across a capacity-doubling boundary (the real ingest path:
+    # reserve + in-place donated device update) on the 1M bf16 store --------
+    store_a = stores["bfloat16"]
+    grow = np.asarray(many[0], dtype=np.float32)  # 256 rows
+    cap_before = store_a._buf.shape[0]
+    t0 = time.perf_counter()
+    n_boundary = 0
+    # Appends stage in the host shadow until a flush; flushing each batch
+    # measures the real device-append path (donated in-place update, and
+    # the grow-copy when the watermark crosses capacity).
+    while store_a._buf.shape[0] == cap_before:
+        store_a.add_embeddings(None, grow)
+        store_a._flush()
+        n_boundary += len(grow)
+    np.asarray(store_a._buf[:1])  # sync (block_until_ready is a no-op here)
+    t_boundary = time.perf_counter() - t0
+    log(
+        f"append across capacity boundary ({cap_before} -> "
+        f"{store_a._buf.shape[0]} rows): {n_boundary} rows in "
+        f"{t_boundary:.2f}s ({n_boundary / t_boundary:.0f} rows/s incl. the "
+        f"grow-copy)"
+    )
+
+    # ===== Section B: clustered 10M x 384 bf16 + device IVF =================
+    # Free section A's big buffers first (the 10M section peaks ~15.4 GB of
+    # the chip's 16 GB); the serving ladder rebuilds the 1M bf16 store.
+    def free_store(s):
+        for attr in ("_buf", "_scales", "_shadow"):
+            a = getattr(s, attr, None)
+            if a is not None and hasattr(a, "delete"):
+                a.delete()
+
+    for s in stores.values():
+        free_store(s)
+    stores.clear()
+    outputs.clear()
+    progs.clear()
+    rows_f32.delete()
+
+    N10 = max(int(10_000_000 * _SCALE) // 1024 * 1024, 8192)
+    CLUSTERS10 = max(int(10_000 * _SCALE), 16)
+    SIGMA10, BG10 = 0.35, 0.02
+    R10, OUTLIER10 = 8, 0.03
+    b_results: dict[str, dict] = {}
+    ingest_rate = None
+    try:
+        from typeagent_tpu.ops.ivf import ivf_build, ivf_topk_program
+
+        n_pad10 = -(-N10 // 1024) * 1024
+        chunk = min(524_288, n_pad10)
+        n_chunks = -(-n_pad10 // chunk)
+
+        @jax.jit
+        def gen10(key):
+            kc, kr, kq = jax.random.split(key, 3)
+            centers = jax.random.normal(kc, (CLUSTERS10, DIM), dtype=jnp.float32)
+            centers /= jnp.linalg.norm(centers, axis=1, keepdims=True)
+
+            def one_chunk(ck):
+                k1, k2, k3 = jax.random.split(ck, 3)
+                labels = jax.random.randint(k1, (chunk,), 0, CLUSTERS10)
+                e = centers[labels] + SIGMA10 * jax.random.normal(
+                    k2, (chunk, DIM), dtype=jnp.float32
+                ) / jnp.sqrt(DIM * 1.0)
+                bg = jax.random.normal(k3, (chunk, DIM), dtype=jnp.float32)
+                take = jax.random.uniform(jax.random.fold_in(k1, 7), (chunk,)) < BG10
+                e = jnp.where(take[:, None], bg, e)
+                e /= jnp.linalg.norm(e, axis=1, keepdims=True)
+                return e.astype(jnp.bfloat16)
+
+            rows10 = jax.lax.map(
+                one_chunk, jax.random.split(kr, n_chunks)
+            ).reshape(n_chunks * chunk, DIM)[:N10]
+            # Topic queries: corpus-like rows (what users ask about). The
+            # isotropic-query adversarial case is in tools/tpu_ivf_probe.py.
+            kl, kn = jax.random.split(kq)
+            qlab = jax.random.randint(kl, (R10 * BATCH,), 0, CLUSTERS10)
+            q10 = centers[qlab] + SIGMA10 * jax.random.normal(
+                kn, (R10 * BATCH, DIM), dtype=jnp.float32
+            ) / jnp.sqrt(DIM * 1.0)
+            q10 /= jnp.linalg.norm(q10, axis=1, keepdims=True)
+            return rows10, q10.reshape(R10, BATCH, DIM)
+
+        t0 = time.perf_counter()
+        emb10, many10 = gen10(jax.random.PRNGKey(11))
+        jax.block_until_ready(emb10)
+        log(f"10M clustered gen (on device, {n_chunks} chunks): "
+            f"{time.perf_counter() - t0:.1f}s")
+
+        # Device bulk ingest through the real store path (reserve + cast +
+        # donated in-place update).
+        store10 = build_store("bfloat16", rows=None)
+        t0 = time.perf_counter()
+        store10.load_device_rows(emb10)
+        jax.block_until_ready(store10._buf)
+        t_ing = time.perf_counter() - t0
+        ingest_rate = N10 / t_ing
+        log(f"10M device bulk ingest: {t_ing:.1f}s ({ingest_rate / 1e6:.1f}M rows/s)")
+        emb10.delete()
+
+        emb_b = store10._buf
+        count10 = jnp.asarray(N10, dtype=jnp.int32)
+        t0 = time.perf_counter()
+        ivf = ivf_build(
+            emb_b, N10, outlier_frac=OUTLIER10, rows_per_cluster=512
+        )
+        jax.block_until_ready(ivf.emb_r)
+        log(f"ivf build at 10M: {time.perf_counter() - t0:.1f}s "
+            f"(nb={ivf.n_buckets}, outliers={int(ivf.count_out)})")
+
+        progs_b = {
+            "10M-exact2-bf16": make_prog(
+                lambda q, e: T.topk_program_exact2(e, q, count10, K, slack=6),
+                emb_b,
+            ),
+            "10M-approx-rt995": make_prog(
+                lambda q, e: T.cosine_topk_approx(
+                    e, q, count10, K, recall_target=0.995
+                ),
+                emb_b,
+            ),
+        }
+        use_pallas_b = jax.default_backend() == "tpu"
+        for B_ivf in (8, 16):
+            progs_b[f"10M-ivf-B{B_ivf}"] = make_prog(
+                lambda q, *st, _B=B_ivf: ivf_topk_program(
+                    *st, q, K, B=_B, use_pallas=use_pallas_b
+                ),
+                *ivf,
+            )
+
+        outputs_b, timings_b = {}, {}
+        for name, (prog, bufs) in progs_b.items():
+            t0 = time.perf_counter()
+            lowered = prog.lower(many10, *bufs)
+            compiled = lowered.compile()
+            t_c = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            out = compiled(many10, *bufs)
+            np.asarray(jax.tree.leaves(out)[0])
+            log(f"warmup {name}: lower+compile {t_c:.1f}s "
+                f"(persistent-cache {'hit' if t_c < 15 else 'MISS'}), "
+                f"first run {time.perf_counter() - t0:.1f}s")
+            progs_b[name] = (compiled, bufs)
+            outputs_b[name] = out
+            timings_b[name] = float("inf")
+        for _ in range(3):
+            for name, (compiled, bufs) in progs_b.items():
+                t0 = time.perf_counter()
+                out = compiled(many10, *bufs)
+                np.asarray(jax.tree.leaves(out)[0])
+                timings_b[name] = min(
+                    timings_b[name], time.perf_counter() - t0
+                )
+                outputs_b[name] = out
+
+        # Oracle at 10M: the certified exact scan of the bf16 store (an f32
+        # copy does not fit next to it).
+        oracle_leaves = jax.tree.leaves(outputs_b["10M-exact2-bf16"])
+        assert bool(np.asarray(oracle_leaves[2]).all()), (
+            "10M exact2 oracle must certify"
+        )
+        oracle10 = np.asarray(oracle_leaves[1]).reshape(-1, K)
+        for name, el in timings_b.items():
+            leaves = jax.tree.leaves(outputs_b[name])
+            idx = np.asarray(leaves[1]).reshape(-1, K)
+            rec = float(
+                np.mean(
+                    [
+                        len(set(a.tolist()) & set(bb.tolist())) / K
+                        for a, bb in zip(idx, oracle10)
+                    ]
+                )
+            )
+            cert = (
+                float(np.asarray(leaves[2]).mean()) if len(leaves) > 2 else None
+            )
+            qps = R10 * BATCH / el
+            b_results[name] = {"qps": qps, "recall": rec}
+            log(
+                f"{name}: {el / R10 * 1000:.2f} ms/batch-{BATCH}, {qps:.0f} QPS"
+                f", recall@{K} vs certified-exact oracle: {rec:.4f}"
+                + (f", cert_frac={cert:.3f}" if cert is not None else "")
+            )
+
+        # Free section B.
+        for arr in list(ivf) + [emb_b, many10]:
+            if hasattr(arr, "delete"):
+                arr.delete()
+        for s in (store10,):
+            pass  # buffer already deleted via emb_b
+    except Exception as e:  # noqa: BLE001
+        log(f"10M section FAILED (headline falls back to section A): "
+            f"{type(e).__name__}: {e}")
+
     # -- headline (printed BEFORE the serving ladder: the tunnel stalls for
     # minutes at a time, and a stall inside the serving section must not
     # cost the recorded result) --------------------------------------------
     eligible = {n: (q, r) for n, (q, r) in rates.items() if r >= RECALL_BAR}
-    mode, (best_qps, best_recall) = max(eligible.items(), key=lambda kv: kv[1][0])
+    mode_a, (qps_a, rec_a) = max(eligible.items(), key=lambda kv: kv[1][0])
     log(
-        f"headline mode: {mode} ({best_qps:.0f} QPS, recall {best_recall:.4f}); "
+        f"section A headline: {mode_a} ({qps_a:.0f} QPS, recall {rec_a:.4f}); "
         f"exact-parity (recall 1.0): exact2h-f32 {exact_parity_qps:.0f} QPS"
+    )
+    candidates = [
+        {
+            "name": mode_a,
+            "qps": qps_a,
+            "recall": rec_a,
+            "desc": (
+                f"isotropic {N_ROWS // 1000}k x {DIM} (full-scan worst case)"
+            ),
+            "baseline": BASELINE_QPS,
+        }
+    ]
+    for name, rr in b_results.items():
+        if rr["recall"] >= RECALL_BAR and "oracle" not in name:
+            candidates.append(
+                {
+                    "name": name,
+                    "qps": rr["qps"],
+                    "recall": rr["recall"],
+                    "desc": (
+                        f"clustered 10M x {DIM} bf16 ({CLUSTERS10 // 1000}k "
+                        f"topics, {int(BG10 * 100)}% background, topic "
+                        f"queries; recall vs certified exact scan)"
+                    ),
+                    # numpy extrapolates linearly in rows: 1.78 s/query.
+                    "baseline": BASELINE_QPS / 10.0,
+                }
+            )
+    best = max(candidates, key=lambda c: c["qps"])
+    log(f"headline: {best['name']} {best['qps']:.0f} QPS on {best['desc']}")
+    ingest_s = (
+        f"; 10M device ingest {ingest_rate / 1e6:.1f}M rows/s" if ingest_rate
+        else ""
     )
     print(
         json.dumps(
             {
                 "metric": (
-                    f"cosine top-{K} QPS ({mode}, recall@{K}>={RECALL_BAR} vs "
-                    f"exact f32 oracle, measured {best_recall:.3f}; "
-                    f"exact-parity recall-1.0 mode: {exact_parity_qps:.0f} QPS), "
-                    f"{N_ROWS // 1000}k x {DIM} fragments, batch {BATCH}"
+                    f"cosine top-{K} QPS ({best['name']}, batch {BATCH}, "
+                    f"{best['desc']}, recall@{K}>={RECALL_BAR} measured "
+                    f"{best['recall']:.3f}; isotropic-1M best: {mode_a} "
+                    f"{qps_a:.0f} QPS; exact-parity recall-1.0 mode: "
+                    f"exact2h-f32 {exact_parity_qps:.0f} QPS{ingest_s})"
                 ),
-                "value": round(best_qps, 1),
+                "value": round(best["qps"], 1),
                 "unit": "QPS",
-                "vs_baseline": round(best_qps / BASELINE_QPS, 1),
+                "vs_baseline": round(best["qps"] / best["baseline"], 1),
             }
         ),
         flush=True,
@@ -277,7 +536,11 @@ def main() -> None:
     from typeagent_tpu.serve import LookupBatcher
     from typeagent_tpu.utils.metrics import MetricsRegistry
 
-    store = stores["bfloat16"]
+    # Section A's buffers were freed for the 10M section; rebuild the 1M
+    # bf16 store (same PRNG key -> identical rows, on-device).
+    rows_again, _ = gen_data(jax.random.PRNGKey(7))
+    store = build_store("bfloat16", rows=rows_again)
+    rows_again.delete()
     queries_host = np.asarray(many[0])
     many_host = np.asarray(many)
     n_stream = 3 * R
