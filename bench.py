@@ -309,92 +309,107 @@ def main() -> None:
     progs.clear()
     rows_f32.delete()
 
-    N10 = max(int(10_000_000 * _SCALE) // 1024 * 1024, 8192)
-    CLUSTERS10 = max(int(10_000 * _SCALE), 16)
-    SIGMA10, BG10 = 0.35, 0.02
-    R10, OUTLIER10 = 8, 0.03
+    SIGMA_C, BG_C = 0.35, 0.02
     b_results: dict[str, dict] = {}
+    b_desc: dict[str, str] = {}
     ingest_rate = None
-    try:
+
+    def run_clustered(
+        tag: str,
+        n_rows: int,
+        clusters: int,
+        r_batches: int,
+        outlier_frac: float,
+        rows_per_cluster: int,
+        seed: int,
+        measure_ingest: bool,
+    ):
+        """One clustered-corpus scale: gen -> (ingest) -> ivf build ->
+        engines vs the certified exact scan. Results land in b_results."""
+        nonlocal ingest_rate
         from typeagent_tpu.ops.ivf import ivf_build, ivf_topk_program
 
-        n_pad10 = -(-N10 // 1024) * 1024
-        chunk = min(524_288, n_pad10)
-        n_chunks = -(-n_pad10 // chunk)
+        n_pad_c = -(-n_rows // 1024) * 1024
+        chunk = min(524_288, n_pad_c)
+        n_chunks = -(-n_pad_c // chunk)
 
         @jax.jit
-        def gen10(key):
+        def gen_c(key):
             kc, kr, kq = jax.random.split(key, 3)
-            centers = jax.random.normal(kc, (CLUSTERS10, DIM), dtype=jnp.float32)
+            centers = jax.random.normal(kc, (clusters, DIM), dtype=jnp.float32)
             centers /= jnp.linalg.norm(centers, axis=1, keepdims=True)
 
             def one_chunk(ck):
                 k1, k2, k3 = jax.random.split(ck, 3)
-                labels = jax.random.randint(k1, (chunk,), 0, CLUSTERS10)
-                e = centers[labels] + SIGMA10 * jax.random.normal(
+                labels = jax.random.randint(k1, (chunk,), 0, clusters)
+                e = centers[labels] + SIGMA_C * jax.random.normal(
                     k2, (chunk, DIM), dtype=jnp.float32
                 ) / jnp.sqrt(DIM * 1.0)
                 bg = jax.random.normal(k3, (chunk, DIM), dtype=jnp.float32)
-                take = jax.random.uniform(jax.random.fold_in(k1, 7), (chunk,)) < BG10
+                take = jax.random.uniform(jax.random.fold_in(k1, 7), (chunk,)) < BG_C
                 e = jnp.where(take[:, None], bg, e)
                 e /= jnp.linalg.norm(e, axis=1, keepdims=True)
                 return e.astype(jnp.bfloat16)
 
-            rows10 = jax.lax.map(
+            rows_c = jax.lax.map(
                 one_chunk, jax.random.split(kr, n_chunks)
-            ).reshape(n_chunks * chunk, DIM)[:N10]
+            ).reshape(n_chunks * chunk, DIM)[:n_rows]
             # Topic queries: corpus-like rows (what users ask about). The
             # isotropic-query adversarial case is in tools/tpu_ivf_probe.py.
             kl, kn = jax.random.split(kq)
-            qlab = jax.random.randint(kl, (R10 * BATCH,), 0, CLUSTERS10)
-            q10 = centers[qlab] + SIGMA10 * jax.random.normal(
-                kn, (R10 * BATCH, DIM), dtype=jnp.float32
+            qlab = jax.random.randint(kl, (r_batches * BATCH,), 0, clusters)
+            q_c = centers[qlab] + SIGMA_C * jax.random.normal(
+                kn, (r_batches * BATCH, DIM), dtype=jnp.float32
             ) / jnp.sqrt(DIM * 1.0)
-            q10 /= jnp.linalg.norm(q10, axis=1, keepdims=True)
-            return rows10, q10.reshape(R10, BATCH, DIM)
+            q_c /= jnp.linalg.norm(q_c, axis=1, keepdims=True)
+            return rows_c, q_c.reshape(r_batches, BATCH, DIM)
 
         t0 = time.perf_counter()
-        emb10, many10 = gen10(jax.random.PRNGKey(11))
-        jax.block_until_ready(emb10)
-        log(f"10M clustered gen (on device, {n_chunks} chunks): "
+        emb_c, many_c = gen_c(jax.random.PRNGKey(seed))
+        np.asarray(emb_c[:1, :1])
+        log(f"{tag} clustered gen (on device, {n_chunks} chunks): "
             f"{time.perf_counter() - t0:.1f}s")
 
-        # Device bulk ingest through the real store path (reserve + cast +
-        # donated in-place update).
-        store10 = build_store("bfloat16", rows=None)
-        t0 = time.perf_counter()
-        store10.load_device_rows(emb10)
-        jax.block_until_ready(store10._buf)
-        t_ing = time.perf_counter() - t0
-        ingest_rate = N10 / t_ing
-        log(f"10M device bulk ingest: {t_ing:.1f}s ({ingest_rate / 1e6:.1f}M rows/s)")
-        emb10.delete()
-
-        emb_b = store10._buf
-        count10 = jnp.asarray(N10, dtype=jnp.int32)
+        if measure_ingest:
+            # Device bulk ingest through the real store path (reserve +
+            # cast + donated in-place update).
+            store_c = build_store("bfloat16", rows=None)
+            t0 = time.perf_counter()
+            store_c.load_device_rows(emb_c)
+            np.asarray(store_c._buf[:1, :1])
+            t_ing = time.perf_counter() - t0
+            ingest_rate = n_rows / t_ing
+            log(f"{tag} device bulk ingest: {t_ing:.1f}s "
+                f"({ingest_rate / 1e6:.1f}M rows/s)")
+            emb_c.delete()
+            emb_b = store_c._buf
+        else:
+            emb_b = emb_c
+        count_c = jnp.asarray(n_rows, dtype=jnp.int32)
         t0 = time.perf_counter()
         ivf = ivf_build(
-            emb_b, N10, outlier_frac=OUTLIER10, rows_per_cluster=512
+            emb_b, n_rows, outlier_frac=outlier_frac,
+            rows_per_cluster=rows_per_cluster,
         )
-        jax.block_until_ready(ivf.emb_r)
-        log(f"ivf build at 10M: {time.perf_counter() - t0:.1f}s "
+        np.asarray(ivf.emb_r[:1, :1])
+        log(f"ivf build at {tag}: {time.perf_counter() - t0:.1f}s "
             f"(nb={ivf.n_buckets}, outliers={int(ivf.count_out)})")
 
         progs_b = {
-            "10M-exact2-bf16": make_prog(
-                lambda q, e: T.topk_program_exact2(e, q, count10, K, slack=6),
+            f"{tag}-exact2-bf16": make_prog(
+                lambda q, e: T.topk_program_exact2(e, q, count_c, K, slack=6),
                 emb_b,
             ),
-            "10M-approx-rt995": make_prog(
+            f"{tag}-approx-rt995": make_prog(
                 lambda q, e: T.cosine_topk_approx(
-                    e, q, count10, K, recall_target=0.995
+                    e, q, count_c, K, recall_target=0.995
                 ),
                 emb_b,
             ),
         }
         use_pallas_b = jax.default_backend() == "tpu"
         for B_ivf in (8, 16):
-            progs_b[f"10M-ivf-B{B_ivf}"] = make_prog(
+            progs_b[f"{tag}-ivf-B{B_ivf}"] = make_prog(
                 lambda q, *st, _B=B_ivf: ivf_topk_program(
                     *st, q, K, B=_B, use_pallas=use_pallas_b
                 ),
@@ -404,11 +419,10 @@ def main() -> None:
         outputs_b, timings_b = {}, {}
         for name, (prog, bufs) in progs_b.items():
             t0 = time.perf_counter()
-            lowered = prog.lower(many10, *bufs)
-            compiled = lowered.compile()
+            compiled = prog.lower(many_c, *bufs).compile()
             t_c = time.perf_counter() - t0
             t0 = time.perf_counter()
-            out = compiled(many10, *bufs)
+            out = compiled(many_c, *bufs)
             np.asarray(jax.tree.leaves(out)[0])
             log(f"warmup {name}: lower+compile {t_c:.1f}s "
                 f"(persistent-cache {'hit' if t_c < 15 else 'MISS'}), "
@@ -419,20 +433,25 @@ def main() -> None:
         for _ in range(3):
             for name, (compiled, bufs) in progs_b.items():
                 t0 = time.perf_counter()
-                out = compiled(many10, *bufs)
+                out = compiled(many_c, *bufs)
                 np.asarray(jax.tree.leaves(out)[0])
                 timings_b[name] = min(
                     timings_b[name], time.perf_counter() - t0
                 )
                 outputs_b[name] = out
 
-        # Oracle at 10M: the certified exact scan of the bf16 store (an f32
-        # copy does not fit next to it).
-        oracle_leaves = jax.tree.leaves(outputs_b["10M-exact2-bf16"])
+        # Oracle: the certified exact scan of the bf16 store (an f32 copy
+        # does not fit next to the 10M buffer; at 1M the store IS bf16).
+        oracle_leaves = jax.tree.leaves(outputs_b[f"{tag}-exact2-bf16"])
         assert bool(np.asarray(oracle_leaves[2]).all()), (
-            "10M exact2 oracle must certify"
+            f"{tag} exact2 oracle must certify"
         )
-        oracle10 = np.asarray(oracle_leaves[1]).reshape(-1, K)
+        oracle_c = np.asarray(oracle_leaves[1]).reshape(-1, K)
+        desc = (
+            f"clustered {tag} x {DIM} bf16 ({clusters} topics, "
+            f"{int(BG_C * 100)}% background, topic queries; recall vs "
+            f"certified exact scan)"
+        )
         for name, el in timings_b.items():
             leaves = jax.tree.leaves(outputs_b[name])
             idx = np.asarray(leaves[1]).reshape(-1, K)
@@ -440,30 +459,43 @@ def main() -> None:
                 np.mean(
                     [
                         len(set(a.tolist()) & set(bb.tolist())) / K
-                        for a, bb in zip(idx, oracle10)
+                        for a, bb in zip(idx, oracle_c)
                     ]
                 )
             )
             cert = (
                 float(np.asarray(leaves[2]).mean()) if len(leaves) > 2 else None
             )
-            qps = R10 * BATCH / el
-            b_results[name] = {"qps": qps, "recall": rec}
+            qps = r_batches * BATCH / el
+            b_results[name] = {
+                "qps": qps,
+                "recall": rec,
+                "baseline": BASELINE_QPS * 1_000_000 * _SCALE / n_rows,
+            }
+            b_desc[name] = desc
             log(
-                f"{name}: {el / R10 * 1000:.2f} ms/batch-{BATCH}, {qps:.0f} QPS"
-                f", recall@{K} vs certified-exact oracle: {rec:.4f}"
+                f"{name}: {el / r_batches * 1000:.2f} ms/batch-{BATCH}, "
+                f"{qps:.0f} QPS, recall@{K} vs certified-exact oracle: "
+                f"{rec:.4f}"
                 + (f", cert_frac={cert:.3f}" if cert is not None else "")
             )
 
-        # Free section B.
-        for arr in list(ivf) + [emb_b, many10]:
+        for arr in list(ivf) + [emb_b, many_c]:
             if hasattr(arr, "delete"):
                 arr.delete()
-        for s in (store10,):
-            pass  # buffer already deleted via emb_b
-    except Exception as e:  # noqa: BLE001
-        log(f"10M section FAILED (headline falls back to section A): "
-            f"{type(e).__name__}: {e}")
+
+    scales_c = [
+        ("1M", max(int(1_000_000 * _SCALE) // 1024 * 1024, 8192),
+         max(int(1_000 * _SCALE), 8), 20, 0.03, 512, 13, False),
+        ("10M", max(int(10_000_000 * _SCALE) // 1024 * 1024, 8192),
+         max(int(10_000 * _SCALE), 16), 8, 0.03, 1024, 11, True),
+    ]
+    for tag, n_c, cl_c, r_c, of_c, rpc_c, seed_c, ing_c in scales_c:
+        try:
+            run_clustered(tag, n_c, cl_c, r_c, of_c, rpc_c, seed_c, ing_c)
+        except Exception as e:  # noqa: BLE001
+            log(f"clustered {tag} section FAILED (headline falls back): "
+                f"{type(e).__name__}: {e}")
 
     # -- headline (printed BEFORE the serving ladder: the tunnel stalls for
     # minutes at a time, and a stall inside the serving section must not
@@ -486,19 +518,15 @@ def main() -> None:
         }
     ]
     for name, rr in b_results.items():
-        if rr["recall"] >= RECALL_BAR and "oracle" not in name:
+        if rr["recall"] >= RECALL_BAR:
             candidates.append(
                 {
                     "name": name,
                     "qps": rr["qps"],
                     "recall": rr["recall"],
-                    "desc": (
-                        f"clustered 10M x {DIM} bf16 ({CLUSTERS10 // 1000}k "
-                        f"topics, {int(BG10 * 100)}% background, topic "
-                        f"queries; recall vs certified exact scan)"
-                    ),
-                    # numpy extrapolates linearly in rows: 1.78 s/query.
-                    "baseline": BASELINE_QPS / 10.0,
+                    "desc": b_desc[name],
+                    # numpy extrapolates linearly in rows (178 ms/query/M).
+                    "baseline": rr["baseline"],
                 }
             )
     best = max(candidates, key=lambda c: c["qps"])
