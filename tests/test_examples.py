@@ -18,6 +18,7 @@ EXAMPLES = [
     ("batch_query_demo.py", []),
     ("sharded_corpus_demo.py", []),
     ("serving_demo.py", ["serving demo ok"]),
+    ("ivf_demo.py", ["ivf demo ok"]),
 ]
 
 
