@@ -267,7 +267,10 @@ def _bucket_summaries(emb_r, perm, *, nb: int):
 # reorder round-trips through host RAM (slow through a tunnel — last
 # resort only).
 _DEVICE_GATHER_BUDGET = 12 * 1024**3
-_DEVICE_CHUNKED_BUDGET = int(15.2 * 1024**3)
+# Measured on v5e (2026-08-19): a 7.68 + 8.65 GB pair plus a 131k-row
+# gather chunk allocates and runs (usable HBM >= 16.4e9 bytes); the 10M
+# probe's 16.33e9 pair is in-budget.
+_DEVICE_CHUNKED_BUDGET = int(15.45 * 1024**3)
 
 
 def ivf_build(
@@ -349,6 +352,10 @@ def ivf_build(
     )
     a = a[:count].astype(np.int64)
     s = s[:count]
+    # Free the device-side assignment vectors before the reorder gather —
+    # the 10M bf16 case runs within ~2% of usable HBM.
+    assign.delete()
+    best_s.delete()
     _phase("assign fetch (downcast, single device_get)")
 
     m = int(count * outlier_frac)
