@@ -223,40 +223,49 @@ def _gather_rows_chunked(emb, perm, chunk_rows: int = 131_072):
     return dest
 
 
-@functools.partial(jax.jit, static_argnames=("nb",))
+@jax.jit
+def _bucket_summary_block(block, valid):
+    """Per-bucket (centroid, radius, fill) for one [cb, 128, d] block."""
+    rows = block.astype(jnp.float32)
+    w = valid.astype(jnp.float32)
+    counts_b = w.sum(axis=1)
+    cent = (rows * w[:, :, None]).sum(axis=1) / jnp.maximum(counts_b, 1.0)[
+        :, None
+    ]
+    resid = jnp.linalg.norm(rows - cent[:, None, :], axis=2)
+    radius = jnp.max(jnp.where(valid, resid, -jnp.inf), axis=1)
+    radius = jnp.where(counts_b > 0, radius, _BOUND_DEAD)
+    return cent, radius, counts_b.astype(jnp.int32)
+
+
 def _bucket_summaries(emb_r, perm, *, nb: int):
     """Per-bucket (centroid, radius, fill) in bucket chunks — a whole-array
     f32 cast would materialize a second full-size copy (9 GB at 6M x 384)
-    and OOM next to the store."""
+    and OOM next to the store. Chunking is a host loop of fixed-shape
+    slices: the single-program pad + [steps, cb, 128, d] reshape of the
+    whole store crashed the remote TPU compiler at the 10M shape (83k
+    buckets), and slices keep the peak transient at one ~100 MB block."""
     d_pad = emb_r.shape[1]
     chunk_b = 512  # buckets/step: 512*128*d f32 = ~100 MB at d=384
-    n_steps = -(-nb // chunk_b)
-    pad_b = n_steps * chunk_b - nb
-    rows_all = jnp.pad(emb_r, ((0, pad_b * _BUCKET_ROWS), (0, 0))).reshape(
-        n_steps, chunk_b, _BUCKET_ROWS, d_pad
-    )
-    valid_all = jnp.pad(perm >= 0, (0, pad_b * _BUCKET_ROWS)).reshape(
-        n_steps, chunk_b, _BUCKET_ROWS
-    )
-
-    def one(xs):
-        block, valid = xs
-        rows = block.astype(jnp.float32)
-        w = valid.astype(jnp.float32)
-        counts_b = w.sum(axis=1)
-        cent = (rows * w[:, :, None]).sum(axis=1) / jnp.maximum(
-            counts_b, 1.0
-        )[:, None]
-        resid = jnp.linalg.norm(rows - cent[:, None, :], axis=2)
-        radius = jnp.max(jnp.where(valid, resid, -jnp.inf), axis=1)
-        radius = jnp.where(counts_b > 0, radius, _BOUND_DEAD)
-        return cent, radius, counts_b.astype(jnp.int32)
-
-    cent, radius, fill = jax.lax.map(one, (rows_all, valid_all))
+    valid_full = perm >= 0
+    cents, radii, fills = [], [], []
+    for b0 in range(0, nb, chunk_b):
+        cb = min(chunk_b, nb - b0)
+        r0 = b0 * _BUCKET_ROWS
+        block = jax.lax.slice(
+            emb_r, (r0, 0), (r0 + cb * _BUCKET_ROWS, d_pad)
+        ).reshape(cb, _BUCKET_ROWS, d_pad)
+        valid = jax.lax.slice(
+            valid_full, (r0,), (r0 + cb * _BUCKET_ROWS,)
+        ).reshape(cb, _BUCKET_ROWS)
+        c, r, f = _bucket_summary_block(block, valid)
+        cents.append(c)
+        radii.append(r)
+        fills.append(f)
     return (
-        cent.reshape(n_steps * chunk_b, d_pad)[:nb],
-        radius.reshape(-1)[:nb],
-        fill.reshape(-1)[:nb],
+        jnp.concatenate(cents, axis=0),
+        jnp.concatenate(radii, axis=0),
+        jnp.concatenate(fills, axis=0),
     )
 
 
