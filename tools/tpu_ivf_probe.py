@@ -46,6 +46,11 @@ def main():
     ap.add_argument("--sigma", type=float, default=0.35)
     ap.add_argument("--bg", type=float, default=0.1)
     ap.add_argument("--outlier-frac", type=float, default=0.1)
+    ap.add_argument(
+        "--rows-per-cluster", type=int, default=0,
+        help="0 = auto: 512, or 1024 above 2M rows (halves the cluster-"
+             "alignment padding next to a near-HBM-capacity store)",
+    )
     args = ap.parse_args()
     n = int(args.rows)
     if not args.clusters:
@@ -99,7 +104,10 @@ def main():
     count = jnp.asarray(n, jnp.int32)
 
     t0 = time.perf_counter()
-    state = ivf_build(emb, n, outlier_frac=args.outlier_frac)
+    rpc = args.rows_per_cluster or (1024 if n > 2_000_000 else 512)
+    state = ivf_build(
+        emb, n, outlier_frac=args.outlier_frac, rows_per_cluster=rpc
+    )
     jax.block_until_ready(state.emb_r)
     rad = np.asarray(state.radius)
     rad = rad[rad > -1e4]

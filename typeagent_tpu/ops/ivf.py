@@ -248,7 +248,22 @@ def _bucket_summaries(emb_r, perm, *, nb: int):
     d_pad = emb_r.shape[1]
     chunk_b = 512  # buckets/step: 512*128*d f32 = ~100 MB at d=384
     valid_full = perm >= 0
-    cents, radii, fills = [], [], []
+    # Preallocate + donated in-place writes: a final concatenate of the
+    # per-block pieces spikes peak HBM by the full table size — enough to
+    # RESOURCE_EXHAUST the 10M build, which already runs within ~2% of
+    # usable HBM (store + reordered copy both resident).
+    cent = jnp.zeros((nb, d_pad), jnp.float32)
+    radius = jnp.full((nb,), _BOUND_DEAD, jnp.float32)
+    fill = jnp.zeros((nb,), jnp.int32)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _write1(dst, blk, b0):
+        return jax.lax.dynamic_update_slice(dst, blk, (b0,))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def _write2(dst, blk, b0):
+        return jax.lax.dynamic_update_slice(dst, blk, (b0, 0))
+
     for b0 in range(0, nb, chunk_b):
         cb = min(chunk_b, nb - b0)
         r0 = b0 * _BUCKET_ROWS
@@ -259,14 +274,11 @@ def _bucket_summaries(emb_r, perm, *, nb: int):
             valid_full, (r0,), (r0 + cb * _BUCKET_ROWS,)
         ).reshape(cb, _BUCKET_ROWS)
         c, r, f = _bucket_summary_block(block, valid)
-        cents.append(c)
-        radii.append(r)
-        fills.append(f)
-    return (
-        jnp.concatenate(cents, axis=0),
-        jnp.concatenate(radii, axis=0),
-        jnp.concatenate(fills, axis=0),
-    )
+        start = jnp.asarray(b0, jnp.int32)
+        cent = _write2(cent, c, start)
+        radius = _write1(radius, r, start)
+        fill = _write1(fill, f, start)
+    return cent, radius, fill
 
 
 # Keep build peak memory (store + reordered copy) under this fraction of a
