@@ -408,7 +408,7 @@ def main() -> None:
             ),
         }
         use_pallas_b = jax.default_backend() == "tpu"
-        for B_ivf in (8, 16):
+        for B_ivf in (8, 12, 16):
             progs_b[f"{tag}-ivf-B{B_ivf}"] = make_prog(
                 lambda q, *st, _B=B_ivf: ivf_topk_program(
                     *st, q, K, B=_B, use_pallas=use_pallas_b
@@ -488,7 +488,12 @@ def main() -> None:
         ("1M", max(int(1_000_000 * _SCALE) // 1024 * 1024, 8192),
          max(int(1_000 * _SCALE), 8), 20, 0.03, 512, 13, False),
         ("10M", max(int(10_000_000 * _SCALE) // 1024 * 1024, 8192),
-         max(int(10_000 * _SCALE), 16), 8, 0.03, 1024, 11, True),
+         # rows_per_cluster 512: clusters (19.5k) must OUTNUMBER topics
+         # (10k) ~2x or merged-topic buckets balloon the radii (recall
+         # 0.9914 at 512 vs 0.955 at 768 vs 0.87 at 1024, measured). The
+         # build pair (16.33e9 B next to the 7.7 GB store) fits since the
+         # donated-table and freed-assignment fixes.
+         max(int(10_000 * _SCALE), 16), 8, 0.03, 512, 11, True),
     ]
     for tag, n_c, cl_c, r_c, of_c, rpc_c, seed_c, ing_c in scales_c:
         try:

@@ -73,6 +73,9 @@ _BOUND_DEAD = -3.0e4  # bound for buckets with no live rows
 # Chunk sizes for the build matmuls (rows per step).
 _TRAIN_CHUNK = 8192
 _ASSIGN_CHUNK = 65536
+# Cluster-axis window: XLA falls off a tiling cliff past ~16k output lanes
+# (lloyd at 19.5k clusters measured ~30x slower than at 9.8k on v5e).
+_CLUSTER_AXIS_CHUNK = 16384
 
 
 class IVFState(NamedTuple):
@@ -112,22 +115,39 @@ def _chunked_assign(emb, centroids, chunk: int):
     padded = jnp.pad(emb, ((0, pad), (0, 0)))
     blocks = padded.reshape(n_chunks, chunk, -1)
 
+    k = centroids.shape[0]
+
     def one(block):
         # bf16 operands: the f32 dot runs ~30x slower at 10M x 19.5k
         # centroids (74s -> 2.5s measured on v5e). Assignment is a
         # partitioning heuristic — soundness (radii, certificates) comes
         # from the exact f32 bucket summaries computed AFTER the reorder,
         # so bf16 score noise only shifts marginal cluster fits/exiles.
-        scores = jax.lax.dot_general(
-            block.astype(jnp.bfloat16),
-            centroids.astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return (
-            jnp.argmax(scores, axis=1).astype(jnp.int32),
-            jnp.max(scores, axis=1),
-        )
+        # The cluster axis splits at _CLUSTER_AXIS_CHUNK: XLA falls off a
+        # tiling cliff past ~16k output lanes (lloyd at 19.5k clusters
+        # measured ~30x slower than at 9.8k).
+        qb = block.astype(jnp.bfloat16)
+        best_i = None
+        best_v = None
+        for c0 in range(0, k, _CLUSTER_AXIS_CHUNK):
+            cc = jax.lax.slice(
+                centroids, (c0, 0),
+                (min(c0 + _CLUSTER_AXIS_CHUNK, k), centroids.shape[1]),
+            ).astype(jnp.bfloat16)
+            scores = jax.lax.dot_general(
+                qb, cc,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            v = jnp.max(scores, axis=1)
+            i = jnp.argmax(scores, axis=1).astype(jnp.int32) + c0
+            if best_v is None:
+                best_i, best_v = i, v
+            else:
+                take = v > best_v
+                best_i = jnp.where(take, i, best_i)
+                best_v = jnp.where(take, v, best_v)
+        return best_i, best_v
 
     a, s = jax.lax.map(one, blocks)
     return a.reshape(-1)[:n], s.reshape(-1)[:n]
@@ -146,16 +166,33 @@ def _chunked_cluster_sums(train, assign, k: int, chunk: int):
     def one(carry, xs):
         sums, counts = carry
         block, a = xs
+        bb = block.astype(jnp.bfloat16)
         # bf16 one-hot: values 0/1 are exact; both reductions accumulate
         # f32. Halves the transient (at 10M rows the cluster count is ~78k
-        # and a [chunk, k] f32 one-hot would be ~2.4 GB).
-        oh = jax.nn.one_hot(a, k, dtype=jnp.bfloat16)  # [chunk, k]
-        sums = sums + jax.lax.dot_general(
-            oh, block.astype(jnp.bfloat16),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        counts = counts + jnp.sum(oh, axis=0, dtype=jnp.float32)
+        # and a [chunk, k] f32 one-hot would be ~2.4 GB). The cluster axis
+        # splits at _CLUSTER_AXIS_CHUNK (same tiling cliff as the
+        # assignment dot); one_hot(a - c0) zeroes out-of-window labels, so
+        # each window's dot only accumulates its own clusters.
+        for c0 in range(0, k, _CLUSTER_AXIS_CHUNK):
+            kk = min(_CLUSTER_AXIS_CHUNK, k - c0)
+            oh = jax.nn.one_hot(a - c0, kk, dtype=jnp.bfloat16)  # [chunk, kk]
+            part = jax.lax.dot_general(
+                oh, bb,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            sums = jax.lax.dynamic_update_slice(
+                sums,
+                jax.lax.dynamic_slice(sums, (c0, 0), (kk, sums.shape[1]))
+                + part,
+                (c0, 0),
+            )
+            counts = jax.lax.dynamic_update_slice(
+                counts,
+                jax.lax.dynamic_slice(counts, (c0,), (kk,))
+                + jnp.sum(oh, axis=0, dtype=jnp.float32),
+                (c0,),
+            )
         return (sums, counts), None
 
     init = (jnp.zeros((k, d), jnp.float32), jnp.zeros((k,), jnp.float32))
@@ -347,8 +384,10 @@ def ivf_build(
     if not 0 < count <= n_pad:
         raise ValueError(f"count {count} out of range for buffer {n_pad}")
     nb_clusters = max(n_pad // rows_per_cluster, 1)
-    # Lloyd needs enough sample mass per cluster.
-    train_rows = min(max(train_rows, 8 * nb_clusters), n_pad, count)
+    # Lloyd needs enough sample mass per cluster: 8/cluster (the 10M x
+    # 19.5k-cluster floor before this bump) starves the fit — mixed
+    # clusters, bucket radius p95 0.74 vs 0.37, recall saturating ~0.95.
+    train_rows = min(max(train_rows, 16 * nb_clusters), n_pad, count)
     centroids = _train_centroids(
         emb,
         jnp.asarray(count, jnp.int32),
