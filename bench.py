@@ -372,15 +372,24 @@ def main() -> None:
 
         if measure_ingest:
             # Device bulk ingest through the real store path (reserve +
-            # cast + donated in-place update).
+            # cast + donated in-place update), streamed in ~1M-row chunks:
+            # a single 10M-row ingest program crashes the remote TPU
+            # compiler, and chunked is the realistic streaming shape.
             store_c = build_store("bfloat16", rows=None)
+            ing_chunk = 1_048_576
             t0 = time.perf_counter()
-            store_c.load_device_rows(emb_c)
+            store_c.reserve(n_rows)
+            for s0 in range(0, n_rows, ing_chunk):
+                store_c.load_device_rows(
+                    jax.lax.slice(
+                        emb_c, (s0, 0), (min(s0 + ing_chunk, n_rows), DIM)
+                    )
+                )
             np.asarray(store_c._buf[:1, :1])
             t_ing = time.perf_counter() - t0
             ingest_rate = n_rows / t_ing
-            log(f"{tag} device bulk ingest: {t_ing:.1f}s "
-                f"({ingest_rate / 1e6:.1f}M rows/s)")
+            log(f"{tag} device bulk ingest ({ing_chunk}-row chunks): "
+                f"{t_ing:.1f}s ({ingest_rate / 1e6:.1f}M rows/s)")
             emb_c.delete()
             emb_b = store_c._buf
         else:

@@ -260,3 +260,31 @@ def test_gather_rows_chunked_matches_single_shot():
     want = np.asarray(_gather_rows(emb, perm_d))
     got = np.asarray(_gather_rows_chunked(emb, perm_d, chunk_rows=100))
     np.testing.assert_array_equal(got, want)
+
+
+def test_reserve_exact_capacity_bulk_ingest():
+    """reserve() pre-sizes to the 1024 quantum (no pow2 doubling waste) and
+    chunked loads never reallocate; past the reservation, doubling resumes."""
+    import jax.numpy as jnp
+
+    from typeagent_tpu.models.adapters import create_test_embedding_model
+    from typeagent_tpu.vectorstore import TextEmbeddingIndexSettings, VectorStore
+
+    rng = np.random.default_rng(3)
+    store = VectorStore(
+        TextEmbeddingIndexSettings(
+            create_test_embedding_model(32), min_score=0.0, dtype="bfloat16"
+        )
+    )
+    n = 5000
+    store.reserve(n)
+    rows = rng.standard_normal((n, 32)).astype(np.float32)
+    rows /= np.linalg.norm(rows, axis=1, keepdims=True)
+    for s0 in range(0, n, 2048):
+        store.load_device_rows(jnp.asarray(rows[s0 : s0 + 2048]))
+    assert store._buf.shape[0] == 5120  # round_up(5000, 1024), not 8192
+    hits = store.fuzzy_lookup_embeddings_batch(rows[:4], max_hits=1)
+    assert [h[0].item for h in hits] == [0, 1, 2, 3]
+    # Beyond the reservation the doubling policy resumes.
+    store.load_device_rows(jnp.asarray(rows[:1024]))
+    assert store._buf.shape[0] == 10240

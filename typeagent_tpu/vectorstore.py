@@ -266,6 +266,7 @@ class VectorStore:
         self._dim_pad = 0
         self._buf: jax.Array | None = None
         self._count = 0  # rows committed to the device buffer
+        self._reserve_hint = 0  # known final size (see reserve())
         self._pending: list[np.ndarray] = []  # host rows awaiting flush
         self._pending_rows = 0
         # Lookups from concurrent serving threads (LookupBatcher with
@@ -364,6 +365,41 @@ class VectorStore:
         self.add_embeddings(keys if cache else None, embeddings)
         return embeddings
 
+    def _initial_capacity(self, n: int) -> int:
+        """First-buffer capacity: pow2 headroom by default; a reserve()
+        hint switches to exact 1024-quantum sizing (near HBM capacity a
+        pow2 jump wastes up to 2x — 12.9 GB where 7.7 suffices at 10M)."""
+        if self._reserve_hint >= n:
+            return append.round_up(
+                max(self._reserve_hint, append.MIN_CAPACITY), 1024
+            )
+        return max(append.MIN_CAPACITY, 1 << (n - 1).bit_length())
+
+    def reserve(self, n_rows: int) -> None:
+        """Declare the store's expected final row count before bulk ingest.
+
+        Sizes the device buffer to ``round_up(n_rows, 1024)`` instead of
+        pow2 doubling — for near-HBM-capacity corpora where the doubling
+        headroom does not fit. Appends beyond the reservation fall back to
+        the doubling policy.
+        """
+        with self._flush_lock:
+            self._reserve_hint = max(self._reserve_hint, int(n_rows))
+            if (
+                self._buf is not None
+                and self._buf.shape[0] < self._reserve_hint
+            ):
+                self._buf = append.grow_buffer(
+                    self._buf,
+                    self._reserve_hint,
+                    exact_capacity=self._reserve_hint,
+                )
+                if self._quantized:
+                    pad_n = self._buf.shape[0] - self._scales.shape[0]
+                    self._scales = jnp.pad(
+                        self._scales, (0, pad_n), constant_values=1.0
+                    )
+
     def load_device_rows(self, rows: jax.Array) -> None:
         """Bulk-adopt embedding rows already resident on the device.
 
@@ -397,12 +433,15 @@ class VectorStore:
             # intermediate (~15 GB for a 10M x 384 bf16 ingest).
             padded = jnp.pad(rows, ((0, 0), (0, self._dim_pad - size)))
             if self._buf is None:
-                cap = max(append.MIN_CAPACITY, 1 << (n - 1).bit_length())
+                cap = self._initial_capacity(n)
                 self._buf = append.make_buffer(cap, self._dim_pad, self._dtype)
                 if self._quantized:
                     self._scales = jnp.ones((cap,), dtype=jnp.float32)
             elif self._count + n > self._buf.shape[0]:
-                self._buf = append.grow_buffer(self._buf, self._count + n)
+                self._buf = append.grow_buffer(
+                    self._buf, self._count + n,
+                    exact_capacity=self._reserve_hint or None,
+                )
                 if self._quantized:
                     pad_n = self._buf.shape[0] - self._scales.shape[0]
                     self._scales = jnp.pad(
@@ -503,12 +542,15 @@ class VectorStore:
         padded = np.zeros((n, self._dim_pad), dtype=row_dtype)
         padded[:, : self._embedding_size] = rows
         if self._buf is None:
-            cap = max(append.MIN_CAPACITY, 1 << (n - 1).bit_length())
+            cap = self._initial_capacity(n)
             self._buf = append.make_buffer(cap, self._dim_pad, self._dtype)
             if self._quantized:
                 self._scales = jnp.ones((cap,), dtype=jnp.float32)
         elif self._count + n > self._buf.shape[0]:
-            self._buf = append.grow_buffer(self._buf, self._count + n)
+            self._buf = append.grow_buffer(
+                self._buf, self._count + n,
+                exact_capacity=self._reserve_hint or None,
+            )
             if self._quantized:
                 new_cap = self._buf.shape[0]
                 pad_n = new_cap - self._scales.shape[0]
@@ -1043,7 +1085,13 @@ class VectorStore:
             q = self._pad_queries(
                 np.asarray(embedding, dtype=np.float32).reshape(1, -1)
             )
-            k = min(max_hits, s)
+            # k from the PADDED size, not the raw one: k is a static jit
+            # argument, so k = min(max_hits, s) would compile a fresh
+            # kernel for every distinct sub-max_hits subset size (minutes
+            # each through a remote-compile attach). Padding rows carry
+            # valid=False -> score _NEG, filtered by the min_score keep
+            # below, so the extra slots never surface.
+            k = min(max_hits, s_pad)
             if self._quantized:
                 vals, idx = topk.subset_cosine_topk_quantized(
                     buf, scales, q, jnp.asarray(ords), jnp.asarray(valid), k
@@ -1054,7 +1102,9 @@ class VectorStore:
                 )
         vals = np.asarray(vals)[0]
         idx = np.asarray(idx)[0]
-        keep = vals >= min_score
+        # vals >= 0.0 drops the padded slots (k may exceed the live subset
+        # size; padding scores are the _NEG sentinel, real scores clip >= 0).
+        keep = (vals >= min_score) & (vals >= 0.0)
         return [ScoredInt(int(i), float(v)) for v, i in zip(vals[keep], idx[keep])]
 
     async def fuzzy_lookup(
