@@ -323,9 +323,11 @@ def main() -> None:
         rows_per_cluster: int,
         seed: int,
         measure_ingest: bool,
+        cleanup: list,
     ):
         """One clustered-corpus scale: gen -> (ingest) -> ivf build ->
-        engines vs the certified exact scan. Results land in b_results."""
+        engines vs the exact scan. Results land in b_results; every device
+        allocation is appended to ``cleanup`` (freed by the caller)."""
         nonlocal ingest_rate
         from typeagent_tpu.ops.ivf import ivf_build, ivf_topk_program
 
@@ -364,8 +366,12 @@ def main() -> None:
             q_c /= jnp.linalg.norm(q_c, axis=1, keepdims=True)
             return rows_c, q_c.reshape(r_batches, BATCH, DIM)
 
+        # Everything allocated here frees in the caller's finally — a
+        # failed section must not leave GBs resident for the sections
+        # after it (the serving ladder OOMed on exactly that).
         t0 = time.perf_counter()
         emb_c, many_c = gen_c(jax.random.PRNGKey(seed))
+        cleanup.extend([emb_c, many_c])
         np.asarray(emb_c[:1, :1])
         log(f"{tag} clustered gen (on device, {n_chunks} chunks): "
             f"{time.perf_counter() - t0:.1f}s")
@@ -376,6 +382,7 @@ def main() -> None:
             # a single 10M-row ingest program crashes the remote TPU
             # compiler, and chunked is the realistic streaming shape.
             store_c = build_store("bfloat16", rows=None)
+            cleanup.append(store_c)  # buffer freed even on mid-ingest failure
             ing_chunk = 1_048_576
             t0 = time.perf_counter()
             store_c.reserve(n_rows)
@@ -400,11 +407,19 @@ def main() -> None:
             emb_b, n_rows, outlier_frac=outlier_frac,
             rows_per_cluster=rows_per_cluster,
         )
+        cleanup.extend(list(ivf))
         np.asarray(ivf.emb_r[:1, :1])
         log(f"ivf build at {tag}: {time.perf_counter() - t0:.1f}s "
             f"(nb={ivf.n_buckets}, outliers={int(ivf.count_out)})")
 
         progs_b = {
+            # exact1 is the oracle: the one-phase fused scan, exact by
+            # construction. (exact2's certificate legitimately reports
+            # False on near-tie clustered data — it is a tie-scope
+            # statement, not an inexactness — so it cannot gate an oracle.)
+            f"{tag}-exact1-bf16": make_prog(
+                lambda q, e: T.topk_program(e, q, count_c, K), emb_b
+            ),
             f"{tag}-exact2-bf16": make_prog(
                 lambda q, e: T.topk_program_exact2(e, q, count_c, K, slack=6),
                 emb_b,
@@ -449,17 +464,14 @@ def main() -> None:
                 )
                 outputs_b[name] = out
 
-        # Oracle: the certified exact scan of the bf16 store (an f32 copy
+        # Oracle: the exact one-phase scan of the bf16 store (an f32 copy
         # does not fit next to the 10M buffer; at 1M the store IS bf16).
-        oracle_leaves = jax.tree.leaves(outputs_b[f"{tag}-exact2-bf16"])
-        assert bool(np.asarray(oracle_leaves[2]).all()), (
-            f"{tag} exact2 oracle must certify"
-        )
+        oracle_leaves = jax.tree.leaves(outputs_b[f"{tag}-exact1-bf16"])
         oracle_c = np.asarray(oracle_leaves[1]).reshape(-1, K)
         desc = (
             f"clustered {tag} x {DIM} bf16 ({clusters} topics, "
             f"{int(BG_C * 100)}% background, topic queries; recall vs "
-            f"certified exact scan)"
+            f"exact scan)"
         )
         for name, el in timings_b.items():
             leaves = jax.tree.leaves(outputs_b[name])
@@ -489,10 +501,6 @@ def main() -> None:
                 + (f", cert_frac={cert:.3f}" if cert is not None else "")
             )
 
-        for arr in list(ivf) + [emb_b, many_c]:
-            if hasattr(arr, "delete"):
-                arr.delete()
-
     scales_c = [
         ("1M", max(int(1_000_000 * _SCALE) // 1024 * 1024, 8192),
          max(int(1_000 * _SCALE), 8), 20, 0.03, 512, 13, False),
@@ -505,11 +513,26 @@ def main() -> None:
          max(int(10_000 * _SCALE), 16), 8, 0.03, 512, 11, True),
     ]
     for tag, n_c, cl_c, r_c, of_c, rpc_c, seed_c, ing_c in scales_c:
+        cleanup: list = []
         try:
-            run_clustered(tag, n_c, cl_c, r_c, of_c, rpc_c, seed_c, ing_c)
+            run_clustered(
+                tag, n_c, cl_c, r_c, of_c, rpc_c, seed_c, ing_c, cleanup
+            )
         except Exception as e:  # noqa: BLE001
             log(f"clustered {tag} section FAILED (headline falls back): "
                 f"{type(e).__name__}: {e}")
+        finally:
+            for thing in cleanup:
+                arrs = (
+                    [thing]
+                    if hasattr(thing, "delete")
+                    else [getattr(thing, a, None) for a in ("_buf", "_scales")]
+                )
+                for arr in arrs:
+                    try:
+                        arr.delete()
+                    except Exception:  # noqa: BLE001 — deleted/None is fine
+                        pass
 
     # -- headline (printed BEFORE the serving ladder: the tunnel stalls for
     # minutes at a time, and a stall inside the serving section must not
