@@ -383,7 +383,9 @@ def main() -> None:
             # compiler, and chunked is the realistic streaming shape.
             store_c = build_store("bfloat16", rows=None)
             cleanup.append(store_c)  # buffer freed even on mid-ingest failure
-            ing_chunk = 1_048_576
+            # 262k-row chunks: the slice + pad transients of each chunk sit
+            # on top of corpus + store (15.4 GB) — 1M-row chunks OOMed.
+            ing_chunk = 262_144
             t0 = time.perf_counter()
             store_c.reserve(n_rows)
             for s0 in range(0, n_rows, ing_chunk):
@@ -602,10 +604,25 @@ def main() -> None:
     from typeagent_tpu.utils.metrics import MetricsRegistry
 
     # Section A's buffers were freed for the 10M section; rebuild the 1M
-    # bf16 store (same PRNG key -> identical rows, on-device).
-    rows_again, _ = gen_data(jax.random.PRNGKey(7))
-    store = build_store("bfloat16", rows=rows_again)
-    rows_again.delete()
+    # bf16 store (same PRNG key -> identical rows, on-device). Retry with
+    # backoff: right after a section OOM the backend can transiently
+    # refuse allocations while freed buffers drain.
+    for attempt in range(4):
+        try:
+            rows_again, _ = gen_data(jax.random.PRNGKey(7))
+            store = build_store("bfloat16", rows=rows_again)
+            rows_again.delete()
+            break
+        except Exception as e:  # noqa: BLE001
+            log(f"serving store rebuild attempt {attempt + 1} failed "
+                f"({type(e).__name__}); retrying in 10s")
+            try:
+                rows_again.delete()
+            except Exception:  # noqa: BLE001 — may not exist yet
+                pass
+            time.sleep(10)
+    else:
+        raise RuntimeError("serving store rebuild failed after retries")
     queries_host = np.asarray(many[0])
     many_host = np.asarray(many)
     n_stream = 3 * R
