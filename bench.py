@@ -512,7 +512,11 @@ def main() -> None:
          # 0.9914 at 512 vs 0.955 at 768 vs 0.87 at 1024, measured). The
          # build pair (16.33e9 B next to the 7.7 GB store) fits since the
          # donated-table and freed-assignment fixes.
-         max(int(10_000 * _SCALE), 16), 8, 0.03, 512, 11, True),
+         # r_batches 20 (was 8): the attach's per-dispatch overhead is a
+         # measured ~25 ms (noop probe, NOTES round-4) — at R=8 that is
+         # 3.2 ms/batch of tunnel tax vs 1.25 at section A's R=20; equal R
+         # keeps the scales comparable.
+         max(int(10_000 * _SCALE), 16), 20, 0.03, 512, 11, True),
     ]
     for tag, n_c, cl_c, r_c, of_c, rpc_c, seed_c, ing_c in scales_c:
         cleanup: list = []

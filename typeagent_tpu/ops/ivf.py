@@ -58,7 +58,7 @@ from .topk import (
     _raw_to_score,
     _rescore_fits,
     _rescore_selected_pallas,
-    topk_program,
+    topk_program_exact2,
 )
 
 __all__ = ["IVFState", "ivf_build", "ivf_topk", "ivf_topk_program"]
@@ -582,9 +582,17 @@ def _ivf_topk_impl(
         si1 >= 0, jnp.take(perm, jnp.clip(si1, 0, perm.shape[0] - 1)), -1
     )
 
-    # Exact tail: full scan of the exiled outlier rows, mapped + merged.
+    # Exact tail: scan of the exiled outlier rows, mapped + merged. Two-phase
+    # (bucket maxima at the matmul floor + (k+slack)-bucket rescore) — the
+    # one-phase running-merge kernel measured ~2.0 ms for the 300k-row tail
+    # at 10M (only ~115 GB/s; per-tile merge overhead dominates small scans)
+    # vs ~1.0 ms two-phase. The tail's bucket table is tiny (~2.3k lanes at
+    # 10M) so exact2's lax.top_k selection is cheap, unlike at full-store nb.
+    # Its certificate ANDs into ours: a tail tie-miss (eps-scale only — both
+    # phases compute identical dots) refuses certification, never silently
+    # degrades a certified result.
     k_out = min(k, out_emb.shape[0])
-    sv2, si2 = topk_program(
+    sv2, si2, cert_tail = topk_program_exact2(
         out_emb, queries, count_out, k_out, use_pallas=use_pallas
     )
     si2 = jnp.where(
@@ -600,7 +608,7 @@ def _ivf_topk_impl(
     # a bound below -1 can't beat anything; above +1 the cert just fails).
     excl_score = jnp.clip((excl_raw + 1.0) * 0.5, 0.0, 1.0)
     kth = jnp.where(vals[:, k - 1] > _NEG, vals[:, k - 1], -1.0)
-    cert = ties_ok & (excl_score <= kth + _CERT_EPS_IVF * 0.5)
+    cert = cert_tail & ties_ok & (excl_score <= kth + _CERT_EPS_IVF * 0.5)
     return vals, idx, cert
 
 
