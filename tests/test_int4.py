@@ -2,10 +2,14 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
+from typeagent_tpu.ops import int4 as int4_mod
 from typeagent_tpu.ops.int4 import (
+    _bucket_maxima_pallas_q4,
     _bucket_maxima_xla_q4,
     _half_pad,
+    _pick_tile_q4,
     cosine_topk_exact2_i4,
     quantize_rows_int4,
     quantize_rows_int4_device,
@@ -129,6 +133,75 @@ def test_narrow_selection_recall(rng):
         np.testing.assert_allclose(
             got_vals[b], flat_scores[b, got[b]], atol=1e-5
         )
+
+
+def test_pick_tile_q4_power_of_two():
+    # Round-4 advisor finding: a non-power-of-two tile (3072 at d=384 with
+    # small batch) makes buckets-per-tile (g=24) not divide _K_LANES, which
+    # shifts every bucket past lane 120 of each output block — phase 2 then
+    # rescores the WRONG buckets. The picker must only emit powers of two.
+    for dh in (128, 192, 256, 384, 512):
+        for b in (1, 4, 8, 64, 128, 256, 512):
+            t = _pick_tile_q4(1 << 20, dh, b)
+            assert t & (t - 1) == 0 and 1024 <= t <= 4096, (dh, b, t)
+
+
+def test_pallas_q4_nondividing_tile_multistep_falls_back(rng, monkeypatch):
+    # Whole-array clamp can still yield a non-dividing tile when n_pad is
+    # not a power of two (e.g. 3072 -> g=24): safe single-step only. Force
+    # the picker to return a misaligned tile with steps > 1 and check the
+    # kernel refuses (None => caller takes the XLA path).
+    monkeypatch.setattr(int4_mod, "_pick_tile_q4", lambda n, dh, b: 3072)
+    n, d = 6144, 384
+    rows = normalized(rng, n, d)
+    packed, scales = quantize_rows_int4(rows)
+    qs = split_pad_queries(jnp.asarray(rows[:4]), d)
+    out = int4_mod._bucket_maxima_pallas_q4(
+        jnp.asarray(packed),
+        jnp.asarray(scales),
+        qs,
+        jnp.asarray([n], jnp.int32),
+        interpret=True,
+    )
+    assert out is None
+
+
+@pytest.mark.parametrize("batch", [1, 8, 256])
+def test_pallas_q4_bucket_table_matches_xla(rng, batch):
+    # Pallas-vs-XLA bucket-table parity (advisor round-4): interpret mode
+    # exercises the real tile/sub-slot-blending layout without a chip.
+    # n = 32768 -> 256 buckets -> TWO output blocks at tile 2048, which is
+    # exactly the regime the misaligned-tile bug corrupted (bucket ids past
+    # the first block). Sweeps batch to vary the VMEM budget input.
+    n, d = 32768, 384
+    rows = normalized(rng, n, d)
+    packed, scales = quantize_rows_int4(rows)
+    q = normalized(rng, batch, d)
+    qs = split_pad_queries(jnp.asarray(q), d)
+    count = n - 173  # ragged watermark inside the last tile
+    pal = _bucket_maxima_pallas_q4(
+        jnp.asarray(packed),
+        jnp.asarray(scales),
+        qs,
+        jnp.asarray([count], jnp.int32),
+        interpret=True,
+    )
+    assert pal is not None
+    xla = _bucket_maxima_xla_q4(
+        jnp.asarray(packed),
+        jnp.asarray(scales),
+        jnp.asarray(q),
+        jnp.asarray(count, jnp.int32),
+        d,
+    )
+    nb = n // 128
+    got = np.asarray(pal)[:, :nb]
+    want = np.asarray(xla)
+    # Kernel dots run in bf16 on the split halves; XLA path is f32.
+    np.testing.assert_allclose(got, want, atol=2e-3)
+    # Overflow lanes past nb (block padding) must stay at the raw floor.
+    tail = np.asarray(pal)[:, nb:]
+    assert tail.size == 0 or (tail <= -2.0).all()
 
 
 def test_count_watermark(rng):

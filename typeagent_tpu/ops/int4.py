@@ -24,9 +24,12 @@ The selection feeds the exact2 phase-2 machinery (`ops.topk`): the top-B
 buckets per query are rescored exactly from the full-precision buffer, so
 final scores are identical to the exact engines'. int4 selection error
 (|deq - f32 cos| <= ~2.5e-2 for unit rows) is absorbed by the selection
-slack; the per-query certificate carries an eps wide enough to cover it,
-so a True cert still means "no excluded bucket can beat the k-th result
-by more than eps".
+slack. NOTE: the i4 certificate is HEURISTIC, not a proven bound — it
+compares int4-approximate bucket maxima, and ``_CERT_EPS_I4`` covers the
+*measured* p100 quantization error, so a true bucket max can in principle
+still exceed the approximation. Treat a True cert as quality telemetry;
+callers that need a sound exactness certificate use the bf16-shadow
+hybrid (``topk_program_exact2_hybrid``) or the exact engines.
 
 Semantics preserved from the reference scan: ``aitools/vectorbase.py:163-201``
 (score map, count watermark, descending order) — via the shared phase-2.
@@ -194,18 +197,28 @@ def _bucket_maxima_kernel_q4(
 
 def _pick_tile_q4(n_pad: int, dh: int, b_pad: int) -> int:
     """Row tile: double-buffered packed bytes + unpack temporaries (i32 +
-    bf16 per nibble stream) + [b, tile] score blocks; multiple of 1024
-    (the 1-D scales operand's tiling), capped at 4096 like the bf16 path."""
+    bf16 per nibble stream) + [b, tile] score blocks.
+
+    POWER OF TWO >= 1024, capped at 4096 (mirrors ``_pick_tile_bucket``):
+    the kernel's sub-slot blending requires buckets-per-tile (tile/128) to
+    divide ``_K_LANES`` — a non-dividing tile (e.g. 3072 -> g=24, subs=5,
+    subs*g=120 != 128) shifts every bucket past lane 120 of each output
+    block, and phase 2 rescores the WRONG buckets (round-4 advisor
+    finding). 1024 is also the 1-D scales operand's tiling quantum."""
     per_row = 2 * dh + 12 * dh + b_pad * 10
-    t = (_Q4_BUDGET // per_row // 1024) * 1024
-    return max(1024, min(t, 4096))
+    tile = 1024
+    while tile * 2 <= 4096 and (tile * 2) * per_row <= _Q4_BUDGET:
+        tile *= 2
+    return tile
 
 
-def _bucket_maxima_pallas_q4(packed, scales, queries_split, count):
+def _bucket_maxima_pallas_q4(packed, scales, queries_split, count, *, interpret=False):
     """Per-bucket maxima over the packed int4 shadow (selection phase).
 
     ``queries_split``: output of :func:`split_pad_queries`. Returns None
-    when no aligned tile fits VMEM (caller falls back to XLA)."""
+    when no aligned tile fits VMEM (caller falls back to XLA).
+    ``interpret``: run the kernel in Pallas interpret mode (CPU parity
+    tests — the tile/blending layout is exercised without a real chip)."""
     n_pad, dh = packed.shape
     b_pad = queries_split.shape[0]
     tile_n = _pick_tile_q4(n_pad, dh, b_pad)
@@ -217,6 +230,12 @@ def _bucket_maxima_pallas_q4(packed, scales, queries_split, count):
     g = tile_n // _BUCKET_ROWS
     subs = max(_K_LANES // g, 1)
     steps = pl.cdiv(n_pad, tile_n)
+    if steps > 1 and subs * g != _K_LANES:
+        # Sub-slot blending only lays buckets out contiguously when
+        # buckets-per-tile divides the lane count; the whole-array clamp
+        # above can produce a non-dividing tile (n_pad=3072 -> g=24), which
+        # is safe ONLY single-step. Multi-step: XLA fallback.
+        return None
     blocks = -(-steps // subs)
     kernel = functools.partial(_bucket_maxima_kernel_q4, tile_n=tile_n, dh=dh)
     out_spec = pl.BlockSpec(
@@ -242,6 +261,7 @@ def _bucket_maxima_pallas_q4(packed, scales, queries_split, count):
             bytes_accessed=n_pad * dh + n_pad * 4 + b_pad * 2 * dh * 2,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(count, queries_split, packed, scales)[0]
     # Bucket p covers rows [p*128, (p+1)*128) — the same table layout as
     # ops.topk's maxima, so phase 2 consumes it unchanged.

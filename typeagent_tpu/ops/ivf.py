@@ -327,8 +327,22 @@ def _bucket_summaries(emb_r, perm, *, nb: int):
 _DEVICE_GATHER_BUDGET = 12 * 1024**3
 # Measured on v5e (2026-08-19): a 7.68 + 8.65 GB pair plus a 131k-row
 # gather chunk allocates and runs (usable HBM >= 16.4e9 bytes); the 10M
-# probe's 16.33e9 pair is in-budget.
+# probe's 16.33e9 pair is in-budget. 15.45/16 is the measured usable
+# fraction; on parts with different HBM the budget scales from the
+# device's reported limit (advisor round-4: the constant alone would
+# RESOURCE_EXHAUST smaller parts instead of falling back via_host).
 _DEVICE_CHUNKED_BUDGET = int(15.45 * 1024**3)
+
+
+def _device_chunked_budget() -> int:
+    try:
+        import jax as _jax
+
+        stats = _jax.local_devices()[0].memory_stats()
+        limit = int(stats["bytes_limit"])  # type: ignore[index]
+        return int(limit * (15.45 / 16.0))
+    except Exception:  # noqa: BLE001 — CPU/interpret backends lack stats
+        return _DEVICE_CHUNKED_BUDGET
 
 
 def ivf_build(
@@ -454,7 +468,7 @@ def ivf_build(
     if via_host is None:
         # Chunked device gather handles the 10M bf16 case (store + reorder
         # both resident, ~14.9 GB); via_host only when even that can't fit.
-        via_host = pair_bytes > _DEVICE_CHUNKED_BUDGET
+        via_host = pair_bytes > _device_chunked_budget()
     if via_host:
         host = np.asarray(emb)
         _phase(f"via_host: store fetch ({emb.nbytes / 1e9:.1f} GB)")
