@@ -4,46 +4,41 @@ Baseline (BASELINE.md, measured on this machine): the reference's
 fuzzy_lookup_embedding kernel (serial numpy, 1 thread) at 1M x 384 runs at
 178 ms/query ~= 5.6 QPS; at 10M it extrapolates to 0.56 QPS (the scan is
 linear in rows). Stores build ON DEVICE (matrices never cross the
-host<->device tunnel). Three sections:
+host<->device tunnel). Four sections:
 
 **A. Isotropic 1M x 384** (the series-comparable section; random unit rows
 are the information-theoretic worst case — no pruning can help, so this
-measures the full-scan wall honestly):
+measures the full-scan wall honestly): exact1 / exact2 / exact2h-f32
+(recall-1.0 parity) / bucket-approx / approx / int8, plus the
+append-across-capacity-boundary ingest measurement.
 
-  * exact1        — one-phase fused Pallas matmul+top-k (strict parity mode)
-  * exact2        — two-phase: bucket-select at the matmul floor + certified
-                    exact rescore (the default engine at this scale)
-  * exact2h (f32) — bf16-shadow selection + exact f32 rescore: recall 1.0
-                    against the f32 oracle (the exact-parity number)
-  * bucket-approx — fused per-bucket argmax (recall ~0.999)
-  * approx        — XLA hardware approx_max_k (recall ~recall_target)
-  * int8          — quantized store, fused kernel
+**B. Clustered corpora** (B1M: 1M x 384, B10M: 10M x 384 bf16 — the
+realistic regime: text-embedding corpora are clustered; topics + 2%
+isotropic background): the device IVF engine (learned buckets + exact
+outlier tail + per-query exactness certificate, ops/ivf.py) against the
+full-scan engines on the SAME data, recall vs the exact scan of the store.
+This is where pruning breaks the full-scan wall — the win scales with rows.
+B10M also measures device bulk-ingest rate at 10M.
 
-  Measured wall (NOTES.md round-4 roofline): at batch 256 every full-scan
-  engine sits at the chip's compute/bandwidth balance point (~62-80
-  TFLOP/s effective == ~310 GB/s), so ~90-105k QPS is the physical ceiling
-  here for ANY dense method, at any batch size (probed to 2048).
-
-**B. Clustered 10M x 384 bf16** (7.7 GB in HBM — the realistic regime:
-text-embedding corpora are clustered; 10k topics + 2% isotropic
-background): the device IVF engine (learned buckets + exact outlier tail +
-per-query exactness certificate, ops/ivf.py) against the full-scan engines
-on the SAME data, recall vs the certified exact scan of the store. This is
-where pruning breaks the full-scan wall — the win scales with rows.
-Also: device bulk-ingest rate at 10M and an append crossing a
-capacity-doubling boundary (measured in section A's 1M store).
-
-**C. Serving ladder** (host round trips through the tunnel): sync /
+**C. Serving ladder** (SERVE; host round trips through the tunnel): sync /
 pipelined / coalesced / sustained-stream, interleaved-median QPS with
 p50/p99 request latency.
 
 Headline: the fastest mode with in-run recall@10 >= 0.99 against the
 section's exact oracle, across sections A and B (the metric string names
 the section, corpus and scale; vs_baseline uses that section's numpy
-rate). The exact-parity (recall 1.0) QPS is stated alongside. Warmup is
-itemized (data-gen / trace+lower / compile / first-run) because the remote
-compile service behind the tunnel intermittently stalls for minutes — the
-itemization shows where the time went.
+rate). The exact-parity (recall 1.0) QPS is stated alongside.
+
+ABORT-PROOFING (round-5, after BENCH_r04 lost every number to one TPU
+backend abort): the parent process never touches a device. Each section
+runs in its own watchdogged SUBPROCESS with a hard timeout; a fresh
+process opens a fresh tunnel stream, which is what unwedges a stalled one,
+so every retry is a fresh stream. Children write their results file
+INCREMENTALLY (after every measurement round), so even a mid-section
+backend abort or watchdog kill leaves the completed measurements on disk
+for the parent. Successful headlines are cached in ``.bench_last_good.json``;
+if the backend is truly dead the parent still prints a JSON line saying so,
+carrying the last-good cached headline instead of nothing.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Extra detail goes to stderr.
@@ -51,9 +46,12 @@ Extra detail goes to stderr.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -69,26 +67,53 @@ R = 20  # query batches per device-resident dispatch
 BASELINE_QPS = 1000.0 / 178.0 / _SCALE  # 178 ms/query single-thread numpy
 # at 1M rows (BASELINE.md); the scan is linear in rows.
 RECALL_BAR = 0.99
+# Measurement rounds (interleaved best-of for engines, median-of for the
+# serving ladder). Env-tunable so the CPU smoke test can run one round.
+_ROUNDS = int(os.environ.get("TAT_BENCH_ROUNDS", "3"))
+_SERVE_ROUNDS = int(os.environ.get("TAT_BENCH_SERVE_ROUNDS", "5"))
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+# Last-good cache: written only by full-scale runs (or when the path is
+# explicitly overridden) so a scaled-down CPU smoke never clobbers the real
+# TPU numbers the dead-backend fallback depends on.
+_LAST_GOOD = os.environ.get("TAT_BENCH_LAST_GOOD") or os.path.join(
+    _HERE, ".bench_last_good.json"
+)
+_WRITE_LAST_GOOD = _SCALE == 1 or "TAT_BENCH_LAST_GOOD" in os.environ
+
+# Per-section watchdog timeouts (seconds). Generous: a persistent-cache
+# MISS behind the tunnel costs minutes per engine; the watchdog is for
+# WEDGED streams (BENCH_r03 lost 503 s to one stall; r04 lost everything),
+# not for slow-but-alive compiles.
+SECTION_TIMEOUT = {
+    "A": float(os.environ.get("TAT_BENCH_TIMEOUT_A", "2700")),
+    "B1M": float(os.environ.get("TAT_BENCH_TIMEOUT_B1M", "2100")),
+    "B10M": float(os.environ.get("TAT_BENCH_TIMEOUT_B10M", "3600")),
+    "SERVE": float(os.environ.get("TAT_BENCH_TIMEOUT_SERVE", "1800")),
+}
+SECTIONS = ["A", "B1M", "B10M", "SERVE"]
 
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def main() -> None:
-    t_start = time.perf_counter()
+def _write_json(path: str, obj) -> None:
+    """Atomic write: a watchdog kill mid-write must not truncate the file."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+# ===========================================================================
+# Shared device-side helpers (child sections only — the parent stays jax-free)
+# ===========================================================================
+
+
+def _gen_isotropic():
     import jax
     import jax.numpy as jnp
-
-    from typeagent_tpu.models.adapters import create_test_embedding_model
-    from typeagent_tpu.ops import topk as T
-    from typeagent_tpu.vectorstore import TextEmbeddingIndexSettings, VectorStore
-
-    log(f"backend: {jax.default_backend()}, devices: {jax.devices()}")
-    log(f"imports+backend init: {time.perf_counter() - t_start:.1f}s")
-
-    # -- on-device data generation (no host detour) -------------------------
-    t0 = time.perf_counter()
 
     @jax.jit
     def gen_data(key):
@@ -101,87 +126,80 @@ def main() -> None:
 
     rows_f32, many = gen_data(jax.random.PRNGKey(7))
     rows_f32.block_until_ready()
-    log(f"on-device data gen: {time.perf_counter() - t0:.1f}s")
+    return rows_f32, many
 
-    def build_store(dtype, rows="default"):
-        settings = TextEmbeddingIndexSettings(
-            embedding_model=create_test_embedding_model(DIM),
-            min_score=0.0,
-            dtype=dtype,
+
+def build_store(dtype, rows=None):
+    from typeagent_tpu.models.adapters import create_test_embedding_model
+    from typeagent_tpu.vectorstore import TextEmbeddingIndexSettings, VectorStore
+
+    settings = TextEmbeddingIndexSettings(
+        embedding_model=create_test_embedding_model(DIM),
+        min_score=0.0,
+        dtype=dtype,
+    )
+    store = VectorStore(settings)
+    if rows is not None:
+        store.load_device_rows(rows)
+    return store
+
+
+def make_prog(fn, *bufs):
+    """R batches per dispatch (steady-state throughput). Buffers are
+    ARGUMENTS, never closures: a captured device array embeds as an HLO
+    constant and the 1.5 GB matrix overflows the remote compile service's
+    request limit."""
+    import jax
+
+    @jax.jit
+    def prog(qs, *arrs):
+        return jax.lax.map(lambda q: fn(q, *arrs), qs)
+
+    return prog, bufs
+
+
+def _recall_of(idx, oracle_idx, k):
+    idx = np.asarray(idx).reshape(-1, k)
+    return float(
+        np.mean(
+            [
+                len(set(a.tolist()) & set(b.tolist())) / k
+                for a, b in zip(idx, oracle_idx)
+            ]
         )
-        store = VectorStore(settings)
-        if rows is not None:
-            store.load_device_rows(rows_f32 if rows == "default" else rows)
-        return store
+    )
+
+
+# ===========================================================================
+# Section A: isotropic 1M x 384 — the full-scan engine roster + append
+# ===========================================================================
+
+
+def section_a(res: dict, out_path: str) -> None:
+    t_start = time.perf_counter()
+    import jax
+    import jax.numpy as jnp
+
+    from typeagent_tpu.ops import topk as T
+
+    log(f"[A] backend: {jax.default_backend()}, devices: {jax.devices()}")
 
     t0 = time.perf_counter()
-    stores = {d: build_store(d) for d in ("bfloat16", "float32", "int8")}
+    rows_f32, many = _gen_isotropic()
+    log(f"[A] on-device data gen: {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    stores = {d: build_store(d, rows_f32) for d in ("bfloat16", "float32", "int8")}
     jax.block_until_ready(stores["int8"]._buf)
-    log(f"store builds (cast/quantize, on device): {time.perf_counter() - t0:.1f}s")
-
-    # First Pallas lower/compile does a one-time backend RPC round; the
-    # tunnel intermittently stalls for minutes and the stall lands on
-    # whichever device call runs first (BENCH_r03 lost 503 s to one).
-    # Mitigation: warm the remote compile path in a SUBPROCESS with a hard
-    # timeout + retries — a fresh process opens a fresh tunnel stream,
-    # which is what unwedges a stalled one, and its compile lands in the
-    # persistent cache so the parent's own probe is a cache hit.
-    import subprocess
-
-    probe_src = (
-        "import jax, jax.numpy as jnp; import sys; sys.path.insert(0, '.');"
-        "from typeagent_tpu.ops import topk as T;"
-        f"e = jnp.zeros((256, {DIM}), dtype=jnp.bfloat16);"
-        f"q = jnp.zeros((8, {DIM}), dtype=jnp.float32);"
-        "c = jnp.asarray(256, dtype=jnp.int32);"
-        "jax.jit(lambda e, q: T.topk_program(e, q, c, 5)).lower(e, q).compile();"
-        "print('probe ok')"
-    )
-    t0 = time.perf_counter()
-    for attempt in range(3 if jax.default_backend() == "tpu" else 0):
-        try:
-            subprocess.run(
-                [sys.executable, "-c", probe_src],
-                timeout=120,
-                check=True,
-                capture_output=True,
-            )
-            break
-        except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
-            log(f"backend probe attempt {attempt + 1} failed ({type(e).__name__}); retrying")
-    t_sub = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    tiny_e = jnp.zeros((256, DIM), dtype=jnp.bfloat16)
-    tiny_q = jnp.zeros((8, DIM), dtype=jnp.float32)
-    tiny_c = jnp.asarray(256, dtype=jnp.int32)
-    jax.jit(lambda e, q: T.topk_program(e, q, tiny_c, 5)).lower(
-        tiny_e, tiny_q
-    ).compile()
-    log(
-        f"backend probe: subprocess warm {t_sub:.1f}s (bounded, retried), "
-        f"in-process {time.perf_counter() - t0:.1f}s"
-    )
+    log(f"[A] store builds (cast/quantize, on device): {time.perf_counter() - t0:.1f}s")
 
     count = jnp.asarray(N_ROWS, dtype=jnp.int32)
     bf16 = stores["bfloat16"]._buf
     f32 = stores["float32"]._buf
     i8, i8_scales = stores["int8"]._buf, stores["int8"]._scales
 
-    # -- engine programs (R batches per dispatch; steady-state throughput).
-    # Buffers are ARGUMENTS, never closures: a captured device array embeds
-    # as an HLO constant and the 1.5 GB matrix overflows the remote compile
-    # service's request limit.
-    def make_prog(fn, *bufs):
-        @jax.jit
-        def prog(qs, *arrs):
-            return jax.lax.map(lambda q: fn(q, *arrs), qs)
-
-        return prog, bufs
-
     progs = {
-        "exact1-bf16": make_prog(
-            lambda q, e: T.topk_program(e, q, count, K), bf16
-        ),
+        "exact1-bf16": make_prog(lambda q, e: T.topk_program(e, q, count, K), bf16),
         "exact2-bf16": make_prog(
             lambda q, e: T.topk_program_exact2(e, q, count, K, slack=6), bf16
         ),
@@ -192,9 +210,7 @@ def main() -> None:
             lambda q, e: T.cosine_topk_approx(e, q, count, K, recall_target=0.995),
             bf16,
         ),
-        "exact1-f32": make_prog(
-            lambda q, e: T.topk_program(e, q, count, K), f32
-        ),
+        "exact1-f32": make_prog(lambda q, e: T.topk_program(e, q, count, K), f32),
         "exact2h-f32": make_prog(
             lambda q, e, s: T.topk_program_exact2_hybrid(e, s, q, count, K),
             f32,
@@ -221,16 +237,17 @@ def main() -> None:
         t_first = time.perf_counter() - t0
         progs[name] = (compiled, bufs)
         log(
-            f"warmup {name}: lower {t_lower:.1f}s, compile {t_compile:.1f}s "
+            f"[A] warmup {name}: lower {t_lower:.1f}s, compile {t_compile:.1f}s "
             f"(persistent-cache {'hit' if t_compile < 15 else 'MISS'}), "
             f"first run {t_first:.1f}s"
         )
-    log(f"total warmup+build: {time.perf_counter() - t_start:.1f}s")
+    log(f"[A] total warmup+build: {time.perf_counter() - t_start:.1f}s")
 
-    # -- timed runs, interleaved (tunnel throughput varies within a session) --
+    # -- timed runs, interleaved; res updates after EVERY round so a late
+    # backend abort keeps the rounds already measured --------------------
     timings = {name: float("inf") for name in progs}
     outputs = {}
-    for _ in range(3):
+    for rnd in range(_ROUNDS):
         for name, (compiled, bufs) in progs.items():
             t0 = time.perf_counter()
             out = compiled(many, *bufs)
@@ -238,36 +255,31 @@ def main() -> None:
             timings[name] = min(timings[name], time.perf_counter() - t0)
             outputs[name] = out
 
-    oracle_idx = np.asarray(jax.tree.leaves(outputs["exact1-f32"])[1]).reshape(-1, K)
-
-    def recall_vs_oracle(name):
-        idx = np.asarray(jax.tree.leaves(outputs[name])[1]).reshape(-1, K)
-        return float(
-            np.mean(
-                [
-                    len(set(a.tolist()) & set(b.tolist())) / K
-                    for a, b in zip(idx, oracle_idx)
-                ]
-            )
+        oracle_idx = np.asarray(jax.tree.leaves(outputs["exact1-f32"])[1]).reshape(
+            -1, K
         )
+        rates = {}
+        for name, elapsed in timings.items():
+            qps = R * BATCH / elapsed
+            rec = _recall_of(jax.tree.leaves(outputs[name])[1], oracle_idx, K)
+            rates[name] = [qps, rec]
+        res["rates"] = rates
+        res["exact_parity_qps"] = rates["exact2h-f32"][0]
+        res["exact_parity_recall"] = rates["exact2h-f32"][1]
+        _write_json(out_path, res)
+        log(f"[A] round {rnd + 1}/{_ROUNDS} measured (results flushed)")
 
-    rates = {}
-    for name, elapsed in timings.items():
-        qps = R * BATCH / elapsed
-        rec = recall_vs_oracle(name)
+    for name, (qps, rec) in res["rates"].items():
         leaves = jax.tree.leaves(outputs[name])
         cert = np.asarray(leaves[2]).all() if len(leaves) > 2 else None
-        rates[name] = (qps, rec)
         cert_s = "" if cert is None else f", cert_all={bool(cert)}"
         log(
-            f"{name}: {elapsed / R * 1000:.2f} ms/batch-{BATCH}, {qps:.0f} QPS, "
-            f"recall@{K} vs f32 oracle: {rec:.4f}{cert_s}"
+            f"[A] {name}: {timings[name] / R * 1000:.2f} ms/batch-{BATCH}, "
+            f"{qps:.0f} QPS, recall@{K} vs f32 oracle: {rec:.4f}{cert_s}"
         )
-
-    exact_parity_qps, exact_parity_recall = rates["exact2h-f32"]
-    assert exact_parity_recall == 1.0, (
+    assert res["exact_parity_recall"] == 1.0, (
         "exact2h must reproduce the f32 oracle exactly",
-        exact_parity_recall,
+        res["exact_parity_recall"],
     )
 
     # -- append across a capacity-doubling boundary (the real ingest path:
@@ -286,347 +298,264 @@ def main() -> None:
         n_boundary += len(grow)
     np.asarray(store_a._buf[:1])  # sync (block_until_ready is a no-op here)
     t_boundary = time.perf_counter() - t0
+    res["append"] = {
+        "rows": n_boundary,
+        "seconds": t_boundary,
+        "rows_per_s": n_boundary / t_boundary,
+    }
+    _write_json(out_path, res)
     log(
-        f"append across capacity boundary ({cap_before} -> "
+        f"[A] append across capacity boundary ({cap_before} -> "
         f"{store_a._buf.shape[0]} rows): {n_boundary} rows in "
         f"{t_boundary:.2f}s ({n_boundary / t_boundary:.0f} rows/s incl. the "
         f"grow-copy)"
     )
 
-    # ===== Section B: clustered 10M x 384 bf16 + device IVF =================
-    # Free section A's big buffers first (the 10M section peaks ~15.4 GB of
-    # the chip's 16 GB); the serving ladder rebuilds the 1M bf16 store.
-    def free_store(s):
-        for attr in ("_buf", "_scales", "_shadow"):
-            a = getattr(s, attr, None)
-            if a is not None and hasattr(a, "delete"):
-                a.delete()
 
-    for s in stores.values():
-        free_store(s)
-    stores.clear()
-    outputs.clear()
-    progs.clear()
-    rows_f32.delete()
+# ===========================================================================
+# Section B: clustered corpora + device IVF (one scale per subprocess)
+# ===========================================================================
 
-    SIGMA_C, BG_C = 0.35, 0.02
-    b_results: dict[str, dict] = {}
-    b_desc: dict[str, str] = {}
-    ingest_rate = None
+SIGMA_C, BG_C = 0.35, 0.02
 
-    def run_clustered(
-        tag: str,
-        n_rows: int,
-        clusters: int,
-        r_batches: int,
-        outlier_frac: float,
-        rows_per_cluster: int,
-        seed: int,
-        measure_ingest: bool,
-        cleanup: list,
-    ):
-        """One clustered-corpus scale: gen -> (ingest) -> ivf build ->
-        engines vs the exact scan. Results land in b_results; every device
-        allocation is appended to ``cleanup`` (freed by the caller)."""
-        nonlocal ingest_rate
-        from typeagent_tpu.ops.ivf import ivf_build, ivf_topk_program
 
-        n_pad_c = -(-n_rows // 1024) * 1024
-        chunk = min(524_288, n_pad_c)
-        n_chunks = -(-n_pad_c // chunk)
+def section_b(
+    res: dict,
+    out_path: str,
+    *,
+    tag: str,
+    n_rows: int,
+    clusters: int,
+    r_batches: int,
+    outlier_frac: float,
+    rows_per_cluster: int,
+    seed: int,
+    measure_ingest: bool,
+) -> None:
+    """One clustered-corpus scale: gen -> (ingest) -> ivf build -> engines
+    vs the exact scan. Fills ``res`` incrementally."""
+    import jax
+    import jax.numpy as jnp
 
-        @jax.jit
-        def gen_c(key):
-            kc, kr, kq = jax.random.split(key, 3)
-            centers = jax.random.normal(kc, (clusters, DIM), dtype=jnp.float32)
-            centers /= jnp.linalg.norm(centers, axis=1, keepdims=True)
+    from typeagent_tpu.ops import topk as T
+    from typeagent_tpu.ops.ivf import ivf_build, ivf_topk_program
 
-            def one_chunk(ck):
-                k1, k2, k3 = jax.random.split(ck, 3)
-                labels = jax.random.randint(k1, (chunk,), 0, clusters)
-                e = centers[labels] + SIGMA_C * jax.random.normal(
-                    k2, (chunk, DIM), dtype=jnp.float32
-                ) / jnp.sqrt(DIM * 1.0)
-                bg = jax.random.normal(k3, (chunk, DIM), dtype=jnp.float32)
-                take = jax.random.uniform(jax.random.fold_in(k1, 7), (chunk,)) < BG_C
-                e = jnp.where(take[:, None], bg, e)
-                e /= jnp.linalg.norm(e, axis=1, keepdims=True)
-                return e.astype(jnp.bfloat16)
+    log(f"[{tag}] backend: {jax.default_backend()}")
+    n_pad_c = -(-n_rows // 1024) * 1024
+    chunk = min(524_288, n_pad_c)
+    n_chunks = -(-n_pad_c // chunk)
 
-            rows_c = jax.lax.map(
-                one_chunk, jax.random.split(kr, n_chunks)
-            ).reshape(n_chunks * chunk, DIM)[:n_rows]
-            # Topic queries: corpus-like rows (what users ask about). The
-            # isotropic-query adversarial case is in tools/tpu_ivf_probe.py.
-            kl, kn = jax.random.split(kq)
-            qlab = jax.random.randint(kl, (r_batches * BATCH,), 0, clusters)
-            q_c = centers[qlab] + SIGMA_C * jax.random.normal(
-                kn, (r_batches * BATCH, DIM), dtype=jnp.float32
+    @jax.jit
+    def gen_c(key):
+        kc, kr, kq = jax.random.split(key, 3)
+        centers = jax.random.normal(kc, (clusters, DIM), dtype=jnp.float32)
+        centers /= jnp.linalg.norm(centers, axis=1, keepdims=True)
+
+        def one_chunk(ck):
+            k1, k2, k3 = jax.random.split(ck, 3)
+            labels = jax.random.randint(k1, (chunk,), 0, clusters)
+            e = centers[labels] + SIGMA_C * jax.random.normal(
+                k2, (chunk, DIM), dtype=jnp.float32
             ) / jnp.sqrt(DIM * 1.0)
-            q_c /= jnp.linalg.norm(q_c, axis=1, keepdims=True)
-            return rows_c, q_c.reshape(r_batches, BATCH, DIM)
+            bg = jax.random.normal(k3, (chunk, DIM), dtype=jnp.float32)
+            take = jax.random.uniform(jax.random.fold_in(k1, 7), (chunk,)) < BG_C
+            e = jnp.where(take[:, None], bg, e)
+            e /= jnp.linalg.norm(e, axis=1, keepdims=True)
+            return e.astype(jnp.bfloat16)
 
-        # Everything allocated here frees in the caller's finally — a
-        # failed section must not leave GBs resident for the sections
-        # after it (the serving ladder OOMed on exactly that).
+        rows_c = jax.lax.map(
+            one_chunk, jax.random.split(kr, n_chunks)
+        ).reshape(n_chunks * chunk, DIM)[:n_rows]
+        # Topic queries: corpus-like rows (what users ask about). The
+        # isotropic-query adversarial case is in tools/tpu_ivf_probe.py.
+        kl, kn = jax.random.split(kq)
+        qlab = jax.random.randint(kl, (r_batches * BATCH,), 0, clusters)
+        q_c = centers[qlab] + SIGMA_C * jax.random.normal(
+            kn, (r_batches * BATCH, DIM), dtype=jnp.float32
+        ) / jnp.sqrt(DIM * 1.0)
+        q_c /= jnp.linalg.norm(q_c, axis=1, keepdims=True)
+        return rows_c, q_c.reshape(r_batches, BATCH, DIM)
+
+    t0 = time.perf_counter()
+    emb_c, many_c = gen_c(jax.random.PRNGKey(seed))
+    np.asarray(emb_c[:1, :1])
+    log(f"[{tag}] clustered gen (on device, {n_chunks} chunks): "
+        f"{time.perf_counter() - t0:.1f}s")
+
+    if measure_ingest:
+        # Device bulk ingest through the real store path (reserve + cast +
+        # donated in-place update), streamed in 262k-row chunks: a single
+        # 10M-row ingest program crashes the remote TPU compiler, 1M-row
+        # chunks OOMed next to the corpus (slice + pad transients on top of
+        # corpus + store = 15.4 GB), and chunked is the realistic streaming
+        # shape anyway.
+        store_c = build_store("bfloat16", rows=None)
+        ing_chunk = 262_144
         t0 = time.perf_counter()
-        emb_c, many_c = gen_c(jax.random.PRNGKey(seed))
-        cleanup.extend([emb_c, many_c])
-        np.asarray(emb_c[:1, :1])
-        log(f"{tag} clustered gen (on device, {n_chunks} chunks): "
-            f"{time.perf_counter() - t0:.1f}s")
-
-        if measure_ingest:
-            # Device bulk ingest through the real store path (reserve +
-            # cast + donated in-place update), streamed in ~1M-row chunks:
-            # a single 10M-row ingest program crashes the remote TPU
-            # compiler, and chunked is the realistic streaming shape.
-            store_c = build_store("bfloat16", rows=None)
-            cleanup.append(store_c)  # buffer freed even on mid-ingest failure
-            # 262k-row chunks: the slice + pad transients of each chunk sit
-            # on top of corpus + store (15.4 GB) — 1M-row chunks OOMed.
-            ing_chunk = 262_144
-            t0 = time.perf_counter()
-            store_c.reserve(n_rows)
-            for s0 in range(0, n_rows, ing_chunk):
-                store_c.load_device_rows(
-                    jax.lax.slice(
-                        emb_c, (s0, 0), (min(s0 + ing_chunk, n_rows), DIM)
-                    )
-                )
-            np.asarray(store_c._buf[:1, :1])
-            t_ing = time.perf_counter() - t0
-            ingest_rate = n_rows / t_ing
-            log(f"{tag} device bulk ingest ({ing_chunk}-row chunks): "
-                f"{t_ing:.1f}s ({ingest_rate / 1e6:.1f}M rows/s)")
-            emb_c.delete()
-            emb_b = store_c._buf
-        else:
-            emb_b = emb_c
-        count_c = jnp.asarray(n_rows, dtype=jnp.int32)
-        t0 = time.perf_counter()
-        ivf = ivf_build(
-            emb_b, n_rows, outlier_frac=outlier_frac,
-            rows_per_cluster=rows_per_cluster,
-        )
-        cleanup.extend(list(ivf))
-        np.asarray(ivf.emb_r[:1, :1])
-        log(f"ivf build at {tag}: {time.perf_counter() - t0:.1f}s "
-            f"(nb={ivf.n_buckets}, outliers={int(ivf.count_out)})")
-
-        progs_b = {
-            # exact1 is the oracle: the one-phase fused scan, exact by
-            # construction. (exact2's certificate legitimately reports
-            # False on near-tie clustered data — it is a tie-scope
-            # statement, not an inexactness — so it cannot gate an oracle.)
-            f"{tag}-exact1-bf16": make_prog(
-                lambda q, e: T.topk_program(e, q, count_c, K), emb_b
-            ),
-            f"{tag}-exact2-bf16": make_prog(
-                lambda q, e: T.topk_program_exact2(e, q, count_c, K, slack=6),
-                emb_b,
-            ),
-            f"{tag}-approx-rt995": make_prog(
-                lambda q, e: T.cosine_topk_approx(
-                    e, q, count_c, K, recall_target=0.995
-                ),
-                emb_b,
-            ),
-        }
-        use_pallas_b = jax.default_backend() == "tpu"
-        for B_ivf in (8, 12, 16):
-            progs_b[f"{tag}-ivf-B{B_ivf}"] = make_prog(
-                lambda q, *st, _B=B_ivf: ivf_topk_program(
-                    *st, q, K, B=_B, use_pallas=use_pallas_b
-                ),
-                *ivf,
+        store_c.reserve(n_rows)
+        for s0 in range(0, n_rows, ing_chunk):
+            store_c.load_device_rows(
+                jax.lax.slice(emb_c, (s0, 0), (min(s0 + ing_chunk, n_rows), DIM))
             )
+        np.asarray(store_c._buf[:1, :1])
+        t_ing = time.perf_counter() - t0
+        res["ingest_rows_per_s"] = n_rows / t_ing
+        _write_json(out_path, res)
+        log(f"[{tag}] device bulk ingest ({ing_chunk}-row chunks): "
+            f"{t_ing:.1f}s ({n_rows / t_ing / 1e6:.1f}M rows/s)")
+        emb_c.delete()
+        emb_b = store_c._buf
+    else:
+        emb_b = emb_c
+    count_c = jnp.asarray(n_rows, dtype=jnp.int32)
+    t0 = time.perf_counter()
+    ivf = ivf_build(
+        emb_b, n_rows, outlier_frac=outlier_frac,
+        rows_per_cluster=rows_per_cluster,
+    )
+    np.asarray(ivf.emb_r[:1, :1])
+    res["ivf_build_s"] = time.perf_counter() - t0
+    res["ivf_buckets"] = int(ivf.n_buckets)
+    _write_json(out_path, res)
+    log(f"[{tag}] ivf build: {res['ivf_build_s']:.1f}s "
+        f"(nb={ivf.n_buckets}, outliers={int(ivf.count_out)})")
 
-        outputs_b, timings_b = {}, {}
-        for name, (prog, bufs) in progs_b.items():
-            t0 = time.perf_counter()
-            compiled = prog.lower(many_c, *bufs).compile()
-            t_c = time.perf_counter() - t0
+    progs_b = {
+        # exact1 is the oracle: the one-phase fused scan, exact by
+        # construction. (exact2's certificate legitimately reports False on
+        # near-tie clustered data — it is a tie-scope statement, not an
+        # inexactness — so it cannot gate an oracle.)
+        f"{tag}-exact1-bf16": make_prog(
+            lambda q, e: T.topk_program(e, q, count_c, K), emb_b
+        ),
+        f"{tag}-exact2-bf16": make_prog(
+            lambda q, e: T.topk_program_exact2(e, q, count_c, K, slack=6), emb_b
+        ),
+        f"{tag}-approx-rt995": make_prog(
+            lambda q, e: T.cosine_topk_approx(e, q, count_c, K, recall_target=0.995),
+            emb_b,
+        ),
+    }
+    use_pallas_b = jax.default_backend() == "tpu"
+    for B_ivf in (8, 12, 16):
+        progs_b[f"{tag}-ivf-B{B_ivf}"] = make_prog(
+            lambda q, *st, _B=B_ivf: ivf_topk_program(
+                *st, q, K, B=_B, use_pallas=use_pallas_b
+            ),
+            *ivf,
+        )
+
+    desc = (
+        f"clustered {tag} x {DIM} bf16 ({clusters} topics, "
+        f"{int(BG_C * 100)}% background, topic queries; recall vs exact scan)"
+    )
+    res["desc"] = desc
+    baseline = BASELINE_QPS * 1_000_000 * _SCALE / n_rows
+
+    outputs_b, timings_b = {}, {}
+    for name, (prog, bufs) in progs_b.items():
+        t0 = time.perf_counter()
+        compiled = prog.lower(many_c, *bufs).compile()
+        t_c = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = compiled(many_c, *bufs)
+        np.asarray(jax.tree.leaves(out)[0])
+        log(f"[{tag}] warmup {name}: lower+compile {t_c:.1f}s "
+            f"(persistent-cache {'hit' if t_c < 15 else 'MISS'}), "
+            f"first run {time.perf_counter() - t0:.1f}s")
+        progs_b[name] = (compiled, bufs)
+        outputs_b[name] = out
+        timings_b[name] = float("inf")
+    for rnd in range(_ROUNDS):
+        for name, (compiled, bufs) in progs_b.items():
             t0 = time.perf_counter()
             out = compiled(many_c, *bufs)
             np.asarray(jax.tree.leaves(out)[0])
-            log(f"warmup {name}: lower+compile {t_c:.1f}s "
-                f"(persistent-cache {'hit' if t_c < 15 else 'MISS'}), "
-                f"first run {time.perf_counter() - t0:.1f}s")
-            progs_b[name] = (compiled, bufs)
+            timings_b[name] = min(timings_b[name], time.perf_counter() - t0)
             outputs_b[name] = out
-            timings_b[name] = float("inf")
-        for _ in range(3):
-            for name, (compiled, bufs) in progs_b.items():
-                t0 = time.perf_counter()
-                out = compiled(many_c, *bufs)
-                np.asarray(jax.tree.leaves(out)[0])
-                timings_b[name] = min(
-                    timings_b[name], time.perf_counter() - t0
-                )
-                outputs_b[name] = out
 
         # Oracle: the exact one-phase scan of the bf16 store (an f32 copy
         # does not fit next to the 10M buffer; at 1M the store IS bf16).
-        oracle_leaves = jax.tree.leaves(outputs_b[f"{tag}-exact1-bf16"])
-        oracle_c = np.asarray(oracle_leaves[1]).reshape(-1, K)
-        desc = (
-            f"clustered {tag} x {DIM} bf16 ({clusters} topics, "
-            f"{int(BG_C * 100)}% background, topic queries; recall vs "
-            f"exact scan)"
-        )
+        oracle_c = np.asarray(
+            jax.tree.leaves(outputs_b[f"{tag}-exact1-bf16"])[1]
+        ).reshape(-1, K)
+        results = {}
         for name, el in timings_b.items():
             leaves = jax.tree.leaves(outputs_b[name])
-            idx = np.asarray(leaves[1]).reshape(-1, K)
-            rec = float(
-                np.mean(
-                    [
-                        len(set(a.tolist()) & set(bb.tolist())) / K
-                        for a, bb in zip(idx, oracle_c)
-                    ]
-                )
-            )
-            cert = (
-                float(np.asarray(leaves[2]).mean()) if len(leaves) > 2 else None
-            )
-            qps = r_batches * BATCH / el
-            b_results[name] = {
-                "qps": qps,
+            rec = _recall_of(leaves[1], oracle_c, K)
+            cert = float(np.asarray(leaves[2]).mean()) if len(leaves) > 2 else None
+            results[name] = {
+                "qps": r_batches * BATCH / el,
                 "recall": rec,
-                "baseline": BASELINE_QPS * 1_000_000 * _SCALE / n_rows,
+                "baseline": baseline,
+                "cert_frac": cert,
             }
-            b_desc[name] = desc
-            log(
-                f"{name}: {el / r_batches * 1000:.2f} ms/batch-{BATCH}, "
-                f"{qps:.0f} QPS, recall@{K} vs certified-exact oracle: "
-                f"{rec:.4f}"
-                + (f", cert_frac={cert:.3f}" if cert is not None else "")
-            )
+        res["results"] = results
+        _write_json(out_path, res)
+        log(f"[{tag}] round {rnd + 1}/{_ROUNDS} measured (results flushed)")
 
-    scales_c = [
-        ("1M", max(int(1_000_000 * _SCALE) // 1024 * 1024, 8192),
-         max(int(1_000 * _SCALE), 8), 20, 0.03, 512, 13, False),
-        ("10M", max(int(10_000_000 * _SCALE) // 1024 * 1024, 8192),
-         # rows_per_cluster 512: clusters (19.5k) must OUTNUMBER topics
-         # (10k) ~2x or merged-topic buckets balloon the radii (recall
-         # 0.9914 at 512 vs 0.955 at 768 vs 0.87 at 1024, measured). The
-         # build pair (16.33e9 B next to the 7.7 GB store) fits since the
-         # donated-table and freed-assignment fixes.
-         # r_batches 20 (was 8): the attach's per-dispatch overhead is a
-         # measured ~25 ms (noop probe, NOTES round-4) — at R=8 that is
-         # 3.2 ms/batch of tunnel tax vs 1.25 at section A's R=20; equal R
-         # keeps the scales comparable.
-         max(int(10_000 * _SCALE), 16), 20, 0.03, 512, 11, True),
-    ]
-    for tag, n_c, cl_c, r_c, of_c, rpc_c, seed_c, ing_c in scales_c:
-        cleanup: list = []
-        try:
-            run_clustered(
-                tag, n_c, cl_c, r_c, of_c, rpc_c, seed_c, ing_c, cleanup
-            )
-        except Exception as e:  # noqa: BLE001
-            log(f"clustered {tag} section FAILED (headline falls back): "
-                f"{type(e).__name__}: {e}")
-        finally:
-            for thing in cleanup:
-                arrs = (
-                    [thing]
-                    if hasattr(thing, "delete")
-                    else [getattr(thing, a, None) for a in ("_buf", "_scales")]
-                )
-                for arr in arrs:
-                    try:
-                        arr.delete()
-                    except Exception:  # noqa: BLE001 — deleted/None is fine
-                        pass
+    for name, rr in res["results"].items():
+        cert = rr.get("cert_frac")
+        log(
+            f"[{tag}] {name}: {timings_b[name] / r_batches * 1000:.2f} "
+            f"ms/batch-{BATCH}, {rr['qps']:.0f} QPS, recall@{K} vs "
+            f"certified-exact oracle: {rr['recall']:.4f}"
+            + (f", cert_frac={cert:.3f}" if cert is not None else "")
+        )
 
-    # -- headline (printed BEFORE the serving ladder: the tunnel stalls for
-    # minutes at a time, and a stall inside the serving section must not
-    # cost the recorded result) --------------------------------------------
-    eligible = {n: (q, r) for n, (q, r) in rates.items() if r >= RECALL_BAR}
-    mode_a, (qps_a, rec_a) = max(eligible.items(), key=lambda kv: kv[1][0])
-    log(
-        f"section A headline: {mode_a} ({qps_a:.0f} QPS, recall {rec_a:.4f}); "
-        f"exact-parity (recall 1.0): exact2h-f32 {exact_parity_qps:.0f} QPS"
-    )
-    candidates = [
-        {
-            "name": mode_a,
-            "qps": qps_a,
-            "recall": rec_a,
-            "desc": (
-                f"isotropic {N_ROWS // 1000}k x {DIM} (full-scan worst case)"
-            ),
-            "baseline": BASELINE_QPS,
-        }
-    ]
-    for name, rr in b_results.items():
-        if rr["recall"] >= RECALL_BAR:
-            candidates.append(
-                {
-                    "name": name,
-                    "qps": rr["qps"],
-                    "recall": rr["recall"],
-                    "desc": b_desc[name],
-                    # numpy extrapolates linearly in rows (178 ms/query/M).
-                    "baseline": rr["baseline"],
-                }
-            )
-    best = max(candidates, key=lambda c: c["qps"])
-    log(f"headline: {best['name']} {best['qps']:.0f} QPS on {best['desc']}")
-    ingest_s = (
-        f"; 10M device ingest {ingest_rate / 1e6:.1f}M rows/s" if ingest_rate
-        else ""
-    )
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"cosine top-{K} QPS ({best['name']}, batch {BATCH}, "
-                    f"{best['desc']}, recall@{K}>={RECALL_BAR} measured "
-                    f"{best['recall']:.3f}; isotropic-1M best: {mode_a} "
-                    f"{qps_a:.0f} QPS; exact-parity recall-1.0 mode: "
-                    f"exact2h-f32 {exact_parity_qps:.0f} QPS{ingest_s})"
-                ),
-                "value": round(best["qps"], 1),
-                "unit": "QPS",
-                "vs_baseline": round(best["qps"] / best["baseline"], 1),
-            }
-        ),
-        flush=True,
+
+def section_b1m(res: dict, out_path: str) -> None:
+    section_b(
+        res, out_path,
+        tag="1M",
+        n_rows=max(int(1_000_000 * _SCALE) // 1024 * 1024, 8192),
+        clusters=max(int(1_000 * _SCALE), 8),
+        r_batches=20,
+        outlier_frac=0.03,
+        rows_per_cluster=512,
+        seed=13,
+        measure_ingest=False,
     )
 
-    # -- serving-path measurements (host round trips through the tunnel) ----
-    # Variance protocol (tunnel throughput swings ±40% between sessions and
-    # drifts WITHIN one): every rung runs once per round, rounds interleave
-    # all rungs A/B/C/D, and the recorded figure is the MEDIAN across
-    # rounds with per-request p50/p99 latency from the metrics registry.
+
+def section_b10m(res: dict, out_path: str) -> None:
+    section_b(
+        res, out_path,
+        tag="10M",
+        n_rows=max(int(10_000_000 * _SCALE) // 1024 * 1024, 8192),
+        # rows_per_cluster 512: clusters (19.5k) must OUTNUMBER topics (10k)
+        # ~2x or merged-topic buckets balloon the radii (recall 0.9914 at
+        # 512 vs 0.955 at 768 vs 0.87 at 1024, measured). r_batches 20: the
+        # attach's per-dispatch overhead is ~25 ms (noop probe, NOTES
+        # round-4) — equal R keeps the scales comparable.
+        clusters=max(int(10_000 * _SCALE), 16),
+        r_batches=20,
+        outlier_frac=0.03,
+        rows_per_cluster=512,
+        seed=11,
+        measure_ingest=True,
+    )
+
+
+# ===========================================================================
+# Section SERVE: host-round-trip serving ladder
+# ===========================================================================
+
+
+def section_serve(res: dict, out_path: str) -> None:
     import asyncio
     import statistics
+
+    import jax
+    import jax.numpy as jnp
 
     from typeagent_tpu.serve import LookupBatcher
     from typeagent_tpu.utils.metrics import MetricsRegistry
 
-    # Section A's buffers were freed for the 10M section; rebuild the 1M
-    # bf16 store (same PRNG key -> identical rows, on-device). Retry with
-    # backoff: right after a section OOM the backend can transiently
-    # refuse allocations while freed buffers drain.
-    for attempt in range(4):
-        try:
-            rows_again, _ = gen_data(jax.random.PRNGKey(7))
-            store = build_store("bfloat16", rows=rows_again)
-            rows_again.delete()
-            break
-        except Exception as e:  # noqa: BLE001
-            log(f"serving store rebuild attempt {attempt + 1} failed "
-                f"({type(e).__name__}); retrying in 10s")
-            try:
-                rows_again.delete()
-            except Exception:  # noqa: BLE001 — may not exist yet
-                pass
-            time.sleep(10)
-    else:
-        raise RuntimeError("serving store rebuild failed after retries")
+    log(f"[SERVE] backend: {jax.default_backend()}")
+    rows_f32, many = _gen_isotropic()
+    store = build_store("bfloat16", rows_f32)
+    rows_f32.delete()
     queries_host = np.asarray(many[0])
     many_host = np.asarray(many)
     n_stream = 3 * R
@@ -640,7 +569,9 @@ def main() -> None:
     for _ in range(5):
         np.asarray(rtt_probe(jnp.zeros((8, 8))))
     rtt_ms = (time.perf_counter() - t0) / 5 * 1000
-    log(f"tunnel round-trip (tiny dispatch + fetch): {rtt_ms:.1f} ms")
+    res["rtt_ms"] = rtt_ms
+    _write_json(out_path, res)
+    log(f"[SERVE] tunnel round-trip (tiny dispatch + fetch): {rtt_ms:.1f} ms")
 
     reg = MetricsRegistry()
 
@@ -673,12 +604,12 @@ def main() -> None:
     def rung_coalesced():
         """R waiting batches fused into ONE dispatch."""
         with reg.timer("coalesced"):
-            res = store.fuzzy_lookup_embeddings_many(many_host, max_hits=K)
-        assert len(res) == R and len(res[0]) == BATCH
+            out = store.fuzzy_lookup_embeddings_many(many_host, max_hits=K)
+        assert len(out) == R and len(out[0]) == BATCH
         return R * BATCH
 
     def rung_stream():
-        """Sustained independent-request stream, coalesce 8 × inflight 3 —
+        """Sustained independent-request stream, coalesce 8 x inflight 3 —
         what a loaded server sustains."""
 
         async def run():
@@ -704,46 +635,326 @@ def main() -> None:
         f"coalesced-x{R}": rung_coalesced,
         "stream-x60 (coalesce 8, inflight 3)": rung_stream,
     }
-    for fn in rungs.values():  # warm (trace/compile outside the timed rounds)
-        fn()
-    reg.latencies.clear()
-
-    rounds = 5
-    round_qps: dict[str, list[float]] = {name: [] for name in rungs}
-    for _ in range(rounds):
-        for name, fn in rungs.items():
-            t0 = time.perf_counter()
-            n_q = fn()
-            round_qps[name].append(n_q / (time.perf_counter() - t0))
-
     timer_key = {
         "sync": "sync",
         "pipelined-x2": "pipelined",
         f"coalesced-x{R}": "coalesced",
         "stream-x60 (coalesce 8, inflight 3)": "stream",
     }
+    for fn in rungs.values():  # warm (trace/compile outside the timed rounds)
+        fn()
+    reg.latencies.clear()
+
+    # Variance protocol (tunnel throughput swings ±40% between sessions and
+    # drifts WITHIN one): every rung runs once per round, rounds interleave
+    # all rungs, the recorded figure is the MEDIAN across rounds; results
+    # flush after every round.
+    rounds = _SERVE_ROUNDS
+    round_qps: dict[str, list[float]] = {name: [] for name in rungs}
+    for rnd in range(rounds):
+        for name, fn in rungs.items():
+            t0 = time.perf_counter()
+            n_q = fn()
+            round_qps[name].append(n_q / (time.perf_counter() - t0))
+        serving = {}
+        for name in rungs:
+            s = reg.stats(timer_key[name])
+            serving[name] = {
+                "qps_median": round(statistics.median(round_qps[name])),
+                "qps_rounds": [round(x) for x in round_qps[name]],
+                "p50_ms": round(s.p50_ms, 1) if s else None,
+                "p99_ms": round(s.p99_ms, 1) if s else None,
+            }
+        res["serving"] = serving
+        _write_json(out_path, res)
+        log(f"[SERVE] round {rnd + 1}/{rounds} measured (results flushed)")
+
     sync_median = statistics.median(round_qps["sync"])
-    serving = {}
-    for name in rungs:
-        qps_med = statistics.median(round_qps[name])
-        s = reg.stats(timer_key[name])
-        lat = (
-            f"req p50 {s.p50_ms:.1f} ms, p99 {s.p99_ms:.1f} ms"
-            if s
-            else "n/a"
-        )
-        serving[name] = {
-            "qps_median": round(qps_med),
-            "qps_rounds": [round(x) for x in round_qps[name]],
-            "p50_ms": round(s.p50_ms, 1) if s else None,
-            "p99_ms": round(s.p99_ms, 1) if s else None,
-        }
+    for name, info in res["serving"].items():
         log(
-            f"served {name}: median {qps_med:.0f} QPS over {rounds} "
-            f"interleaved rounds ({qps_med / sync_median:.1f}x sync; {lat}; "
-            f"rounds: {[f'{x / 1000:.1f}k' for x in round_qps[name]]})"
+            f"[SERVE] {name}: median {info['qps_median']} QPS over {rounds} "
+            f"interleaved rounds ({info['qps_median'] / sync_median:.1f}x sync; "
+            f"req p50 {info['p50_ms']} ms, p99 {info['p99_ms']} ms; "
+            f"rounds: {[f'{x / 1000:.1f}k' for x in info['qps_rounds']]})"
         )
-    log("serving summary json: " + json.dumps(serving))
+
+
+# ===========================================================================
+# Parent orchestration (device-free; survives any child abort)
+# ===========================================================================
+
+_SECTION_FNS = {
+    "A": section_a,
+    "B1M": section_b1m,
+    "B10M": section_b10m,
+    "SERVE": section_serve,
+}
+
+
+def run_child(section: str, out_path: str) -> None:
+    # Children must never write to stdout (the parent owns the single JSON
+    # line); redirect so stray library prints land in the stderr log.
+    sys.stdout = sys.stderr
+    res: dict = {}
+    try:
+        if section in os.environ.get("TAT_BENCH_FORCE_FAIL", "").split(","):
+            raise RuntimeError("forced failure (TAT_BENCH_FORCE_FAIL)")
+        _SECTION_FNS[section](res, out_path)
+    except BaseException as e:  # noqa: BLE001 — preserve partials, then fail
+        res["error"] = f"{type(e).__name__}: {e}"
+        _write_json(out_path, res)
+        raise
+    _write_json(out_path, res)
+
+
+def _probe_backend() -> bool:
+    """Warm the remote compile path in a bounded subprocess. A fresh
+    process opens a fresh tunnel stream — which is what unwedges a stalled
+    one — and its compile lands in the persistent cache so the sections'
+    own warmups are cache hits."""
+    probe_src = (
+        "import jax, jax.numpy as jnp; import sys; sys.path.insert(0, '.');"
+        "from typeagent_tpu.ops import topk as T;"
+        f"e = jnp.zeros((256, {DIM}), dtype=jnp.bfloat16);"
+        f"q = jnp.zeros((8, {DIM}), dtype=jnp.float32);"
+        "c = jnp.asarray(256, dtype=jnp.int32);"
+        "jax.jit(lambda e, q: T.topk_program(e, q, c, 5)).lower(e, q).compile();"
+        "print('probe ok', file=sys.stderr)"
+    )
+    for attempt in range(3):
+        t0 = time.perf_counter()
+        try:
+            subprocess.run(
+                [sys.executable, "-c", probe_src],
+                timeout=120,
+                check=True,
+                capture_output=True,
+                cwd=_HERE,
+            )
+            log(f"backend probe ok ({time.perf_counter() - t0:.1f}s, "
+                f"attempt {attempt + 1})")
+            return True
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+            log(f"backend probe attempt {attempt + 1} failed "
+                f"({type(e).__name__}); retrying in a fresh process")
+    return False
+
+
+def _richer(a: dict | None, b: dict | None) -> dict | None:
+    """Pick the section result with more measurements (retry may regress)."""
+    if not a:
+        return b
+    if not b:
+        return a
+
+    def score(d):
+        return len(d.get("rates") or d.get("results") or d.get("serving") or {})
+
+    return b if score(b) >= score(a) else a
+
+
+def compose_headline(results: dict) -> dict | None:
+    """The single JSON line from whatever sections succeeded."""
+    candidates = []
+    a = results.get("A") or {}
+    rates = a.get("rates") or {}
+    eligible = {n: t for n, t in rates.items() if t[1] >= RECALL_BAR}
+    mode_a = None
+    if eligible:
+        mode_a, (qps_a, rec_a) = max(eligible.items(), key=lambda kv: kv[1][0])
+        candidates.append(
+            {
+                "name": mode_a,
+                "qps": qps_a,
+                "recall": rec_a,
+                "desc": f"isotropic {N_ROWS // 1000}k x {DIM} (full-scan worst case)",
+                "baseline": BASELINE_QPS,
+            }
+        )
+    for sec in ("B1M", "B10M"):
+        b = results.get(sec) or {}
+        for name, rr in (b.get("results") or {}).items():
+            if rr["recall"] >= RECALL_BAR:
+                candidates.append(
+                    {
+                        "name": name,
+                        "qps": rr["qps"],
+                        "recall": rr["recall"],
+                        "desc": b.get("desc", sec),
+                        # numpy extrapolates linearly in rows (178 ms/query/M)
+                        "baseline": rr["baseline"],
+                    }
+                )
+    if not candidates:
+        return None
+    best = max(candidates, key=lambda c: c["qps"])
+    parity = a.get("exact_parity_qps")
+    parity_s = (
+        f"; exact-parity recall-1.0 mode: exact2h-f32 {parity:.0f} QPS"
+        if parity
+        else ""
+    )
+    iso_s = f"; isotropic-1M best: {mode_a} {qps_a:.0f} QPS" if mode_a else ""
+    ingest = (results.get("B10M") or {}).get("ingest_rows_per_s")
+    ingest_s = f"; 10M device ingest {ingest / 1e6:.1f}M rows/s" if ingest else ""
+    # A section failed if it never produced a result file OR its best
+    # attempt still ended in an error (partial measurements are kept and
+    # used above, but the failure is named in the metric string).
+    failed = [
+        s for s in SECTIONS if s not in results or "error" in results[s]
+    ]
+    failed_s = f"; sections failed: {','.join(failed)}" if failed else ""
+    return {
+        "metric": (
+            f"cosine top-{K} QPS ({best['name']}, batch {BATCH}, "
+            f"{best['desc']}, recall@{K}>={RECALL_BAR} measured "
+            f"{best['recall']:.3f}{iso_s}{parity_s}{ingest_s}{failed_s})"
+        ),
+        "value": round(best["qps"], 1),
+        "unit": "QPS",
+        "vs_baseline": round(best["qps"] / best["baseline"], 1),
+    }
+
+
+def parent() -> None:
+    results: dict[str, dict] = {}
+    outdir = tempfile.mkdtemp(prefix="bench_sections_")
+    log(f"bench parent: section results under {outdir}")
+    headline = None
+    try:
+        probe_ok = _probe_backend()
+        if not probe_ok:
+            log("backend probe EXHAUSTED — sections will still each try a "
+                "fresh stream, but the backend looks wedged")
+        for sec in SECTIONS:
+            out = os.path.join(outdir, sec + ".json")
+            got: dict | None = None
+            for attempt in (1, 2):
+                try:
+                    if os.path.exists(out):
+                        os.remove(out)
+                except OSError:
+                    pass
+                t0 = time.perf_counter()
+                try:
+                    proc = subprocess.run(
+                        [
+                            sys.executable,
+                            os.path.abspath(__file__),
+                            "--section",
+                            sec,
+                            "--out",
+                            out,
+                        ],
+                        timeout=SECTION_TIMEOUT[sec],
+                        cwd=_HERE,
+                        # Children log to stderr only; close off fd 1 so no
+                        # C-level library write can corrupt the parent's
+                        # single JSON stdout line.
+                        stdout=subprocess.DEVNULL,
+                    )
+                    rc: int | str = proc.returncode
+                except subprocess.TimeoutExpired:
+                    rc = f"WATCHDOG TIMEOUT {SECTION_TIMEOUT[sec]:.0f}s"
+                attempt_res: dict | None = None
+                if os.path.exists(out):
+                    try:
+                        with open(out) as f:
+                            attempt_res = json.load(f)
+                    except (OSError, json.JSONDecodeError):
+                        pass
+                got = _richer(got, attempt_res)
+                ok = rc == 0 and attempt_res is not None and "error" not in attempt_res
+                log(
+                    f"section {sec} attempt {attempt}: rc={rc}, "
+                    f"{time.perf_counter() - t0:.0f}s, "
+                    f"{'ok' if ok else 'FAILED'}"
+                    + (
+                        f" (child error: {attempt_res['error']})"
+                        if attempt_res and "error" in attempt_res
+                        else ""
+                    )
+                )
+                if ok:
+                    break
+                if rc != 0 and not isinstance(rc, int):
+                    # Watchdog kill = a wedged tunnel stream; probe (in yet
+                    # another fresh process) to unwedge before the retry. A
+                    # child that exited quickly with an error is an ordinary
+                    # crash — retrying it immediately is the right move.
+                    _probe_backend()
+            if got:
+                results[sec] = got
+            # Incremental state: the composed headline is reconstructable
+            # from here even if the parent dies after this point.
+            _write_json(os.path.join(outdir, "STATE.json"), results)
+            h = compose_headline(results)
+            if h:
+                log("headline so far: " + json.dumps(h))
+        headline = compose_headline(results)
+    except Exception as e:  # noqa: BLE001 — the JSON line must still print
+        log(f"bench parent crashed: {type(e).__name__}: {e}")
+
+    if headline is not None:
+        if _WRITE_LAST_GOOD:
+            _write_json(
+                _LAST_GOOD,
+                {"ts": time.time(), "headline": headline, "sections": results},
+            )
+        print(json.dumps(headline), flush=True)
+        return
+    # Backend truly dead: say so, carry the last-good cached headline.
+    cached = None
+    try:
+        with open(_LAST_GOOD) as f:
+            cached = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        pass
+    if cached:
+        age_h = (time.time() - cached["ts"]) / 3600
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        "TPU BACKEND DEAD THIS RUN (all sections failed after "
+                        "fresh-process retries); value is the LAST-GOOD cached "
+                        f"headline from {age_h:.1f}h ago: "
+                        + cached["headline"]["metric"]
+                    ),
+                    "value": cached["headline"]["value"],
+                    "unit": cached["headline"]["unit"],
+                    "vs_baseline": cached["headline"]["vs_baseline"],
+                }
+            ),
+            flush=True,
+        )
+    else:
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        "TPU BACKEND DEAD THIS RUN (all sections failed after "
+                        "fresh-process retries; no last-good cache)"
+                    ),
+                    "value": 0.0,
+                    "unit": "QPS",
+                    "vs_baseline": 0.0,
+                }
+            ),
+            flush=True,
+        )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--section", choices=sorted(_SECTION_FNS))
+    ap.add_argument("--out")
+    args = ap.parse_args()
+    if args.section:
+        assert args.out, "--section requires --out"
+        run_child(args.section, args.out)
+    else:
+        parent()
 
 
 if __name__ == "__main__":

@@ -14,6 +14,10 @@ if not os.environ.get("TAT_TEST_TPU"):
     # jax is pre-imported by the environment's sitecustomize with the TPU
     # backend pinned via JAX_PLATFORMS, so plain env vars are too late —
     # use config.update before any backend initialization instead.
+    # Also drop the axon pool IPs so subprocesses tests spawn (bench smoke,
+    # multichip hermeticity) never dial the TPU relay: a wedged relay blocks
+    # backend init even in CPU-pinned processes (observed live).
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (

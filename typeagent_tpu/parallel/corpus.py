@@ -46,7 +46,9 @@ class CorpusVectorStore:
 
         self.mesh = mesh or create_mesh()
         # search_mode="approx": global searches ride per-shard approx_max_k;
-        # conversation-scoped searches stay exact (masked full scan).
+        # search_mode="ivf": global searches ride the per-shard IVF snapshot
+        # once build_ivf() has run (exact until then). Conversation-scoped
+        # searches stay exact either way (masked full scan).
         self._store = ShardedVectorStore(
             self.mesh, dim, dtype=dtype or jnp.float32, search_mode=search_mode
         )
@@ -80,6 +82,15 @@ class CorpusVectorStore:
     def reserve(self, n_rows: int) -> None:
         """Pre-size the sharded buffer for a known corpus size."""
         self._store.reserve(n_rows)
+
+    def build_ivf(self, **build_kwargs) -> None:
+        """Snapshot the corpus into per-shard IVF indexes (parallel/ivf.py).
+
+        Global searches on a ``search_mode="ivf"`` corpus then ride the
+        learned-bucket engine (rows appended later are found via an exact
+        suffix scan until the next build); scoped searches stay exact.
+        """
+        self._store.build_ivf(**build_kwargs)
 
     def append_device(self, conversation: str, rows) -> None:
         """Bulk-adopt device-resident rows for a conversation (normalized on

@@ -364,16 +364,20 @@ class ShardedVectorStore:
         dtype=jnp.float32,
         search_mode: str = "exact",
         recall_target: float = 0.95,
+        ivf_b: int = 16,
     ):
         if isinstance(dtype, str):
             dtype = _DTYPE_NAMES[dtype]
-        assert search_mode in ("exact", "approx"), search_mode
-        if search_mode == "approx" and dtype == jnp.int8:
+        assert search_mode in ("exact", "approx", "ivf"), search_mode
+        if search_mode in ("approx", "ivf") and dtype == jnp.int8:
             raise ValueError(
-                "search_mode='approx' supports float32/bfloat16 stores only"
+                f"search_mode={search_mode!r} supports float32/bfloat16 "
+                "stores only"
             )
         self.search_mode = search_mode
         self.recall_target = recall_target
+        self.ivf_b = ivf_b  # buckets rescored per shard per query
+        self._ivf = None  # parallel.ivf.ShardedIVF snapshot
         self.mesh = mesh
         self.dim = dim
         self.dim_pad = append_ops.round_up(dim, append_ops.LANES)
@@ -603,8 +607,70 @@ class ShardedVectorStore:
         k: int,
         min_score: float = 0.0,
     ) -> list[list[tuple[int, float]]]:
-        """Batched distributed lookup -> per-query (ordinal, score) lists."""
+        """Batched distributed lookup -> per-query (ordinal, score) lists.
+
+        ``search_mode="ivf"`` stores with a built snapshot route through the
+        per-shard IVF program (exact full scan until :meth:`build_ivf`)."""
+        if self.search_mode == "ivf" and self._ivf is not None:
+            return self.search_ivf(queries, k, min_score)[0]
         return self.collect_search(self.search_dispatch(queries, k, min_score))
+
+    # -- sharded IVF (per-shard learned buckets; parallel/ivf.py) -----------
+
+    def build_ivf(self, **build_kwargs) -> None:
+        """Snapshot the live rows into per-shard IVF indexes.
+
+        Build compute runs on each owning device (no cross-shard traffic);
+        rows appended afterwards are found via an exact interval scan of
+        the suffix until the next build_ivf(). No-op on an empty store.
+        """
+        from .ivf import build_sharded_ivf
+
+        self._flush()
+        if self.count == 0:
+            return
+        self._ivf = build_sharded_ivf(self, **build_kwargs)
+
+    def search_ivf(
+        self,
+        queries: np.ndarray,
+        k: int,
+        min_score: float = 0.0,
+    ) -> tuple[list[list[tuple[int, float]]], list[bool]]:
+        """Distributed IVF lookup -> (per-query results, per-query certs).
+
+        A True cert means the result is provably the exact top-k (up to eps
+        ties): every shard certified its excluded buckets and all outlier
+        tails + the post-snapshot suffix were scanned exactly.
+        """
+        from .ivf import sharded_ivf_search_dispatch
+
+        self._flush()
+        b = queries.shape[0]
+        if self.count == 0:
+            return [[] for _ in range(b)], [True] * b
+        if self._ivf is None:
+            raise RuntimeError("search_ivf before build_ivf")
+        k_eff = min(k, self.count)
+        vals, idx, cert = sharded_ivf_search_dispatch(
+            self, self._ivf, self._pad_queries(queries), k_eff, min_score
+        )
+        certs = np.asarray(jax.device_get(cert))[:b].tolist()
+        results = self._collect(vals, idx, b)
+        # Rows appended after the snapshot: exact interval scan, merged in
+        # score space (the suffix is exact, so certificates stay sound).
+        if self.count > self._ivf.built_count:
+            extra = self.search_intervals(
+                queries,
+                np.asarray([[self._ivf.built_count, self.count]]),
+                k_eff,
+                min_score,
+            )
+            for r in range(b):
+                merged = results[r] + extra[r]
+                merged.sort(key=lambda t: -t[1])
+                results[r] = merged[:k_eff]
+        return results, certs
 
     def search_subset(
         self,
@@ -750,3 +816,4 @@ class ShardedVectorStore:
         self.count = 0
         self._pending.clear()
         self._pending_rows = 0
+        self._ivf = None  # derived index: rebuild after a clear/restore
