@@ -131,3 +131,32 @@ async def test_benchmark_pipeline_stages(capsys):
     report = reg.report()["latency"]
     assert report["stage2+3.search"]["count"] == 6
     assert report["stage4.context"]["count"] == 6
+
+
+async def test_benchmark_pipeline_concurrent_matches_sequential(capsys):
+    """N concurrent query() pipelines (verdict r4 #4) produce the same
+    contexts as the sequential run — the async subset re-rank and
+    off-loop device-executor fetches change scheduling, never results."""
+    import random
+
+    from typeagent_tpu.tools.benchmark_pipeline import (
+        make_search_queries,
+        run_pipeline,
+        run_pipeline_concurrent,
+    )
+    from typeagent_tpu.tools.benchmark_engine import build_conversation
+    from typeagent_tpu.utils.metrics import MetricsRegistry
+
+    rng = random.Random(5)
+    conv = await build_conversation(40, rng)
+    queries = make_search_queries(8, rng)
+    for use_device in (False, True):
+        seq = await run_pipeline(
+            conv, queries, use_device=use_device, reg=MetricsRegistry()
+        )
+        creg = MetricsRegistry()
+        conc = await run_pipeline_concurrent(
+            conv, queries, use_device=use_device, reg=creg, concurrency=4
+        )
+        assert conc == seq
+        assert creg.report()["latency"]["stage2+3.search"]["count"] == 8

@@ -288,3 +288,108 @@ def test_reserve_exact_capacity_bulk_ingest():
     # Beyond the reservation the doubling policy resumes.
     store.load_device_rows(jnp.asarray(rows[:1024]))
     assert store._buf.shape[0] == 10240
+
+
+def test_vectorstore_ivf_background_rebuild_and_pin():
+    """build_ivf_background: queries serve the old snapshot during the
+    build (appends copy instead of donating — the pinned buffer must stay
+    alive), and the swap advances _ivf_count atomically."""
+    from typeagent_tpu.models.adapters import create_test_embedding_model
+    from typeagent_tpu.vectorstore import TextEmbeddingIndexSettings, VectorStore
+
+    rng = np.random.default_rng(31)
+    d = 32
+    centers = rng.standard_normal((10, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+
+    def mk(n):
+        e = centers[rng.integers(0, 10, n)] + 0.2 * rng.standard_normal(
+            (n, d)
+        ).astype(np.float32) / np.sqrt(d)
+        return e / np.linalg.norm(e, axis=1, keepdims=True)
+
+    emb = mk(2500)
+    settings = TextEmbeddingIndexSettings(
+        create_test_embedding_model(d), min_score=0.0, search_mode="ivf"
+    )
+    store = VectorStore(settings)
+    store.add_embeddings(None, emb)
+    store.build_ivf(rows_per_cluster=128, train_rows=1024, iters=3)
+    assert store._ivf_count == 2500
+
+    # Pin the buffer the way the rebuild thread does, append THROUGH the
+    # pin, and verify the pinned handle is still readable (no donation).
+    with store._pinned_view() as (buf, count):
+        assert count == 2500
+        extra = mk(600)
+        store.add_embeddings(None, extra)
+        q = emb[7]
+        hit = store.fuzzy_lookup_embedding(q, max_hits=3)
+        assert hit[0].item == 7  # query sees appended state mid-pin
+        _ = np.asarray(buf[:4])  # pinned capture still alive
+    assert store._buf_pins == 0
+
+    t = store.build_ivf_background(rows_per_cluster=128, train_rows=1024, iters=3)
+    assert t is not None
+    t.join(timeout=120)
+    assert not t.is_alive()
+    assert store._ivf_count == 3100
+
+    # Post-swap results match a fresh exact oracle over all 3100 rows.
+    allemb = np.concatenate([emb, extra])
+    q = allemb[2700]
+    true = allemb @ q
+    want = int(np.argmax(true))
+    got = store.fuzzy_lookup_embedding(q, max_hits=1)
+    assert got[0].item == want
+
+
+def test_vectorstore_ivf_auto_rebuild_policy():
+    """ivf_auto_rebuild: a query observing the appended fraction past
+    ivf_rebuild_frac spawns ONE background rebuild; the snapshot advances
+    without any manual build_ivf call."""
+    import time
+
+    from typeagent_tpu.models.adapters import create_test_embedding_model
+    from typeagent_tpu.vectorstore import TextEmbeddingIndexSettings, VectorStore
+
+    rng = np.random.default_rng(33)
+    d = 32
+    centers = rng.standard_normal((8, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+
+    def mk(n):
+        e = centers[rng.integers(0, 8, n)] + 0.2 * rng.standard_normal(
+            (n, d)
+        ).astype(np.float32) / np.sqrt(d)
+        return e / np.linalg.norm(e, axis=1, keepdims=True)
+
+    emb = mk(2000)
+    settings = TextEmbeddingIndexSettings(
+        create_test_embedding_model(d), min_score=0.0, search_mode="ivf"
+    )
+    settings.ivf_auto_rebuild = True
+    settings.ivf_rebuild_frac = 0.2
+    store = VectorStore(settings)
+    store.add_embeddings(None, emb)
+    store.build_ivf(rows_per_cluster=128, train_rows=1024, iters=3)
+
+    # Below threshold: no rebuild spawned.
+    store.add_embeddings(None, mk(100))
+    store.fuzzy_lookup_embedding(emb[0], max_hits=3)
+    t = store._ivf_rebuild_thread
+    assert t is None or not t.is_alive() and store._ivf_count == 2000
+
+    # Past threshold (600 > 0.2 * 2000): the next query spawns the rebuild.
+    store.add_embeddings(None, mk(500))
+    store.fuzzy_lookup_embedding(emb[0], max_hits=3)
+    t = store._ivf_rebuild_thread
+    assert t is not None
+    t.join(timeout=120)
+    deadline = time.time() + 5
+    while store._ivf_count != 2600 and time.time() < deadline:
+        time.sleep(0.01)
+    assert store._ivf_count == 2600
+    # Results stay exact-equal to the oracle at this scale.
+    got = store.fuzzy_lookup_embedding(emb[123], max_hits=1)
+    assert got[0].item == 123

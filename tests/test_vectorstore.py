@@ -613,3 +613,40 @@ def test_warm_serving_precompiles_buckets():
     # Warmed store still answers correctly.
     hits = store.fuzzy_lookup_embedding(rows[3], max_hits=1)
     assert hits[0].item == 3
+
+
+async def test_subset_lookup_async_matches_sync(rng):
+    """fuzzy_lookup_embedding_in_subset_async == sync route (same dispatch,
+    off-loop fetch), incl. concurrent callers sharing the store."""
+    import asyncio
+
+    dim = 16
+    store = make_store(dim)
+    matrix = random_normalized(rng, 500, dim)
+    store.add_embeddings(None, matrix)
+    subsets = [
+        [3, 77, 13, 200, 499, 42],
+        list(range(0, 500, 7)),
+        [499],
+    ]
+    queries = [matrix[77], matrix[0], matrix[499]]
+
+    async def one(q, subset):
+        return await store.fuzzy_lookup_embedding_in_subset_async(
+            q, subset, max_hits=3
+        )
+
+    got = await asyncio.gather(
+        *[one(q, s) for q, s in zip(queries, subsets)]
+    )
+    for q, subset, res in zip(queries, subsets, got):
+        expected = store.fuzzy_lookup_embedding_in_subset(q, subset, max_hits=3)
+        assert [(r.item, round(r.score, 6)) for r in res] == [
+            (r.item, round(r.score, 6)) for r in expected
+        ]
+    assert (
+        await store.fuzzy_lookup_embedding_in_subset_async(
+            np.zeros(dim, np.float32), []
+        )
+        == []
+    )

@@ -1062,10 +1062,17 @@ class DeviceQueryExecutor:
         groups = self._group_plans([plan])
         if not groups:
             return None
+        # Build postings on the loop thread (idempotent, not lock-guarded),
+        # then run the fused device call off-loop: a single query behaves
+        # identically, and N concurrent query() pipelines overlap their
+        # device round trips instead of serializing on the event loop.
+        if not self._postings._built:
+            self._postings.build()
+        out = await asyncio.to_thread(self._run_plan_group, groups[0])
         # .get: the runtime dense re-pack can drop a plan too large even
         # alone (COO run overflow + over-budget dense fallback) — that is
         # a host-VM-fallback signal, not a KeyError.
-        return self._run_plan_group(groups[0]).get(0)
+        return out.get(0)
 
     def _unwrap(self, query):
         top_n: int | None = None

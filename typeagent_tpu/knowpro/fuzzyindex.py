@@ -104,6 +104,19 @@ class EmbeddingIndex:
             embedding, ordinals_of_subset, max_matches, min_score
         )
 
+    async def get_indexes_of_nearest_in_subset_async(
+        self,
+        embedding: np.ndarray,
+        ordinals_of_subset: list[int],
+        max_matches: int | None = None,
+        min_score: float | None = None,
+    ) -> list[ScoredInt]:
+        """Async subset lookup: the event loop stays live during the device
+        round trip so concurrent queries overlap their re-rank fetches."""
+        return await self._vector_base.fuzzy_lookup_embedding_in_subset_async(
+            embedding, ordinals_of_subset, max_matches, min_score
+        )
+
     def clear(self) -> None:
         self._vector_base.clear()
 

@@ -865,12 +865,26 @@ class RankMessagesBySimilarityExpr(QueryOpExpr[MessageAccumulator]):
         if isinstance(message_index, IMessageTextEmbeddingIndex):
             ordinals = await self._ordinals_in_index(message_index, matches)
             if len(ordinals) == len(matches):
-                ranked = message_index.lookup_in_subset_by_embedding(
-                    self.embedding,
-                    ordinals,
-                    self.max_messages,
-                    self.threshold_score,
+                # Async route when available: the device fetch runs off-loop
+                # so concurrent query() pipelines overlap their re-rank
+                # round trips instead of serializing on the event loop.
+                lookup_async = getattr(
+                    message_index, "lookup_in_subset_by_embedding_async", None
                 )
+                if lookup_async is not None:
+                    ranked = await lookup_async(
+                        self.embedding,
+                        ordinals,
+                        self.max_messages,
+                        self.threshold_score,
+                    )
+                else:
+                    ranked = message_index.lookup_in_subset_by_embedding(
+                        self.embedding,
+                        ordinals,
+                        self.max_messages,
+                        self.threshold_score,
+                    )
                 matches.clear_matches()
                 for scored in ranked:
                     matches.add(scored.message_ordinal, scored.score)

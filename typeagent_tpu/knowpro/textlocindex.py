@@ -112,6 +112,20 @@ class TextToTextLocationIndex:
             )
         )
 
+    async def lookup_in_subset_by_embedding_async(
+        self,
+        text_embedding: np.ndarray,
+        ordinals_to_match: list[int],
+        max_matches: int | None = None,
+        threshold_score: float | None = None,
+    ) -> list[ScoredTextLocation]:
+        """Async subset lookup (non-blocking device fetch)."""
+        return self.to_scored_locations(
+            await self._embedding_index.get_indexes_of_nearest_in_subset_async(
+                text_embedding, ordinals_to_match, max_matches, threshold_score
+            )
+        )
+
     async def lookup_text(
         self,
         text: str,

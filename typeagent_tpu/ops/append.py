@@ -35,23 +35,48 @@ def _append_jit(buf: jax.Array, rows: jax.Array, count: jax.Array) -> jax.Array:
     return jax.lax.dynamic_update_slice(buf, rows.astype(buf.dtype), (count, 0))
 
 
-def append_rows(buf: jax.Array, rows: np.ndarray | jax.Array, count: int) -> jax.Array:
+@jax.jit
+def _append_jit_nodonate(
+    buf: jax.Array, rows: jax.Array, count: jax.Array
+) -> jax.Array:
+    return jax.lax.dynamic_update_slice(buf, rows.astype(buf.dtype), (count, 0))
+
+
+def append_rows(
+    buf: jax.Array,
+    rows: np.ndarray | jax.Array,
+    count: int,
+    donate: bool = True,
+) -> jax.Array:
     """Write ``rows`` at offset ``count``; donates (updates in place on TPU).
 
     ``rows`` must already be padded to ``dim_pad`` columns and fit in capacity.
+    ``donate=False`` copies instead — used while a background IVF rebuild
+    is reading the old buffer (a donated update would delete it mid-build).
     """
     rows = jnp.asarray(rows)
-    return _append_jit(buf, rows, jnp.int32(count))
+    if donate:
+        return _append_jit(buf, rows, jnp.int32(count))
+    return _append_jit_nodonate(buf, rows, jnp.int32(count))
 
 
-@functools.partial(jax.jit, static_argnames=("new_capacity",), donate_argnums=(0,))
+# No donation here: the output is strictly LARGER than the input, so XLA
+# can never alias them — a donate_argnums on this jit was a no-op that
+# warned "Some donated buffers were not usable" on every growth (any
+# platform). The old buffer frees when the caller reassigns its reference;
+# the in-place O(1)-memory append claim lives in _append_jit (same-shape
+# donation, which XLA honors).
+@functools.partial(jax.jit, static_argnames=("new_capacity",))
 def _grow_jit(buf: jax.Array, *, new_capacity: int) -> jax.Array:
     pad = new_capacity - buf.shape[0]
     return jnp.pad(buf, ((0, pad), (0, 0)))
 
 
 def grow_buffer(
-    buf: jax.Array, needed: int, exact_capacity: int | None = None
+    buf: jax.Array,
+    needed: int,
+    exact_capacity: int | None = None,
+    donate: bool = True,  # kept for call-site symmetry; growth never aliases
 ) -> jax.Array:
     """Grow capacity (doubling) until >= needed rows fit.
 

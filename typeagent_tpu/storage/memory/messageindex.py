@@ -215,6 +215,21 @@ class MessageTextIndex(IMessageTextEmbeddingIndex):
             )
         )
 
+    async def lookup_in_subset_by_embedding_async(
+        self,
+        text_embedding: np.ndarray,
+        ordinals_to_search: list[MessageOrdinal],
+        max_matches: int | None = None,
+        threshold_score: float | None = None,
+    ) -> list[ScoredMessageOrdinal]:
+        """Async subset re-rank: the event loop stays live during the device
+        fetch so concurrent queries overlap their re-rank round trips."""
+        return self._max_merge(
+            await self.text_location_index.lookup_in_subset_by_embedding_async(
+                text_embedding, ordinals_to_search, max_matches, threshold_score
+            )
+        )
+
     # Back-compat alias: earlier rounds exposed the merge publicly.
     def to_scored_message_ordinals(
         self, scored_locations: list[ScoredTextLocation]

@@ -69,29 +69,66 @@ def make_search_queries(n: int, rng: random.Random) -> list[SearchQuery]:
     return out
 
 
-async def run_pipeline(conv, queries, use_device: bool, reg: MetricsRegistry):
+def _make_options(use_device: bool) -> searchlang.LanguageSearchOptions:
     options = searchlang.LanguageSearchOptions(
         compile_options=searchlang.LanguageQueryCompileOptions(),
         exact_match=False,
         max_message_matches=25,
     )
     options.use_device_executor = use_device
+    return options
+
+
+async def _one_query(conv, sq, options, reg: MetricsRegistry) -> int:
+    """Stages 2-4 for one deterministic stage-1 SearchQuery."""
+    debug = searchlang.LanguageSearchDebugContext(use_search_query=sq)
+    with reg.timer("stage2+3.search"):
+        result = await searchlang.search_conversation_with_language(
+            conv, None, sq.search_expressions[0].rewritten_query,
+            options, debug_context=debug,
+        )
+    assert not isinstance(result, type(None))
+    search_results = result.value
+    contexts = 0
+    with reg.timer("stage4.context"):
+        for sr in search_results:
+            ctx = await answers.make_context(sr, conv)
+            contexts += len(ctx.entities) + len(ctx.topics) + len(ctx.messages)
+    return contexts
+
+
+async def run_pipeline(conv, queries, use_device: bool, reg: MetricsRegistry):
+    options = _make_options(use_device)
     contexts = 0
     for sq in queries:
-        debug = searchlang.LanguageSearchDebugContext(use_search_query=sq)
-        with reg.timer("stage2+3.search"):
-            result = await searchlang.search_conversation_with_language(
-                conv, None, sq.search_expressions[0].rewritten_query,
-                options, debug_context=debug,
-            )
-        assert not isinstance(result, type(None))
-        search_results = result.value
-        with reg.timer("stage4.context"):
-            for sr in search_results:
-                ctx = await answers.make_context(sr, conv)
-                contexts += len(ctx.entities) + len(ctx.topics) + len(
-                    ctx.messages
-                )
+        contexts += await _one_query(conv, sq, options, reg)
+    return contexts
+
+
+async def run_pipeline_concurrent(
+    conv, queries, use_device: bool, reg: MetricsRegistry, concurrency: int
+):
+    """N worker tasks pull queries off a shared list (a loaded server):
+    one query's host VM / answer-context work overlaps the others' device
+    round trips, and the batched fuzzy lookups coalesce in the store's
+    LookupBatcher. Results are identical to the sequential path."""
+    options = _make_options(use_device)
+    it = iter(queries)
+    contexts = 0
+
+    async def worker():
+        nonlocal contexts
+        while True:
+            try:
+                sq = next(it)
+            except StopIteration:
+                return
+            got = await _one_query(conv, sq, options, reg)
+            # `contexts += await ...` would read `contexts` BEFORE the
+            # suspension point and lose concurrent workers' updates.
+            contexts += got
+
+    await asyncio.gather(*[worker() for _ in range(concurrency)])
     return contexts
 
 
@@ -101,6 +138,14 @@ async def amain() -> None:
     parser.add_argument("--queries", type=int, default=48)
     parser.add_argument(
         "--engine", choices=("device", "host", "both"), default="both"
+    )
+    parser.add_argument(
+        "--concurrency",
+        type=int,
+        nargs="*",
+        default=None,
+        help="also run a concurrent ladder at these worker counts "
+        "(e.g. --concurrency 4 16 64)",
     )
     parser.add_argument("--profile", help="write a cProfile dump here")
     parser.add_argument("--seed", type=int, default=11)
@@ -143,6 +188,18 @@ async def amain() -> None:
             f"{elapsed / args.queries * 1000:.2f} ms/query ({qps:.1f} QPS)"
         )
         print(json.dumps(reg.report()["latency"], indent=2))
+
+        for conc in args.concurrency or []:
+            creg = MetricsRegistry()
+            t0 = time.perf_counter()
+            await run_pipeline_concurrent(conv, queries, use_device, creg, conc)
+            celapsed = time.perf_counter() - t0
+            cqps = args.queries / celapsed
+            print(
+                f"[{engine}] concurrent x{conc}: {cqps:.1f} QPS "
+                f"({cqps / qps:.1f}x sequential, "
+                f"{celapsed / args.queries * 1000:.2f} ms/query amortized)"
+            )
 
 
 def main() -> None:

@@ -175,6 +175,15 @@ class TextEmbeddingIndexSettings:
         self.ivf_b = 16
         self.ivf_outlier_frac = 0.1
         self.ivf_certified = False
+        # Append lifecycle: rows appended after build_ivf() ride an exact
+        # interval scan whose cost grows linearly with appended volume.
+        # With ivf_auto_rebuild on, a query that observes the appended
+        # fraction past ivf_rebuild_frac spawns a background rebuild that
+        # swaps in a fresh snapshot (queries keep serving the old one +
+        # interval scan meanwhile; appends during the rebuild copy instead
+        # of donating so the build's pinned buffer stays alive).
+        self.ivf_rebuild_frac = 0.25
+        self.ivf_auto_rebuild = False
         # Query upload ("wire") format. "auto": bf16 stores take bf16
         # queries (selection-identical — the kernels cast queries to the
         # store dtype anyway), f32/int8 stores take f32. "int8": queries
@@ -283,6 +292,12 @@ class VectorStore:
         # running many asyncio.run() calls).
         self._batcher = None
         self._batcher_loop = None
+        # Background-IVF-rebuild pin: while > 0 a rebuild thread is reading
+        # the captured buffer, so flushes append/grow WITHOUT donation (the
+        # in-place update would delete the array under the build). Guarded
+        # by _flush_lock.
+        self._buf_pins = 0
+        self._ivf_rebuild_thread: threading.Thread | None = None
         # Mesh mode: the device state is a row-sharded store instead of a
         # single-chip buffer (created lazily once the embedding size is
         # known); host-side pending/scoring semantics stay identical.
@@ -393,6 +408,7 @@ class VectorStore:
                     self._buf,
                     self._reserve_hint,
                     exact_capacity=self._reserve_hint,
+                    donate=not self._buf_pins,
                 )
                 if self._quantized:
                     pad_n = self._buf.shape[0] - self._scales.shape[0]
@@ -441,6 +457,7 @@ class VectorStore:
                 self._buf = append.grow_buffer(
                     self._buf, self._count + n,
                     exact_capacity=self._reserve_hint or None,
+                    donate=not self._buf_pins,
                 )
                 if self._quantized:
                     pad_n = self._buf.shape[0] - self._scales.shape[0]
@@ -449,12 +466,16 @@ class VectorStore:
                     )
             if self._quantized:
                 q_rows, row_scales = topk.quantize_rows_device(padded)
-                self._buf = append.append_rows(self._buf, q_rows, self._count)
+                self._buf = append.append_rows(
+                self._buf, q_rows, self._count, donate=not self._buf_pins
+            )
                 self._scales = jax.lax.dynamic_update_slice(
                     self._scales, row_scales, (self._count,)
                 )
             else:
-                self._buf = append.append_rows(self._buf, padded, self._count)
+                self._buf = append.append_rows(
+                self._buf, padded, self._count, donate=not self._buf_pins
+            )
             self._count += n
 
     def _sharded_store(self):
@@ -550,6 +571,7 @@ class VectorStore:
             self._buf = append.grow_buffer(
                 self._buf, self._count + n,
                 exact_capacity=self._reserve_hint or None,
+                donate=not self._buf_pins,
             )
             if self._quantized:
                 new_cap = self._buf.shape[0]
@@ -559,12 +581,16 @@ class VectorStore:
                 )
         if self._quantized:
             q_rows, row_scales = topk.quantize_rows(padded)
-            self._buf = append.append_rows(self._buf, q_rows, self._count)
+            self._buf = append.append_rows(
+                self._buf, q_rows, self._count, donate=not self._buf_pins
+            )
             self._scales = jax.lax.dynamic_update_slice(
                 self._scales, jnp.asarray(row_scales), (self._count,)
             )
         else:
-            self._buf = append.append_rows(self._buf, padded, self._count)
+            self._buf = append.append_rows(
+                self._buf, padded, self._count, donate=not self._buf_pins
+            )
         self._count += n
 
     # -- lookups ------------------------------------------------------------
@@ -790,7 +816,32 @@ class VectorStore:
             si = jnp.concatenate([idx, i2], axis=1)
             vals, pos = jax.lax.top_k(sv, k)
             idx = jnp.take_along_axis(si, pos, axis=1)
+            self._maybe_auto_rebuild_locked(count)
         return vals, idx, (cert if self.settings.ivf_certified else None)
+
+    def _maybe_auto_rebuild_locked(self, count: int) -> None:
+        """Query-driven rebuild trigger (caller holds ``_flush_lock``).
+
+        When the appended fraction crosses ``ivf_rebuild_frac``, spawn ONE
+        background rebuild; queries keep serving the old snapshot + the
+        (growing) exact interval scan until the swap. Lock discipline: the
+        caller already holds ``_flush_lock`` so we must not re-acquire it —
+        the spawned thread takes it itself inside :meth:`_pinned_view`.
+        """
+        settings = self.settings
+        if not settings.ivf_auto_rebuild:
+            return
+        appended = count - self._ivf_count
+        if appended <= settings.ivf_rebuild_frac * max(self._ivf_count, 1):
+            return
+        t = self._ivf_rebuild_thread
+        if t is not None and t.is_alive():
+            return
+        t = threading.Thread(
+            target=self._rebuild_and_swap, daemon=True, name="tat-ivf-rebuild"
+        )
+        self._ivf_rebuild_thread = t
+        t.start()
 
     def build_ivf(self, **kwargs) -> None:
         """Snapshot the current rows into an IVF index (ops/ivf.py).
@@ -811,6 +862,63 @@ class VectorStore:
             )
             self._ivf = ivf_build(buf, count, **kwargs)
             self._ivf_count = count
+
+    @contextlib.contextmanager
+    def _pinned_view(self):
+        """Capture ``(buf, count)`` and PIN the buffer: until exit, flushes
+        append/grow without donation so the captured array stays alive for
+        a long off-lock read (the background IVF rebuild). The lock is held
+        only for the capture/unpin bookkeeping, never across the build."""
+        with self._flush_lock:
+            self._flush_locked()
+            self._buf_pins += 1
+            buf, count = self._buf, self._count
+        try:
+            yield buf, count
+        finally:
+            with self._flush_lock:
+                self._buf_pins -= 1
+
+    def build_ivf_background(self, **kwargs) -> threading.Thread | None:
+        """Rebuild the IVF snapshot off-thread and swap it in when done.
+
+        Queries keep serving the current snapshot + exact interval scan
+        during the build; the swap is atomic under the flush lock. Returns
+        the rebuild thread (already-running one if a rebuild is in flight),
+        or None on an empty store. ``join()`` it to wait for the swap.
+        """
+        with self._flush_lock:
+            self._flush_locked()
+            if not self._count:
+                return None
+            t = self._ivf_rebuild_thread
+            if t is not None and t.is_alive():
+                return t
+            t = threading.Thread(
+                target=self._rebuild_and_swap,
+                kwargs=kwargs,
+                daemon=True,
+                name="tat-ivf-rebuild",
+            )
+            self._ivf_rebuild_thread = t
+        t.start()
+        return t
+
+    def _rebuild_and_swap(self, **kwargs) -> None:
+        from .ops.ivf import ivf_build
+
+        kwargs.setdefault("outlier_frac", self.settings.ivf_outlier_frac)
+        with self._pinned_view() as (buf, count):
+            if not count:
+                return
+            state = ivf_build(buf, count, **kwargs)
+        with self._flush_lock:
+            # Append-only store: rows [0, count) are bit-identical to what
+            # the build read, so the swap is sound; rows appended since
+            # keep riding the interval scan past the new _ivf_count.
+            if count >= self._ivf_count:
+                self._ivf = state
+                self._ivf_count = count
 
     def _topk_exact1(self, q: jax.Array, k: int, buf, scales, count: int):
         """One-phase unconditional-exact rerun (certificate-miss path)."""
@@ -1050,18 +1158,20 @@ class VectorStore:
             vals, idx = jax.device_get((vals, idx))
         return _materialize_rows(vals, idx, b, min_score)
 
-    def fuzzy_lookup_embedding_in_subset(
+    def _subset_dispatch(
         self,
         embedding: np.ndarray,
         ordinals_of_subset: list[int],
-        max_hits: int | None = None,
-        min_score: float | None = None,
-    ) -> list[ScoredInt]:
-        """Top-k within an ordinal subset (parity: ``vectorbase.py:203-230``)."""
-        if max_hits is None:
-            max_hits = 10
-        if min_score is None:
-            min_score = 0.0
+        max_hits: int,
+        min_score: float,
+    ) -> tuple[object, object] | list[ScoredInt]:
+        """Dispatch a subset top-k; returns (vals, idx) device handles.
+
+        Returns a finished result list directly for the trivial (empty) and
+        mesh cases — the sharded ``search_subset`` fetches internally.
+        Dispatch is async on the device (sub-ms on the host side); callers
+        fetch with :meth:`_subset_collect` or an off-loop thread.
+        """
         with self._dispatch_view() as (buf, scales, count):
             if not ordinals_of_subset or count == 0:
                 return []
@@ -1093,19 +1203,81 @@ class VectorStore:
             # below, so the extra slots never surface.
             k = min(max_hits, s_pad)
             if self._quantized:
-                vals, idx = topk.subset_cosine_topk_quantized(
+                return topk.subset_cosine_topk_quantized(
                     buf, scales, q, jnp.asarray(ords), jnp.asarray(valid), k
                 )
-            else:
-                vals, idx = topk.subset_cosine_topk(
-                    buf, q, jnp.asarray(ords), jnp.asarray(valid), k
-                )
-        vals = np.asarray(vals)[0]
-        idx = np.asarray(idx)[0]
+            return topk.subset_cosine_topk(
+                buf, q, jnp.asarray(ords), jnp.asarray(valid), k
+            )
+
+    @staticmethod
+    def _subset_collect(
+        vals: np.ndarray, idx: np.ndarray, min_score: float
+    ) -> list[ScoredInt]:
+        vals = vals[0]
+        idx = idx[0]
         # vals >= 0.0 drops the padded slots (k may exceed the live subset
         # size; padding scores are the _NEG sentinel, real scores clip >= 0).
         keep = (vals >= min_score) & (vals >= 0.0)
         return [ScoredInt(int(i), float(v)) for v, i in zip(vals[keep], idx[keep])]
+
+    def fuzzy_lookup_embedding_in_subset(
+        self,
+        embedding: np.ndarray,
+        ordinals_of_subset: list[int],
+        max_hits: int | None = None,
+        min_score: float | None = None,
+    ) -> list[ScoredInt]:
+        """Top-k within an ordinal subset (parity: ``vectorbase.py:203-230``)."""
+        if max_hits is None:
+            max_hits = 10
+        if min_score is None:
+            min_score = 0.0
+        out = self._subset_dispatch(
+            embedding, ordinals_of_subset, max_hits, min_score
+        )
+        if isinstance(out, list):
+            return out
+        vals, idx = jax.device_get(out)
+        return self._subset_collect(vals, idx, min_score)
+
+    async def fuzzy_lookup_embedding_in_subset_async(
+        self,
+        embedding: np.ndarray,
+        ordinals_of_subset: list[int],
+        max_hits: int | None = None,
+        min_score: float | None = None,
+    ) -> list[ScoredInt]:
+        """Async subset top-k: dispatch inline (sub-ms), fetch off-loop.
+
+        The sync route blocks the event loop for a full device round trip
+        (~30 ms on tunnel-attached chips); this keeps the loop live so N
+        concurrent ``query()`` pipelines overlap their re-rank fetches —
+        dispatches pipeline on the device, fetches overlap on executor
+        threads. Results are identical to
+        :meth:`fuzzy_lookup_embedding_in_subset`.
+        """
+        if max_hits is None:
+            max_hits = 10
+        if min_score is None:
+            min_score = 0.0
+        if self._mesh is not None:
+            # Sharded search_subset fetches internally: run the whole call
+            # off-loop so the mesh round trip doesn't block other tasks.
+            return await asyncio.to_thread(
+                self.fuzzy_lookup_embedding_in_subset,
+                embedding,
+                ordinals_of_subset,
+                max_hits,
+                min_score,
+            )
+        out = self._subset_dispatch(
+            embedding, ordinals_of_subset, max_hits, min_score
+        )
+        if isinstance(out, list):
+            return out
+        vals, idx = await asyncio.to_thread(jax.device_get, out)
+        return self._subset_collect(vals, idx, min_score)
 
     async def fuzzy_lookup(
         self,
