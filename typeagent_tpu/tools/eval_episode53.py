@@ -225,6 +225,147 @@ async def replay_corpus(
     return records
 
 
+# ---------------------------------------------------------------------------
+# Full 4-stage answer replay (hermetic: recorded stage-1 + crafted stage-4)
+# ---------------------------------------------------------------------------
+
+ANSWERS_GOLDEN_FILE = os.path.join(
+    os.path.dirname(GOLDEN_FILE), "golden_episode53_answers.json"
+)
+
+
+async def replay_answers(
+    conversation, corpus: list[dict], use_device_executor: bool
+) -> list[dict]:
+    """Replay all 4 stages per query, no network (parity role: the answer
+    half of reference ``make eval`` — reference `Makefile:38-42`,
+    `tools/query.py` --answer-results batch compare).
+
+    Stage 1 returns each query's RECORDED LLM translation verbatim
+    (models/canned.py); stages 2/3 compile+execute it for real (the fallback
+    re-run included); stage 4 runs the real answer machinery — context
+    build, per-result generation, ``combine_answers`` blending — over
+    crafted deterministic completions. The trailing record pins the chat
+    call counts, proving the combine path actually executed.
+
+    Host engine only: the device executor accumulates scores in f32, and
+    ~1e-9 relative score noise flips ties exactly at the answer context's
+    top-50 entity boundary (8/67 queries) — the engines agree to 4 decimals
+    on every semref/message score (enforced by the search replay above,
+    both engines), so one host-pinned answer golden is the meaningful
+    contract.
+    """
+    from ..knowpro import answers as answers_mod
+    from ..knowpro import searchlang
+    from ..models.canned import CannedChatModel
+    from ..models.result import Success
+
+    model = CannedChatModel({e["searchText"]: e["searchQueryExpr"] for e in corpus})
+    query_translator = searchlang.create_search_query_translator(model)
+    answer_translator = answers_mod.create_answer_translator(model)
+    records: list[dict] = []
+    first_results: list = []  # search results of the first 2 queries
+    for entry in corpus:
+        # Same defaults ConversationBase.query() uses.
+        options = searchlang.LanguageSearchOptions(
+            compile_options=searchlang.LanguageQueryCompileOptions(
+                exact_scope=False,
+                verb_scope=True,
+                term_filter=None,
+                apply_scope=True,
+            ),
+            exact_match=False,
+            max_message_matches=25,
+        )
+        options.use_device_executor = use_device_executor
+        result = await searchlang.search_conversation_with_language(
+            conversation, query_translator, entry["searchText"], options
+        )
+        if not isinstance(result, Success):
+            records.append(
+                {"searchText": entry["searchText"], "error": result.message}
+            )
+            continue
+        if len(first_results) < 2:
+            first_results.append((entry["searchText"], result.value))
+        all_answers, combined = await answers_mod.generate_answers(
+            answer_translator,
+            result.value,
+            conversation,
+            entry["searchText"],
+            options=answers_mod.AnswerContextOptions(
+                entities_top_k=50, topics_top_k=50, messages_top_k=None, chunking=None
+            ),
+            settings=answers_mod.AnswerGeneratorSettings(
+                concurrency=2, fast_stop=False
+            ),
+        )
+
+        records.append(
+            {
+                "searchText": entry["searchText"],
+                "answers": [_answer_rec(a) for a in all_answers],
+                "combined": _answer_rec(combined),
+            }
+        )
+
+    # Combine-path coverage: every recorded translation compiles to a single
+    # search expression, so no per-query replay reaches combine_answers
+    # (generate_answers early-returns on one result). Blend the first two
+    # queries' results through the SAME generate_answers call a fanned-out
+    # translation would take, pinning the multi-answer merge + LLM combine.
+    if len(first_results) == 2:
+        blend_question = " AND ALSO ".join(q for q, _ in first_results)
+        all_answers, combined = await answers_mod.generate_answers(
+            answer_translator,
+            [r for _, rs in first_results for r in rs],
+            conversation,
+            blend_question,
+            options=answers_mod.AnswerContextOptions(
+                entities_top_k=50, topics_top_k=50, messages_top_k=None, chunking=None
+            ),
+            settings=answers_mod.AnswerGeneratorSettings(
+                concurrency=2, fast_stop=False
+            ),
+        )
+        records.append(
+            {
+                "searchText": blend_question,
+                "answers": [_answer_rec(a) for a in all_answers],
+                "combined": _answer_rec(combined),
+            }
+        )
+    records.append({"callCounts": dict(model.calls)})
+    return records
+
+
+def _answer_rec(a) -> dict:
+    out: dict = {"type": a.type}
+    if a.answer is not None:
+        out["answer"] = a.answer
+    if a.why_no_answer is not None:
+        out["whyNoAnswer"] = a.why_no_answer
+    return out
+
+
+def diff_answer_records(got: list[dict], golden: list[dict]) -> int:
+    failures = 0
+    for g, e in zip(got, golden):
+        if g == e:
+            continue
+        failures += 1
+        label = g.get("searchText") or "callCounts"
+        print(f"ANSWER MISMATCH: {label!r}")
+        for key in sorted(set(g) | set(e)):
+            if g.get(key) != e.get(key):
+                print(f"    {key}: expected {e.get(key)!r}")
+                print(f"    {key}: actual   {g.get(key)!r}")
+    if len(got) != len(golden):
+        failures += 1
+        print(f"Answer record count mismatch: {len(got)} != {len(golden)}")
+    return failures
+
+
 def _list_diff(label: str, expected: list, actual: list, max_items: int = 12) -> None:
     exp_set = {tuple(e) if isinstance(e, list) else e for e in expected}
     act_set = {tuple(a) if isinstance(a, list) else a for a in actual}
@@ -286,10 +427,21 @@ async def run_eval(update: bool, engine: str) -> int:
         with open(GOLDEN_FILE, "w") as f:
             json.dump(records, f, indent=1)
         print(f"Wrote {len(records)} golden query results to {GOLDEN_FILE}")
+        answer_records = await replay_answers(
+            conversation, corpus, use_device_executor=False
+        )
+        with open(ANSWERS_GOLDEN_FILE, "w") as f:
+            json.dump(answer_records, f, indent=1)
+        print(
+            f"Wrote {len(answer_records)} golden answer records to "
+            f"{ANSWERS_GOLDEN_FILE}"
+        )
         return 0
 
     with open(GOLDEN_FILE) as f:
         golden = json.load(f)
+    with open(ANSWERS_GOLDEN_FILE) as f:
+        answers_golden = json.load(f)
     total_failures = 0
     engines = {"host": [False], "device": [True], "both": [False, True]}[engine]
     for use_device in engines:
@@ -299,6 +451,13 @@ async def run_eval(update: bool, engine: str) -> int:
         status = "all match" if not failures else f"{failures} mismatches"
         print(f"[{name}] {len(records)} queries: {status}")
         total_failures += failures
+    # Answers replay runs once on the host engine (see replay_answers
+    # docstring for why it is host-pinned).
+    answer_records = await replay_answers(conversation, corpus, False)
+    failures = diff_answer_records(answer_records, answers_golden)
+    status = "all match" if not failures else f"{failures} mismatches"
+    print(f"[answers/host] {len(answer_records) - 1} answer replays: {status}")
+    total_failures += failures
     return 1 if total_failures else 0
 
 
