@@ -1,6 +1,6 @@
 # typeagent-tpu developer targets (parity role: reference Makefile)
 
-.PHONY: test coverage eval bench native clean format help profile check-similarity
+.PHONY: test coverage eval bench native clean format help profile check-similarity typecheck
 
 help:
 	@echo "targets: test coverage eval bench native clean"
@@ -42,6 +42,10 @@ profile:
 
 native:
 	$(MAKE) -C native
+
+# Static annotation gate (parity role: the reference's pyright-strict CI).
+typecheck:
+	python tools/check_types.py
 
 # Guard against drifting back toward reference-identical file structure.
 check-similarity:

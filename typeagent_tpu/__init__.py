@@ -78,14 +78,20 @@ if _os.environ.get("TAT_COMPILE_CACHE", "1") not in ("0", "off") and (
         pass
 
 
-def create_conversation(*args, **kwargs):
+from typing import TYPE_CHECKING as _TYPE_CHECKING, Any as _Any
+
+if _TYPE_CHECKING:
+    from .knowpro.conversation_base import ConversationBase
+
+
+def create_conversation(*args: _Any, **kwargs: _Any) -> "ConversationBase":
     """Create a conversation (lazy import; see knowpro.factory)."""
     from .knowpro.factory import create_conversation as _create
 
     return _create(*args, **kwargs)
 
 
-def __getattr__(name):
+def __getattr__(name: str) -> _Any:
     # Lazy exports so `import typeagent_tpu` stays light.
     if name == "ConversationSettings":
         from .knowpro.convsettings import ConversationSettings

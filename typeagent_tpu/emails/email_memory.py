@@ -39,7 +39,7 @@ class EmailMemory(FileSerializedConversation, ConversationBase[EmailMessage]):
 
     message_type = EmailMessage
 
-    def __init__(self, settings, name, tags):
+    def __init__(self, settings: ConversationSettings, name: str, tags: list[str]):
         super().__init__(settings, name, tags)
         self.noise_terms: set[str] = set()
 
@@ -97,7 +97,7 @@ class EmailMemory(FileSerializedConversation, ConversationBase[EmailMessage]):
     async def query_debug(
         self,
         search_text: str,
-        query_translator,
+        query_translator: searchlang.SearchQueryTranslator,
         debug_context: searchlang.LanguageSearchDebugContext | None = None,
     ) -> Result[list[searchlang.ConversationSearchResult]]:
         return await searchlang.search_conversation_with_language(

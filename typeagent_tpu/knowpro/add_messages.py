@@ -27,7 +27,8 @@ from typing import TYPE_CHECKING
 
 import numpy as np
 
-from ..models.result import Failure, Success
+from ..models.embeddings import IEmbeddingModel
+from ..models.result import Failure, Result, Success
 from . import kplib
 from .interfaces import (
     AddMessagesResult,
@@ -56,7 +57,7 @@ _NO_STOP = 10**100
 class NoOpKnowledgeExtractor:
     """Used when auto_extract_knowledge is off: extraction yields nothing."""
 
-    async def extract(self, message: str):
+    async def extract(self, message: str) -> Result[kplib.KnowledgeResponse]:
         return Success(_EMPTY_KNOWLEDGE)
 
 
@@ -133,7 +134,7 @@ async def process_chunk[TMessage: IMessage](
     chunk_count: int,
     message: TMessage,
     knowledge_extractor: IKnowledgeExtractor,
-    embedding_model,
+    embedding_model: IEmbeddingModel,
 ) -> ChunkOutcome[TMessage]:
     """Extraction + related-term embeddings and chunk embedding run
     concurrently; the first failure is captured on the result."""
@@ -229,7 +230,7 @@ async def _fanout_stage[TMessage: IMessage](
     outcome_queue: asyncio.Queue,
     watermark: StopWatermark,
     knowledge_extractor: IKnowledgeExtractor,
-    embedding_model,
+    embedding_model: IEmbeddingModel,
     concurrency: int,
     skip_failed_messages: bool,
 ) -> None:

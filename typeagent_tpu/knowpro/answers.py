@@ -16,7 +16,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from ..models.result import Failure
-from ..models.structured import TypedTranslator
+from ..models.structured import IChatModel, TypedTranslator
 from .answer_context_schema import AnswerContext, RelevantKnowledge, RelevantMessage
 from .answer_response_schema import AnswerResponse
 from .collections import Scored, get_top_k
@@ -72,7 +72,7 @@ class AnswerGeneratorSettings:
     )
 
 
-def create_answer_translator(model) -> TypedTranslator[AnswerResponse]:
+def create_answer_translator(model: IChatModel) -> TypedTranslator[AnswerResponse]:
     return TypedTranslator(
         model,
         AnswerResponse,

@@ -9,11 +9,14 @@ conversation.
 
 from __future__ import annotations
 
-from typing import Any
+from typing import TYPE_CHECKING, Any, Self
 
 from ..storage.memory.indexes import ConversationThreads
 from . import secindex, serialization
 from .interfaces import ConversationDataWithIndexes, SemanticRef
+
+if TYPE_CHECKING:
+    from .convsettings import ConversationSettings
 
 
 def _has_embeddings(embeddings) -> bool:
@@ -142,9 +145,9 @@ class FileSerializedConversation:
     async def read_from_file(
         cls,
         filename_prefix: str,
-        settings,
+        settings: ConversationSettings,
         dbname: str | None = None,
-    ):
+    ) -> Self:
         data = serialization.read_conversation_data_from_file(filename_prefix)
         provider = await settings.get_storage_provider()
         if await provider.messages.size() or await provider.semantic_refs.size():

@@ -26,7 +26,7 @@ class KnowledgeExtractor:
     merge_action_knowledge: bool = False
     translator: TypedTranslator[kplib.KnowledgeResponse] = field(init=False)
 
-    def __post_init__(self):
+    def __post_init__(self) -> None:
         self.translator = TypedTranslator(
             self.model,
             kplib.KnowledgeResponse,

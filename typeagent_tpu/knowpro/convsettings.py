@@ -8,6 +8,10 @@ message-text min_score 0.70, extraction concurrency 4, auto-extract on.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:
+    from jax.sharding import Mesh
 
 from ..models.embeddings import IEmbeddingModel
 from ..models.retry import AsyncRetrier
@@ -58,7 +62,7 @@ class ConversationSettings:
         *,
         chat_retrier: AsyncRetrier | None = None,
         embed_retrier: AsyncRetrier | None = None,
-        mesh=None,
+        mesh: Mesh | None = None,
         embedding_dtype: str = "float32",
         search_mode: str = "exact",
     ):

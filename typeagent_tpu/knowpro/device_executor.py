@@ -657,7 +657,7 @@ class DeviceQueryExecutor:
 
     async def execute(
         self,
-        query,
+        query: GroupSearchResultsExpr,
         context: QueryEvalContext,
     ) -> dict[KnowledgeType, SemanticRefSearchResult] | None:
         """Evaluate a stage-3 compiled knowledge query; None = fall back.
@@ -669,7 +669,7 @@ class DeviceQueryExecutor:
 
     async def execute_batch(
         self,
-        queries: list,
+        queries: list[GroupSearchResultsExpr],
         context: QueryEvalContext,
     ) -> list[dict[KnowledgeType, SemanticRefSearchResult] | None]:
         """Evaluate MANY compiled knowledge queries in fused device calls.

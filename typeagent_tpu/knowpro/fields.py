@@ -26,7 +26,7 @@ CAMEL_CONFIG = ConfigDict(
 
 
 @dataclass_transform(field_specifiers=(Field, pydantic.fields.FieldInfo))
-def dataclass(cls=None, /, **kwargs):
+def dataclass(cls: type | None = None, /, **kwargs: Any) -> Any:
     """A pydantic dataclass that (de)serializes with camelCase aliases."""
 
     def wrap(c):

@@ -16,6 +16,7 @@ Ordering semantics that the query engine depends on:
 from __future__ import annotations
 
 from collections.abc import AsyncIterable, Iterable, Sequence
+from types import TracebackType
 from datetime import datetime as Datetime
 from typing import (
     Any,
@@ -31,6 +32,7 @@ from typing import (
 
 import numpy as np
 
+from ..models.result import Result
 from . import kplib
 from .fields import dataclass, deserialize_object, serialize_object
 
@@ -58,7 +60,7 @@ class IKnowledgeSource(Protocol):
 class IKnowledgeExtractor(Protocol):
     """LLM-backed knowledge extraction."""
 
-    async def extract(self, message: str): ...  # -> Result[kplib.KnowledgeResponse]
+    async def extract(self, message: str) -> Result[kplib.KnowledgeResponse]: ...
 
 
 # ---------------------------------------------------------------------------
@@ -665,7 +667,12 @@ class IStorageProvider[TMessage: IMessage](Protocol):
     async def get_chunk_failures(self) -> list[ChunkFailure]: ...
 
     async def __aenter__(self) -> Self: ...
-    async def __aexit__(self, exc_type, exc_val, exc_tb) -> None: ...
+    async def __aexit__(
+        self,
+        exc_type: type[BaseException] | None,
+        exc_val: BaseException | None,
+        exc_tb: TracebackType | None,
+    ) -> None: ...
     async def close(self) -> None: ...
 
 
@@ -722,7 +729,7 @@ class SearchTermGroup:
     boolean_op: Literal["and", "or", "or_max"]
     terms: list["SearchTermGroupTypes"] = None  # type: ignore[assignment]
 
-    def __post_init__(self):
+    def __post_init__(self) -> None:
         if self.terms is None:
             self.terms = []
 

@@ -15,6 +15,7 @@ from .collections import TextRangesInScope
 from .interfaces import (
     IConversation,
     IPropertyToSemanticRefIndex,
+    Knowledge,
     ISemanticRefCollection,
     ScoredSemanticRefOrdinal,
     SemanticRefOrdinal,
@@ -100,7 +101,7 @@ def collect_action_properties(
 
 
 def collect_semref_properties(
-    knowledge, ordinal: SemanticRefOrdinal
+    knowledge: Knowledge, ordinal: SemanticRefOrdinal
 ) -> list[tuple[str, str, SemanticRefOrdinal]]:
     """All property tuples one semref contributes to the property index."""
     if isinstance(knowledge, kplib.Action):

@@ -240,7 +240,7 @@ class QueryEvalContext[TMessage: IMessage, TIndex: ITermToSemanticRefIndex]:
         init=False, default_factory=TextRangesInScope
     )
 
-    def __post_init__(self):
+    def __post_init__(self) -> None:
         if not is_conversation_searchable(self.conversation):
             raise ValueError(
                 f"{self.conversation.name_tag} is not initialized and cannot be searched."

@@ -257,7 +257,7 @@ class SearchOptions:
     # TAT_ENGINE_ROUTE=device|host|auto.
     use_device_executor: bool | str = field(default_factory=lambda: _ENGINE_ROUTE)
 
-    def __repr__(self):
+    def __repr__(self) -> str:
         set_fields = (
             (name, value)
             for name, value in vars(self).items()

@@ -21,7 +21,7 @@ from dataclasses import dataclass, replace
 from typing import Literal, TypeGuard, cast
 
 from ..models.result import Result, Success
-from ..models.structured import PromptSection, TypedTranslator
+from ..models.structured import IChatModel, PromptSection, TypedTranslator
 from .collections import PropertyTermSet
 from .convutils import get_time_range_prompt_section_for_conversation
 from .date_time_schema import DateTime, DateTimeRange
@@ -140,7 +140,7 @@ class LanguageSearchOptions(SearchOptions):
     fallback_rag_options: None = None
     model_instructions: list[PromptSection] | None = None
 
-    def __repr__(self):
+    def __repr__(self) -> str:
         set_fields = (
             (name, value)
             for name, value in vars(self).items()
@@ -516,7 +516,7 @@ class SearchQueryCompiler:
 # ---------------------------------------------------------------------------
 
 
-def create_search_query_translator(model) -> SearchQueryTranslator:
+def create_search_query_translator(model: IChatModel) -> SearchQueryTranslator:
     """Build the NL->SearchQuery translator over a chat model."""
     return TypedTranslator(
         model,

@@ -16,7 +16,9 @@ import json
 import sys
 import traceback
 from dataclasses import dataclass, field
-from typing import Callable
+from typing import Any, Callable, TypeVar
+
+F = TypeVar("F", bound=Callable)
 
 PROTOCOL_VERSION = "2024-11-05"
 
@@ -62,14 +64,16 @@ class McpServer:
     resources: dict[str, Resource] = field(default_factory=dict)
     prompts: dict[str, Prompt] = field(default_factory=dict)
 
-    def __post_init__(self):
+    def __post_init__(self) -> None:
         self._next_id = 1
         self._pending: dict[int, asyncio.Future] = {}
         self._writer_lock = asyncio.Lock()
         self._stdout = None
         self._initialized = False
 
-    def tool(self, description: str, input_schema: dict | None = None):
+    def tool(
+        self, description: str, input_schema: dict | None = None
+    ) -> Callable[[F], F]:
         """Decorator registering an async tool handler."""
 
         def register(fn):
@@ -99,7 +103,7 @@ class McpServer:
         name: str,
         description: str,
         mime_type: str = "text/plain",
-    ):
+    ) -> Callable[[F], F]:
         """Decorator registering an async resource reader: (server) -> str."""
 
         def register(fn):
@@ -108,7 +112,9 @@ class McpServer:
 
         return register
 
-    def prompt(self, description: str, arguments: list[dict] | None = None):
+    def prompt(
+        self, description: str, arguments: list[dict] | None = None
+    ) -> Callable[[F], F]:
         """Decorator registering an async prompt builder.
 
         The handler returns either a string (one user message) or a list of
@@ -319,7 +325,7 @@ class McpServer:
 
     # -- main loop ----------------------------------------------------------
 
-    async def run_stdio(self, stdin=None, stdout=None) -> None:
+    async def run_stdio(self, stdin: Any = None, stdout: Any = None) -> None:
         """Serve newline-delimited JSON-RPC over stdio until EOF."""
         loop = asyncio.get_running_loop()
         if stdin is None or stdout is None:

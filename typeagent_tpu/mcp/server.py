@@ -17,7 +17,7 @@ from ..knowpro.answer_response_schema import AnswerResponse
 from ..knowpro.convsettings import ConversationSettings
 from ..knowpro.search_query_schema import SearchQuery
 from ..models.result import Failure, Result, Success
-from ..models.structured import TypedTranslator
+from ..models.structured import PromptSection, TypedTranslator
 from ..podcasts.podcast import Podcast, PodcastMessage
 from ..storage.utils import create_storage_provider
 from ..utils.misc import load_dotenv
@@ -34,7 +34,7 @@ class McpSamplingChatModel:
     def __init__(self, server: McpServer):
         self.server = server
 
-    async def complete(self, prompt) -> Result[str]:
+    async def complete(self, prompt: list[PromptSection]) -> Result[str]:
         if isinstance(prompt, str):
             messages = [
                 {"role": "user", "content": {"type": "text", "text": prompt}}
@@ -181,7 +181,7 @@ async def make_corpus_context(
     )
 
 
-def build_server(args) -> McpServer:
+def build_server(args: argparse.Namespace) -> McpServer:
     server = McpServer(
         name="typeagent-tpu",
         instructions=(

@@ -30,6 +30,7 @@ from dataclasses import dataclass as _dataclass
 import httpx
 import numpy as np
 
+from .structured import IChatModel, PromptSection
 from .embeddings import (
     CachingEmbeddingModel,
     NormalizedEmbedding,
@@ -132,7 +133,7 @@ class HttpChatModel:
         data = resp.json()
         return data["choices"][0]["message"]["content"] or ""
 
-    async def complete(self, prompt) -> Result[str]:
+    async def complete(self, prompt: list[PromptSection]) -> Result[str]:
         if isinstance(prompt, str):
             messages = [{"role": "user", "content": prompt}]
         else:
@@ -242,7 +243,7 @@ class FakeChatModel:
         self.responses = list(responses or [])
         self.prompts: list = []
 
-    async def complete(self, prompt) -> Result[str]:
+    async def complete(self, prompt: list[PromptSection]) -> Result[str]:
         self.prompts.append(prompt)
         if self.responses:
             return Success(self.responses.pop(0))
@@ -394,7 +395,7 @@ def create_chat_model(
     model_spec: str | None = None,
     *,
     retrier: AsyncRetrier | None = None,
-):
+) -> IChatModel:
     """Create a chat model from a ``provider:model`` spec.
 
     Supported providers: ``openai`` (with automatic Azure fallback),
@@ -494,7 +495,7 @@ def configure_models(
     embedding_model_spec: str,
     chat_retrier: AsyncRetrier | None = None,
     embed_retrier: AsyncRetrier | None = None,
-):
+) -> tuple[IChatModel, IEmbeddingModel]:
     """Configure chat + embedding models at once (parity: model_adapters.py:451-474)."""
     return (
         create_chat_model(chat_model_spec, retrier=chat_retrier),

@@ -14,7 +14,7 @@ recreating the model adapter.
 from __future__ import annotations
 
 import time
-from typing import Protocol
+from typing import Any, Protocol
 
 COGNITIVE_SERVICES_SCOPE = "https://cognitiveservices.azure.com/.default"
 _REFRESH_MARGIN_SECONDS = 300
@@ -32,7 +32,7 @@ class IAccessToken(Protocol):
 class AzureTokenProvider:
     """Caching credential wrapper; refreshes within 5 minutes of expiry."""
 
-    def __init__(self, credential=None):
+    def __init__(self, credential: Any | None = None):
         if credential is None:
             try:
                 from azure.identity import DefaultAzureCredential

@@ -25,6 +25,7 @@ import json
 import re
 
 from .result import Failure, Result, Success
+from .structured import PromptSection
 
 # Prompt fingerprints (the literal strings our translators emit; see
 # knowpro/searchlang.py:create_search_query_translator,
@@ -62,7 +63,7 @@ class CannedChatModel:
         self.max_items = max_items
         self.calls = {"stage1": 0, "answer": 0, "combine": 0}
 
-    async def complete(self, sections) -> Result[str]:
+    async def complete(self, sections: list[PromptSection]) -> Result[str]:
         prompt = sections[-1]["content"] if sections else ""
         if _STAGE1_MARK in prompt:
             return self._stage1(prompt)

@@ -12,7 +12,7 @@ import asyncio
 import logging
 import random
 import time
-from typing import Awaitable, Callable
+from typing import Any, Awaitable, Callable
 
 import httpx
 
@@ -53,7 +53,7 @@ class AsyncRetrier:
         self.base_delay = base_delay
         self.max_delay = max_delay
 
-    async def __call__(self, fn: Callable[..., Awaitable], *args, **kwargs):
+    async def __call__(self, fn: Callable[..., Awaitable[Any]], *args: Any, **kwargs: Any) -> Any:
         start = time.monotonic()
         attempt = 0
         while True:

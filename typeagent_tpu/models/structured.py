@@ -10,7 +10,7 @@ makes one repair attempt feeding the validation error back to the model.
 from __future__ import annotations
 
 import json
-from typing import Generic, TypedDict, TypeVar
+from typing import Generic, Protocol, TypedDict, TypeVar
 
 from pydantic import TypeAdapter, ValidationError
 
@@ -24,6 +24,13 @@ class PromptSection(TypedDict):
 
     role: str
     content: str
+
+
+class IChatModel(Protocol):
+    """Anything that can complete a chat prompt: HTTP adapters, the MCP
+    sampling bridge, deterministic fakes, the canned replay model."""
+
+    async def complete(self, prompt: list[PromptSection]) -> Result[str]: ...
 
 
 def extract_json(text: str) -> str | None:
@@ -41,7 +48,7 @@ class TypedTranslator(Generic[T]):
 
     def __init__(
         self,
-        model,
+        model: IChatModel,
         schema: type[T],
         *,
         type_name: str | None = None,

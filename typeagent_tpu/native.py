@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import ctypes
 import os
+import types
 import subprocess
 import sysconfig
 import threading
@@ -122,7 +123,7 @@ _results_mod = None
 _results_attempted = False
 
 
-def load_results_module():
+def load_results_module() -> types.ModuleType | None:
     """The tat_results CPython extension (native result materialization).
 
     Built on demand from native/results.cpp; returns None when no compiler
@@ -169,7 +170,7 @@ class NativeInterner:
         self._lib = lib
         self._handle = lib.tat_interner_new()
 
-    def __del__(self):
+    def __del__(self) -> None:
         if getattr(self, "_handle", None):
             self._lib.tat_interner_free(self._handle)
             self._handle = None
@@ -263,7 +264,12 @@ class PyInterner:
     def intern_batch(self, terms: list[str]) -> np.ndarray:
         return np.array([self.intern(t) for t in terms], dtype=np.int32)
 
-    def add_postings_batch(self, term_ids, semref_ids, scores) -> None:
+    def add_postings_batch(
+        self,
+        term_ids: np.ndarray,
+        semref_ids: np.ndarray,
+        scores: np.ndarray,
+    ) -> None:
         for tid, sid, score in zip(term_ids, semref_ids, scores):
             self._postings.append((int(tid), int(sid), float(score)))
 
@@ -287,7 +293,7 @@ class PyInterner:
         return offsets, semrefs, scores
 
 
-def create_interner():
+def create_interner() -> "NativeInterner | PyInterner":
     """Native when buildable, Python otherwise."""
     if native_available():
         return NativeInterner()

@@ -25,7 +25,9 @@ def round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def make_buffer(capacity: int, dim_pad: int, dtype=jnp.float32) -> jax.Array:
+def make_buffer(
+    capacity: int, dim_pad: int, dtype: jax.typing.DTypeLike = jnp.float32
+) -> jax.Array:
     """Allocate a zeroed [capacity, dim_pad] device buffer."""
     return jnp.zeros((capacity, dim_pad), dtype=dtype)
 

@@ -103,7 +103,7 @@ def _int4_codes(rows: jax.Array):
     return codes, scales
 
 
-def quantize_rows_int4_device(rows: jax.Array):
+def quantize_rows_int4_device(rows: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Per-row symmetric int4 quantization, column-split packed.
 
     rows: [n, d] -> (packed [n, half_pad(d)] int8, scales [n] f32).
@@ -112,7 +112,7 @@ def quantize_rows_int4_device(rows: jax.Array):
     return _pack_codes(codes, _half_pad(rows.shape[1])), scales
 
 
-def quantize_rows_int4(rows: np.ndarray):
+def quantize_rows_int4(rows: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Host twin of :func:`quantize_rows_int4_device`."""
     rows = np.asarray(rows, dtype=np.float32)
     n, d = rows.shape
@@ -343,7 +343,7 @@ def topk_program_exact2_i4(
     k: int,
     slack: int = _I4_SLACK,
     use_pallas: bool | None = None,
-):
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Traceable int4-selection two-phase top-k: third-of-bf16 HBM bucket
     selection over the packed nibble shadow + exact rescore of the selected
     buckets from ``emb`` (the store's full-precision buffer). Returns
@@ -369,7 +369,7 @@ def cosine_topk_exact2_i4(
     k: int,
     *,
     slack: int = _I4_SLACK,
-):
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Batched (jitted) int4-selection two-phase top-k."""
     k = min(k, emb.shape[0])
     count_arr = jnp.asarray(count, dtype=jnp.int32).reshape(())

@@ -347,7 +347,7 @@ def _device_chunked_budget() -> int:
 
 def ivf_build(
     emb: jax.Array,
-    count,
+    count: jax.Array | int,
     *,
     key: int = 0,
     train_rows: int = 131072,
@@ -632,10 +632,21 @@ _ivf_topk_jit = jax.jit(
 
 
 def ivf_topk_program(
-    emb_r, perm, centroids, radius, bucket_fill, count_in, out_emb, out_perm,
-    count_out, queries, k: int, *,
-    B: int = 16, use_pallas: bool = True,
-):
+    emb_r: jax.Array,
+    perm: jax.Array,
+    centroids: jax.Array,
+    radius: jax.Array,
+    bucket_fill: jax.Array,
+    count_in: jax.Array,
+    out_emb: jax.Array,
+    out_perm: jax.Array,
+    count_out: jax.Array,
+    queries: jax.Array,
+    k: int,
+    *,
+    B: int = 16,
+    use_pallas: bool = True,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Jit-composable IVF top-k (state unpacked so callers can lax.map it).
 
     Returns ``(scores [b,k], ordinals [b,k], cert [b])`` — scores in the
@@ -652,12 +663,12 @@ def ivf_topk_program(
 
 def ivf_topk(
     state: IVFState,
-    queries,
+    queries: jax.Array | np.ndarray,
     k: int,
     *,
     B: int = 16,
     use_pallas: bool | None = None,
-):
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Top-k over a built IVF index (host entry point)."""
     from .topk import _use_pallas
 

@@ -20,10 +20,14 @@ longest posting list among the queried terms) so shapes stay static.
 from __future__ import annotations
 
 import functools
+from typing import TYPE_CHECKING, Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+if TYPE_CHECKING:
+    from jax.sharding import Mesh
 
 from ..native import create_interner
 from .append import round_up
@@ -85,7 +89,7 @@ def accumulate_postings(
     *,
     window: int,
     semref_cap: int,
-):
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """One fused pass: gather each query term's postings (fixed window),
     scatter-add exact/related score+hit tallies, fold with log smoothing.
 
@@ -147,7 +151,7 @@ def accumulate_postings(
 @functools.partial(
     jax.jit, static_argnames=("window", "semref_cap", "n_seg", "dedup_related")
 )
-def accumulate_postings_segmented(*args, **kwargs):
+def accumulate_postings_segmented(*args: Any, **kwargs: Any) -> tuple[jax.Array, jax.Array, jax.Array]:
     return _accumulate_segmented_impl(*args, **kwargs)
 
 
@@ -155,7 +159,9 @@ def accumulate_postings_segmented(*args, **kwargs):
     jax.jit,
     static_argnames=("window", "semref_cap", "n_seg", "dedup_related", "cap"),
 )
-def accumulate_postings_segmented_compact(*args, cap: int, **kwargs):
+def accumulate_postings_segmented_compact(
+    *args: Any, cap: int, **kwargs: Any
+) -> jax.Array:
     """Segmented accumulation + on-device sparse compaction.
 
     The dense [n_seg, semref_cap] result arrays are huge but mostly zero
@@ -266,7 +272,7 @@ def accumulate_postings_segmented_coo(
     n_seg: int,
     dedup_related: bool = False,
     r_max: int = 4096,
-):
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Scatter-free segmented accumulation: sort + segmented scans.
 
     XLA lowers data-dependent scatter-adds to a serial loop on TPU — the
@@ -414,27 +420,27 @@ _COO_DP_CACHE: dict = {}
 
 
 def accumulate_postings_segmented_coo_dp(
-    mesh,
-    offsets,
-    post_semrefs,
-    post_scores,
-    tids,  # [n_dp, t_pad]
-    weights,
-    segs,
-    kinds,
-    positions,
-    ktype_gate,
-    scope_ids,
-    scope_masks,  # [n_scopes, semref_cap] shared
-    semref_ktype,
-    boost_factor,
+    mesh: Mesh,
+    offsets: jax.Array,
+    post_semrefs: jax.Array,
+    post_scores: jax.Array,
+    tids: jax.Array,  # [n_dp, t_pad]
+    weights: jax.Array,
+    segs: jax.Array,
+    kinds: jax.Array,
+    positions: jax.Array,
+    ktype_gate: jax.Array,
+    scope_ids: jax.Array,
+    scope_masks: jax.Array,  # [n_scopes, semref_cap] shared
+    semref_ktype: jax.Array,
+    boost_factor: jax.Array,
     *,
     e_pad: int,
     semref_cap: int,
     n_seg: int,
     dedup_related: bool,
     r_max: int,
-):
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Batched :func:`accumulate_postings_segmented_coo` over mesh dp ranks.
 
     Returns stacked (keys [n_dp, r], sums [n_dp, 4, r], n_runs [n_dp],
@@ -912,7 +918,7 @@ class DevicePostingsIndex:
         scopes: list[np.ndarray | None] | None = None,
         boost_factor: float = 1.0,
         *,
-        mesh=None,
+        mesh: Mesh | None = None,
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray] | None:
         """:meth:`lookup_ops_sparse` over a mesh: segments split into one
         contiguous group per data-parallel rank (balanced by posting

@@ -34,6 +34,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Public result shapes: every selection program returns (scores [b, k],
+# row indices [b, k]) with unfilled slots pinned to (-1, -1); the exact2
+# family adds a per-query bool exactness certificate.
+TopK = tuple[jax.Array, jax.Array]
+CertifiedTopK = tuple[jax.Array, jax.Array, jax.Array]
+
 __all__ = [
     "cosine_topk",
     "cosine_topk_exact2",
@@ -581,7 +587,7 @@ def topk_program_masked(
     rowmask: jax.Array,
     k: int,
     use_pallas: bool | None = None,
-):
+) -> TopK:
     """Traceable row-masked exact top-k (usable inside shard_map).
 
     ``rowmask``: [n_pad] or [1, n_pad], nonzero = searchable. Unlike the
@@ -620,7 +626,7 @@ def topk_program_intervals(
     intervals: jax.Array,
     k: int,
     use_pallas: bool | None = None,
-):
+) -> TopK:
     """Traceable interval-scoped exact top-k (usable inside shard_map).
 
     ``intervals``: [s_pad, 2] i32 half-open (start, stop) global row spans
@@ -852,7 +858,7 @@ def topk_program_masked_quantized(
     rowmask: jax.Array,
     k: int,
     use_pallas: bool | None = None,
-):
+) -> TopK:
     """Traceable row-masked quantized top-k (usable inside shard_map).
 
     The quantized twin of :func:`topk_program_masked`: scoped search over
@@ -885,7 +891,7 @@ def topk_program_intervals_quantized(
     intervals: jax.Array,
     k: int,
     use_pallas: bool | None = None,
-):
+) -> TopK:
     """Traceable interval-scoped quantized top-k: the [s, 2] table expands
     to a [1, n] row mask on device (O(n log s)) and rides the masked fused
     quantized kernel — host work and upload stay O(segments)."""
@@ -915,7 +921,9 @@ def quantize_rows_device(rows: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 @jax.jit
-def cosine_scores_quantized(emb_q, scales, queries, count):
+def cosine_scores_quantized(
+    emb_q: jax.Array, scales: jax.Array, queries: jax.Array, count: jax.Array | int
+) -> jax.Array:
     """Full masked score matrix for the int8 store (predicate paths)."""
     raw = jnp.einsum(
         "bd,nd->bn",
@@ -944,7 +952,14 @@ def _subset_topk_q_jit(emb_q, scales, queries, ordinals, valid, *, k: int):
     return vals, idx
 
 
-def subset_cosine_topk_quantized(emb_q, scales, queries, ordinals, valid, k: int):
+def subset_cosine_topk_quantized(
+    emb_q: jax.Array,
+    scales: jax.Array,
+    queries: jax.Array,
+    ordinals: jax.Array,
+    valid: jax.Array,
+    k: int,
+) -> TopK:
     k = min(k, ordinals.shape[0])
     return _subset_topk_q_jit(emb_q, scales, queries, ordinals, valid, k=k)
 
@@ -955,7 +970,7 @@ def cosine_topk_quantized(
     queries: jax.Array,
     count: jax.Array | int,
     k: int,
-):
+) -> TopK:
     """Batched top-k over an int8-quantized store (queries bf16/f32)."""
     k = min(k, emb_q.shape[0])
     count_arr = jnp.asarray([count], dtype=jnp.int32) if np.isscalar(count) else count
@@ -1008,7 +1023,7 @@ def cosine_topk_approx(
     count: jax.Array | int,
     k: int,
     recall_target: float = 0.95,
-):
+) -> TopK:
     """Approximate batched top-k (recall ~= recall_target vs the exact scan)."""
     k = min(k, emb.shape[0])
     count_arr = jnp.asarray(count, dtype=jnp.int32).reshape(())
@@ -1569,7 +1584,7 @@ def topk_program_exact2_hybrid_i8(
     k: int,
     slack: int = _HYBRID_I8_SLACK,
     use_pallas: bool | None = None,
-):
+) -> CertifiedTopK:
     """Traceable int8-selection hybrid exact top-k: quarter-bandwidth bucket
     selection over an int8 shadow + exact f32 VPU rescore of the selected
     buckets. Wider slack + certificate absorb the quantization skew.
@@ -1594,7 +1609,7 @@ def cosine_topk_exact2_hybrid_i8(
     k: int,
     *,
     slack: int = _HYBRID_I8_SLACK,
-):
+) -> CertifiedTopK:
     """Batched (jitted) int8-selection hybrid exact top-k."""
     k = min(k, emb.shape[0])
     count_arr = jnp.asarray(count, dtype=jnp.int32).reshape(())
@@ -1613,7 +1628,7 @@ def topk_program_exact2_hybrid(
     k: int,
     slack: int = _HYBRID_SLACK,
     use_pallas: bool | None = None,
-):
+) -> CertifiedTopK:
     """Traceable hybrid exact top-k: bf16-shadow bucket selection (half the
     HBM read of an f32 scan, single MXU pass) + exact f32 rescore of the
     selected buckets on the VPU (full f32 multiply-accumulate — the same
@@ -1635,7 +1650,7 @@ def cosine_topk_exact2_hybrid(
     k: int,
     *,
     slack: int = _HYBRID_SLACK,
-):
+) -> CertifiedTopK:
     """Batched hybrid exact top-k (see :func:`topk_program_exact2_hybrid`)."""
     k = min(k, emb.shape[0])
     count_arr = jnp.asarray(count, dtype=jnp.int32).reshape(())
@@ -1652,7 +1667,7 @@ def topk_program_exact2(
     k: int,
     slack: int = 6,
     use_pallas: bool | None = None,
-):
+) -> CertifiedTopK:
     """Traceable two-phase exact top-k (usable inside jit/lax.map bodies).
 
     Returns ``(vals, idx, cert)`` — cert[b] True means the result is certified
@@ -1675,7 +1690,7 @@ def cosine_topk_exact2(
     k: int,
     *,
     slack: int = 6,
-):
+) -> CertifiedTopK:
     """Batched exact top-k via bucket-select + rescore (the large-store fast
     exact path: phase 1 runs at the fused matmul floor; phase 2 touches only
     ``(k+slack)*128`` rows per query)."""
@@ -1692,7 +1707,7 @@ def cosine_topk_bucket(
     queries: jax.Array,
     count: jax.Array | int,
     k: int,
-):
+) -> TopK:
     """Bucketed approximate top-k (recall@10 ~0.999 at 1M random rows).
 
     TPU-only fusion; other platforms fall back to ``cosine_topk_approx``.
@@ -1726,7 +1741,7 @@ def topk_many(
     use_pallas: bool,
     recall_target: float = 0.95,
     slack: int | None = None,
-):
+) -> TopK | CertifiedTopK:
     """R batched lookups in one dispatch; returns stacked engine outputs
     ([R, b, k] vals/idx, plus [R, b] certs for the exact2 modes)."""
 
@@ -1777,7 +1792,7 @@ def topk_program(
     count: jax.Array,
     k: int,
     use_pallas: bool | None = None,
-):
+) -> TopK:
     """Traceable (unjitted) fused top-k — usable inside shard_map/jit bodies.
 
     ``count`` must be a scalar int32 array. Inside shard_map the operands are
@@ -1799,7 +1814,7 @@ def topk_program_quantized(
     count: jax.Array,
     k: int,
     use_pallas: bool | None = None,
-):
+) -> TopK:
     """Traceable (unjitted) quantized top-k — usable inside shard_map bodies.
 
     ``count`` must be a scalar int32 array; ``use_pallas`` as in
@@ -1846,7 +1861,7 @@ def cosine_topk(
     k: int,
     *,
     force_xla: bool = False,
-):
+) -> TopK:
     """Batched fused top-k.
 
     Args:
@@ -1868,7 +1883,7 @@ def cosine_topk(
     return _topk_xla(emb, queries, count_arr[0], k=k)
 
 
-def cosine_scores(emb: jax.Array, queries: jax.Array, count: jax.Array | int):
+def cosine_scores(emb: jax.Array, queries: jax.Array, count: jax.Array | int) -> jax.Array:
     """Full masked score matrix ``[b, n_pad]`` (for host-predicate paths)."""
     count_arr = jnp.asarray(count, dtype=jnp.int32)
     return _cosine_scores_jit(emb, queries, count_arr)
@@ -1897,7 +1912,7 @@ def subset_cosine_topk(
     ordinals: jax.Array,
     valid: jax.Array,
     k: int,
-):
+) -> TopK:
     """Top-k restricted to a padded ordinal subset.
 
     Replicates ``fuzzy_lookup_embedding_in_subset`` (``vectorbase.py:203-230``):

@@ -10,7 +10,7 @@ from .mesh import create_mesh, default_mesh
 from .sharded import ShardedVectorStore, make_sharded_topk
 
 
-def __getattr__(name):
+def __getattr__(name: str) -> object:
     # Lazy: conversation_corpus pulls in the knowpro stack.
     if name in ("ConversationCorpus", "CorpusMessageHit"):
         from . import conversation_corpus

@@ -23,6 +23,13 @@ import shutil
 import jax
 import numpy as np
 
+from typing import TYPE_CHECKING, Any, Callable
+
+if TYPE_CHECKING:
+    from jax.sharding import Mesh
+
+    from ..vectorstore import TextEmbeddingIndexSettings, VectorStore
+
 from .corpus import CorpusVectorStore, _Segment
 from .sharded import (
     ShardedVectorStore,
@@ -52,7 +59,7 @@ def _checkpointer():
 class PendingSave:
     """Handle for a non-blocking save; ``wait()`` finalizes it."""
 
-    def __init__(self, ckpt, finalize):
+    def __init__(self, ckpt: Any, finalize: Callable[[], None]):
         self._ckpt = ckpt
         self._finalize = finalize
         self._done = False
@@ -117,7 +124,7 @@ def _read_meta(path: str | os.PathLike) -> dict:
 
 
 def restore_sharded_store(
-    mesh, path: str | os.PathLike, *, _meta: dict | None = None
+    mesh: Mesh, path: str | os.PathLike, *, _meta: dict | None = None
 ) -> ShardedVectorStore:
     """Rebuild a store on ``mesh`` (any topology) from a checkpoint."""
     import jax.numpy as jnp
@@ -173,7 +180,9 @@ def restore_sharded_store(
 # ---------------------------------------------------------------------------
 
 
-def save_vector_store(store, path: str | os.PathLike, *, block: bool = True):
+def save_vector_store(
+    store: VectorStore, path: str | os.PathLike, *, block: bool = True
+) -> PendingSave:
     """Checkpoint a (non-mesh or mesh-backed) `vectorstore.VectorStore`.
 
     Native-dtype device snapshot — bf16/int8 checkpoints are half/quarter
@@ -219,7 +228,9 @@ def save_vector_store(store, path: str | os.PathLike, *, block: bool = True):
     return pending
 
 
-def restore_vector_store(settings, path: str | os.PathLike):
+def restore_vector_store(
+    settings: TextEmbeddingIndexSettings, path: str | os.PathLike
+) -> VectorStore:
     """Rebuild a `vectorstore.VectorStore` with ``settings`` from a
     checkpoint written by :func:`save_vector_store` (or the sharded saver —
     mesh-backed settings restore through the sharded path)."""
@@ -286,7 +297,7 @@ def save_corpus(
     save_sharded_store(corpus._store, path, extra_meta=meta)
 
 
-def restore_corpus(mesh, path: str | os.PathLike) -> CorpusVectorStore:
+def restore_corpus(mesh: Mesh, path: str | os.PathLike) -> CorpusVectorStore:
     meta = _read_meta(path)
     store = restore_sharded_store(mesh, path, _meta=meta)
     store.search_mode = meta.get("search_mode", "exact")

@@ -15,11 +15,24 @@ matrix across the mesh.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import TYPE_CHECKING, Any
 
 import numpy as np
 
 from ..knowpro.interfaces import IConversation, ScoredMessageOrdinal, TextLocation
 from .corpus import CorpusVectorStore
+
+if TYPE_CHECKING:
+    import os
+
+    import jax
+    from jax.sharding import Mesh
+
+    from ..knowpro.answer_response_schema import AnswerResponse
+    from ..knowpro.answers import AnswerContextOptions
+    from ..knowpro.search_query_schema import SearchQuery
+    from ..knowpro.searchlang import LanguageSearchOptions, SearchQueryTranslator
+    from ..models.structured import TypedTranslator
 
 __all__ = ["ConversationCorpus", "CorpusMessageHit"]
 
@@ -40,7 +53,12 @@ class ConversationCorpus:
     folds in chunks indexed since the last sync (append-only, no rebuild).
     """
 
-    def __init__(self, dim: int, mesh=None, dtype=None):
+    def __init__(
+        self,
+        dim: int,
+        mesh: Mesh | None = None,
+        dtype: jax.typing.DTypeLike | None = None,
+    ):
         self._store = CorpusVectorStore(dim, mesh=mesh, dtype=dtype)
         self._conversations: dict[str, IConversation] = {}
         self._locations: dict[str, list[TextLocation]] = {}
@@ -70,7 +88,7 @@ class ConversationCorpus:
 
     # -- persistence (orbax; see parallel/checkpoint.py) -----------------------
 
-    def save(self, path) -> None:
+    def save(self, path: str | os.PathLike) -> None:
         """Checkpoint the mirror (device matrix + location/sync tables).
 
         After :meth:`load`, re-attach live conversations with
@@ -92,7 +110,9 @@ class ConversationCorpus:
         )
 
     @classmethod
-    def load(cls, path, mesh=None) -> "ConversationCorpus":
+    def load(
+        cls, path: str | os.PathLike, mesh: Mesh | None = None
+    ) -> "ConversationCorpus":
         """Restore a mirror checkpoint onto ``mesh`` (any topology)."""
         from .checkpoint import _read_meta, restore_corpus
         from .mesh import create_mesh
@@ -194,12 +214,12 @@ class ConversationCorpus:
     async def query_all(
         self,
         question: str,
-        query_translator,
-        answer_translator,
-        search_options=None,
-        answer_options=None,
+        query_translator: SearchQueryTranslator,
+        answer_translator: TypedTranslator[AnswerResponse],
+        search_options: LanguageSearchOptions | None = None,
+        answer_options: AnswerContextOptions | None = None,
         conversations: list[str] | None = None,
-    ):
+    ) -> tuple[dict[str, AnswerResponse], AnswerResponse]:
         """Four-stage NL query across every (or selected) conversation.
 
         Stage 1 (LLM translation) runs ONCE and is reused for every

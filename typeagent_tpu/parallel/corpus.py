@@ -12,11 +12,16 @@ from __future__ import annotations
 
 import bisect
 from dataclasses import dataclass
+from typing import TYPE_CHECKING, Any
 
 import numpy as np
 
 
 from .mesh import create_mesh
+
+if TYPE_CHECKING:
+    import jax
+    from jax.sharding import Mesh
 from .sharded import ShardedVectorStore
 
 __all__ = ["CorpusVectorStore", "CorpusHit"]
@@ -41,7 +46,13 @@ class _Segment:
 class CorpusVectorStore:
     """Append-only multi-tenant fragment store over a sharded device matrix."""
 
-    def __init__(self, dim: int, mesh=None, dtype=None, search_mode: str = "exact"):
+    def __init__(
+        self,
+        dim: int,
+        mesh: Mesh | None = None,
+        dtype: jax.typing.DTypeLike | None = None,
+        search_mode: str = "exact",
+    ):
         import jax.numpy as jnp
 
         self.mesh = mesh or create_mesh()
@@ -83,7 +94,7 @@ class CorpusVectorStore:
         """Pre-size the sharded buffer for a known corpus size."""
         self._store.reserve(n_rows)
 
-    def build_ivf(self, **build_kwargs) -> None:
+    def build_ivf(self, **build_kwargs: Any) -> None:
         """Snapshot the corpus into per-shard IVF indexes (parallel/ivf.py).
 
         Global searches on a ``search_mode="ivf"`` corpus then ride the
@@ -92,7 +103,7 @@ class CorpusVectorStore:
         """
         self._store.build_ivf(**build_kwargs)
 
-    def append_device(self, conversation: str, rows) -> None:
+    def append_device(self, conversation: str, rows: "jax.Array | np.ndarray") -> None:
         """Bulk-adopt device-resident rows for a conversation (normalized on
         device; no host round trip — the 10M-fragment ingest path)."""
         import jax.numpy as jnp

@@ -33,7 +33,7 @@ stay sound.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import TYPE_CHECKING, Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +48,9 @@ except ImportError:  # pragma: no cover
 from ..ops.ivf import _BOUND_DEAD, IVFState, ivf_build, ivf_topk_program
 from ..ops.topk import _BUCKET_ROWS
 from .mesh import AXIS_DP, AXIS_SHARD
+
+if TYPE_CHECKING:
+    from .sharded import ShardedVectorStore
 
 __all__ = ["ShardedIVF", "build_sharded_ivf"]
 
@@ -77,7 +80,7 @@ class ShardedIVF(NamedTuple):
     built_count: int  # store count covered by this snapshot
 
     @property
-    def device_arrays(self):
+    def device_arrays(self) -> tuple[jax.Array, ...]:
         return self[:9]
 
 
@@ -153,7 +156,7 @@ def _assemble(mesh: Mesh, pieces, row_spec) -> jax.Array:
     return jax.make_array_from_single_device_arrays(gshape, sharding, bufs)
 
 
-def build_sharded_ivf(store, **build_kwargs) -> ShardedIVF:
+def build_sharded_ivf(store: ShardedVectorStore, **build_kwargs: Any) -> ShardedIVF:
     """Build per-shard IVF indexes over a ShardedVectorStore's live rows.
 
     ``build_kwargs`` forward to :func:`ops.ivf.ivf_build` (outlier_frac,
@@ -262,8 +265,12 @@ def _sharded_ivf_topk_cached(
 
 
 def sharded_ivf_search_dispatch(
-    store, ivf: ShardedIVF, q_padded: np.ndarray, k: int, min_score: float
-):
+    store: ShardedVectorStore,
+    ivf: ShardedIVF,
+    q_padded: np.ndarray,
+    k: int,
+    min_score: float,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Dispatch the SPMD per-shard IVF search (async; pair with a collect).
 
     ``q_padded`` is the store's padded query batch. Returns device arrays

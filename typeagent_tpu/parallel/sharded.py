@@ -24,6 +24,7 @@ from __future__ import annotations
 import functools
 import math
 import threading
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
@@ -333,7 +334,9 @@ def _sharded_approx_topk_cached(mesh: Mesh, k: int, recall_target: float):
     return jax.jit(_search)
 
 
-def make_sharded_topk(mesh: Mesh, k: int, quantized: bool = False):
+def make_sharded_topk(
+    mesh: Mesh, k: int, quantized: bool = False
+) -> Callable[..., tuple[jax.Array, jax.Array]]:
     """Compiled distributed top-k: (emb[, scales], queries, count[1],
     min_score[1]) -> (vals, idx)."""
     return _sharded_topk_cached(mesh, k, quantized)
@@ -361,7 +364,7 @@ class ShardedVectorStore:
         self,
         mesh: Mesh,
         dim: int,
-        dtype=jnp.float32,
+        dtype: jax.typing.DTypeLike = jnp.float32,
         search_mode: str = "exact",
         recall_target: float = 0.95,
         ivf_b: int = 16,
@@ -576,7 +579,9 @@ class ShardedVectorStore:
             )
         return out
 
-    def search_dispatch(self, queries: np.ndarray, k: int, min_score: float = 0.0):
+    def search_dispatch(
+        self, queries: np.ndarray, k: int, min_score: float = 0.0
+    ) -> tuple:
         """Dispatch a batched lookup WITHOUT materializing results (jax
         dispatch is async); pair with :meth:`collect_search` to pipeline
         many batches without a device round trip between them."""
@@ -594,7 +599,7 @@ class ShardedVectorStore:
         vals, idx = fn(*pre, *post)
         return (vals, idx, b)
 
-    def collect_search(self, handle) -> list[list[tuple[int, float]]]:
+    def collect_search(self, handle: tuple) -> list[list[tuple[int, float]]]:
         """Materialize a search_dispatch handle."""
         if handle[0] == "empty":
             return [[] for _ in range(handle[1])]
@@ -617,7 +622,7 @@ class ShardedVectorStore:
 
     # -- sharded IVF (per-shard learned buckets; parallel/ivf.py) -----------
 
-    def build_ivf(self, **build_kwargs) -> None:
+    def build_ivf(self, **build_kwargs: Any) -> None:
         """Snapshot the live rows into per-shard IVF indexes.
 
         Build compute runs on each owning device (no cross-shard traffic);

@@ -6,6 +6,7 @@ on the device buffer as messages arrive rather than in a separate pass.
 
 from __future__ import annotations
 
+from collections.abc import AsyncIterator
 from typing import Iterable
 
 import numpy as np
@@ -32,7 +33,7 @@ class MemoryCollection[T, TOrdinal: int](interfaces.ICollection[T, TOrdinal]):
     def __repr__(self) -> str:
         return f"{type(self).__name__}(n={len(self.items)})"
 
-    def __aiter__(self):
+    def __aiter__(self) -> AsyncIterator[T]:
         async def gen():
             for item in self.items:
                 yield item

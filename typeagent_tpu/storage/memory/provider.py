@@ -6,6 +6,8 @@ tracks ingested sources + chunk failures in host structures.)
 
 from __future__ import annotations
 
+from types import TracebackType
+
 from datetime import datetime, timezone
 
 from ...knowpro.convsettings import MessageTextIndexSettings, RelatedTermIndexSettings
@@ -63,7 +65,12 @@ class MemoryStorageProvider[TMessage: IMessage](IStorageProvider[TMessage]):
     async def __aenter__(self) -> "MemoryStorageProvider[TMessage]":
         return self
 
-    async def __aexit__(self, exc_type, exc_val, exc_tb) -> None:
+    async def __aexit__(
+        self,
+        exc_type: type[BaseException] | None,
+        exc_val: BaseException | None,
+        exc_tb: TracebackType | None,
+    ) -> None:
         pass
 
     async def close(self) -> None:

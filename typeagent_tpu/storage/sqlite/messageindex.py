@@ -27,7 +27,7 @@ class SqliteMessageTextIndex(IMessageTextEmbeddingIndex):
         self,
         db: sqlite3.Connection,
         settings: MessageTextIndexSettings,
-        message_collection=None,
+        message_collection: interfaces.IMessageCollection | None = None,
     ):
         self.db = db
         self.settings = settings

@@ -8,6 +8,8 @@ threads reuse the memory implementation, as in the reference.)
 
 from __future__ import annotations
 
+from types import TracebackType
+
 import sqlite3
 from datetime import datetime, timezone
 
@@ -239,7 +241,12 @@ class SqliteStorageProvider[TMessage: interfaces.IMessage](
         self._init_conversation_metadata_if_needed()
         return self
 
-    async def __aexit__(self, exc_type, exc_val, exc_tb) -> None:
+    async def __aexit__(
+        self,
+        exc_type: type[BaseException] | None,
+        exc_val: BaseException | None,
+        exc_tb: TracebackType | None,
+    ) -> None:
         if exc_type is None:
             self.db.commit()
         else:

@@ -19,6 +19,8 @@ import asyncio
 import random
 import time
 
+from typing import TYPE_CHECKING
+
 from ..knowpro import kplib
 from ..knowpro.convsettings import ConversationSettings
 from ..knowpro.interfaces import (
@@ -34,6 +36,9 @@ from ..knowpro.universal_message import ConversationMessage, ConversationMessage
 from ..models.adapters import create_test_embedding_model
 from ..storage.utils import create_storage_provider
 
+if TYPE_CHECKING:
+    from ..knowpro.conversation_base import ConversationBase
+
 VOCAB = (
     "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
     "lima mike november oscar papa quebec romeo sierra tango uniform victor "
@@ -41,7 +46,9 @@ VOCAB = (
 ).split()
 
 
-async def build_conversation(n_messages: int, rng: random.Random):
+async def build_conversation(
+    n_messages: int, rng: random.Random
+) -> "ConversationBase":
     settings = ConversationSettings(model=create_test_embedding_model(16))
     settings.semantic_ref_index_settings.auto_extract_knowledge = False
     provider = await create_storage_provider(
@@ -125,7 +132,9 @@ def make_queries(n: int, rng: random.Random) -> list[tuple[SearchTermGroup, None
     return selects
 
 
-async def run_engine(conv, selects, batch: int, use_device: bool) -> float:
+async def run_engine(
+    conv: "ConversationBase", selects: list[tuple], batch: int, use_device: bool
+) -> float:
     options = SearchOptions(exact_match=False)
     options.use_device_executor = use_device
     t0 = time.perf_counter()

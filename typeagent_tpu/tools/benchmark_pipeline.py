@@ -24,6 +24,7 @@ from __future__ import annotations
 import argparse
 import asyncio
 import json
+from typing import TYPE_CHECKING
 import random
 import time
 
@@ -35,6 +36,9 @@ from ..knowpro.search_query_schema import (
     SearchQuery,
 )
 from ..utils.metrics import MetricsRegistry
+
+if TYPE_CHECKING:
+    from ..knowpro.conversation_base import ConversationBase
 from .benchmark_engine import VOCAB, build_conversation
 
 
@@ -97,7 +101,12 @@ async def _one_query(conv, sq, options, reg: MetricsRegistry) -> int:
     return contexts
 
 
-async def run_pipeline(conv, queries, use_device: bool, reg: MetricsRegistry):
+async def run_pipeline(
+    conv: "ConversationBase",
+    queries: list[SearchQuery],
+    use_device: bool,
+    reg: MetricsRegistry,
+) -> int:
     options = _make_options(use_device)
     contexts = 0
     for sq in queries:
@@ -106,8 +115,12 @@ async def run_pipeline(conv, queries, use_device: bool, reg: MetricsRegistry):
 
 
 async def run_pipeline_concurrent(
-    conv, queries, use_device: bool, reg: MetricsRegistry, concurrency: int
-):
+    conv: "ConversationBase",
+    queries: list[SearchQuery],
+    use_device: bool,
+    reg: MetricsRegistry,
+    concurrency: int,
+) -> int:
     """N worker tasks pull queries off a shared list (a loaded server):
     one query's host VM / answer-context work overlaps the others' device
     round trips, and the batched fuzzy lookups coalesce in the store's

@@ -11,6 +11,8 @@ import asyncio
 import statistics
 import time
 
+from typing import TYPE_CHECKING
+
 from ..knowpro import kplib
 from ..knowpro.collections import TextRangeCollection, TextRangesInScope
 from ..knowpro.convsettings import ConversationSettings
@@ -22,13 +24,18 @@ from ..knowpro.universal_message import ConversationMessage, ConversationMessage
 from ..models.adapters import create_test_embedding_model
 from ..storage.utils import create_storage_provider
 
+if TYPE_CHECKING:
+    from ..knowpro.conversation_base import ConversationBase
+
 WORDS = (
     "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
     "mike november oscar papa quebec romeo sierra tango uniform victor whiskey"
 ).split()
 
 
-async def build_conversation(n_messages: int, dbname: str | None):
+async def build_conversation(
+    n_messages: int, dbname: str | None
+) -> "ConversationBase":
     settings = ConversationSettings(model=create_test_embedding_model(32))
     settings.semantic_ref_index_settings.auto_extract_knowledge = False
     provider = await create_storage_provider(

@@ -21,11 +21,15 @@ from __future__ import annotations
 import argparse
 import asyncio
 import datetime
+from typing import TYPE_CHECKING
 import json
 import os
 from pathlib import Path
 
 from ..utils.misc import load_dotenv
+
+if TYPE_CHECKING:
+    from ..knowpro.universal_message import ConversationMessage
 
 
 def default_session_dirs() -> list[Path]:
@@ -136,7 +140,7 @@ def search_sessions(sessions: list[dict], query: str) -> None:
                     break
 
 
-def session_to_messages(session: dict):
+def session_to_messages(session: dict) -> "list[ConversationMessage]":
     """Convert turns into ConversationMessages (user + assistant speakers)."""
     from ..knowpro.universal_message import (
         ConversationMessage,
@@ -167,7 +171,9 @@ def session_to_messages(session: dict):
     return messages
 
 
-async def ingest_session(session: dict, dbname: str, embedding_model: str | None):
+async def ingest_session(
+    session: dict, dbname: str, embedding_model: str | None
+) -> None:
     from ..knowpro.conversation_base import ConversationBase
     from ..knowpro.convsettings import ConversationSettings
     from ..knowpro.universal_message import ConversationMessage

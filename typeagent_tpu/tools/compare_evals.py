@@ -16,6 +16,7 @@ import glob
 import json
 import os
 import sys
+from typing import TextIO
 
 GREEN = "\x1b[32m"
 RED = "\x1b[31m"
@@ -34,7 +35,7 @@ def load_results(path: str) -> dict[str, dict]:
     return {e["question"]: e for e in entries}
 
 
-def compare(files: list[str], color: bool, out=sys.stdout) -> int:
+def compare(files: list[str], color: bool, out: TextIO = sys.stdout) -> int:
     tables = {f: load_results(f) for f in files}
     questions: list[str] = []
     for table in tables.values():

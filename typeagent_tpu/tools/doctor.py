@@ -23,6 +23,7 @@ from __future__ import annotations
 import argparse
 import asyncio
 import sys
+from typing import TextIO
 from dataclasses import dataclass, field
 
 from ..knowpro.interfaces import Datetime, IConversation
@@ -39,7 +40,7 @@ class DoctorReport:
     def failures(self) -> int:
         return sum(1 for _, ok, _ in self.checks if not ok)
 
-    def print(self, out=sys.stdout) -> None:
+    def print(self, out: TextIO = sys.stdout) -> None:
         for name, ok, detail in self.checks:
             mark = "ok  " if ok else "FAIL"
             line = f"[{mark}] {name}"

@@ -201,7 +201,7 @@ async def _context_record(conversation, results) -> list[dict]:
 
 
 async def replay_corpus(
-    conversation, corpus: list[dict], use_device_executor: bool
+    conversation: Podcast, corpus: list[dict], use_device_executor: bool
 ) -> list[dict]:
     records = []
     for entry in corpus:
@@ -235,7 +235,7 @@ ANSWERS_GOLDEN_FILE = os.path.join(
 
 
 async def replay_answers(
-    conversation, corpus: list[dict], use_device_executor: bool
+    conversation: Podcast, corpus: list[dict], use_device_executor: bool
 ) -> list[dict]:
     """Replay all 4 stages per query, no network (parity role: the answer
     half of reference ``make eval`` — reference `Makefile:38-42`,

@@ -28,7 +28,8 @@ from ..knowpro.search import run_search_query
 from ..knowpro.search_query_schema import SearchQuery
 from ..knowpro.serialization import deserialize_object
 from ..models.adapters import create_test_embedding_model
-from ..models.result import Success
+from ..models.result import Result, Success
+from ..podcasts.podcast import Podcast
 from ..podcasts.podcast_ingest import ingest_podcast
 
 GOLDEN_FILE = os.path.join(
@@ -317,7 +318,7 @@ PINNED_QUERIES: list[tuple[str, dict]] = [
 class WordExtractor:
     """Deterministic offline knowledge: first word entity + per-word topics."""
 
-    async def extract(self, text: str):
+    async def extract(self, text: str) -> Result[kplib.KnowledgeResponse]:
         words = [w.strip(".,!?").lower() for w in text.split() if len(w) > 3]
         return Success(
             kplib.KnowledgeResponse(
@@ -329,7 +330,7 @@ class WordExtractor:
         )
 
 
-async def build_fixture_conversation(search_mode: str = "exact"):
+async def build_fixture_conversation(search_mode: str = "exact") -> Podcast:
     settings = ConversationSettings(
         model=create_test_embedding_model(32), search_mode=search_mode
     )

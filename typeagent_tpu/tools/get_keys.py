@@ -182,7 +182,9 @@ class Config:
         self.shared_vault: str | None = raw.get("vault", {}).get("shared")
 
 
-def resolve_vaults(args, cfg: Config, env_values: dict[str, str]) -> dict[str, str | None]:
+def resolve_vaults(
+    args: argparse.Namespace, cfg: Config, env_values: dict[str, str]
+) -> dict[str, str | None]:
     return {
         "shared": args.vault
         or env_values.get("TYPEAGENT_SHAREDVAULT")
@@ -191,7 +193,7 @@ def resolve_vaults(args, cfg: Config, env_values: dict[str, str]) -> dict[str, s
     }
 
 
-def pull(client: KeyVaultClient, cfg: Config, args) -> int:
+def pull(client: KeyVaultClient, cfg: Config, args: argparse.Namespace) -> int:
     """Vault -> .env. Returns the number of keys changed."""
     dotenv_path = Path(args.dotenv) if args.dotenv else cfg.dotenv_path
     lines = read_dotenv_lines(dotenv_path)
@@ -237,7 +239,7 @@ def pull(client: KeyVaultClient, cfg: Config, args) -> int:
     return changed
 
 
-def push(client: KeyVaultClient, cfg: Config, args) -> int:
+def push(client: KeyVaultClient, cfg: Config, args: argparse.Namespace) -> int:
     """.env -> vault. Returns the number of secrets written."""
     dotenv_path = Path(args.dotenv) if args.dotenv else cfg.dotenv_path
     current = dotenv_values(read_dotenv_lines(dotenv_path))

@@ -20,6 +20,7 @@ import argparse
 import os
 import re
 import time
+from collections.abc import Callable
 
 import httpx
 
@@ -37,7 +38,7 @@ class DeviceCodeAuth:
         tenant: str = "common",
         scope: str = DEFAULT_SCOPE,
         client: httpx.Client | None = None,
-        sleeper=time.sleep,
+        sleeper: Callable[[float], None] = time.sleep,
     ):
         self.client_id = application_client_id
         self.tenant = tenant

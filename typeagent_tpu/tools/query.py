@@ -59,7 +59,9 @@ class ConversationHistory:
 
 
 class QueryContext:
-    def __init__(self, conversation, verbose: bool = False, device: bool = False):
+    def __init__(
+        self, conversation: object, verbose: bool = False, device: bool = False
+    ):
         self.conversation = conversation
         self.history = ConversationHistory()
         self.verbose = verbose
@@ -74,7 +76,7 @@ def settings_from_spec(embedding_model_spec: str | None) -> ConversationSettings
     return ConversationSettings()
 
 
-async def load_conversation(args) -> object:
+async def load_conversation(args: argparse.Namespace) -> object:
     settings = settings_from_spec(getattr(args, "embedding_model", None))
     if args.index_path:
         # JSON + embeddings snapshot.
@@ -91,7 +93,7 @@ async def load_conversation(args) -> object:
     return await ConversationBase.create(settings, name=args.database or "memory")
 
 
-async def print_stats(conversation) -> None:
+async def print_stats(conversation: object) -> None:
     print(f"Conversation: {conversation.name_tag}")
     print(f"  messages:      {await conversation.messages.size()}")
     print(f"  semantic refs: {await conversation.semantic_refs.size()}")

@@ -14,6 +14,7 @@ import asyncio
 
 from ..knowpro import convknowledge
 from ..knowpro.conversation_base import ConversationBase
+from ..knowpro.interfaces import IKnowledgeExtractor
 from ..knowpro.convsettings import ConversationSettings
 from ..knowpro.interfaces import IndexingStartPoints
 from ..knowpro.semrefindex import add_knowledge_batch_to_semantic_ref_index
@@ -26,7 +27,7 @@ from ..utils.misc import load_dotenv
 
 async def reextract_failed_chunks(
     conversation: ConversationBase,
-    extractor=None,
+    extractor: IKnowledgeExtractor | None = None,
     verbose: bool = False,
 ) -> tuple[int, int]:
     """Retry all recorded chunk failures. Returns (succeeded, still_failed)."""

@@ -15,7 +15,7 @@ T = TypeVar("T")
 
 
 @contextlib.contextmanager
-def timelog(label: str, *, verbose: bool = True):
+def timelog(label: str, *, verbose: bool = True) -> Iterator[None]:
     """Print wall-clock seconds for the enclosed block."""
     start = time.perf_counter()
     try:

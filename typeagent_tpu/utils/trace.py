@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import contextlib
 import contextvars
+from collections.abc import Iterator
+from typing import Any
 import logging
 import time
 from dataclasses import dataclass, field
@@ -40,12 +42,12 @@ class Span:
         end = self.end if self.end is not None else time.perf_counter()
         return (end - self.start) * 1000
 
-    def set(self, **attributes) -> None:
+    def set(self, **attributes: Any) -> None:
         self.attributes.update(attributes)
 
 
 @contextlib.contextmanager
-def span(name: str, **attributes):
+def span(name: str, **attributes: Any) -> Iterator[Span]:
     """Open a nested span; records latency into the metrics registry."""
     parent = _current_span.get()
     current = Span(name=name, parent=parent, attributes=dict(attributes))

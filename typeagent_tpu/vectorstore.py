@@ -24,6 +24,7 @@ import contextlib
 import threading
 from collections.abc import Callable
 from dataclasses import dataclass
+from typing import TYPE_CHECKING, Any
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +32,11 @@ import ml_dtypes
 import numpy as np
 
 from .ops import append, topk
+
+if TYPE_CHECKING:
+    from jax.sharding import Mesh
+
+    from .models.embeddings import IEmbeddingModel
 
 DEFAULT_MIN_SCORE = 0.85
 
@@ -117,12 +123,12 @@ class TextEmbeddingIndexSettings:
 
     def __init__(
         self,
-        embedding_model=None,
+        embedding_model: IEmbeddingModel | None = None,
         min_score: float | None = None,
         max_matches: int | None = None,
         batch_size: int | None = None,
         dtype: str = "float32",
-        mesh=None,
+        mesh: Mesh | None = None,
         search_mode: str = "exact",
         recall_target: float = 0.95,
         query_wire: str = "auto",
@@ -335,7 +341,9 @@ class VectorStore:
 
     # -- appends ------------------------------------------------------------
 
-    def add_embedding(self, key: str | None, embedding) -> None:
+    def add_embedding(
+        self, key: str | None, embedding: np.ndarray | list[float]
+    ) -> None:
         row = np.asarray(embedding, dtype=np.float32)
         if self._embedding_size == 0:
             self._set_embedding_size(row.shape[-1])
@@ -843,7 +851,7 @@ class VectorStore:
         self._ivf_rebuild_thread = t
         t.start()
 
-    def build_ivf(self, **kwargs) -> None:
+    def build_ivf(self, **kwargs: Any) -> None:
         """Snapshot the current rows into an IVF index (ops/ivf.py).
 
         One-time device cost (~60 s at 1M x 384 through the tunnel; the
@@ -879,7 +887,7 @@ class VectorStore:
             with self._flush_lock:
                 self._buf_pins -= 1
 
-    def build_ivf_background(self, **kwargs) -> threading.Thread | None:
+    def build_ivf_background(self, **kwargs: Any) -> threading.Thread | None:
         """Rebuild the IVF snapshot off-thread and swap it in when done.
 
         Queries keep serving the current snapshot + exact interval scan
@@ -1107,7 +1115,7 @@ class VectorStore:
         self,
         queries: np.ndarray,
         max_hits: int = 10,
-    ):
+    ) -> tuple | None:
         """Asynchronously dispatch a batched lookup; returns device handles.
 
         Pair with :meth:`collect_lookup`. Lets callers pipeline many query
@@ -1138,7 +1146,7 @@ class VectorStore:
 
     def collect_lookup(
         self,
-        handle,
+        handle: tuple | None,
         min_score: float = 0.0,
     ) -> list[list[ScoredInt]]:
         """Materialize a dispatch_lookup handle into scored results."""
