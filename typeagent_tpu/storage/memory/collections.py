@@ -66,22 +66,31 @@ class MemoryCollection[T, TOrdinal: int](interfaces.ICollection[T, TOrdinal]):
 
 
 class MemorySemanticRefCollection(MemoryCollection[_SemRef, _SemRefOrdinal]):
+    def __init__(self, items: list[_SemRef] | None = None):
+        super().__init__(items)
+        # Semrefs are append-only and never mutated in place, so their
+        # metadata projections are immutable — memoized here because this
+        # is the hottest host call in the query VM (every scoped
+        # lookup_term pays it; it was ~30% of concurrent-pipeline host
+        # time when rebuilt per call).
+        self._metadata_cache: list[interfaces.SemanticRefMetadata] = []
+
     async def get_metadata_multiple(
         self, ordinals: list[_SemRefOrdinal]
     ) -> list[interfaces.SemanticRefMetadata]:
         # Metadata-only reads keep hot query paths off the knowledge payloads
         # (mirrors the SQLite backend, where this skips the knowledge JSON).
-        out = []
-        for o in ordinals:
+        cache = self._metadata_cache
+        for o in range(len(cache), len(self.items)):
             ref = self.items[o]
-            out.append(
+            cache.append(
                 interfaces.SemanticRefMetadata(
                     ordinal=o,
                     range=ref.range,
                     knowledge_type=ref.knowledge.knowledge_type,
                 )
             )
-        return out
+        return [cache[o] for o in ordinals]
 
 
 class MemoryMessageCollection[TMessage: IMessage](
