@@ -111,9 +111,11 @@ needs_corpus = pytest.mark.skipif(
 def conversation():
     import asyncio
 
-    return asyncio.new_event_loop().run_until_complete(
-        ev.load_episode53_conversation()
-    )
+    loop = asyncio.new_event_loop()
+    try:
+        return loop.run_until_complete(ev.load_episode53_conversation())
+    finally:
+        loop.close()
 
 
 @needs_corpus

@@ -25,9 +25,11 @@ pytestmark = pytest.mark.skipif(
 def conversation():
     import asyncio
 
-    return asyncio.new_event_loop().run_until_complete(
-        ev.load_episode53_conversation()
-    )
+    loop = asyncio.new_event_loop()
+    try:
+        return loop.run_until_complete(ev.load_episode53_conversation())
+    finally:
+        loop.close()
 
 
 @pytest.fixture(scope="module")
