@@ -393,3 +393,62 @@ def test_vectorstore_ivf_auto_rebuild_policy():
     # Results stay exact-equal to the oracle at this scale.
     got = store.fuzzy_lookup_embedding(emb[123], max_hits=1)
     assert got[0].item == 123
+
+
+def test_ivf_topk_program_runs_jitted_not_eager():
+    """ivf_topk_program must dispatch ONE compiled program per call.
+
+    Regression: it called the raw impl, so every standalone caller
+    (VectorStore's ivf route) executed the whole program op-by-op — ~1.7 s
+    per batch through a remote-attached device vs ~30 ms jitted. The jit
+    cache growing after a fresh-shape call proves the compiled path.
+    """
+    import jax.numpy as jnp
+
+    from typeagent_tpu.ops.ivf import _ivf_topk_jit, ivf_build, ivf_topk_program
+
+    rng = np.random.default_rng(5)
+    emb = rng.standard_normal((1536, 32)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    state = ivf_build(
+        jnp.asarray(emb), 1536, rows_per_cluster=128, train_rows=512, iters=2
+    )
+    q = jnp.asarray(emb[:3])
+    before = _ivf_topk_jit._cache_size()
+    vals, idx, cert = ivf_topk_program(*state, q, 5, B=4, use_pallas=False)
+    assert _ivf_topk_jit._cache_size() == before + 1
+    ivf_topk_program(*state, q, 5, B=4, use_pallas=False)
+    assert _ivf_topk_jit._cache_size() == before + 1  # cached, no retrace
+    assert np.asarray(vals).shape == (3, 5)
+
+
+def test_vectorstore_ivf_append_route_is_one_fused_dispatch():
+    """The appended-suffix route goes through _ivf_suffix_merged (one jitted
+    program: snapshot + interval scan + merge), not eager per-op merging."""
+    from typeagent_tpu.models.adapters import create_test_embedding_model
+    from typeagent_tpu.vectorstore import (
+        TextEmbeddingIndexSettings,
+        VectorStore,
+        _ivf_suffix_merged,
+    )
+
+    rng = np.random.default_rng(6)
+    emb = rng.standard_normal((1536, 32)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    settings = TextEmbeddingIndexSettings(
+        create_test_embedding_model(32), min_score=0.0, search_mode="ivf"
+    )
+    store = VectorStore(settings)
+    store.add_embeddings(None, emb)
+    store.build_ivf(rows_per_cluster=128, train_rows=512, iters=2)
+    extra = rng.standard_normal((200, 32)).astype(np.float32)
+    extra /= np.linalg.norm(extra, axis=1, keepdims=True)
+    store.add_embeddings(None, extra)
+
+    before = _ivf_suffix_merged._cache_size()
+    got = store.fuzzy_lookup_embeddings_batch(np.asarray(emb[:4]), max_hits=3)
+    assert _ivf_suffix_merged._cache_size() == before + 1
+    # Appended rows are found through the fused merge, exactly.
+    hit = store.fuzzy_lookup_embedding(extra[10], max_hits=1)
+    assert hit[0].item == 1536 + 10
+    assert len(got) == 4 and all(len(r) == 3 for r in got)

@@ -654,7 +654,12 @@ def ivf_topk_program(
     result is provably the exact top-k (up to eps ties).
     """
     nb = centroids.shape[0]
-    return _ivf_topk_impl(
+    # _ivf_topk_jit, not the raw impl: standalone callers (VectorStore's
+    # ivf route) would otherwise run the whole program EAGERLY — hundreds
+    # of op-by-op dispatches, ~1.7 s/batch through the tunnel vs ~30 ms
+    # jitted (measured; an outer jit hid this from the bench, which wraps
+    # its calls in one). Inside an outer jit the inner jit just inlines.
+    return _ivf_topk_jit(
         emb_r, perm, centroids, radius, bucket_fill, count_in, out_emb,
         out_perm, count_out, queries,
         k=k, B=min(B, nb), use_pallas=use_pallas,

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import asyncio
 import contextlib
+import functools
 import threading
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -201,6 +202,45 @@ class TextEmbeddingIndexSettings:
         if query_wire == "int8" and dtype != "bfloat16":
             raise ValueError("query_wire='int8' requires dtype='bfloat16'")
         self.query_wire = query_wire
+
+
+@functools.partial(jax.jit, static_argnames=("k", "B", "use_pallas"))
+def _ivf_suffix_merged(
+    emb_r: jax.Array,
+    perm: jax.Array,
+    centroids: jax.Array,
+    radius: jax.Array,
+    bucket_fill: jax.Array,
+    count_in: jax.Array,
+    out_emb: jax.Array,
+    out_perm: jax.Array,
+    count_out: jax.Array,
+    buf: jax.Array,
+    q: jax.Array,
+    count: jax.Array,
+    ivf_count: jax.Array,
+    *,
+    k: int,
+    B: int,
+    use_pallas: bool,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """IVF snapshot search + exact interval scan of the appended suffix
+    ``[ivf_count, count)`` + score-space merge, fused into ONE device
+    program. ``count``/``ivf_count`` are dynamic (appends don't recompile);
+    only buffer growth does."""
+    from .ops.ivf import _ivf_topk_impl
+
+    vals, idx, cert = _ivf_topk_impl(
+        emb_r, perm, centroids, radius, bucket_fill, count_in, out_emb,
+        out_perm, count_out, q, k=k, B=B, use_pallas=use_pallas,
+    )
+    intervals = jnp.stack([ivf_count, count]).astype(jnp.int32).reshape(1, 2)
+    v2, i2 = topk.topk_program_intervals(buf, q, count, intervals, k, use_pallas)
+    sv = jnp.concatenate([vals, v2], axis=1)
+    si = jnp.concatenate([idx, i2], axis=1)
+    mv, pos = jax.lax.top_k(sv, k)
+    mi = jnp.take_along_axis(si, pos, axis=1)
+    return mv, mi, cert
 
 
 @jax.jit
@@ -804,26 +844,32 @@ class VectorStore:
         stays sound across the merge (the suffix is scanned exactly and the
         final k-th score only grows). Returned to callers only in
         ``ivf_certified`` mode, where a cert miss triggers the
-        unconditionally-exact one-phase rerun."""
+        unconditionally-exact one-phase rerun.
+
+        Both routes are ONE jitted dispatch: the no-append route through
+        the jitted ivf program, the appended route through
+        ``_ivf_suffix_merged`` (snapshot + interval scan + merge fused) —
+        eager per-op execution here costs hundreds of tunnel round trips
+        per batch (measured 1.7 s vs 30 ms at 131k rows)."""
         from .ops.ivf import ivf_topk_program
 
         state = self._ivf
-        vals, idx, cert = ivf_topk_program(
-            *state, q, k,
-            B=self.settings.ivf_b,
-            use_pallas=topk._use_pallas() and topk._platform_of(buf) == "tpu",
-        )
-        if count > self._ivf_count:
-            intervals = jnp.asarray(
-                [[self._ivf_count, count]], dtype=jnp.int32
+        use_pallas = topk._use_pallas() and topk._platform_of(buf) == "tpu"
+        if count <= self._ivf_count:
+            vals, idx, cert = ivf_topk_program(
+                *state, q, k, B=self.settings.ivf_b, use_pallas=use_pallas
             )
-            v2, i2 = topk.topk_program_intervals(
-                buf, q, jnp.asarray(count, jnp.int32), intervals, k
+        else:
+            vals, idx, cert = _ivf_suffix_merged(
+                *state,
+                buf,
+                q,
+                jnp.asarray(count, jnp.int32),
+                jnp.asarray(self._ivf_count, jnp.int32),
+                k=k,
+                B=min(self.settings.ivf_b, state.n_buckets),
+                use_pallas=use_pallas,
             )
-            sv = jnp.concatenate([vals, v2], axis=1)
-            si = jnp.concatenate([idx, i2], axis=1)
-            vals, pos = jax.lax.top_k(sv, k)
-            idx = jnp.take_along_axis(si, pos, axis=1)
             self._maybe_auto_rebuild_locked(count)
         return vals, idx, (cert if self.settings.ivf_certified else None)
 
