@@ -741,7 +741,19 @@ class DeviceQueryExecutor:
                 ]
             )
         else:
-            outs = [self._run_plan_group(g) for g in groups]
+            # Groups run SEQUENTIALLY (one device dispatch in flight — see
+            # the knob comment above) but OFF the event loop: a plan
+            # group's device fetch blocks for a full round trip, and on a
+            # loaded server the loop must keep running other pipelines'
+            # host work (stage-2 compiles, VM fallbacks, answer contexts)
+            # meanwhile. Postings build on the loop thread first
+            # (idempotent, not lock-guarded) — same pattern as
+            # _execute_tree.
+            if groups and not self._postings._built:
+                self._postings.build()
+            outs = [
+                await asyncio.to_thread(self._run_plan_group, g) for g in groups
+            ]
         for out in outs:
             for index, result in out.items():
                 results[index] = result

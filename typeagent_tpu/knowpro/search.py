@@ -23,7 +23,10 @@ import os
 import time
 from collections.abc import Callable
 from dataclasses import field
-from typing import TypeGuard, cast
+from typing import TYPE_CHECKING, TypeGuard, cast
+
+if TYPE_CHECKING:
+    from .engine_batcher import EngineBatcher
 
 logger = logging.getLogger(__name__)
 
@@ -401,8 +404,7 @@ async def search_conversation_knowledge_batch(
         with span("search.knowledge", route="device", batch=len(selects)):
             try:
                 t_dev = time.perf_counter()
-                executor, context = await _get_device_executor(conversation)
-                results = list(await executor.execute_batch(compiled, context))
+                results = list(await _execute_on_device(conversation, compiled))
                 device_done = sum(1 for r in results if r is not None)
                 if router is not None and device_done:
                     # Mixed batches (some queries device-inexpressible) must
@@ -544,6 +546,48 @@ async def _get_device_executor(conversation: IConversation):
     return executor, context
 
 
+def _engine_coalesce_enabled() -> bool:
+    """TAT_ENGINE_COALESCE=0 disables cross-call dispatch coalescing.
+
+    Read per call (not at import) so in-process A/B benchmarks can flip it
+    between timed segments — per-process A/Bs are useless on this attach
+    (tunnel drift swamps them, NOTES.md "Threaded plan groups")."""
+    return os.environ.get("TAT_ENGINE_COALESCE", "1") == "1"
+
+
+def _get_engine_batcher(conversation: IConversation) -> "EngineBatcher":
+    """Per-(conversation, event-loop) EngineBatcher.
+
+    A batcher's worker task dies with its event loop, so loop turnover
+    (every test, every asyncio.run) gets a fresh batcher; within one loop
+    all concurrent searches against the conversation share one."""
+    import asyncio
+
+    from .engine_batcher import EngineBatcher
+
+    loop = asyncio.get_running_loop()
+    batcher = getattr(conversation, "_engine_batcher", None)
+    if batcher is None or batcher.loop not in (None, loop):
+        batcher = EngineBatcher(conversation, _get_device_executor)
+        try:
+            conversation._engine_batcher = batcher
+        except AttributeError:
+            pass  # uncacheable conversation: batcher lives for this call only
+    return batcher
+
+
+async def _execute_on_device(
+    conversation: IConversation, compiled: list[GroupSearchResultsExpr]
+) -> list[dict[KnowledgeType, SemanticRefSearchResult] | None]:
+    """Run compiled stage-3 queries on the device engine, coalescing with
+    concurrent callers' dispatches when enabled (fewer+bigger device calls
+    win on tunnel-attached parts — see knowpro/engine_batcher.py)."""
+    if _engine_coalesce_enabled():
+        return await _get_engine_batcher(conversation).execute_batch(compiled)
+    executor, context = await _get_device_executor(conversation)
+    return await executor.execute_batch(compiled, context)
+
+
 async def _try_device_executor(
     conversation: IConversation,
     knowledge_query,
@@ -554,8 +598,7 @@ async def _try_device_executor(
     Evaluates the SAME compiled query tree the host VM would run, so the
     device route sees identical weights, related terms, boosters and scopes.
     """
-    executor, context = await _get_device_executor(conversation)
-    return await executor.execute(knowledge_query, context)
+    return (await _execute_on_device(conversation, [knowledge_query]))[0]
 
 
 # ---------------------------------------------------------------------------
