@@ -503,6 +503,159 @@ def section_b(
             + (f", cert_frac={cert:.3f}" if cert is not None else "")
         )
 
+    _measure_certified_pipeline(
+        res, out_path, tag=tag, ivf=ivf, emb_b=emb_b, count_c=count_c,
+        many_c=many_c, t_ivf=timings_b[f"{tag}-ivf-B12"],
+        ivf_out=outputs_b[f"{tag}-ivf-B12"], oracle_idx=oracle_c,
+        baseline=baseline, use_pallas=use_pallas_b,
+    )
+
+
+def _measure_certified_pipeline(
+    res: dict,
+    out_path: str,
+    *,
+    tag: str,
+    ivf,
+    emb_b,
+    count_c,
+    many_c,
+    t_ivf: float,
+    ivf_out,
+    oracle_idx,
+    baseline: float,
+    use_pallas: bool,
+) -> None:
+    """Certified-exact IVF pipeline: B=12 scan + per-query certificate-miss
+    escalation (the VectorStore.ivf_certified path, vectorstore.py
+    ``_resolve_cert_misses``) measured end to end at bench scale.
+
+    Misses rescan at B=4x over JUST the missed queries; queries still
+    uncertified after that go through the unconditionally exact one-phase
+    scan. The store's resolver is ADAPTIVE (vectorstore._esc_ema): it tries
+    the escalation once, learns its resolved-miss fraction, and skips it in
+    steady state when the yield is under _ESCALATE_MIN_YIELD (cert rate
+    saturates in B, so boundary queries never certify at any affordable B).
+    The bench mirrors that: it measures the escalation to report its yield,
+    then reports the STEADY-STATE pipeline — with escalation if it paid,
+    without if the store would learn to skip it. QPS charges the full
+    resolution cost against every query, so the number is the throughput of
+    a pipeline whose every answer is certified or exactly rescanned —
+    recall-1.0 semantics (reported recall can dip microscopically below 1.0
+    only on equal-score k-boundary ties, same as the exact2 rows)."""
+    import jax
+    import jax.numpy as jnp
+
+    from typeagent_tpu.ops import topk as T
+    from typeagent_tpu.ops.ivf import ivf_topk_program
+
+    leaves = jax.tree.leaves(ivf_out)
+    vals = np.asarray(leaves[0]).reshape(-1, K).copy()
+    idx = np.asarray(leaves[1]).reshape(-1, K).copy()
+    cert = np.asarray(leaves[2]).reshape(-1)
+    q_all = np.asarray(many_c, dtype=np.float32).reshape(-1, DIM)
+    miss = np.flatnonzero(~cert)
+    b_esc = min(4 * 12, int(ivf.n_buckets))
+    if use_pallas:
+        # Past the Pallas rescore window the XLA fallback gather
+        # materializes B*128 rows/query (~1.2 GB at B=48, b=256) and
+        # RESOURCE_EXHAUSTs next to the 10M store — cap to the kernel.
+        b_esc = min(
+            b_esc, T.max_rescore_b(ivf.emb_r.shape[1], ivf.emb_r.dtype.itemsize)
+        )
+
+    def pad_batches(qs: np.ndarray) -> tuple[jax.Array, int]:
+        m = qs.shape[0]
+        nb = max(1, -(-m // BATCH))
+        out = np.zeros((nb, BATCH, DIM), np.float32)
+        out.reshape(-1, DIM)[:m] = qs
+        return jnp.asarray(out), m
+
+    t_esc = t_strag = 0.0
+    still = miss
+    esc_yield = None
+    # Escalate only when misses are the exception (cert rate is a corpus
+    # property: when ~everything missed at B=12, the bigger-B pass mostly
+    # fails too and the exact subset scan reads the store once either way).
+    if miss.size and b_esc > 12 and 2 * miss.size <= q_all.shape[0]:
+        q_esc, m = pad_batches(q_all[miss])
+        prog, bufs = make_prog(
+            lambda q, *st: ivf_topk_program(
+                *st, q, K, B=b_esc, use_pallas=use_pallas
+            ),
+            *ivf,
+        )
+        compiled = prog.lower(q_esc, *bufs).compile()
+        out = compiled(q_esc, *bufs)
+        np.asarray(jax.tree.leaves(out)[0])  # warm run
+        t0 = time.perf_counter()
+        out = compiled(q_esc, *bufs)
+        l2 = jax.device_get(jax.tree.leaves(out))
+        t_esc = time.perf_counter() - t0
+        ev = l2[0].reshape(-1, K)
+        ei = l2[1].reshape(-1, K)
+        ec = l2[2].reshape(-1)
+        vals[miss] = ev[:m]
+        idx[miss] = ei[:m]
+        # Zero-padded slots never certify (their k-th score is 0 while any
+        # excluded bound is r > 0) — slice to the m real queries.
+        still = miss[~ec[:m]]
+        esc_yield = 1.0 - still.size / miss.size
+        if esc_yield < 0.5:
+            # Steady state: the store's EMA learns this escalation doesn't
+            # pay (e.g. 12% yield at 10M/B=12->24) and skips it — rescan
+            # ALL misses exactly and charge only t_ivf + t_strag.
+            still = miss
+            t_esc = 0.0
+    if still.size:
+        q_st, ms = pad_batches(q_all[still])
+        prog, bufs = make_prog(
+            lambda q, e: T.topk_program(e, q, count_c, K), emb_b
+        )
+        compiled = prog.lower(q_st, *bufs).compile()
+        out = compiled(q_st, *bufs)
+        np.asarray(jax.tree.leaves(out)[0])  # warm run
+        t0 = time.perf_counter()
+        out = compiled(q_st, *bufs)
+        l3 = jax.device_get(jax.tree.leaves(out))
+        t_strag = time.perf_counter() - t0
+        vals[still] = l3[0].reshape(-1, K)[:ms]
+        idx[still] = l3[1].reshape(-1, K)[:ms]
+
+    n_q = q_all.shape[0]
+    total = t_ivf + t_esc + t_strag
+    res["results"][f"{tag}-ivf-B12-certified"] = {
+        "qps": n_q / total,
+        "recall": _recall_of(idx, oracle_idx, K),
+        "baseline": baseline,
+        "cert_frac": 1.0,
+        "detail": {
+            "miss": int(miss.size),
+            "still_exact": int(still.size),
+            "t_ivf_s": t_ivf,
+            "t_esc_s": t_esc,
+            "t_strag_s": t_strag,
+            "B_esc": b_esc,
+            "esc_yield": esc_yield,
+            "esc_kept": bool(t_esc),
+        },
+    }
+    _write_json(out_path, res)
+    rr = res["results"][f"{tag}-ivf-B12-certified"]
+    esc_note = (
+        "escalation never tried"
+        if esc_yield is None
+        else f"escalation yield {esc_yield:.2f} at B={b_esc}: "
+        + ("kept" if t_esc else "learned-skip")
+    )
+    log(
+        f"[{tag}] ivf-B12-certified pipeline: {rr['qps']:.0f} QPS, "
+        f"recall@{K} {rr['recall']:.4f} (certified-or-exact for all "
+        f"{n_q} queries; {miss.size} missed, {esc_note}, "
+        f"{still.size} exact-rescanned; "
+        f"{t_ivf * 1000:.0f}+{t_esc * 1000:.0f}+{t_strag * 1000:.0f} ms)"
+    )
+
 
 def section_b1m(res: dict, out_path: str) -> None:
     section_b(

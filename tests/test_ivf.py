@@ -452,3 +452,308 @@ def test_vectorstore_ivf_append_route_is_one_fused_dispatch():
     hit = store.fuzzy_lookup_embedding(extra[10], max_hits=1)
     assert hit[0].item == 1536 + 10
     assert len(got) == 4 and all(len(r) == 3 for r in got)
+
+
+def _spy(store, name, log):
+    """Wrap a store method, recording the padded query-row count per call."""
+    orig = getattr(store, name)
+
+    def wrapper(q, *args, **kwargs):
+        log.append(int(q.shape[0]))
+        return orig(q, *args, **kwargs)
+
+    setattr(store, name, wrapper)
+
+
+def _force_misses(store, n: int):
+    """Wrap ``_resolve_cert_misses`` so the first ``n`` real rows of every
+    certified dispatch read as certificate MISSES (small fixtures certify
+    everything naturally — B covers most buckets — so miss-path tests force
+    the corpus property they exercise). The resolver then runs for real:
+    forced rows come back from the escalation/exact rescan, so results stay
+    oracle-exact."""
+    orig = store._resolve_cert_misses
+
+    def forcing(vals, idx, cert_h, q, k, count, b):
+        cert_h = np.array(cert_h)
+        cert_h[: min(n, b)] = False
+        return orig(vals, idx, cert_h, q, k, count, b)
+
+    store._resolve_cert_misses = forcing
+
+
+def test_ivf_certified_padded_batch_never_full_reruns():
+    """Zero-padded query rows can never certify under the IVF bound; the
+    miss check must slice to the REAL batch. On well-clustered data with
+    an odd batch size (13 -> padded to 16), certified mode must answer
+    straight from the IVF pass — no escalation, no exact rerun."""
+    from typeagent_tpu.models.adapters import create_test_embedding_model
+    from typeagent_tpu.vectorstore import TextEmbeddingIndexSettings, VectorStore
+
+    rng = np.random.default_rng(7)
+    d, nclust = 64, 24
+    emb, centers = _mk_clustered(rng, 4000, d, nclust, 0.05)
+    settings = TextEmbeddingIndexSettings(
+        create_test_embedding_model(d), min_score=0.0, search_mode="ivf"
+    )
+    settings.ivf_certified = True
+    settings.ivf_b = 8
+    store = VectorStore(settings)
+    store.add_embeddings(None, emb)
+    store.build_ivf(rows_per_cluster=128, train_rows=2048, iters=6,
+                    outlier_frac=0.05)
+    exact_calls, esc_calls = [], []
+    _spy(store, "_rerun_exact1", exact_calls)
+    _spy(store, "_rerun_ivf", esc_calls)
+
+    q = centers[rng.integers(0, nclust, 13)] + 0.02 * rng.standard_normal(
+        (13, d)
+    ).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    hits = store.fuzzy_lookup_embeddings_batch(q, max_hits=5)
+    true = q @ emb.T
+    oracle = np.argsort(-true, axis=1)[:, :5]
+    for row, want in zip(hits, oracle):
+        assert {s.item for s in row} == set(want.tolist())
+    assert exact_calls == [], exact_calls
+    assert esc_calls == [], esc_calls
+
+
+def test_ivf_certified_escalates_only_the_missed_queries(monkeypatch):
+    """Mixed batch (clustered queries certify; isotropic queries miss):
+    cert misses escalate per query — the rerun batches must cover only
+    the missed subset, never the whole batch — and every row of the
+    final result must equal the exact oracle."""
+    from typeagent_tpu import vectorstore as vs_mod
+    from typeagent_tpu.models.adapters import create_test_embedding_model
+    from typeagent_tpu.vectorstore import TextEmbeddingIndexSettings, VectorStore
+
+    # Escalation only pays past ~2M rows (below that the subset rescan is
+    # one hop cheaper); shrink the gate so this small fixture exercises it.
+    monkeypatch.setattr(vs_mod, "_ESCALATE_MIN_ROWS", 0)
+
+    rng = np.random.default_rng(8)
+    d, nclust = 64, 16
+    emb, _centers = _mk_clustered(rng, 4000, d, nclust, 0.02)
+    settings = TextEmbeddingIndexSettings(
+        create_test_embedding_model(d), min_score=0.0, search_mode="ivf"
+    )
+    settings.ivf_certified = True
+    settings.ivf_b = 8
+    store = VectorStore(settings)
+    store.add_embeddings(None, emb)
+    store.build_ivf(rows_per_cluster=128, train_rows=2048, iters=6,
+                    outlier_frac=0.05)
+    exact_calls, esc_calls = [], []
+    _spy(store, "_rerun_exact1", exact_calls)
+    _spy(store, "_rerun_ivf", esc_calls)
+
+    # 24 in-store queries (mostly certify at B=8) + 8 isotropic (miss,
+    # escalate to B=32; the stubborn ones land in the exact1 subset).
+    qc = emb[rng.choice(4000, 24, replace=False)]
+    qi = rng.standard_normal((8, d)).astype(np.float32)
+    q = np.concatenate([qc, qi])
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    hits = store.fuzzy_lookup_embeddings_batch(q, max_hits=5)
+    true = q @ emb.T
+    oracle_scores = np.sort(true, axis=1)[:, ::-1][:, :5]
+    for row, want in zip(hits, oracle_scores):
+        got = np.array([s.score for s in row])
+        np.testing.assert_allclose(got, np.clip((want + 1) / 2, 0, 1),
+                                   atol=1e-5)
+    # Escalation/rerun batches are padded to the MISS bucket, which must
+    # be strictly smaller than the full 32-query batch.
+    for calls in (exact_calls, esc_calls):
+        for padded in calls:
+            assert padded < 32, (exact_calls, esc_calls)
+    assert esc_calls, "expected at least one escalated IVF rerun"
+
+
+def test_ivf_certified_async_collect_resolves_per_query():
+    """dispatch_lookup/collect_lookup (the async serving route) resolves
+    certificate misses per query too, with oracle-exact results."""
+    from typeagent_tpu.models.adapters import create_test_embedding_model
+    from typeagent_tpu.vectorstore import TextEmbeddingIndexSettings, VectorStore
+
+    rng = np.random.default_rng(9)
+    d = 48
+    emb, centers = _mk_clustered(rng, 3000, d, 20, 0.05)
+    settings = TextEmbeddingIndexSettings(
+        create_test_embedding_model(d), min_score=0.0, search_mode="ivf"
+    )
+    settings.ivf_certified = True
+    settings.ivf_b = 4
+    store = VectorStore(settings)
+    store.add_embeddings(None, emb)
+    store.build_ivf(rows_per_cluster=128, train_rows=1024, iters=4)
+    exact_calls = []
+    _spy(store, "_rerun_exact1", exact_calls)
+
+    qi = rng.standard_normal((3, d)).astype(np.float32)
+    q = np.concatenate([emb[rng.choice(3000, 10, replace=False)], qi])
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    handle = store.dispatch_lookup(q, max_hits=5)
+    hits = store.collect_lookup(handle)
+    true = q @ emb.T
+    oracle = np.argsort(-true, axis=1)[:, :5]
+    for row, want in zip(hits, oracle):
+        assert {s.item for s in row} == set(want.tolist())
+    # 13 queries pad to 16; the rerun must cover only the missed subset.
+    for padded in exact_calls:
+        assert padded < 16, exact_calls
+
+
+def test_ivf_rides_the_coalesced_many_route(monkeypatch):
+    """fuzzy_lookup_embeddings_many (the LookupBatcher's dispatch) must use
+    the IVF engine for IVF stores — not fall back to a full scan — in both
+    plain and certified modes, with oracle-exact certified results."""
+    from typeagent_tpu import vectorstore as vs_mod
+    from typeagent_tpu.models.adapters import create_test_embedding_model
+    from typeagent_tpu.ops import topk as topk_mod
+    from typeagent_tpu.vectorstore import TextEmbeddingIndexSettings, VectorStore
+
+    rng = np.random.default_rng(12)
+    d = 64
+    emb, _ = _mk_clustered(rng, 4000, d, 16, 0.02)
+    settings = TextEmbeddingIndexSettings(
+        create_test_embedding_model(d), min_score=0.0, search_mode="ivf"
+    )
+    settings.ivf_b = 8
+    store = VectorStore(settings)
+    store.add_embeddings(None, emb)
+    store.build_ivf(rows_per_cluster=128, train_rows=2048, iters=6,
+                    outlier_frac=0.05)
+
+    def boom(*a, **k):
+        raise AssertionError("topk_many full-scan used for an IVF store")
+
+    monkeypatch.setattr(topk_mod, "topk_many", boom)
+
+    qs = emb[rng.choice(4000, 3 * 7, replace=False)].reshape(3, 7, d)
+    got = store.fuzzy_lookup_embeddings_many(qs, max_hits=5)
+    assert len(got) == 3 and all(len(r) == 7 for r in got)
+    # Plain mode: high-recall IVF results (self-queries must find self).
+    for r, qrow in zip(got, qs):
+        for hits, qv in zip(r, qrow):
+            assert hits[0].score > 0.999
+
+    # Certified mode: every row must equal the exact oracle.
+    settings.ivf_certified = True
+    got = store.fuzzy_lookup_embeddings_many(qs, max_hits=5)
+    true = qs.reshape(-1, d) @ emb.T
+    oracle = np.argsort(-true, axis=1)[:, :5].reshape(3, 7, 5)
+    for i in range(3):
+        for j in range(7):
+            assert {s.item for s in got[i][j]} == set(oracle[i, j].tolist())
+
+    # Appended rows surface through the fused suffix merge on this route.
+    settings.ivf_certified = False
+    new = emb[100] + 0.001 * rng.standard_normal(d).astype(np.float32)
+    new /= np.linalg.norm(new)
+    store.add_embeddings(None, new[None])
+    got = store.fuzzy_lookup_embeddings_many(emb[100][None, None, :], max_hits=3)
+    assert 4000 in [s.item for s in got[0][0]]
+
+
+def test_ivf_escalation_ema_learns_to_skip_unyielding_escalation(monkeypatch):
+    """Adaptive escalation (vectorstore._esc_ema): when the bigger-B pass
+    resolves (almost) none of the misses — cert rate saturates in B, a
+    corpus property — the store learns to skip it, so steady-state misses
+    pay only the exact subset rescan. Results stay oracle-exact both with
+    and without the pass."""
+    from typeagent_tpu import vectorstore as vs_mod
+    from typeagent_tpu.models.adapters import create_test_embedding_model
+    from typeagent_tpu.vectorstore import TextEmbeddingIndexSettings, VectorStore
+
+    monkeypatch.setattr(vs_mod, "_ESCALATE_MIN_ROWS", 0)
+
+    rng = np.random.default_rng(21)
+    d = 64
+    emb, _ = _mk_clustered(rng, 4000, d, 16, 0.02)
+    settings = TextEmbeddingIndexSettings(
+        create_test_embedding_model(d), min_score=0.0, search_mode="ivf"
+    )
+    settings.ivf_certified = True
+    settings.ivf_b = 8
+    store = VectorStore(settings)
+    store.add_embeddings(None, emb)
+    store.build_ivf(rows_per_cluster=128, train_rows=2048, iters=6,
+                    outlier_frac=0.05)
+    _force_misses(store, 4)
+
+    # Force zero escalation yield: the pass runs but certifies nothing
+    # (as at 10M/B=12->24, where only 12% of misses resolved).
+    esc_calls = []
+    orig_rerun = store._rerun_ivf
+
+    def unyielding(q, k, count, B):
+        esc_calls.append(int(q.shape[0]))
+        out = orig_rerun(q, k, count, B)
+        if out is None:
+            return None
+        v, i, c = out
+        return v, i, np.zeros_like(c)
+
+    store._rerun_ivf = unyielding
+
+    q = emb[rng.choice(4000, 16, replace=False)].copy()
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    def check(batch):
+        hits = store.fuzzy_lookup_embeddings_batch(batch, max_hits=5)
+        true = batch @ emb.T
+        oracle = np.argsort(-true, axis=1)[:, :5]
+        for row, want in zip(hits, oracle):
+            assert {s.item for s in row} == set(want.tolist())
+
+    check(q)  # first dispatch: escalation tried once (EMA is None)
+    assert len(esc_calls) == 1
+    assert store._esc_ema == 0.0
+    check(q)  # steady state: the learned-skip gate holds
+    assert len(esc_calls) == 1, "EMA should have disabled escalation"
+
+    # A rebuild swaps in new buckets -> the yield is re-learned.
+    store.build_ivf(rows_per_cluster=128, train_rows=2048, iters=6,
+                    outlier_frac=0.05)
+    assert store._esc_ema is None
+    check(q)
+    assert len(esc_calls) == 2, "new snapshot should retry escalation"
+
+
+def test_ivf_escalation_ema_keeps_yielding_escalation(monkeypatch):
+    """When escalation resolves the misses (small fixture: 4xB covers every
+    bucket, so everything certifies), the EMA stays high and later batches
+    keep escalating instead of paying the exact rescan."""
+    from typeagent_tpu import vectorstore as vs_mod
+    from typeagent_tpu.models.adapters import create_test_embedding_model
+    from typeagent_tpu.vectorstore import TextEmbeddingIndexSettings, VectorStore
+
+    monkeypatch.setattr(vs_mod, "_ESCALATE_MIN_ROWS", 0)
+
+    rng = np.random.default_rng(22)
+    d = 64
+    emb, _ = _mk_clustered(rng, 4000, d, 16, 0.02)
+    settings = TextEmbeddingIndexSettings(
+        create_test_embedding_model(d), min_score=0.0, search_mode="ivf"
+    )
+    settings.ivf_certified = True
+    settings.ivf_b = 8
+    store = VectorStore(settings)
+    store.add_embeddings(None, emb)
+    store.build_ivf(rows_per_cluster=128, train_rows=2048, iters=6,
+                    outlier_frac=0.05)
+    _force_misses(store, 4)
+    esc_calls, exact_calls = [], []
+    _spy(store, "_rerun_ivf", esc_calls)
+    _spy(store, "_rerun_exact1", exact_calls)
+
+    q = emb[rng.choice(4000, 16, replace=False)].copy()
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    for _ in range(2):
+        hits = store.fuzzy_lookup_embeddings_batch(q, max_hits=5)
+        true = q @ emb.T
+        oracle = np.argsort(-true, axis=1)[:, :5]
+        for row, want in zip(hits, oracle):
+            assert {s.item for s in row} == set(want.tolist())
+    assert len(esc_calls) == 2, (esc_calls, exact_calls)
+    assert store._esc_ema is not None and store._esc_ema >= 0.5

@@ -1402,6 +1402,19 @@ def _rescore_fits(d_pad: int, itemsize: int, B: int) -> bool:
     )
 
 
+def max_rescore_b(d_pad: int, itemsize: int) -> int:
+    """Largest bucket count the Pallas selected-rescore kernel can take.
+
+    Past this the rescore falls back to the XLA gather path, which
+    MATERIALIZES [b, B*128, d] candidate rows — ~1.2 GB at B=48, b=256,
+    d=384 bf16 — and RESOURCE_EXHAUSTs next to a large resident store.
+    Escalation policies must cap at this bound on TPU."""
+    return max(
+        1,
+        min(_RESCORE_MAX_B, _RESCORE_VMEM // (2 * _BUCKET_ROWS * d_pad * itemsize)),
+    )
+
+
 def _exact2_phase2(emb, queries, count, bvals, bidx, *, k: int, B: int, use_pallas: bool):
     """Rescore the top-B buckets per query exactly; returns (vals, idx, cert)."""
     del bidx  # selection rescoring covers whole buckets; argmax ids unused

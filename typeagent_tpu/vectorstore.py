@@ -51,6 +51,17 @@ MODEL_DEFAULT_MIN_SCORES: dict[str, float] = {
 }
 
 _QUERY_BUCKETS = (8, 16, 32, 64, 128, 256, 512)
+
+# Certificate-miss resolution: row count above which a miss escalates
+# through a bigger-B IVF pass before the exact subset rescan. Below this
+# the full scan is cheap enough that the escalation's extra device round
+# trip costs more than it saves (tests shrink it to exercise the path).
+_ESCALATE_MIN_ROWS = 2_000_000
+# Adaptive escalation floor: skip the bigger-B pass once the EMA of its
+# resolved-miss fraction falls below this (resolving fewer than half the
+# misses almost never empties an exact-rescan batch, so the pass is a
+# pure extra round trip — measured 12% yield at 10M/B=12->24).
+_ESCALATE_MIN_YIELD = 0.5
 _SUBSET_MIN_BUCKET = 64
 # Row count above which "exact" lookups auto-route to the two-phase exact2
 # engine (bucket-select + certified rescore): below this the one-phase
@@ -204,6 +215,40 @@ class TextEmbeddingIndexSettings:
         self.query_wire = query_wire
 
 
+def _ivf_suffix_merged_body(
+    emb_r: jax.Array,
+    perm: jax.Array,
+    centroids: jax.Array,
+    radius: jax.Array,
+    bucket_fill: jax.Array,
+    count_in: jax.Array,
+    out_emb: jax.Array,
+    out_perm: jax.Array,
+    count_out: jax.Array,
+    buf: jax.Array,
+    q: jax.Array,
+    count: jax.Array,
+    ivf_count: jax.Array,
+    *,
+    k: int,
+    B: int,
+    use_pallas: bool,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    from .ops.ivf import _ivf_topk_impl
+
+    vals, idx, cert = _ivf_topk_impl(
+        emb_r, perm, centroids, radius, bucket_fill, count_in, out_emb,
+        out_perm, count_out, q, k=k, B=B, use_pallas=use_pallas,
+    )
+    intervals = jnp.stack([ivf_count, count]).astype(jnp.int32).reshape(1, 2)
+    v2, i2 = topk.topk_program_intervals(buf, q, count, intervals, k, use_pallas)
+    sv = jnp.concatenate([vals, v2], axis=1)
+    si = jnp.concatenate([idx, i2], axis=1)
+    mv, pos = jax.lax.top_k(sv, k)
+    mi = jnp.take_along_axis(si, pos, axis=1)
+    return mv, mi, cert
+
+
 @functools.partial(jax.jit, static_argnames=("k", "B", "use_pallas"))
 def _ivf_suffix_merged(
     emb_r: jax.Array,
@@ -228,19 +273,72 @@ def _ivf_suffix_merged(
     ``[ivf_count, count)`` + score-space merge, fused into ONE device
     program. ``count``/``ivf_count`` are dynamic (appends don't recompile);
     only buffer growth does."""
+    return _ivf_suffix_merged_body(
+        emb_r, perm, centroids, radius, bucket_fill, count_in, out_emb,
+        out_perm, count_out, buf, q, count, ivf_count,
+        k=k, B=B, use_pallas=use_pallas,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "B", "use_pallas"))
+def _ivf_topk_many(
+    emb_r: jax.Array,
+    perm: jax.Array,
+    centroids: jax.Array,
+    radius: jax.Array,
+    bucket_fill: jax.Array,
+    count_in: jax.Array,
+    out_emb: jax.Array,
+    out_perm: jax.Array,
+    count_out: jax.Array,
+    qs: jax.Array,  # [R, b_pad, d_pad]
+    *,
+    k: int,
+    B: int,
+    use_pallas: bool,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """R coalesced query batches through the IVF snapshot in ONE dispatch
+    (the serving twin of ``ops.topk.topk_many``)."""
     from .ops.ivf import _ivf_topk_impl
 
-    vals, idx, cert = _ivf_topk_impl(
-        emb_r, perm, centroids, radius, bucket_fill, count_in, out_emb,
-        out_perm, count_out, q, k=k, B=B, use_pallas=use_pallas,
+    return jax.lax.map(
+        lambda q: _ivf_topk_impl(
+            emb_r, perm, centroids, radius, bucket_fill, count_in, out_emb,
+            out_perm, count_out, q, k=k, B=B, use_pallas=use_pallas,
+        ),
+        qs,
     )
-    intervals = jnp.stack([ivf_count, count]).astype(jnp.int32).reshape(1, 2)
-    v2, i2 = topk.topk_program_intervals(buf, q, count, intervals, k, use_pallas)
-    sv = jnp.concatenate([vals, v2], axis=1)
-    si = jnp.concatenate([idx, i2], axis=1)
-    mv, pos = jax.lax.top_k(sv, k)
-    mi = jnp.take_along_axis(si, pos, axis=1)
-    return mv, mi, cert
+
+
+@functools.partial(jax.jit, static_argnames=("k", "B", "use_pallas"))
+def _ivf_suffix_merged_many(
+    emb_r: jax.Array,
+    perm: jax.Array,
+    centroids: jax.Array,
+    radius: jax.Array,
+    bucket_fill: jax.Array,
+    count_in: jax.Array,
+    out_emb: jax.Array,
+    out_perm: jax.Array,
+    count_out: jax.Array,
+    buf: jax.Array,
+    qs: jax.Array,  # [R, b_pad, d_pad]
+    count: jax.Array,
+    ivf_count: jax.Array,
+    *,
+    k: int,
+    B: int,
+    use_pallas: bool,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """R coalesced batches of snapshot search + appended-suffix scan."""
+    return jax.lax.map(
+        lambda q: _ivf_suffix_merged_body(
+            emb_r, perm, centroids, radius, bucket_fill, count_in, out_emb,
+            out_perm, count_out, buf, q, count, ivf_count,
+            k=k, B=B, use_pallas=use_pallas,
+        ),
+        qs,
+    )
 
 
 @jax.jit
@@ -315,6 +413,14 @@ class VectorStore:
         self._scales: jax.Array | None = None  # per-row scales (int8 mode)
         self._ivf = None  # ops.ivf.IVFState snapshot (search_mode="ivf")
         self._ivf_count = 0  # rows covered by the snapshot
+        # Adaptive certificate-miss escalation: EMA of the fraction of
+        # misses the bigger-B IVF pass resolved. Cert rate saturates in B
+        # (a corpus property — queries near cluster boundaries never
+        # certify at any affordable B), so when escalation stops paying we
+        # learn to skip it: measured at 10M/B=12->24 it resolved only 12%
+        # of misses while costing an extra device round trip. None = not
+        # yet tried (optimistic: try once and learn).
+        self._esc_ema: float | None = None
         # bf16 selection shadow: one (key, shadow) tuple — atomic swap
         self._shadow_cache: tuple | None = None
         self._embedding_size = 0
@@ -578,6 +684,145 @@ class VectorStore:
             out = self._topk_exact1(q, k, self._buf, self._scales, count)
         return jax.device_get(out)
 
+    def _resolve_cert_misses(
+        self,
+        vals: np.ndarray,
+        idx: np.ndarray,
+        cert_h: np.ndarray,
+        q: jax.Array,
+        k: int,
+        count: int,
+        b: int,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Per-query certificate-miss resolution.
+
+        The check is sliced to the ``b`` REAL queries: zero-padded query
+        rows can never certify under the IVF bound (any excluded bucket's
+        bound ``q.c + r = r > 0`` beats their all-zero k-th score), so an
+        all-rows check would rerun every padded batch unconditionally.
+
+        Real misses escalate PER QUERY instead of rerunning the whole
+        batch: one bigger-B IVF pass (4x B, capped at every bucket) over
+        just the missed queries, then the unconditional one-phase exact
+        kernel for any still-uncertified stragglers. Rerun cost scales
+        with the miss fraction (e.g. ~7% of queries at 10M rows / B=12)
+        instead of with the batch size — the old whole-batch exact rerun
+        fired on essentially every batch-256 certified dispatch. Rows
+        whose certificate held are returned untouched; every replaced row
+        is exact (escalated rows are kept only when their own certificate
+        holds; the rest are rescanned exactly).
+        """
+        miss = np.flatnonzero(~np.asarray(cert_h)[:b])
+        if miss.size == 0:
+            return vals, idx
+        vals = np.array(vals)
+        idx = np.array(idx)
+        q_host = np.asarray(q)
+        state = self._ivf
+        # The B-escalation hop pays only when (a) the full scan is
+        # expensive — below ~2M rows the one-phase subset rescan alone
+        # costs less than the extra device round trip (measured on the
+        # real chip: each resolution stage is RTT-bound, ~30 ms through
+        # the tunnel, while a 200k-row scan is ~1 ms) — and (b) misses are
+        # the exception: when most of the batch failed to certify the
+        # data isn't giving certificates at this scale (cert rate is a
+        # corpus property), so the middle pass mostly fails too and the
+        # subset rescan reads the store once either way.
+        if (
+            count >= _ESCALATE_MIN_ROWS
+            and 2 * miss.size <= b
+            and self.settings.search_mode == "ivf"
+            and state is not None
+            and (self._esc_ema is None or self._esc_ema >= _ESCALATE_MIN_YIELD)
+        ):
+            b0 = min(self.settings.ivf_b, state.n_buckets)
+            b_esc = min(4 * max(b0, 1), state.n_buckets)
+            if topk._use_pallas() and topk._platform_of(self._buf) == "tpu":
+                # Past the Pallas rescore window the XLA fallback gather
+                # materializes B*128 rows per query and can OOM next to a
+                # large store — cap escalation to what the kernel takes.
+                b_esc = min(
+                    b_esc,
+                    topk.max_rescore_b(
+                        state.emb_r.shape[1], state.emb_r.dtype.itemsize
+                    ),
+                )
+            if b_esc > b0:
+                out = self._rerun_ivf(
+                    self._pad_query_rows(q_host[miss]), k, count, b_esc
+                )
+                if out is not None:
+                    v2, i2, c2 = out
+                    m = miss.size
+                    vals[miss] = v2[:m]
+                    idx[miss] = i2[:m]
+                    miss = miss[~c2[:m]]
+                    # Learn whether escalation pays on THIS corpus: EMA of
+                    # the resolved fraction. Resolving a miss only saves
+                    # work when it empties exact-rescan batches, so a low
+                    # yield means the extra round trip is pure cost.
+                    resolved = 1.0 - miss.size / m
+                    self._esc_ema = (
+                        resolved
+                        if self._esc_ema is None
+                        else 0.7 * self._esc_ema + 0.3 * resolved
+                    )
+                    if miss.size == 0:
+                        return vals, idx
+        v3, i3 = self._rerun_exact1(
+            self._pad_query_rows(q_host[miss]), k, count
+        )
+        vals[miss] = v3[: miss.size]
+        idx[miss] = i3[: miss.size]
+        return vals, idx
+
+    def _pad_query_rows(self, sub: np.ndarray) -> jax.Array:
+        """Re-pad a host slice of an already dim-padded, upload-dtype query
+        array back to the next batch bucket (zero rows, exactly like
+        :meth:`_pad_queries` pads)."""
+        m = sub.shape[0]
+        m_pad = _bucket(m)
+        if m_pad != m:
+            out = np.zeros((m_pad, sub.shape[1]), dtype=sub.dtype)
+            out[:m] = sub
+            sub = out
+        return jnp.asarray(sub)
+
+    def _rerun_ivf(
+        self, q: jax.Array, k: int, count: int, B: int
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+        """Escalated-B IVF rerun for certificate misses, against the same
+        snapshot + appended-suffix interval the original dispatch saw.
+        Returns host ``(vals, idx, cert)``, or None when escalation can't
+        apply (no snapshot, or a background rebuild swapped a NEWER
+        snapshot in mid-flight — its buckets could surface rows past
+        ``count``; the windowed exact1 path handles those instead)."""
+        from .ops.ivf import ivf_topk_program
+
+        with self._flush_lock:
+            state = self._ivf
+            if state is None or count < self._ivf_count:
+                return None
+            use_pallas = (
+                topk._use_pallas() and topk._platform_of(self._buf) == "tpu"
+            )
+            if count == self._ivf_count:
+                out = ivf_topk_program(
+                    *state, q, k, B=B, use_pallas=use_pallas
+                )
+            else:
+                out = _ivf_suffix_merged(
+                    *state,
+                    self._buf,
+                    q,
+                    jnp.asarray(count, jnp.int32),
+                    jnp.asarray(self._ivf_count, jnp.int32),
+                    k=k,
+                    B=min(B, state.n_buckets),
+                    use_pallas=use_pallas,
+                )
+        return jax.device_get(out)
+
     def _take_pending(self) -> np.ndarray | None:
         """Atomically detach the pending rows for a flush.
 
@@ -775,10 +1020,9 @@ class VectorStore:
             vals, idx = jax.device_get((vals, idx))
         else:
             vals, idx, cert_h = jax.device_get((vals, idx, cert))
-            if not cert_h.all():
-                # Certificate miss (eps-tie phase skew): re-run through the
-                # one-phase kernel for unconditional exactness.
-                vals, idx = self._rerun_exact1(q, k, count)
+            vals, idx = self._resolve_cert_misses(
+                vals, idx, cert_h, q, k, count, b
+            )
         return _materialize_rows(vals, idx, b, min_score)
 
     def _collect_sharded_scored(
@@ -916,6 +1160,7 @@ class VectorStore:
             )
             self._ivf = ivf_build(buf, count, **kwargs)
             self._ivf_count = count
+            self._esc_ema = None  # new buckets: re-learn escalation yield
 
     @contextlib.contextmanager
     def _pinned_view(self):
@@ -973,6 +1218,7 @@ class VectorStore:
             if count >= self._ivf_count:
                 self._ivf = state
                 self._ivf_count = count
+                self._esc_ema = None  # new buckets: re-learn escalation yield
 
     def _topk_exact1(self, q: jax.Array, k: int, buf, scales, count: int):
         """One-phase unconditional-exact rerun (certificate-miss path)."""
@@ -1098,44 +1344,78 @@ class VectorStore:
                 padded[:, :b, : self._embedding_size] = qb
                 q_dev = jnp.asarray(padded)
             k = min(max_hits, count)
-            mode, aux = self._engine_mode(k, buf, scales, count)
-            use_pallas = (
-                topk._platform_of(buf) == "tpu" and k <= topk._PALLAS_MAX_K
+            state = self._ivf
+            ivf_route = (
+                not self._quantized
+                and self.settings.search_mode == "ivf"
+                and state is not None
             )
-            out = topk.topk_many(
-                buf,
-                aux,
-                q_dev,
-                jnp.asarray(count, dtype=jnp.int32),
-                k=k,
-                mode=mode,
-                use_pallas=use_pallas,
-                recall_target=self.settings.recall_target,
-            )
+            if ivf_route:
+                # Coalesced serving rides the IVF engine too — without
+                # this, an IVF store served through the LookupBatcher
+                # full-scans on every coalesced dispatch.
+                use_pallas = (
+                    topk._use_pallas() and topk._platform_of(buf) == "tpu"
+                )
+                b_ivf = min(self.settings.ivf_b, state.n_buckets)
+                if count <= self._ivf_count:
+                    out = _ivf_topk_many(
+                        *state, q_dev, k=k, B=b_ivf, use_pallas=use_pallas
+                    )
+                else:
+                    out = _ivf_suffix_merged_many(
+                        *state,
+                        buf,
+                        q_dev,
+                        jnp.asarray(count, dtype=jnp.int32),
+                        jnp.asarray(self._ivf_count, dtype=jnp.int32),
+                        k=k,
+                        B=b_ivf,
+                        use_pallas=use_pallas,
+                    )
+                    self._maybe_auto_rebuild_locked(count)
+                check_certs = self.settings.ivf_certified
+            else:
+                mode, aux = self._engine_mode(k, buf, scales, count)
+                use_pallas = (
+                    topk._platform_of(buf) == "tpu" and k <= topk._PALLAS_MAX_K
+                )
+                out = topk.topk_many(
+                    buf,
+                    aux,
+                    q_dev,
+                    jnp.asarray(count, dtype=jnp.int32),
+                    k=k,
+                    mode=mode,
+                    use_pallas=use_pallas,
+                    recall_target=self.settings.recall_target,
+                )
+                check_certs = True  # exact2 certs always gate exactness
         # One concurrent fetch for every output (separate np.asarray calls
         # cost a tunnel round trip each on remote-attached devices); runs
         # OUTSIDE the flush lock so ingest isn't blocked for a round trip.
         leaves = jax.device_get(jax.tree.leaves(out))
-        vals = leaves[0][:, :b]
-        idx = leaves[1][:, :b]
-        if len(leaves) > 2 and not leaves[2].all():
-            # Certificate miss in some batch: redo through the one-phase
-            # exact engine for unconditional exactness, against the CURRENT
-            # buffer windowed to the original count (the capture's buffer
-            # may have been donated away by a concurrent flush).
-            with self._flush_lock:
-                out = topk.topk_many(
-                    self._buf,
-                    self._scales if mode == "quantized" else None,
-                    q_dev,
-                    jnp.asarray(count, dtype=jnp.int32),
-                    k=k,
-                    mode="quantized" if mode == "quantized" else "exact1",
-                    use_pallas=use_pallas,
-                )
-            leaves = jax.device_get(jax.tree.leaves(out))
-            vals = leaves[0][:, :b]
-            idx = leaves[1][:, :b]
+        vals, idx = leaves[0], leaves[1]
+        if len(leaves) > 2 and check_certs:
+            # Per-query certificate resolution over the flattened R x b_pad
+            # population: padding slots are pre-certified (they carry no
+            # real query), so only genuine misses rerun — as a subset.
+            cert = np.array(leaves[2])
+            cert[:, b:] = True
+            flat = cert.size
+            v, i = self._resolve_cert_misses(
+                vals.reshape(flat, k),
+                idx.reshape(flat, k),
+                cert.reshape(flat),
+                q_dev.reshape(flat, q_dev.shape[-1]),
+                k,
+                count,
+                flat,
+            )
+            vals = v.reshape(vals.shape)
+            idx = i.reshape(idx.shape)
+        vals = vals[:, :b]
+        idx = idx[:, :b]
         return [
             _materialize_rows(vals[i], idx[i], b, min_score)
             for i in range(r_n)
@@ -1205,8 +1485,9 @@ class VectorStore:
             # One concurrent fetch for cert+vals+idx (separate fetches cost
             # a tunnel round trip each).
             vals, idx, cert_h = jax.device_get((vals, idx, cert))
-            if not cert_h.all():
-                vals, idx = self._rerun_exact1(q, k, count)
+            vals, idx = self._resolve_cert_misses(
+                vals, idx, cert_h, q, k, count, b
+            )
         else:
             vals, idx, b = handle
             vals, idx = jax.device_get((vals, idx))
